@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-oriented defaults every entry point shares.
+  *
+  * Design notes (100 TB posture):
+  *   - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *     replaces hand-tuned `spark.sql.shuffle.partitions` on a real cluster.
+  *   - Shuffle partitions default to the local core count here; on a cluster
+  *     this is overridden to ~2-3x total cores and AQE coalesces down.
+  *   - Parquet nanos-as-long: the shared test tables store `events.ts` as
+  *     TIMESTAMP(NANOS) which vanilla Spark rejects; we read the raw long and
+  *     convert explicitly (see [[Tables.events]]).
+  */
+object GraftSession {
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(appName: String = "graft"): SparkSession =
+    builder(appName).master(s"local[$cpus]").getOrCreate()
+}

@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Parity
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the parity surface (SURVEY §2 over the shared
+  * test tables) and the extension surface (§2.11: dedup, similarity, text,
+  * multimodal). `oracleSql` carries the DuckDB-equivalent SQL for every
+  * query whose semantics ANSI SQL can express; the rest get rows-only
+  * checks plus ScalaTest coverage.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Parity.qAgg(spark, "/root/testdata/sf0.001")
+
+  def queryGroups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Parity.queries, Parity.oracles),
+    )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryGroups.map(_._1).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    queryGroups.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Parity operator surface — every relational operator the reference
+  * executes (SURVEY.md §2), re-expressed over the shared test tables.
+  *
+  * Conventions for oracle (DuckDB) hash-parity:
+  *   - every result carries a total-order sort key (driver compare needs
+  *     deterministic row order);
+  *   - money arithmetic is done in DECIMAL(18,2) (exact, engine-agnostic)
+  *     instead of double (FP sums are association-order-dependent);
+  *   - date-part columns are INT on both sides (DuckDB EXTRACT returns
+  *     BIGINT, so the oracle SQL casts).
+  *
+  * Scale notes are per-query; all joins against dimension tables broadcast
+  * explicitly so the plan at 100 TB is a BroadcastHashJoin, not a shuffle.
+  */
+object Parity {
+
+  /** A1 — global COUNT(*) (ref: nrg_sql_queries.py:58-60). */
+  def qCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("n"))
+
+  /** P1 — projection + rename of a wide fact table
+    * (ref: nrg_sql_queries.py:3-18, the 17-column EIA header rename).
+    * Column pruning reaches the parquet scan: only 5 of 11 cols are read.
+    */
+  def qProjRename(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_no"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"),
+        col("l_returnflag").as("flag"))
+      .orderBy("order_key", "line_no")
+
+  /** A4 + F1 + F4 — SELECT DISTINCT projection with date-part extraction
+    * (ref: nrg_sql_queries.py:1-22 bal_auth table). Distinct is a
+    * partial+final HashAggregate; low-cardinality output so the final
+    * exchange is tiny at any scale.
+    */
+  def qDistinctExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .distinct()
+      .orderBy("status", "priority", "yr", "mo")
+
+  /** F3 + F5 + A4 — time dimension: six date parts + distinct
+    * (ref: nrg_sql_queries.py:34-44; the reference's Postgres-style
+    * timestamp pattern is invalid — SURVEY §4.3.4 — we implement the
+    * intent: parse once, extract parts).
+    * Spark dayofweek is 1=Sunday..7=Saturday; the oracle adjusts DuckDB's
+    * 0=Sunday..6 to match.
+    */
+  def qTimeDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        hour(col("ts")).as("hr"),
+        dayofmonth(col("ts")).as("dom"),
+        weekofyear(col("ts")).as("wk"),
+        month(col("ts")).as("mo"),
+        year(col("ts")).as("yr"),
+        dayofweek(col("ts")).as("dow"))
+      .distinct()
+      .orderBy("yr", "mo", "dom", "hr", "wk", "dow")
+
+  /** A3 — groupBy + pivot with an explicit value list + max
+    * (ref: nrg_etl.py:61-65, GHCN parameter pivot). The explicit value
+    * list keeps pivot a single HashAggregate pass (no distinct-values
+    * pre-job) — the only safe form at scale.
+    */
+  val pivotValues: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("event_date"))
+      .pivot("event_type", pivotValues)
+      .max("value")
+      .orderBy("user_id", "event_date")
+
+  /** J1 — LEFT OUTER equi-join, small dimension broadcast
+    * (ref: nrg_sql_queries.py:24-32, weather ⟕ locations).
+    */
+  def qLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left_outer")
+      .select(nation("n_nationkey"), nation("n_name"), region("r_name"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Flagship aggregation — TPC-H Q1 shape: scan → filter → partial/final
+    * HashAggregate over 2 grouping cols. Money sums in DECIMAL(18,2) for
+    * exact, engine-independent arithmetic; qty is integer-valued so its
+    * double sum is exact too.
+    */
+  def qAgg(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(18, 2)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(d)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(d) * (lit(1).cast(d) - col("l_discount").cast(d)))
+          .cast("double").as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_count" -> "SELECT count(*) AS n FROM lineitem",
+    "q_proj_rename" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no, l_quantity AS qty,
+        |       l_extendedprice AS price, l_returnflag AS flag
+        |FROM lineitem ORDER BY order_key, line_no""".stripMargin,
+    "q_distinct_extract" ->
+      """SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority,
+        |       CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(month(o_orderdate) AS INTEGER) AS mo
+        |FROM orders ORDER BY status, priority, yr, mo""".stripMargin,
+    "q_time_dim" ->
+      """SELECT DISTINCT CAST(hour(ts) AS INTEGER) AS hr, CAST(day(ts) AS INTEGER) AS dom,
+        |       CAST(weekofyear(ts) AS INTEGER) AS wk, CAST(month(ts) AS INTEGER) AS mo,
+        |       CAST(year(ts) AS INTEGER) AS yr, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow
+        |FROM events ORDER BY yr, mo, dom, hr, wk, dow""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |       max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |       max(CASE WHEN event_type = 'error' THEN value END) AS error,
+        |       max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+        |       max(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+        |       max(CASE WHEN event_type = 'view' THEN value END) AS view
+        |FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |ORDER BY user_id, event_date""".stripMargin,
+    "q_left_join" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count" -> (qCount _),
+    "q_proj_rename" -> (qProjRename _),
+    "q_distinct_extract" -> (qDistinctExtract _),
+    "q_time_dim" -> (qTimeDim _),
+    "q_pivot" -> (qPivot _),
+    "q_left_join" -> (qLeftJoin _),
+    "q_agg" -> (qAgg _),
+  )
+}
