@@ -118,6 +118,117 @@ object Parity {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** J2 — semi-join replacing the reference's collect()+isin anti-pattern
+    * (ref: nrg_etl.py:47,62). A broadcast left-semi join has identical
+    * semantics with no driver round-trip, so it scales past driver memory.
+    */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bigParts = Tables.part(spark, dir).filter(col("p_size") > 25).select("p_partkey")
+    li.join(broadcast(bigParts), li("l_partkey") === bigParts("p_partkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** A2 / P5 — per-column null counters over a frame that actually has
+    * nulls (the pivot output; ref: nrg_sql_queries.py:48-54 null_checker).
+    * count(*) - count(col) is the distributed null counter: partial
+    * aggregation makes it one tiny exchange regardless of input size.
+    */
+  def qNullCount(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = qPivot(spark, dir)
+    pivoted.agg(
+      (count(lit(1)) - count(col("click"))).as("click_nulls"),
+      (count(lit(1)) - count(col("error"))).as("error_nulls"),
+      (count(lit(1)) - count(col("purchase"))).as("purchase_nulls"),
+      (count(lit(1)) - count(col("signup"))).as("signup_nulls"),
+      (count(lit(1)) - count(col("view"))).as("view_nulls"))
+  }
+
+  /** Anti-join (NOT EXISTS) — dimension members with no facts. Spark's
+    * left_anti is the distributed form; broadcast keeps it shuffle-free.
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ords = Tables.orders(spark, dir).select("o_custkey")
+    cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers_without_orders"))
+  }
+
+  /** A5 + P6 + Q1 — row-wise sum of parts compared against a total inside
+    * a derived table (ref: nrg_sql_queries.py:63-72, the net-generation
+    * consistency check). Left-to-right FP addition is deterministic and
+    * identical across engines, so the inequality count is exact.
+    */
+  def qSumParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_extendedprice"),
+        (col("l_quantity") + col("l_discount") + col("l_tax")).as("sum_of_parts"))
+      .filter(col("l_extendedprice") =!= col("sum_of_parts"))
+      .agg(count(lit(1)).as("n_mismatch"))
+
+  /** §2.8 demo — ranked window (top-3 orders per customer by price).
+    * row_number over (partition, order with unique tiebreak) is fully
+    * deterministic; WindowExec shuffles once on the partition key.
+    */
+  def qWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** §2.8 demo — global top-k: ORDER BY + LIMIT lowers to
+    * TakeOrderedAndProject (per-partition heap + driver merge, no full
+    * sort) — the scalable form of top-k.
+    */
+  def qTopkGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** §2.8 demo — set operations (INTERSECT/EXCEPT are distinct-semantics
+    * in both Spark and DuckDB; each lowers to a hash aggregate + join).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(spark, dir).select(col("c_nationkey").as("k"))
+    val suppNations = Tables.supplier(spark, dir).select(col("s_nationkey").as("k"))
+    custNations.intersect(suppNations)
+      .union(custNations.except(suppNations))
+      .distinct()
+      .orderBy("k")
+  }
+
+  /** §2.11 nested data — JSON property extraction from the events stream
+    * (the reference has no JSON ops; this is the `props` column of the
+    * extension surface). get_json_object is codegen'd; at scale prefer
+    * from_json with an explicit schema so the parse happens once.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** F1/F4 intent — string→date parsing with the reference's EIA pattern
+    * (MM/dd/yyyy; ref: nrg_sql_queries.py:19-20). The testdata has no
+    * string dates, so we round-trip: format then parse, proving the
+    * pattern semantics cross-engine.
+    */
+  def qParseDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        to_date(date_format(col("o_orderdate"), "MM/dd/yyyy"), "MM/dd/yyyy").as("d"))
+      .orderBy("o_orderkey")
+
   val oracles: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
     "q_proj_rename" ->
@@ -158,6 +269,56 @@ object Parity {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_null_count" ->
+      """SELECT count(*) - count(click) AS click_nulls,
+        |       count(*) - count(error) AS error_nulls,
+        |       count(*) - count(purchase) AS purchase_nulls,
+        |       count(*) - count(signup) AS signup_nulls,
+        |       count(*) - count(view) AS view_nulls
+        |FROM (SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |             max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |             max(CASE WHEN event_type = 'error' THEN value END) AS error,
+        |             max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+        |             max(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+        |             max(CASE WHEN event_type = 'view' THEN value END) AS view
+        |      FROM events GROUP BY user_id, CAST(ts AS DATE)) p""".stripMargin,
+    "q_anti_join" ->
+      """SELECT count(*) AS n_customers_without_orders FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_sum_parts" ->
+      """SELECT count(*) AS n_mismatch FROM (
+        |  SELECT l_extendedprice, l_quantity + l_discount + l_tax AS sum_of_parts
+        |  FROM lineitem) main
+        |WHERE main.l_extendedprice != main.sum_of_parts""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_set_ops" ->
+      """SELECT k FROM (
+        |  SELECT k FROM (SELECT c_nationkey AS k FROM customer
+        |                 INTERSECT SELECT s_nationkey AS k FROM supplier) i
+        |  UNION
+        |  SELECT k FROM (SELECT c_nationkey AS k FROM customer
+        |                 EXCEPT SELECT s_nationkey AS k FROM supplier) e) u
+        |ORDER BY k""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_parse_date" ->
+      """SELECT o_orderkey,
+        |       CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -168,5 +329,14 @@ object Parity {
     "q_pivot" -> (qPivot _),
     "q_left_join" -> (qLeftJoin _),
     "q_agg" -> (qAgg _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_null_count" -> (qNullCount _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_sum_parts" -> (qSumParts _),
+    "q_window_topk" -> (qWindowTopk _),
+    "q_topk_global" -> (qTopkGlobal _),
+    "q_set_ops" -> (qSetOps _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_parse_date" -> (qParseDate _),
   )
 }
