@@ -1,0 +1,78 @@
+package graft.etl
+
+import graft.GraftSession
+import graft.qc.Checks
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** End-to-end batch pipeline: the reference's Airflow DAG collapsed to a
+  * sequential main (its only semantic content is ordering — SURVEY §3.3):
+  * ETL (bal_auth + time + weather) then QC, reading/writing any
+  * Hadoop-supported path directly (the reference's s3-dist-cp staging
+  * steps are an EMR-ism, not engine semantics).
+  *
+  * Usage: Pipeline <inputDir> <outputDir>
+  *   inputDir/bal_auth/&#42;.gz|csv    EIA-930 hourly CSVs (gzip transparent)
+  *   inputDir/weather/&#42;.gz|csv     GHCN-Daily element CSVs
+  *   inputDir/weather/locations.csv station↔BA mapping
+  */
+object Pipeline {
+
+  def readEia(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", true).csv(path)
+
+  def readGhcn(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", false).schema(Schemas.ghcnDaily).csv(path)
+
+  def readLocations(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", true).csv(path)
+
+  /** Partitioned parquet writes (S5). Partition layout mirrors the
+    * reference (time: year/month; bal_auth + weather: bal_auth/year/month)
+    * — at 100 TB this gives partition pruning on the dominant predicates
+    * (date range, balancing authority) for every downstream consumer.
+    */
+  def runEtl(spark: SparkSession, inputDir: String, outputDir: String): Unit = {
+    // The reference globs "/*.gz" (nrg_etl.py:20,40) — keep that contract
+    // so the weather dir can also hold locations.csv without colliding.
+    val eia = readEia(spark, s"$inputDir/bal_auth/*.gz")
+    BalAuth.balAuthTable(eia)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bal_auth", "year", "month")
+      .parquet(s"$outputDir/bal_auth")
+    BalAuth.timeDim(eia)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "month")
+      .parquet(s"$outputDir/time")
+
+    val ghcn = readGhcn(spark, s"$inputDir/weather/*.gz")
+    val locations = readLocations(spark, s"$inputDir/weather/locations.csv")
+    Weather(ghcn, locations)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bal_auth", "year", "month")
+      .parquet(s"$outputDir/weather")
+  }
+
+  /** QC step: reads the ETL outputs back and runs the 8 reference checks,
+    * writing a JSON error report (empty when all pass).
+    */
+  def runQc(spark: SparkSession, outputDir: String): Seq[Checks.CheckResult] = {
+    spark.read.parquet(s"$outputDir/bal_auth")
+      .createOrReplaceTempView("balancing_authorities")
+    spark.read.parquet(s"$outputDir/weather")
+      .createOrReplaceTempView("weather")
+    val results = Checks.run(spark, Checks.referenceChecks)
+    Checks.writeErrorReport(spark, results, s"$outputDir/data_quality")
+    results
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inputDir, outputDir) = args.take(2)
+    val spark = GraftSession.local("graft-pipeline")
+    try {
+      runEtl(spark, inputDir, outputDir)
+      val results = runQc(spark, outputDir)
+      results.foreach(r => println(s"[qc] ${r.name}: ${if (r.passed) "pass" else s"FAIL (actual=${r.actual})"}"))
+      if (results.exists(!_.passed)) sys.exit(1)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.qc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality harness (ref: nrg_qc.py data_qc), with the
+  * reference's three bugs intent-corrected (SURVEY §4.3):
+  *   1. count_rows returned the function object instead of the SQL —
+  *      here checks are typed values, not stringly-built;
+  *   2. Row-vs-int comparison made every equality check fail — here the
+  *      scalar is extracted (`first().getLong(0)`);
+  *   3. the JSON error report used a driver-local open() on an HDFS URI —
+  *      here the report is written through the Spark writer, so any
+  *      Hadoop-supported filesystem works.
+  */
+object Checks {
+
+  /** One declarative assertion: run `sql`, compare the single LONG scalar
+    * against `expected` (equals when `expectEqual`, not-equals otherwise —
+    * the reference's equal_flag=False rows assert "row count must NOT be
+    * 0").
+    */
+  final case class Check(name: String, sql: String, expectEqual: Boolean, expected: Long)
+
+  final case class CheckResult(
+      name: String, sql: String, expectEqual: Boolean,
+      expected: Long, actual: Long, passed: Boolean)
+
+  def nullChecker(table: String, column: String): Check =
+    Check(s"${table}.${column}_not_null",
+      s"SELECT COUNT(*) FROM $table WHERE `$column` IS NULL",
+      expectEqual = true, expected = 0L)
+
+  def countRows(table: String): Check =
+    Check(s"${table}_non_empty", s"SELECT COUNT(*) FROM $table",
+      expectEqual = false, expected = 0L)
+
+  /** Cross-column invariant: total net generation equals the sum of its
+    * nine fuel-type parts (ref net_gen_qc). Measures are typed double at
+    * ingest, so the comparison is numeric, not string (SURVEY §4.3.5).
+    */
+  val netGenConsistency: Check = Check(
+    "net_generation_sum_of_parts",
+    """SELECT COUNT(*) FROM (
+      |  SELECT net_generation,
+      |         net_generation_coal + net_generation_nat_gas + net_generation_nuclear +
+      |         net_generation_petro + net_generation_hydro + net_generation_solar +
+      |         net_generation_wind + net_generation_other + net_generation_unknown AS sum_of_parts
+      |  FROM balancing_authorities) main
+      |WHERE main.net_generation != main.sum_of_parts""".stripMargin,
+    expectEqual = true, expected = 0L)
+
+  /** The reference's 8 checks over the two output tables (nrg_qc.py:27-34). */
+  val referenceChecks: Seq[Check] = Seq(
+    countRows("balancing_authorities"),
+    nullChecker("balancing_authorities", "bal_auth"),
+    netGenConsistency,
+    countRows("weather"),
+    nullChecker("weather", "station_id"),
+    nullChecker("weather", "date"),
+    nullChecker("weather", "TMIN"),
+    nullChecker("weather", "TMAX"))
+
+  def run(spark: SparkSession, checks: Seq[Check]): Seq[CheckResult] =
+    checks.map { c =>
+      val actual = spark.sql(c.sql).first().getLong(0)
+      val passed = if (c.expectEqual) actual == c.expected else actual != c.expected
+      CheckResult(c.name, c.sql, c.expectEqual, c.expected, actual, passed)
+    }
+
+  /** Error report: failures only, one JSON object per line, written via
+    * the Spark writer (S6 intent-fixed — works on hdfs/s3a/local alike).
+    */
+  def writeErrorReport(spark: SparkSession, results: Seq[CheckResult], path: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(results.filterNot(_.passed))
+      .coalesce(1)
+      .write.mode("overwrite").json(path)
+  }
+}

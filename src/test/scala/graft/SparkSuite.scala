@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared test session: one JVM-wide SparkSession across suites. */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSuite.session
+  def fixture(rel: String): String =
+    getClass.getResource(s"/fixtures/$rel").getPath
+}
+
+object SparkSuite {
+  lazy val session: SparkSession = {
+    val s = GraftSession.builder("graft-test").master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,56 @@
+package graft.qc
+
+import graft.SparkSuite
+import graft.etl.{BalAuth, Pipeline, Weather}
+
+/** QC harness over the seeded-violation fixtures: the fixture data
+  * contains a null bal_auth and a net-generation sum mismatch (bal_auth
+  * side) and missing TMIN/TMAX parameters (weather side), so those checks
+  * must fail and the rest must pass.
+  */
+class QcSpec extends SparkSuite {
+
+  def registerViews(): Unit = {
+    val eia = Pipeline.readEia(spark, fixture("bal_auth"))
+    BalAuth.balAuthTable(eia).createOrReplaceTempView("balancing_authorities")
+    val ghcn = Pipeline.readGhcn(spark, fixture("weather/ghcn.csv.gz"))
+    val locations = Pipeline.readLocations(spark, fixture("weather/locations.csv"))
+    Weather(ghcn, locations).createOrReplaceTempView("weather")
+  }
+
+  test("reference checks flag exactly the seeded violations") {
+    registerViews()
+    val results = Checks.run(spark, Checks.referenceChecks).map(r => r.name -> r).toMap
+    assert(results("balancing_authorities_non_empty").passed)
+    assert(results("weather_non_empty").passed)
+    assert(results("weather.station_id_not_null").passed)
+    assert(results("weather.date_not_null").passed)
+    // seeded violations:
+    assert(!results("balancing_authorities.bal_auth_not_null").passed)
+    assert(results("balancing_authorities.bal_auth_not_null").actual === 1)
+    assert(!results("net_generation_sum_of_parts").passed)
+    assert(results("net_generation_sum_of_parts").actual === 1)
+    assert(!results("weather.TMIN_not_null").passed) // stations missing TMIN
+    assert(!results("weather.TMAX_not_null").passed) // 20201231 row has no TMAX
+  }
+
+  test("error report contains only failures, written via Spark writer") {
+    registerViews()
+    val results = Checks.run(spark, Checks.referenceChecks)
+    val out = java.nio.file.Files.createTempDirectory("qc_report").toString
+    Checks.writeErrorReport(spark, results, s"$out/data_quality")
+    val report = spark.read.json(s"$out/data_quality")
+    assert(report.count() === results.count(!_.passed))
+    assert(report.filter("passed = true").count() === 0)
+  }
+
+  test("an all-clean table passes every bal_auth check") {
+    import spark.implicits._
+    val eia = Pipeline.readEia(spark, fixture("bal_auth"))
+    BalAuth.balAuthTable(eia)
+      .filter($"bal_auth".isNotNull && $"bal_auth" =!= "CISO")
+      .createOrReplaceTempView("balancing_authorities")
+    val baChecks = Checks.referenceChecks.take(3)
+    assert(Checks.run(spark, baChecks).forall(_.passed))
+  }
+}
