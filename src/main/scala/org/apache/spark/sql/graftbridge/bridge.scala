@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters.
+  *
+  * Spark 4 moved Column construction behind ColumnNode; the supported way
+  * for libraries shipping native Catalyst expressions (what Spark's own
+  * connectors do) is a shim in the org.apache.spark.sql package space.
+  * This is the only file outside the graft namespace.
+  */
+object Bridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,102 @@
+package graft.ext
+
+import graft.{SparkSuite, Tables}
+import graft.functions.{RollingHashFingerprint, TextFns}
+import org.apache.spark.sql.functions._
+
+/** Extension-operator semantics on the shared sf0.001 tables (which carry
+  * ~28 generator-planted near-duplicate pairs at jaccard ≥ 0.97).
+  */
+class ExtSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds exactly the brute-force jaccard>=0.8 pairs") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.wordShingles(col("text"), 3).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("j", TextFns.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.8)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = Dedup.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(brute.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh === brute)
+  }
+
+  test("simhash pairs are true near-duplicates (precision check)") {
+    val pairs = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.wordShingles(col("text"), 3).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val jByPair = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("j", TextFns.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every hamming<=3 pair must be a genuine high-jaccard near-dup
+    assert(pairs.toSet.subsetOf(jByPair))
+  }
+
+  test("rolling-hash fingerprint: deterministic, window-min semantics") {
+    import spark.implicits._
+    val df = Seq(
+      ("abcdefghijklmnop", 1L),
+      ("abcdefghijklmnop", 2L), // same text -> same fingerprint
+      ("zzzzzzzzzzzzzzzz", 3L),
+      ("ab", 4L)                // shorter than window -> whole-string hash
+    ).toDF("text", "id")
+    val fps = df.select(col("id"), RollingHashFingerprint(col("text"), 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+    // expected value from the shared reference implementation
+    val expected = RollingHashFingerprint.fingerprint("ab".getBytes("UTF-8"), 8)
+    assert(fps(4L) === expected)
+    // a text containing the minimal window of another inherits its min
+    val containing = RollingHashFingerprint.fingerprint("xxabcdefghijklmnopxx".getBytes("UTF-8"), 8)
+    val contained = RollingHashFingerprint.fingerprint("abcdefghijklmnop".getBytes("UTF-8"), 8)
+    assert(containing <= contained) // superset of windows -> min can only drop
+  }
+
+  test("ann_topk matches a driver-side exact computation") {
+    val got = Similarity.annTopk(spark, dir, queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val all = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = all(0L)
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val expected = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(v, q)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.toSeq === expected)
+  }
+
+  test("lsh buckets partition the corpus") {
+    val buckets = Similarity.annLshBuckets(spark, dir)
+    val total = buckets.agg(sum(col("bucket_size"))).first().getLong(0)
+    assert(total === Tables.embeddings(spark, dir).count())
+  }
+
+  test("langId is deterministic and scores in [0,1]") {
+    val r = Text.textLangId(spark, dir).collect()
+    assert(r.length === 500)
+    assert(r.forall(row => row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0))
+    val again = Text.textLangId(spark, dir).collect()
+    assert(r.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
