@@ -22,6 +22,8 @@ object SparkEntry {
       (ext.Text.queries, ext.Text.oracles),
       (ext.Dedup.queries, ext.Dedup.oracles),
       (ext.Similarity.queries, ext.Similarity.oracles),
+      (ext.Multimodal.queries, ext.Multimodal.oracles),
+      (streaming.Streaming.queries, streaming.Streaming.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (capability superset — the reference's
+  * cadence is a daily Airflow batch, SURVEY §2.9; here the same transforms
+  * run over a file stream with `Trigger.AvailableNow`, which is exactly the
+  * incremental-arrival upgrade path for the EIA/GHCN inputs).
+  *
+  * Design: the aggregation logic is a plain DataFrame => DataFrame shared
+  * verbatim between batch and stream — the Spark contract that makes
+  * batch/streaming parity testable (StreamingSpec asserts stream output
+  * equals the batch run on the same files).
+  */
+object Streaming {
+
+  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) stored,
+    * surfaced as a nanosecond long under the session's nanosAsLong flag).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Shared transform: per-hour, per-type event counts + exact money sum.
+    * Used identically by the batch query (q_stream_window) and the file
+    * stream. Event-time tumbling window ⇒ on a stream this is a stateful
+    * agg whose state is bounded by the watermark.
+    */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** File-source stream over a parquet directory, 10-minute watermark,
+    * AvailableNow trigger (drain-everything-then-stop: incremental batch).
+    * Returns the in-memory result table name.
+    */
+  def runFileStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(inputGlob)
+    val agg = hourlyTypeCounts(normalize(stream).withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // --- stateful sessionization ---------------------------------------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class UserSession(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Int, total_value: Double)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Shared gap fold: closed sessions + the still-open state. Sequential
+    * per-user accumulation ⇒ deterministic totals.
+    */
+  def foldSessions(sorted: Seq[Event], initial: Option[SessionState])
+      : (Vector[(SessionState)], Option[SessionState]) = {
+    var closed = Vector.empty[SessionState]
+    var st = initial.orNull
+    for (e <- sorted) {
+      val t = e.ts.getTime
+      if (st == null) st = SessionState(t, t, 1, e.value)
+      else if (t - st.last > SessionGapMs) {
+        closed :+= st
+        st = SessionState(t, t, 1, e.value)
+      } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+    }
+    (closed, Option(st))
+  }
+
+  private def toSession(uid: Long, st: SessionState): UserSession =
+    UserSession(uid, st.start, st.last, st.n, st.total)
+
+  /** Streaming sessionizer (flatMapGroupsWithState): emits a session when
+    * a >30-minute gap appears; the open session stays in state. Constant
+    * memory per active user — the canonical bounded-state custom
+    * aggregation.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val (closed, open) = foldSessions(sorted, state.getOption)
+          open.foreach(state.update)
+          closed.map(toSession(userId, _)).iterator
+      }
+  }
+
+  /** Batch sessionizer: same fold, but the trailing open session is
+    * emitted too (batch has no "later data").
+    */
+  def sessionizeBatch(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (uid: Long, rows: Iterator[Event]) =>
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val (closed, open) = foldSessions(sorted, None)
+      (closed ++ open).map(toSession(uid, _)).iterator
+    }
+  }
+
+  // --- driver-contract query entries ---------------------------------------
+
+  def qStreamWindow(spark: SparkSession, dir: String): DataFrame =
+    hourlyTypeCounts(graft.Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val typed = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    sessionizeBatch(typed).toDF()
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_window" -> (qStreamWindow _),
+    "q_sessionize" -> (qSessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events),
+        |m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+        |       CAST(count(*) AS INTEGER) AS n_events,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+  )
+}

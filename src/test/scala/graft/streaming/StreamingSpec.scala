@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics: the file stream must produce exactly the batch
+  * result (same shared transform), and sessionization must respect gaps.
+  */
+class StreamingSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  test("file stream with AvailableNow equals the batch aggregation") {
+    // FileStreamSource wants a directory; stage the events file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    Streaming.runFileStream(spark, streamDir.toString, "stream_out")
+    val streamed = spark.table("stream_out")
+      .orderBy("window_start", "event_type").collect().map(_.toString)
+    val batch = Streaming.qStreamWindow(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("sessionize splits on >30min gaps and keeps totals per session") {
+    import spark.implicits._
+    def ev(id: Long, minute: Long, uid: Long, v: Double) = Streaming.Event(
+      id, new java.sql.Timestamp(minute * 60000L), uid, "view", v)
+    val events = Seq(
+      ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0),  // session A: 2 events
+      ev(3, 60, 1, 4.0),                    // gap 50min -> session B
+      ev(4, 0, 2, 8.0)                      // other user
+    ).toDS()
+    val sessions = Streaming.sessionizeBatch(events)
+      .collect().sortBy(s => (s.user_id, s.session_start))
+    assert(sessions.length === 3)
+    assert(sessions(0).n_events === 2 && sessions(0).total_value === 3.0)
+    assert(sessions(1).n_events === 1 && sessions(1).total_value === 4.0)
+    assert(sessions(2).user_id === 2L)
+  }
+
+  test("batch sessionize covers every event exactly once") {
+    val total = Streaming.qSessionize(spark, dir)
+      .agg(sum(col("n_events"))).first().getLong(0)
+    assert(total === Tables.events(spark, dir).count())
+  }
+}
