@@ -12,20 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact cosine similarity between two float-array columns, computed in
-    * double with a sequential left fold (`aggregate`) — bit-identical to
-    * DuckDB's list_cosine_similarity over DOUBLE[], which keeps the
-    * oracle hash-exact. Pure codegen'd builtins, no UDF.
+  /** Exact cosine similarity between two float-array columns: sequential
+    * double accumulation via the codegen'd [[graft.functions.DotProduct]]
+    * expression — bit-identical to DuckDB's list_cosine_similarity over
+    * DOUBLE[], which keeps the oracle hash-exact, and allocation-free in
+    * pair-join hot paths.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def fold(f: (Column, Column) => Column): Column =
-      aggregate(zip_with(a, b, (x, y) => struct(x.cast("double").as("x"), y.cast("double").as("y"))),
-        lit(0.0), (acc, p) => acc + f(p.getField("x"), p.getField("y")))
-    val dot = fold((x, y) => x * y)
-    val na = fold((x, _) => x * x)
-    val nb = fold((_, y) => y * y)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFns.cosine(a, b)
 
   /** Brute-force top-k for a single query vector (vec_id 0): broadcast the
     * query row, one pass over the corpus, TakeOrderedAndProject for the
@@ -47,15 +40,20 @@ object Similarity {
     * rank). One corpus scan regardless of query count.
     */
   def annTopkBatch(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFns
+    // Precompute each side's norm once: the pair computation is then a
+    // single fused dot product instead of three per candidate.
     val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), VectorFns.l2norm(col("embedding")).as("nrm"))
     val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("query_emb")), 4).as("cosine"))
+        round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)
+          .as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy("query_id", "rn")
