@@ -229,7 +229,64 @@ object Parity {
         to_date(date_format(col("o_orderdate"), "MM/dd/yyyy"), "MM/dd/yyyy").as("d"))
       .orderBy("o_orderkey")
 
+  /** Multi-level aggregation: ROLLUP over (flag, status) — subtotal rows
+    * carry nulls; at scale this is still one pass (Expand + partial agg).
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over (status, priority-year): all grouping-set combinations. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("yr").asc_nulls_first)
+
+  /** Exact interpolated percentiles per group (quantity is integer-valued
+    * so the interpolation is engine-stable).
+    */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("q95"))
+      .orderBy("l_returnflag")
+
+  /** Exact distinct counting per group (two-phase: partial distinct then
+    * final; the approximate HLL variant is the 100 TB path but has no
+    * cross-engine oracle).
+    */
+  def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
   val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, CAST(year(o_orderdate) AS INTEGER))
+        |ORDER BY o_orderstatus NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+        |       round(quantile_cont(l_quantity, 0.95), 4) AS q95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
     "q_proj_rename" ->
       """SELECT l_orderkey AS order_key, l_linenumber AS line_no, l_quantity AS qty,
@@ -338,5 +395,9 @@ object Parity {
     "q_set_ops" -> (qSetOps _),
     "q_json_extract" -> (qJsonExtract _),
     "q_parse_date" -> (qParseDate _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_percentile" -> (qPercentile _),
+    "q_count_distinct" -> (qCountDistinct _),
   )
 }
