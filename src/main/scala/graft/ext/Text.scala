@@ -23,17 +23,24 @@ object Text {
         length(col("text")).as("n_chars_measured"))
       .orderBy("doc_id")
 
-  /** Quality scoring: structural ratios used for corpus filtering. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame =
+  /** Quality scoring: structural ratios used for corpus filtering, from
+    * ONE byte-walk per document (native [[graft.functions.TextStats]];
+    * the composed form — see TextFns ratio helpers — tokenizes three
+    * times and runs two regex passes, ~25x slower at bench scale).
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextStats(
+      col("text"), Seq("the", "a", "of", "and", "to", "in"))
     Tables.documents(spark, dir)
+      .withColumn("st", st)
       .select(
         col("doc_id"),
-        round(TextFns.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TextFns.digitRatio(col("text")), 4).as("digit_ratio"),
-        round(TextFns.meanTokenLen(col("text")), 4).as("mean_token_len"),
-        round(TextFns.stopwordRatio(col("text"), Seq("the", "a", "of", "and", "to", "in")), 4)
-          .as("stopword_ratio"))
+        round(col("st.n_punct").cast("double") / col("st.n_chars"), 4).as("punct_ratio"),
+        round(col("st.n_digit").cast("double") / col("st.n_chars"), 4).as("digit_ratio"),
+        round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4).as("mean_token_len"),
+        round(col("st.stopword_hits").cast("double") / col("st.n_tokens"), 4).as("stopword_ratio"))
       .orderBy("doc_id")
+  }
 
   /** Language ID via stopword-profile scoring (rows-only check: the
     * heuristic itself is not ANSI-SQL-expressible in a sane way).
