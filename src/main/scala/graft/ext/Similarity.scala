@@ -95,10 +95,57 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
+  /** Multi-probe LSH search: each query probes its own bucket plus all
+    * buckets at Hamming distance 1 (13 probes at 12 bits), candidates are
+    * re-ranked by exact cosine. The corpus is scanned once and joined on
+    * the bucket key — at 100 TB the corpus is WRITTEN partitioned by
+    * bucket, so a query touches 13 partitions instead of the corpus.
+    */
+  def annLshSearch(corpus: DataFrame, queryVecs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFns
+    val bucketed = corpus.select(
+      col("vec_id"), col("embedding"),
+      VectorFns.l2norm(col("embedding")).as("nrm"),
+      lshSignature(col("embedding")).as("bucket"))
+    val probes = queryVecs.select(
+      col("query_id"), col("query_emb"),
+      VectorFns.l2norm(col("query_emb")).as("qnrm"),
+      explode(concat(
+        array(lshSignature(col("query_emb"))),
+        transform(sequence(lit(0), lit(LshBits - 1)),
+          i => lshSignature(col("query_emb"))
+            .bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")).cast("long")))))
+        .as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)
+          .as("cosine"))
+      // no dedup needed: probe buckets are distinct and each corpus vector
+      // has exactly one bucket, so (query, vec) appears at most once
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Driver-contract entry: multi-probe LSH top-5 for the first 5 vectors
+    * (rows-only; recall properties are asserted in ExtSpec on planted
+    * near-neighbors).
+    */
+  def annLshSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    annLshSearch(e, queries, 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> ((s: SparkSession, d: String) => annTopk(s, d)),
     "ann_topk_batch" -> ((s: SparkSession, d: String) => annTopkBatch(s, d)),
     "ann_lsh_buckets" -> (annLshBuckets _),
+    "ann_lsh_search" -> (annLshSearchQuery _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -86,6 +86,43 @@ class ExtSpec extends SparkSuite {
     assert(got.toSeq === expected)
   }
 
+  test("multi-probe LSH search finds planted near-neighbors at rank 1") {
+    import spark.implicits._
+    // 50 base vectors + a near-identical partner for the first 10
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val partners = base.take(10).map { case (i, v) =>
+      (100L + i, v.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat))
+    }
+    val corpus = (base ++ partners).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    val top1 = Similarity.annLshSearch(corpus, queries, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val found = (0 until 10).count(i => top1.get(i.toLong).contains(100L + i))
+    assert(found >= 9, s"only $found/10 planted neighbors found at rank 1")
+  }
+
+  test("lsh search results are a subset of brute-force ranking, exactly scored") {
+    val got = Similarity.annLshSearchQuery(spark, dir).collect()
+    assert(got.nonEmpty)
+    // every returned cosine must equal the exact cosine (re-rank is exact)
+    val e = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    got.foreach { r =>
+      val expect = BigDecimal(cos(e(r.getLong(0)), e(r.getLong(1))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === expect)
+    }
+  }
+
   test("lsh buckets partition the corpus") {
     val buckets = Similarity.annLshBuckets(spark, dir)
     val total = buckets.agg(sum(col("bucket_size"))).first().getLong(0)
