@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the native expressions, so the engine's
+  * custom operators are first-class from `spark.sql(...)` as well as the
+  * Column API:
+  *
+  *   spark.sql("SELECT simhash(text, 3) FROM docs")
+  *
+  * Two registration paths: [[GraftExtensions]] for
+  * `SparkSession.builder.withExtensions` / the
+  * `spark.sql.extensions` config (cluster deployment), and
+  * [[registerAll]] for an already-built session (tests, driver contract).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftFunctions._
+  override def apply(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int argument, got $other")
+  }
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash_fingerprint",
+      new ExpressionInfo(classOf[RollingHashFingerprint].getName, "rolling_hash_fingerprint"),
+      (args: Seq[Expression]) =>
+        RollingHashFingerprint(args.head, intArg(args(1), "window"))),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args.head, intArg(args(1), "n"), intArg(args(2), "k"))),
+    ("simhash",
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (args: Seq[Expression]) => SimHash(args.head, intArg(args(1), "n"))),
+    ("shingle_hash_set",
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
+      (args: Seq[Expression]) => ShingleHashSet(args.head, intArg(args(1), "n"))),
+    ("jaccard_sorted",
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (args: Seq[Expression]) => JaccardSorted(args.head, args(1))),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+
+  /** Register on a live session (temp functions in the session registry). */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -14,6 +14,8 @@ object SparkSuite {
   lazy val session: SparkSession = {
     val s = GraftSession.builder("graft-test").master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** The native expressions must be first-class from SQL too. */
+class SqlFunctionsSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  test("registered SQL functions match the Column API results") {
+    GraftFunctions.registerAll(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash(text, 3) AS sh,
+        |       rolling_hash_fingerprint(text, 16) AS fp
+        |FROM docs_sql ORDER BY doc_id LIMIT 20""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaApi = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        SketchFns.simhash(col("text"), 3),
+        RollingHashFingerprint(col("text"), 16))
+      .orderBy("doc_id").limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
+  test("dot_product and jaccard_sorted work in SQL expressions") {
+    GraftFunctions.registerAll(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT a.vec_id, dot_product(a.embedding, b.embedding) AS d
+        |FROM emb_sql a JOIN emb_sql b ON b.vec_id = 0
+        |WHERE a.vec_id IN (1, 2) ORDER BY a.vec_id""".stripMargin).collect()
+    assert(r.length === 2)
+    assert(r.forall(row => !row.isNullAt(1)))
+    val j = spark.sql(
+      "SELECT jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j").first().getDouble(0)
+    assert(j === 0.5)
+  }
+
+  test("withExtensions wiring registers the same functions") {
+    // the extensions class is exercised through its injection list
+    val ext = new GraftExtensions
+    assert(GraftFunctions.all.map(_._1).toSet ===
+      Set("rolling_hash_fingerprint", "minhash_signature", "simhash",
+        "shingle_hash_set", "jaccard_sorted", "dot_product"))
+    assert(ext != null)
+  }
+}

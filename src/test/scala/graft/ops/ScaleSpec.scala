@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Skew/bucketing utilities: salted phases must be result-identical to
+  * the plain forms, and bucketed joins must not exchange.
+  */
+class ScaleSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  test("salted aggregation equals plain aggregation") {
+    val li = Tables.lineitem(spark, dir)
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Scale.saltedAggregate(
+      li, Seq(col("l_returnflag")), 16,
+      Seq(sum(col("l_quantity")).as("px"), count(lit(1)).as("pc")),
+      Seq(sum(col("px")).as("sum_qty"), sum(col("pc")).as("n")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
+      .withColumnRenamed("l_partkey", "p_partkey")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val cols = Seq("l_orderkey", "p_partkey", "l_quantity", "p_brand")
+    val plain = li.join(part, "p_partkey")
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    val salted = Scale.saltedJoin(li, part, "p_partkey", 8)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("bucketed tables join without an exchange") {
+    Scale.writeBucketed(
+      Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 8)
+    Scale.writeBucketed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", 8)
+    // force the sort-merge path (these test tables are broadcast-sized;
+    // at real scale neither side broadcasts and this is the plan)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(
+        spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("hashpartitioning"),
+        s"bucketed join should read co-located buckets, not shuffle:\n$plan")
+      assert(joined.count() === 6000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
