@@ -24,6 +24,7 @@ object SparkEntry {
       (ext.Similarity.queries, ext.Similarity.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
+      (ops.Asof.queries, ops.Asof.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
