@@ -27,6 +27,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the whole surface is usable
+    * from `spark.sql` (the reference's execution style) as well as the
+    * DataFrame API.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => load(spark, dir, n).createOrReplaceTempView(n)
+    }
+
   /** `events` with `ts` normalized to a proper TimestampType column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")

@@ -256,6 +256,20 @@ object Parity {
         round(expr("percentile(l_quantity, 0.95)"), 4).as("q95"))
       .orderBy("l_returnflag")
 
+  /** Approximate sketches — the 100 TB counting path: HLL++ distinct
+    * counts and approximate percentiles are one-pass, fixed-memory,
+    * partial-aggregable. Rows-only check (sketch internals differ across
+    * engines); the accuracy bound vs the exact forms is asserted in
+    * ParitySpec.
+    */
+  def qApproxSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+      .orderBy("l_returnflag")
+
   /** Exact distinct counting per group (two-phase: partial distinct then
     * final; the approximate HLL variant is the 100 TB path but has no
     * cross-engine oracle).
@@ -399,5 +413,6 @@ object Parity {
     "q_cube" -> (qCube _),
     "q_percentile" -> (qPercentile _),
     "q_count_distinct" -> (qCountDistinct _),
+    "q_approx_sketch" -> (qApproxSketch _),
   )
 }

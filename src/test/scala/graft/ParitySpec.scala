@@ -21,4 +21,27 @@ class ParitySpec extends SparkSuite {
       assert(fn(spark, sfDir).count() > 0)
     }
   }
+
+  test("approximate sketches track the exact aggregates within tolerance") {
+    import org.apache.spark.sql.functions._
+    val approx = queries.Parity.qApproxSketch(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (n, m)) =>
+      val (an, am) = approx(k)
+      assert(math.abs(an - n).toDouble / n < 0.1, s"$k distinct: $an vs $n")
+      assert(math.abs(am - m) / m < 0.1, s"$k median: $am vs $m")
+    }
+  }
+
+  test("registerAll exposes every table to spark.sql") {
+    Tables.registerAll(spark, sfDir)
+    assert(spark.sql("SELECT count(*) FROM lineitem").first().getLong(0) === 6000L)
+    // events view must carry the normalized timestamp type
+    assert(spark.sql("SELECT count(*) FROM events WHERE hour(ts) >= 0").first().getLong(0) === 1000L)
+  }
 }
