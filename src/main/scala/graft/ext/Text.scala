@@ -67,7 +67,21 @@ object Text {
         RollingHashFingerprint(col("text"), 64).as("fingerprint_w64"))
       .orderBy("doc_id")
 
+  /** Corpus-level n-gram document frequency: explode per-doc distinct
+    * bigrams (the Generator/explode path) → groupBy count → top-20.
+    * At scale: partial aggregation absorbs the explode fan-out before the
+    * exchange; the final top-k is TakeOrderedAndProject.
+    */
+  def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextFns.wordShingles(col("text"), 2)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_ngrams" -> (textTopNgrams _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -75,6 +89,14 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_top_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END)) AS ng
+        |      FROM t)
+        |SELECT ng AS ngram, count(*) AS df FROM g
+        |GROUP BY ng ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
