@@ -125,6 +125,31 @@ object Streaming {
     }
   }
 
+  // --- streaming incremental dedup -----------------------------------------
+
+  final case class Doc(doc_id: Long, content_hash: String)
+
+  /** Incremental exact dedup over a document stream: keyed by content
+    * hash, a row passes through only the first time its hash is seen —
+    * state per key is a single boolean, so memory is bounded by the
+    * number of DISTINCT documents, the minimum any exact dedup needs.
+    * This is the streaming face of Dedup.dedupExact (batch keeps
+    * min(doc_id); the stream keeps the first arrival).
+    */
+  def dedupStream(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
+
   // --- driver-contract query entries ---------------------------------------
 
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame =

@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSuite {
     assert(sessions(2).user_id === 2L)
   }
 
+  test("streaming dedup emits each content hash once across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val stageDir = java.nio.file.Files.createTempDirectory("docs_stream")
+    // two files -> two micro-batches, duplicates within and across
+    Seq((1L, "h1"), (2L, "h2"), (3L, "h1")).toDF("doc_id", "content_hash")
+      .coalesce(1).write.parquet(stageDir.resolve("b1").toString)
+    Seq((4L, "h2"), (5L, "h3")).toDF("doc_id", "content_hash")
+      .coalesce(1).write.parquet(stageDir.resolve("b2").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content_hash", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$stageDir/*")
+      .as[Streaming.Doc]
+    val q = Streaming.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("dedup_out").collect()
+      .map(r => r.getString(1)).toSeq
+    assert(out.sorted === Seq("h1", "h2", "h3"))
+  }
+
   test("batch sessionize covers every event exactly once") {
     val total = Streaming.qSessionize(spark, dir)
       .agg(sum(col("n_events"))).first().getLong(0)
