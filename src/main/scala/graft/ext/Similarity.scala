@@ -63,25 +63,16 @@ object Similarity {
 
   val LshBits = 12
 
-  /** Sign-random-projection signature: bit i = sign(v · h_i) where the
-    * hyperplane components h_i[j] derive from xxhash64(i, j) — fully
-    * deterministic, no stored model. At 100 TB the corpus is written
-    * bucketed by signature; a query probes its own bucket (plus optional
-    * multi-probe neighbors) instead of scanning the corpus.
+  /** Sign-random-projection signature: bit i = sign(v · h_i) with
+    * deterministic hash-derived hyperplanes — no stored model. Native
+    * compiled expression ([[graft.functions.SrpSignature]]); the
+    * nested-lambda formulation runs interpreted and re-evaluates per bit.
+    * At 100 TB the corpus is written bucketed by signature; a query
+    * probes its own bucket (plus multi-probe neighbors) instead of
+    * scanning the corpus.
     */
   def lshSignature(emb: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(LshBits - 1)),
-      lit(0L),
-      (acc, bit) => {
-        val dot = aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, j) => x.cast("double") *
-              ((pmod(xxhash64(bit, j), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0)),
-          lit(0.0), (a, x) => a + x)
-        acc + when(dot >= 0d,
-          call_function("shiftleft", lit(1L), bit.cast("int")).cast("long")).otherwise(lit(0L))
-      })
+    graft.functions.VectorFns.srpSignature(emb, LshBits)
 
   /** Bucketed near-neighbor candidates: pairs sharing an LSH bucket,
     * verified with exact cosine. Returns bucket stats + verified top pairs

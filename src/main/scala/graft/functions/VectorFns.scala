@@ -46,9 +46,61 @@ object DotProduct {
   }
 }
 
+/** Sign-random-projection LSH bucket for a float-array column: bit i of
+  * the result is sign(v · h_i), hyperplane components h_i[j] derived
+  * deterministically from an avalanche hash of (i, j) — no stored model,
+  * one compiled pass per row.
+  */
+case class SrpSignature(child: Expression, bits: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "srp_signature"
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+  override def nullSafeEval(input: Any): Any =
+    SrpSignature.signature(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SrpSignature.signature($c, $bits);")
+}
+
+object SrpSignature {
+  @inline private def mix(x0: Long): Long = {
+    var x = x0 * 0x9e3779b97f4a7c15L
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Hyperplane component in [-1, 1). */
+  @inline private def component(bit: Int, j: Int): Double =
+    (mix(bit.toLong << 32 | j.toLong).toDouble / Long.MaxValue)
+
+  def signature(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var bit = 0
+    while (bit < bits) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v.getFloat(j).toDouble * component(bit, j); j += 1 }
+      if (dot >= 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+}
+
 object VectorFns {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.toColumn(DotProduct(Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  def srpSignature(v: Column, bits: Int): Column =
+    Bridge.toColumn(SrpSignature(Bridge.toExpression(v), bits))
 
   /** L2 norm of a float-array column. */
   def l2norm(v: Column): Column = sqrt(dotProduct(v, v))
