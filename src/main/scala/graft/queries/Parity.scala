@@ -229,6 +229,20 @@ object Parity {
         to_date(date_format(col("o_orderdate"), "MM/dd/yyyy"), "MM/dd/yyyy").as("d"))
       .orderBy("o_orderkey")
 
+  /** A3⁻¹ — unpivot (melt): wide→long reshape of the pivoted events
+    * table, the inverse of q_pivot. Null cells are dropped on both sides
+    * (DuckDB UNPIVOT semantics). Unpivot is a per-row Expand — no
+    * shuffle beyond the pivot's own aggregation.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivot(spark, dir)
+      .unpivot(
+        Array(col("user_id"), col("event_date")),
+        pivotValues.map(col).toArray,
+        "event_type", "max_value")
+      .filter(col("max_value").isNotNull)
+      .orderBy("user_id", "event_date", "event_type")
+
   /** Multi-level aggregation: ROLLUP over (flag, status) — subtotal rows
     * carry nulls; at scale this is still one pass (Expand + partial agg).
     */
@@ -296,6 +310,23 @@ object Parity {
         |       round(quantile_cont(l_quantity, 0.5), 4) AS q50,
         |       round(quantile_cont(l_quantity, 0.95), 4) AS q95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |         max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |         max(CASE WHEN event_type = 'error' THEN value END) AS error,
+        |         max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+        |         max(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+        |         max(CASE WHEN event_type = 'view' THEN value END) AS view
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT user_id, event_date, event_type, max_value FROM (
+        |  SELECT user_id, event_date, 'click' AS event_type, click AS max_value FROM p
+        |  UNION ALL SELECT user_id, event_date, 'error', error FROM p
+        |  UNION ALL SELECT user_id, event_date, 'purchase', purchase FROM p
+        |  UNION ALL SELECT user_id, event_date, 'signup', signup FROM p
+        |  UNION ALL SELECT user_id, event_date, 'view', view FROM p) u
+        |WHERE max_value IS NOT NULL
+        |ORDER BY user_id, event_date, event_type""".stripMargin,
     "q_count_distinct" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS n_parts,
@@ -414,5 +445,6 @@ object Parity {
     "q_percentile" -> (qPercentile _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_approx_sketch" -> (qApproxSketch _),
+    "q_unpivot" -> (qUnpivot _),
   )
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests for the pure sketch kernels (no Spark session —
+  * these are the functions the native expressions delegate to). Uses
+  * ScalaCheck generators with a fixed seed so every run checks the same
+  * 200 sampled inputs deterministically.
+  */
+class SketchPropertiesSpec extends AnyFunSuite {
+
+  val word: Gen[String] = Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  val text: Gen[String] = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  def samples(g: Gen[String], n: Int): Seq[String] =
+    Iterator.iterate(Seed(42L))(_.next)
+      .map(s => g.apply(Gen.Parameters.default, s))
+      .collect { case Some(v) => v }
+      .take(n).toSeq
+
+  def hashSet(s: String): GenericArrayData =
+    new GenericArrayData(Sketches.shingleHashSet(s.getBytes("UTF-8"), 3))
+
+  val texts: Seq[String] = samples(text, 200)
+
+  test("jaccardSorted is bounded, symmetric, and 1 on self") {
+    texts.sliding(2).foreach { case Seq(a, b) =>
+      val (ha, hb) = (hashSet(a), hashSet(b))
+      val ab = Sketches.jaccardSorted(ha, hb)
+      assert(ab >= 0.0 && ab <= 1.0)
+      assert(ab === Sketches.jaccardSorted(hb, ha))
+      assert(Sketches.jaccardSorted(ha, ha) === 1.0)
+    }
+  }
+
+  test("minhash signature is deterministic, length-k, duplicate-invariant") {
+    texts.foreach { t =>
+      val a = Sketches.minhash(t.getBytes("UTF-8"), 3, 64)
+      val b = Sketches.minhash(t.getBytes("UTF-8"), 3, 64)
+      assert(a.toSeq === b.toSeq)
+      assert(a.length === 64)
+    }
+    val a = Sketches.minhash("aa bb cc dd ee ff gg hh".getBytes, 3, 128)
+    val b = Sketches.minhash("zz yy xx ww vv uu tt ss".getBytes, 3, 128)
+    val agree = a.zip(b).count { case (x, y) => x == y }
+    assert(agree < 16, s"disjoint-vocab texts should rarely agree, got $agree/128")
+  }
+
+  test("simhash is deterministic; near-identical texts land close") {
+    texts.take(50).foreach { t =>
+      assert(Sketches.simhash(t.getBytes("UTF-8"), 3) === Sketches.simhash(t.getBytes("UTF-8"), 3))
+    }
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base + " tail"
+    val d = java.lang.Long.bitCount(
+      Sketches.simhash(base.getBytes, 3) ^ Sketches.simhash(near.getBytes, 3))
+    assert(d <= 8, s"near-dup hamming was $d")
+  }
+
+  test("rolling-hash fingerprint: a superset of windows can only lower the min") {
+    texts.take(100).foreach { t =>
+      if (t.getBytes("UTF-8").length >= 16) {
+        val inner = RollingHashFingerprint.fingerprint(t.getBytes("UTF-8"), 16)
+        val outer = RollingHashFingerprint.fingerprint(s"pre $t post".getBytes("UTF-8"), 16)
+        assert(outer <= inner)
+      }
+    }
+  }
+
+  test("shingle hash sets are sorted and distinct") {
+    texts.foreach { t =>
+      val hs = Sketches.shingleHashSet(t.getBytes("UTF-8"), 3)
+      assert(hs.toSeq === hs.toSeq.sorted)
+      assert(hs.toSet.size === hs.length)
+    }
+  }
+}
