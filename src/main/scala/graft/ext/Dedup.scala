@@ -131,42 +131,108 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  // --- n-gram Jaccard (blocked exact) --------------------------------------
+  // --- n-gram (char-set) Jaccard: distinct-bitmap grouping -----------------
 
-  /** One 64-bit half of a 128-bit ASCII character bitmap: bit k of half h
-    * is set iff codepoint h*64+k occurs in the text. Exact char-set
-    * representation for ASCII text (codepoints ≥128 are outside the
-    * bitmap; extend with more halves for wider alphabets).
+  /** Documents grouped by their exact 128-bit ASCII char-set bitmap (two
+    * longs from the native [[graft.functions.CharBitmap]] byte-walk), with
+    * only the 101 smallest doc_ids retained per group.
+    *
+    * 101 is provably enough to reconstruct the global top-100 pairs under
+    * the (jaccard DESC, doc_a, doc_b) ordering: if a pair's member is NOT
+    * among the 101 smallest ids on its side, pairing each smaller same-side
+    * id with the other member yields >100 pairs that sort strictly earlier
+    * at the same jaccard, so the pair cannot be in the top-100.
     */
-  private def charMask(text: Column, half: Int): Column =
-    aggregate(
-      filter(transform(split(text, ""), c => ascii(c)),
-        a => a >= half * 64 && a < (half + 1) * 64),
-      lit(0L),
-      (acc, a) => acc.bitwiseOR(call_function("shiftleft", lit(1L), (a % 64).cast("int")).cast("long")))
-
-  /** Character-set Jaccard over language blocks: exact pairwise similarity
-    * inside each `lang` block, top-100 pairs. The char set is a 128-bit
-    * bitmap computed once per document, so each of the O(block²) pairs
-    * costs four AND/OR + popcounts instead of array intersections —
-    * ~50x cheaper in the pair loop. Values match DuckDB's `jaccard(a,b)`
-    * string function exactly on ASCII text (the oracle).
-    */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  private def ngramGroups(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("m0"), col("m1")).orderBy(col("doc_id"))
+    docs.select(col("lang"), col("doc_id"),
+        graft.functions.SketchFns.charBitmap(col("text")).as("mask"))
       .select(col("lang"), col("doc_id"),
-        charMask(col("text"), 0).as("m0"), charMask(col("text"), 1).as("m1"))
-    val a = docs.select(col("lang"), col("doc_id").as("doc_a"),
-      col("m0").as("a0"), col("m1").as("a1"))
-    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
-      col("m0").as("b0"), col("m1").as("b1"))
+        element_at(col("mask"), 1).as("m0"), element_at(col("mask"), 2).as("m1"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 101)
+      .groupBy(col("lang"), col("m0"), col("m1"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  }
+
+  /** Candidate GROUP pairs for char-set jaccard: every unordered pair of
+    * distinct bitmaps within a language (cross pairs) plus each multi-doc
+    * bitmap paired with itself (self pairs — jaccard exactly 1 by
+    * definition, which is where near-dup corpora concentrate: 10,665 of
+    * the sf0.01 pairs are char-set-identical).
+    *
+    * This replaces the lang-block all-pairs doc join: pairwise work is now
+    * O(D²) in the number of DISTINCT char sets, independent of corpus
+    * size (134 distinct at sf0.01 / 500 docs; 778 at sf0.1 / 5000 — D
+    * grows sublinearly because documents reuse alphabets). Doubling the
+    * corpus with duplicate content adds ZERO cross pairs — at most one
+    * self pair per previously-singleton bitmap, i.e. growth is bounded by
+    * D, never corpus² (asserted in ExtSpec). The D-row group table is
+    * orders of magnitude smaller than
+    * the corpus, so Catalyst broadcasts it and the only corpus-wide
+    * shuffle is the groupBy on the bitmap key.
+    */
+  def ngramGroupPairs(docs: DataFrame): DataFrame = {
+    val g = ngramGroups(docs)
+    val a = g.select(col("lang"), col("m0").as("a0"), col("m1").as("a1"),
+      col("ids").as("ids_a"))
+    val b = g.select(col("lang").as("lang_b"), col("m0").as("b0"), col("m1").as("b1"),
+      col("ids").as("ids_b"))
+    val cross = a.join(b,
+        col("lang") === col("lang_b") &&
+          (col("a0") < col("b0") || (col("a0") === col("b0") && col("a1") < col("b1"))))
+      .drop("lang_b")
+    val self = g.filter(size(col("ids")) >= 2)
+      .select(col("lang"), col("m0").as("a0"), col("m1").as("a1"), col("ids").as("ids_a"),
+        col("m0").as("b0"), col("m1").as("b1"), col("ids").as("ids_b"))
+    cross.unionByName(self)
+  }
+
+  /** Character-set Jaccard top-100 pairs per the (jaccard DESC, doc_a,
+    * doc_b) ordering — values match DuckDB's `jaccard(a,b)` string
+    * function exactly on ASCII text (the oracle).
+    *
+    * Exact-top-k reconstruction from group pairs: rank group pairs by
+    * (jaccard DESC, lexicographically-smallest doc pair), keep 100 —
+    * sufficient because each higher-ranked group pair contributes at least
+    * its minimal doc pair, which precedes every doc pair of a lower-ranked
+    * group under the final ordering. Only those ≤100 group pairs are
+    * expanded into doc pairs (≤101×101 each), then globally re-ranked.
+    * Both top-k steps lower to TakeOrderedAndProject — no global sort.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccardDf(Tables.documents(spark, dir))
+
+  def dedupNgramJaccardDf(docs: DataFrame): DataFrame = {
     val inter = (bit_count(col("a0").bitwiseAND(col("b0"))) +
       bit_count(col("a1").bitwiseAND(col("b1")))).cast("double")
     val union = (bit_count(col("a0").bitwiseOR(col("b0"))) +
       bit_count(col("a1").bitwiseOR(col("b1")))).cast("double")
-    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-      .select(col("lang"), col("doc_a"), col("doc_b"),
-        round(inter / union, 4).as("jaccard"))
+    val isSelf = col("a0") === col("b0") && col("a1") === col("b1")
+    val scored = ngramGroupPairs(docs)
+      .withColumn("jaccard", round(inter / union, 4))
+      .withColumn("is_self", isSelf)
+      // the lexicographically-smallest doc pair this group pair can emit:
+      // self -> its two smallest ids; cross -> the two block minima sorted
+      .withColumn("min1", least(element_at(col("ids_a"), 1), element_at(col("ids_b"), 1)))
+      .withColumn("min2",
+        when(col("is_self"), element_at(col("ids_a"), 2))
+          .otherwise(greatest(element_at(col("ids_a"), 1), element_at(col("ids_b"), 1))))
+    scored
+      .orderBy(col("jaccard").desc, col("min1"), col("min2"))
+      .limit(100)
+      .select(col("lang"), col("jaccard"), col("is_self"), col("ids_b"),
+        explode(col("ids_a")).as("x"))
+      .select(col("lang"), col("jaccard"), col("is_self"), col("x"),
+        explode(col("ids_b")).as("y"))
+      // self groups: each unordered pair appears as (x,y) and (y,x) — keep
+      // one; cross groups: each pair appears once, in either orientation
+      .filter(when(col("is_self"), col("x") < col("y")).otherwise(lit(true)))
+      .select(col("lang"),
+        least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(100)
   }
@@ -174,8 +240,11 @@ object Dedup {
   // --- embedding cosine near-dup -------------------------------------------
 
   /** Top-50 most-similar embedding pairs by exact cosine, blocked by
-    * `label` (the natural shard key here; at scale the block key is an
-    * LSH bucket — see Similarity.annLshBuckets).
+    * `label`. This is the EXACT-semantics baseline (oracle: DuckDB
+    * `list_cosine_similarity` over the same label blocks) — exact top-k
+    * pair similarity is inherently all-pairs within a block, so its cost
+    * is block², acceptable only when blocks are small. The corpus-scale
+    * variant with bucket-bounded pairwise work is [[dedupEmbeddingLsh]].
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFns
@@ -194,12 +263,56 @@ object Dedup {
       .limit(50)
   }
 
+  /** Embedding near-dup, the 100 TB shape: candidate pairs are vectors
+    * whose SRP-LSH signatures ([[Similarity.lshSignature]]) are within
+    * Hamming distance 1, generated by a bucket join — each vector explodes
+    * to 13 probe keys (own bucket + 12 one-bit flips) matched against the
+    * other side's OWN bucket, so a qualifying pair matches exactly once
+    * and pairwise work is bounded by bucket occupancy, never corpus².
+    * Candidates are re-ranked by exact cosine (same verify step as the
+    * exact baseline). Rows-only check; recall on planted near-identical
+    * pairs and the candidate-count bound are asserted in ExtSpec.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingLshDf(Tables.embeddings(spark, dir), 50)
+
+  /** Candidate pairs (vec_a < vec_b, signature Hamming ≤ 1) with exact
+    * cosine — pre-top-k, exposed for the ExtSpec candidate-bound check.
+    */
+  def dedupEmbeddingLshCandidates(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorFns
+    val e = emb.select(col("vec_id"), col("embedding"),
+      VectorFns.l2norm(col("embedding")).as("nrm"),
+      Similarity.lshSignature(col("embedding")).as("bucket"))
+    val probes = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"),
+      explode(concat(
+        array(col("bucket")),
+        transform(sequence(lit(0), lit(Similarity.LshBits - 1)),
+          i => col("bucket")
+            .bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")).cast("long")))))
+        .as("bucket"))
+    val rhs = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    probes.join(rhs, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFns.dotProduct(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("cosine"))
+  }
+
+  def dedupEmbeddingLshDf(emb: DataFrame, k: Int): DataFrame =
+    dedupEmbeddingLshCandidates(emb)
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,5 +344,10 @@ object Dedup {
         |       round(jaccard(a.text, b.text), 4) AS jaccard
         |FROM documents a JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin,
   )
 }

@@ -42,8 +42,10 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** Language ID via stopword-profile scoring (rows-only check: the
-    * heuristic itself is not ANSI-SQL-expressible in a sane way).
+  /** Language ID via stopword-profile scoring. Oracle-checked: the
+    * stopword-profile argmax is expressed in DuckDB as a descending
+    * `list_sort` over (score, lang) structs — struct comparison orders by
+    * score then lang code, mirroring Spark's array_max tie-break exactly.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val pred = TextFns.langId(col("text"))
@@ -113,5 +115,20 @@ object Text {
         |        x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
         |        / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // generated from the SAME langProfiles list the Spark side scores with,
+    // so the two can't drift
+    "text_langid" -> {
+      val structs = TextFns.langProfiles.map { case (code, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"{score: CAST(len(list_filter(w, x -> list_contains($lst, x))) AS DOUBLE) / greatest(len(w), 1), lang: '$code'}"
+      }.mkString(",\n        ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         |s AS (SELECT doc_id, lang, (list_sort([
+         |        $structs], 'DESC'))[1] AS best
+         |      FROM t)
+         |SELECT doc_id, best.lang AS lang_pred, round(best.score, 4) AS lang_score,
+         |       lang AS lang_declared
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -71,8 +71,15 @@ object Sketches {
     out
   }
 
+  // Mirrors Java \s (the tokenizer the DuckDB '\s+' oracles use):
+  // space, tab, newline, vertical tab (0x0b), form feed, carriage return.
+  // Known edge (documented, not mirrored): split(trim(x), '\s+') yields an
+  // empty first token when text starts with a non-space whitespace char
+  // (trim strips only ' '); the byte-walk skips that empty token. Shingles
+  // differ only on such texts, and both sides of every pairwise comparison
+  // use the same tokenizer, so dedup semantics are unaffected.
   @inline private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\r' || b == '\f'
 
   def minhash(bytes: Array[Byte], n: Int, k: Int): Array[Long] = {
     val hs = shingleBaseHashes(bytes, n)
@@ -128,6 +135,27 @@ object Sketches {
       j += 1
     }
     java.util.Arrays.copyOf(hs, uniq)
+  }
+
+  /** 128-bit ASCII character-set bitmap as two longs: bit k of half h is
+    * set iff codepoint h*64+k occurs in the text. One byte-walk per
+    * document; bytes ≥ 0x80 (every byte of a multi-byte UTF-8 sequence)
+    * fall outside the bitmap, matching the composed
+    * ascii()/filter/aggregate formulation this replaces — which ran
+    * interpreted (HOFs have no codegen) and materialized a per-character
+    * string array per document.
+    */
+  def charBitmap(bytes: Array[Byte]): Array[Long] = {
+    var m0 = 0L
+    var m1 = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b < 64) m0 |= 1L << b
+      else if (b < 128) m1 |= 1L << (b - 64)
+      i += 1
+    }
+    Array(m0, m1)
   }
 
   /** |A∩B| / |A∪B| for two sorted distinct long arrays. */
@@ -187,6 +215,20 @@ case class MinHashSignature(child: Expression, n: Int, k: Int) extends UnaryExpr
          |  graft.functions.Sketches.minhash($c.getBytes(), $n, $k));""".stripMargin)
 }
 
+case class CharBitmap(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_bitmap"
+  override protected def withNewChildInternal(newChild: Expression): CharBitmap =
+    copy(child = newChild)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Sketches.charBitmap(input.asInstanceOf[UTF8String].getBytes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.Sketches.charBitmap($c.getBytes()));""".stripMargin)
+}
+
 case class SimHash(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -207,6 +249,8 @@ object SketchFns {
     Bridge.toColumn(SimHash(Bridge.toExpression(text), n))
   def shingleHashSet(text: Column, n: Int): Column =
     Bridge.toColumn(ShingleHashSet(Bridge.toExpression(text), n))
+  def charBitmap(text: Column): Column =
+    Bridge.toColumn(CharBitmap(Bridge.toExpression(text)))
   def jaccardSorted(a: Column, b: Column): Column =
     Bridge.toColumn(JaccardSorted(Bridge.toExpression(a), Bridge.toExpression(b)))
 }

@@ -21,27 +21,42 @@ object Asof {
   /** Left as-of join: every `left` row gains the latest `payload` values
     * from the `right` row with the same `key` and `right.ts <= left.ts`
     * (null when no prior right row exists).
+    *
+    * The payload columns are carried through the window as ONE struct per
+    * right row — never per-column — so (a) the winning right row's values
+    * stay together (no cross-row column mixing), and (b) a right row whose
+    * payload value IS null still wins: the struct wrapper is non-null, and
+    * the matched row's null is what comes out, matching DuckDB ASOF
+    * semantics. Ties on (key, ts) between right rows are broken
+    * deterministically by the payload struct itself (largest wins),
+    * independent of partition order.
     */
   def joinLast(
       left: DataFrame, right: DataFrame,
       key: String, ts: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    val l = payload.foldLeft(left.withColumn("__side", lit(1))) {
-      (df, p) => df.withColumn(p, lit(null).cast(right.schema(p).dataType))
-    }
-    val r = leftCols.foldLeft(right.select((key +: ts +: payload).map(col): _*)
-        .withColumn("__side", lit(0))) {
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
+    val r0 = right.select(col(key), col(ts),
+      struct(payload.map(col): _*).as("__p")).withColumn("__side", lit(0))
+    val r = leftCols.foldLeft(r0) {
       (df, c) => if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }
-    val unioned = l.select((leftCols ++ payload :+ "__side").map(col): _*)
-      .unionByName(r.select((leftCols ++ payload :+ "__side").map(col): _*))
+    val outCols = leftCols :+ "__p" :+ "__side"
+    val unioned = l.select(outCols.map(col): _*).unionByName(r.select(outCols.map(col): _*))
+    // __p as the final ordering key: right rows (side 0) with equal ts get
+    // a total order; left rows all carry null __p so their relative order
+    // cannot affect the ignoreNulls fill.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(col(ts).asc, col("__side").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).select((leftCols ++ payload).map(col): _*)
+    unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__p.$p").as(p)): _*)
   }
 
   /** Driver-contract entry: each event annotated with the user's most

@@ -44,6 +44,12 @@ object Scale {
   def saltedJoin(
       big: DataFrame, small: DataFrame, joinKey: String, nSalts: Int,
       joinType: String = "inner"): DataFrame = {
+    // Replicating the small side nSalts times would emit each unmatched
+    // small-side row nSalts times under right/full outer joins — only
+    // big-side-preserving join types are sound here.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti").contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins, got: $joinType")
     val saltedBig = big.withColumn(
       "__salt", pmod(monotonically_increasing_id(), lit(nSalts.toLong)))
     val replicatedSmall = small.withColumn(

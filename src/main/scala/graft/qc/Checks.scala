@@ -47,7 +47,7 @@ object Checks {
       |         net_generation_petro + net_generation_hydro + net_generation_solar +
       |         net_generation_wind + net_generation_other + net_generation_unknown AS sum_of_parts
       |  FROM balancing_authorities) main
-      |WHERE main.net_generation != main.sum_of_parts""".stripMargin,
+      |WHERE abs(main.net_generation - main.sum_of_parts) > 1e-6""".stripMargin,
     expectEqual = true, expected = 0L)
 
   /** The reference's 8 checks over the two output tables (nrg_qc.py:27-34). */

@@ -129,6 +129,68 @@ class ExtSpec extends SparkSuite {
     assert(total === Tables.embeddings(spark, dir).count())
   }
 
+  test("ngram jaccard: bucketed top-100 equals brute-force all-pairs top-100") {
+    val docs = Tables.documents(spark, dir)
+    val masked = docs.select(col("lang"), col("doc_id"),
+        graft.functions.SketchFns.charBitmap(col("text")).as("mask"))
+      .select(col("lang"), col("doc_id"),
+        element_at(col("mask"), 1).as("m0"), element_at(col("mask"), 2).as("m1"))
+    val a = masked.select(col("lang"), col("doc_id").as("doc_a"),
+      col("m0").as("a0"), col("m1").as("a1"))
+    val b = masked.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
+      col("m0").as("b0"), col("m1").as("b1"))
+    val inter = (bit_count(col("a0").bitwiseAND(col("b0"))) +
+      bit_count(col("a1").bitwiseAND(col("b1")))).cast("double")
+    val union = (bit_count(col("a0").bitwiseOR(col("b0"))) +
+      bit_count(col("a1").bitwiseOR(col("b1")))).cast("double")
+    val brute = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"), round(inter / union, 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = Dedup.dedupNgramJaccard(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === brute)
+  }
+
+  test("ngram candidate pairs are bounded by distinct bitmaps, not corpus size") {
+    val docs = Tables.documents(spark, dir).select("lang", "doc_id", "text")
+    val doubled = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val p1 = Dedup.ngramGroupPairs(docs).count()
+    val p2 = Dedup.ngramGroupPairs(doubled).count()
+    // duplicate content folds into existing bitmap groups: cross pairs are
+    // unchanged; growth is at most one self pair per previously-singleton
+    // bitmap — while brute-force all-pairs would have quadrupled
+    val nDistinct = docs.select(
+        graft.functions.SketchFns.charBitmap(col("text")).as("m"), col("lang"))
+      .distinct().count()
+    assert(p2 - p1 <= nDistinct, s"pair growth ${p2 - p1} exceeds distinct-bitmap bound $nDistinct")
+    val n = docs.count()
+    assert(p2 < n * (2 * n - 1), "candidate pairs must stay far below all-pairs")
+  }
+
+  test("embedding LSH dedup: planted near-identical pairs top the ranking, candidates bucket-bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val partners = base.take(10).map { case (i, v) =>
+      (100L + i, v.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat))
+    }
+    val corpus = (base ++ partners).toDF("vec_id", "embedding")
+    val top = Dedup.dedupEmbeddingLshDf(corpus, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert(planted.intersect(top).size >= 9,
+      s"only ${planted.intersect(top).size}/10 planted near-dup pairs in top-10")
+    // pairwise work is bounded by bucket occupancy: random 64-dim gaussians
+    // rarely collide within hamming-1 of a 12-bit signature, so candidates
+    // must be far below the 60*59/2 = 1770 all-pairs count
+    val cands = Dedup.dedupEmbeddingLshCandidates(corpus).count()
+    assert(cands < 1770 / 4, s"candidate count $cands not bucket-bounded")
+    assert(cands >= 10, "planted pairs must all be candidates")
+  }
+
   test("langId is deterministic and scores in [0,1]") {
     val r = Text.textLangId(spark, dir).collect()
     assert(r.length === 500)

@@ -70,6 +70,17 @@ class SketchPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("charBitmap sets exactly the bits of occurring ASCII codepoints") {
+    (texts :+ "" :+ "\t\n\f\r ~" :+ "héllo ünïcode").foreach { t =>
+      val Array(m0, m1) = Sketches.charBitmap(t.getBytes("UTF-8"))
+      val expected = t.getBytes("UTF-8").map(_ & 0xff).filter(_ < 128).toSet
+      (0 until 128).foreach { c =>
+        val bit = if (c < 64) (m0 >>> c) & 1L else (m1 >>> (c - 64)) & 1L
+        assert((bit == 1L) === expected.contains(c), s"codepoint $c of '$t'")
+      }
+    }
+  }
+
   test("shingle hash sets are sorted and distinct") {
     texts.foreach { t =>
       val hs = Sketches.shingleHashSet(t.getBytes("UTF-8"), 3)

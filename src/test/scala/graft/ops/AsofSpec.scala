@@ -31,6 +31,26 @@ class AsofSpec extends SparkSuite {
     assert(got(5L).isEmpty)
   }
 
+  test("duplicate (key, ts) right rows resolve deterministically; matched row's NULL payload survives") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 25L), (2L, "u2", 30L)).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      ("u1", 20L, Option(200.0)),
+      ("u1", 20L, Option(900.0)), // tie on (key, ts): largest payload struct wins
+      ("u2", 10L, Option(100.0)),
+      ("u2", 20L, Option.empty[Double]) // most recent prior row carries NULL
+    ).toDF("user_id", "t", "px")
+    def run(r: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+      Asof.joinLast(left, r, "user_id", "t", Seq("px"))
+        .collect().map(row => row.getLong(0) -> Option(row.get(3)).map(_.asInstanceOf[Double])).toMap
+    // result must not depend on the right side's partition layout
+    Seq(right, right.repartition(7), right.coalesce(1)).foreach { r =>
+      val got = run(r)
+      assert(got(1L).contains(900.0), "tie must break to the largest payload, deterministically")
+      assert(got(2L).isEmpty, "the matched row's NULL must win over an older non-null value")
+    }
+  }
+
   test("driver query runs and covers all events") {
     val df = Asof.qAsofJoin(spark, "/root/testdata/sf0.001")
     assert(df.count() === 1000)

@@ -28,7 +28,13 @@ def main(outdir, sfdir):
             continue
         got = pd.read_parquet(d)
         if name not in oracle:
-            print(f"[rows-only] {name}: {len(got)} rows {'OK' if len(got)>0 else 'EMPTY!'}")
+            # the driver smoke-checks rows>0, so an empty rows-only result
+            # must fail the local gate too
+            if len(got) > 0:
+                print(f"[rows-only] {name}: {len(got)} rows OK")
+            else:
+                print(f"[FAIL] {name}: rows-only result is EMPTY")
+                n_fail += 1
             continue
         try:
             exp = con.execute(oracle[name]).df()
