@@ -26,31 +26,51 @@ object Pipeline {
   def readLocations(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", true).csv(path)
 
+  /** Overwrite-partitioned parquet write; `dynamic = true` replaces only
+    * the partitions the frame contains (dynamic partition overwrite),
+    * leaving every other partition on disk untouched.
+    */
+  private def writePartitioned(
+      df: DataFrame, parts: Seq[String], path: String, dynamic: Boolean): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).partitionBy(parts: _*)
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w).parquet(path)
+  }
+
+  private def etlWrites(
+      spark: SparkSession, inputDir: String, outputDir: String, dynamic: Boolean): Unit = {
+    // The reference globs "/*.gz" (nrg_etl.py:20,40) — keep that contract
+    // so the weather dir can also hold locations.csv without colliding.
+    val eia = readEia(spark, s"$inputDir/bal_auth/*.gz")
+    writePartitioned(BalAuth.balAuthTable(eia),
+      Seq("bal_auth", "year", "month"), s"$outputDir/bal_auth", dynamic)
+    writePartitioned(BalAuth.timeDim(eia),
+      Seq("year", "month"), s"$outputDir/time", dynamic)
+
+    val ghcn = readGhcn(spark, s"$inputDir/weather/*.gz")
+    val locations = readLocations(spark, s"$inputDir/weather/locations.csv")
+    writePartitioned(Weather(ghcn, locations),
+      Seq("bal_auth", "year", "month"), s"$outputDir/weather", dynamic)
+  }
+
   /** Partitioned parquet writes (S5). Partition layout mirrors the
     * reference (time: year/month; bal_auth + weather: bal_auth/year/month)
     * — at 100 TB this gives partition pruning on the dominant predicates
     * (date range, balancing authority) for every downstream consumer.
     */
-  def runEtl(spark: SparkSession, inputDir: String, outputDir: String): Unit = {
-    // The reference globs "/*.gz" (nrg_etl.py:20,40) — keep that contract
-    // so the weather dir can also hold locations.csv without colliding.
-    val eia = readEia(spark, s"$inputDir/bal_auth/*.gz")
-    BalAuth.balAuthTable(eia)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bal_auth", "year", "month")
-      .parquet(s"$outputDir/bal_auth")
-    BalAuth.timeDim(eia)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("year", "month")
-      .parquet(s"$outputDir/time")
+  def runEtl(spark: SparkSession, inputDir: String, outputDir: String): Unit =
+    etlWrites(spark, inputDir, outputDir, dynamic = false)
 
-    val ghcn = readGhcn(spark, s"$inputDir/weather/*.gz")
-    val locations = readLocations(spark, s"$inputDir/weather/locations.csv")
-    Weather(ghcn, locations)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bal_auth", "year", "month")
-      .parquet(s"$outputDir/weather")
-  }
+  /** Incremental cadence: the reference runs this pipeline as a daily
+    * serialized batch (spark_submit_airflow.py:163-177). A full-table
+    * overwrite per day is the 100 TB anti-pattern; this variant writes
+    * with DYNAMIC partition overwrite, replacing exactly the
+    * (bal_auth, year, month) partitions present in the arriving batch and
+    * leaving all others untouched. The batch must therefore carry
+    * complete data for every partition it touches (the daily feed
+    * reprocesses the open partition-to-date).
+    */
+  def runEtlIncremental(spark: SparkSession, inputDir: String, outputDir: String): Unit =
+    etlWrites(spark, inputDir, outputDir, dynamic = true)
 
   /** QC step: reads the ETL outputs back and runs the 8 reference checks,
     * writing a JSON error report (empty when all pass).

@@ -86,19 +86,13 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
-  /** Multi-probe LSH search: each query probes its own bucket plus all
-    * buckets at Hamming distance 1 (13 probes at 12 bits), candidates are
-    * re-ranked by exact cosine. The corpus is scanned once and joined on
-    * the bucket key — at 100 TB the corpus is WRITTEN partitioned by
-    * bucket, so a query touches 13 partitions instead of the corpus.
+  /** The probe set for multi-probe LSH: each query row exploded to its
+    * own bucket plus the [[LshBits]] buckets at Hamming distance 1
+    * (13 probes at 12 bits), with the query norm precomputed.
     */
-  def annLshSearch(corpus: DataFrame, queryVecs: DataFrame, k: Int): DataFrame = {
+  def lshProbes(queryVecs: DataFrame): DataFrame = {
     import graft.functions.VectorFns
-    val bucketed = corpus.select(
-      col("vec_id"), col("embedding"),
-      VectorFns.l2norm(col("embedding")).as("nrm"),
-      lshSignature(col("embedding")).as("bucket"))
-    val probes = queryVecs.select(
+    queryVecs.select(
       col("query_id"), col("query_emb"),
       VectorFns.l2norm(col("query_emb")).as("qnrm"),
       explode(concat(
@@ -107,6 +101,22 @@ object Similarity {
           i => lshSignature(col("query_emb"))
             .bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")).cast("long")))))
         .as("bucket"))
+  }
+
+  /** Multi-probe LSH search: each query probes its own bucket plus all
+    * buckets at Hamming distance 1 (13 probes at 12 bits), candidates are
+    * re-ranked by exact cosine. The corpus is scanned once and joined on
+    * the bucket key — at 100 TB the corpus is WRITTEN partitioned by
+    * bucket ([[writeBucketedCorpus]] / [[annLshSearchPartitioned]]), so a
+    * query touches 13 partitions instead of the corpus.
+    */
+  def annLshSearch(corpus: DataFrame, queryVecs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFns
+    val bucketed = corpus.select(
+      col("vec_id"), col("embedding"),
+      VectorFns.l2norm(col("embedding")).as("nrm"),
+      lshSignature(col("embedding")).as("bucket"))
+    val probes = lshProbes(queryVecs)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     bucketed.join(broadcast(probes), Seq("bucket"))
@@ -116,6 +126,46 @@ object Similarity {
           .as("cosine"))
       // no dedup needed: probe buckets are distinct and each corpus vector
       // has exactly one bucket, so (query, vec) appears at most once
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  /** The 100 TB serving layout: corpus written hive-partitioned by LSH
+    * bucket, with signature and norm computed ONCE at ingest — a
+    * multi-probe lookup then prunes the scan to its probe directories
+    * instead of reading the corpus.
+    */
+  def writeBucketedCorpus(emb: DataFrame, path: String): Unit = {
+    import graft.functions.VectorFns
+    emb.select(col("vec_id"), col("embedding"),
+        VectorFns.l2norm(col("embedding")).as("nrm"),
+        lshSignature(col("embedding")).as("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(path)
+  }
+
+  /** Multi-probe top-k against the [[writeBucketedCorpus]] layout. The
+    * probe keys (13 longs per query — query metadata, not corpus data)
+    * are collected driver-side and become a STATIC partition filter, so
+    * the scan's PartitionFilters prune the read to <=13 directories per
+    * query at file-listing time (asserted in ExtSpec). This is the
+    * point-lookup serving shape; the batch shape (probes as a table) is
+    * [[annLshSearch]].
+    */
+  def annLshSearchPartitioned(
+      spark: SparkSession, path: String, queryVecs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFns
+    val probes = lshProbes(queryVecs)
+    val probeKeys = probes.select("bucket").distinct().collect().map(_.getLong(0)).toSeq
+    val corpus = spark.read.parquet(path).filter(col("bucket").isin(probeKeys: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)
+          .as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy("query_id", "rn")

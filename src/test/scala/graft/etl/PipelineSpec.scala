@@ -31,4 +31,50 @@ class PipelineSpec extends SparkSuite {
     val report = spark.read.json(s"$out/data_quality")
     assert(report.count() === 4)
   }
+
+  test("incremental run replaces only the arriving batch's partitions") {
+    import java.nio.file.{Files, Paths}
+    val out = java.nio.file.Files.createTempDirectory("pipeline_inc").toString
+    Pipeline.runEtl(spark, fixture(""), out)
+    def bal = spark.read.parquet(s"$out/bal_auth")
+    val pjmJanBefore = bal.filter("bal_auth='PJM' AND year=2021 AND month=1").count()
+    val cisoDecBefore = bal.filter("bal_auth='CISO' AND year=2020 AND month=12").count()
+    assert(pjmJanBefore > 0 && cisoDecBefore > 0)
+
+    // day-2 batch: a NEW month for PJM plus a corrected replay of the
+    // CISO December partition (sentinel forecast value, 2 rows)
+    val batch = Files.createTempDirectory("pipeline_day2")
+    Files.createDirectories(batch.resolve("bal_auth"))
+    Files.createDirectories(batch.resolve("weather"))
+    val header = "Balancing Authority,Region,Data Date,Local Time at End of Hour," +
+      "UTC Time at End of Hour,Demand Forecast (MW),Demand (MW) (Adjusted)," +
+      "Net Generation (MW) (Adjusted),Net Generation (MW) from Coal," +
+      "Net Generation (MW) from Natural Gas,Net Generation (MW) from Nuclear," +
+      "Net Generation (MW) from All Petroleum Products," +
+      "Net Generation (MW) from Hydropower and Pumped Storage," +
+      "Net Generation (MW) from Solar,Net Generation (MW) from Wind," +
+      "Net Generation (MW) from Other Fuel Sources," +
+      "Net Generation (MW) from Unknown Fuel Sources,Demand (MW)"
+    val rows = Seq(
+      "PJM,Mid-Atlantic,02/10/2021,02/10/2021 1:00:00 AM,02/10/2021 6:00:00 AM,31250,30980,31500,8000,12000,9000,100,900,300,1000,150,50,31000",
+      "CISO,CAL,12/31/2020,12/31/2020 10:00:00 PM,01/01/2021 6:00:00 AM,77777,20700,21100,1000,9000,2000,100,3000,4000,1900,80,20,20600",
+      "CISO,CAL,12/31/2020,12/31/2020 11:00:00 PM,01/01/2021 7:00:00 AM,77777,20800,21200,1000,9000,2000,100,3000,4000,2000,80,20,20700")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(batch.resolve("bal_auth/day2.csv.gz")))
+    gz.write((header +: rows).mkString("\n").getBytes("UTF-8")); gz.close()
+    // weather side: replay the day-1 batch unchanged
+    Files.copy(Paths.get(fixture("weather/ghcn.csv.gz")), batch.resolve("weather/ghcn.csv.gz"))
+    Files.copy(Paths.get(fixture("weather/locations.csv")), batch.resolve("weather/locations.csv"))
+
+    Pipeline.runEtlIncremental(spark, batch.toString, out)
+
+    // untouched partition survives with its original rows
+    assert(bal.filter("bal_auth='PJM' AND year=2021 AND month=1").count() === pjmJanBefore)
+    // new partition lands
+    assert(bal.filter("bal_auth='PJM' AND year=2021 AND month=2").count() === 1)
+    // replayed partition is REPLACED (not appended): batch contents only
+    val cisoDec = bal.filter("bal_auth='CISO' AND year=2020 AND month=12")
+    assert(cisoDec.count() === 2)
+    assert(cisoDec.filter("demand_forecast = 77777").count() === 2)
+  }
 }

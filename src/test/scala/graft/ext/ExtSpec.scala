@@ -129,6 +129,32 @@ class ExtSpec extends SparkSuite {
     assert(total === Tables.embeddings(spark, dir).count())
   }
 
+  test("bucket-partitioned corpus: multi-probe search prunes the scan to probe directories") {
+    val path = java.nio.file.Files.createTempDirectory("lsh_corpus").toString
+    val e = Tables.embeddings(spark, dir)
+    Similarity.writeBucketedCorpus(e, path)
+    val layout = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("bucket="))
+    assert(layout.length > 26, "corpus must span many bucket directories")
+
+    val queries = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val keys = Similarity.lshProbes(queries).select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    assert(keys.length <= 2 * (Similarity.LshBits + 1), "probe set is 13 buckets per query")
+
+    val got = Similarity.annLshSearchPartitioned(spark, path, queries, 5)
+    // partition pruning: the probe keys reach the scan as PartitionFilters
+    // (pruned at file listing), not as a post-scan Filter
+    val plan = got.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket"), s"probe keys must prune partitions:\n$plan")
+    // >10 keys makes Catalyst emit INSET instead of IN — accept either
+    assert(pf.contains(" IN") || pf.contains("INSET"), s"expected static IN/INSET partition filter: $pf")
+    // same answers as the unpartitioned search
+    val want = Similarity.annLshSearch(e, queries, 5).collect().map(_.toString).toSeq
+    assert(got.collect().map(_.toString).toSeq === want)
+  }
+
   test("ngram jaccard: bucketed top-100 equals brute-force all-pairs top-100") {
     val docs = Tables.documents(spark, dir)
     val masked = docs.select(col("lang"), col("doc_id"),

@@ -36,4 +36,88 @@ class MultimodalSpec extends SparkSuite {
     val frames = Multimodal.MediaCodec.sampleFrames(Array.fill[Byte](160)(1), 2)
     assert(frames.length === 5) // 10 chunks of 16 bytes, every 2nd
   }
+
+  test("BMP golden fixture decodes byte-exactly") {
+    import Multimodal.MediaCodec
+    // 2x2 image: red, green / blue, white (row-major RGB)
+    val rgb = Array[Int](
+      255, 0, 0,   0, 255, 0,
+      0, 0, 255,   255, 255, 255).map(_.toByte)
+    val bmp = MediaCodec.encodeBmp(2, 2, rgb)
+    // golden header: 'BM', file size 54+16 (2 rows of stride 8), offset 54,
+    // BITMAPINFOHEADER 40, 2x2, 1 plane, 24 bpp, uncompressed
+    val goldenHeader = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0, 0, 0, 0, 0,
+      16, 0, 0, 0, 19, 11, 0, 0, 19, 11, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      .map(_.toByte)
+    assert(bmp.take(54).toSeq === goldenHeader.toSeq)
+    // pixel data: bottom-up BGR — bottom row (blue, white) first, padded to 8
+    val goldenPixels = Array[Int](
+      255, 0, 0,  255, 255, 255,  0, 0,
+      0, 0, 255,  0, 255, 0,      0, 0).map(_.toByte)
+    assert(bmp.drop(54).toSeq === goldenPixels.toSeq)
+
+    val img = MediaCodec.decodeBmp(bmp).get
+    assert(img.width === 2 && img.height === 2)
+    // channel means over {red, green, blue, white} / 255
+    assert(math.abs(img.meanR - 2.0 / 4) < 1e-9)
+    assert(math.abs(img.meanG - 2.0 / 4) < 1e-9)
+    assert(math.abs(img.meanB - 2.0 / 4) < 1e-9)
+  }
+
+  test("WAV golden fixture decodes byte-exactly") {
+    import Multimodal.MediaCodec
+    val samples = Array[Short](0, 16384, -16384, 32767)
+    val wav = MediaCodec.encodeWav(samples, 8000)
+    // golden header: RIFF size 36+8, WAVE, fmt(16) PCM mono 8kHz 16-bit, data(8)
+    val goldenHeader = Array[Int](
+      'R', 'I', 'F', 'F', 44, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 1, 0, 0x40, 0x1f, 0, 0,
+      0x80, 0x3e, 0, 0, 2, 0, 16, 0, 'd', 'a', 't', 'a', 8, 0, 0, 0)
+      .map(_.toByte)
+    assert(wav.take(44).toSeq === goldenHeader.toSeq)
+
+    val audio = MediaCodec.decodeWav(wav).get
+    assert(audio.sampleRate === 8000)
+    assert(audio.nSamples === 4)
+    val xs = samples.map(_ / 32768.0)
+    assert(math.abs(audio.meanAbs - xs.map(math.abs).sum / 4) < 1e-12)
+    assert(math.abs(audio.rms - math.sqrt(xs.map(x => x * x).sum / 4)) < 1e-12)
+  }
+
+  test("decode dispatches on magic bytes and falls back to the stub") {
+    import Multimodal.{MediaCodec, MediaRow}
+    val bmpRow = MediaRow(1L, "image", MediaCodec.encodeBmp(4, 3, Array.fill[Byte](36)(10)))
+    val got = MediaCodec.decode(bmpRow)
+    assert(got.features(0) === 4f && got.features(1) === 3f && got.n_frames === 1)
+    val wavRow = MediaRow(2L, "audio", MediaCodec.encodeWav(Array.fill[Short](2048)(100), 16000))
+    val wa = MediaCodec.decode(wavRow)
+    assert(wa.features(0) === 16000f && wa.features(1) === 2048f && wa.n_frames === 2)
+    // non-media bytes: histogram stub, unchanged semantics
+    def same(a: Multimodal.MediaFeatures, b: Multimodal.MediaFeatures): Boolean =
+      a.doc_id == b.doc_id && a.n_frames == b.n_frames &&
+        a.n_bytes == b.n_bytes && a.features.toSeq == b.features.toSeq
+    val textRow = MediaRow(3L, "text", "just some text".getBytes("UTF-8"))
+    assert(same(MediaCodec.decode(textRow), MediaCodec.decodeStub(textRow)))
+    // truncated BMP header must not throw — falls back
+    val broken = MediaRow(4L, "image", Array[Byte]('B', 'M', 1, 2, 3))
+    assert(same(MediaCodec.decode(broken), MediaCodec.decodeStub(broken)))
+  }
+
+  test("multimodal_decode query parses real WAV/BMP payloads at scale shape") {
+    val df = Multimodal.multimodalDecode(spark, dir)
+    val rows = df.collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) { // audio: sampleRate, nSamples
+        assert(r.getString(1) === "audio")
+        assert(r.getDouble(4) === 16000.0 && r.getDouble(5) === 512.0)
+      } else { // image: width, height
+        assert(r.getString(1) === "image")
+        assert(r.getDouble(4) === 16.0 && r.getDouble(5) === 16.0)
+      }
+    }
+  }
 }
