@@ -9,7 +9,24 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM warmup on the smallest SF: classloading, parquet reader init, and
+    // the codegen compiler otherwise land on whichever query happens to run
+    // first (~4-6s of non-query cost attributed to it). Warmup work is not
+    // timed; the three queries cover scan+agg, native expressions, and a
+    // shuffle join.
+    val warm = new java.io.File("/root/testdata/sf0.001")
+    val warmDir = if (warm.isDirectory) warm.toString else sfDir
+    Seq("q_agg", "text_quality", "dedup_minhash").foreach { q =>
+      SparkEntry.queries.get(q).foreach { fn =>
+        try { fn(spark, warmDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // GC outside the timer: broadcast/shuffle cleanup is GC-triggered in
+      // Spark, so without this a heavy query's garbage is collected inside
+      // some later query's timing window.
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune projections and
       // drop sorts, so scan-shaped queries would time less work than the

@@ -48,7 +48,7 @@ object Text {
     * score then lang code, mirroring Spark's array_max tie-break exactly.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val pred = TextFns.langId(col("text"))
+    val pred = graft.functions.LangId(col("text"))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -76,7 +76,7 @@ object Text {
     */
   def textTopNgrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(TextFns.wordShingles(col("text"), 2)).as("ngram"))
+      .select(explode(graft.functions.WordShingles(col("text"), 2)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))

@@ -51,7 +51,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => JaccardSorted(args.head, args(1))),
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    ("lang_id",
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (args: Seq[Expression]) => LangId(args.head)),
+    ("word_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "n"))))
 
   /** Register on a live session (temp functions in the session registry). */
   def registerAll(spark: SparkSession): Unit =

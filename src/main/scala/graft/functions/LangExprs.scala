@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Stopword-profile language ID as a native expression: ONE walk over the
+  * UTF-8 bytes scores every language profile at once. The composed form
+  * ([[TextFns.langId]]) runs five interpreted `filter`/`array_contains`
+  * lambdas, each re-evaluating the tokenization (Spark 4.1 HOFs have no
+  * codegen and re-evaluate captured subexpressions per element) — the
+  * same trap already fixed for charMask/TextStats.
+  *
+  * Semantics mirror the composed form so the DuckDB oracle is unchanged:
+  * tokens split on Java \s whitespace, ASCII case-fold for matching
+  * (profile words are lowercase ASCII or Chinese, so full Unicode
+  * lowercasing is equivalent on them), score = hits / max(n_tokens, 1),
+  * argmax with ties broken toward the lexicographically greatest language
+  * code (Spark's array_max struct ordering). `ExtSpec` asserts
+  * native == composed over the documents table.
+  */
+case class LangId(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LangId.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    LangId.evaluator.eval(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evalRef = ctx.addReferenceObj("langIdEvaluator", LangId.evaluator,
+      classOf[LangId.Evaluator].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $evalRef.eval($c.getBytes());")
+  }
+}
+
+object LangId {
+  val schema: StructType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("lang", StringType, nullable = false)))
+
+  final class Evaluator(profiles: Seq[(String, Seq[String])]) extends Serializable {
+    private val codes: Array[UTF8String] =
+      profiles.map(p => UTF8String.fromString(p._1)).toArray
+    private val words: Array[Array[Array[Byte]]] =
+      profiles.map(_._2.map(_.getBytes("UTF-8")).toArray).toArray
+
+    def eval(bytes: Array[Byte]): InternalRow = {
+      val len = bytes.length
+      val hits = new Array[Int](codes.length)
+      var nTokens = 0
+      var i = 0
+      var tokStart = -1
+      while (i <= len) {
+        val atEnd = i == len
+        val b = if (atEnd) ' '.toByte else bytes(i)
+        val space = atEnd || b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+        if (space) {
+          if (tokStart >= 0) {
+            nTokens += 1
+            var l = 0
+            while (l < words.length) {
+              if (inProfile(bytes, tokStart, i, words(l))) hits(l) += 1
+              l += 1
+            }
+            tokStart = -1
+          }
+        } else if (tokStart < 0) tokStart = i
+        i += 1
+      }
+      // split(trim(""), "\s+") yields one (empty) token
+      val denom = math.max(nTokens, 1)
+      // argmax; ascending profile order + >= ties toward the greatest code,
+      // matching array_max over (score, lang) structs
+      var best = 0
+      var bestScore = hits(0).toDouble / denom
+      var l = 1
+      while (l < hits.length) {
+        val s = hits(l).toDouble / denom
+        if (s >= bestScore) { best = l; bestScore = s }
+        l += 1
+      }
+      InternalRow(bestScore, codes(best))
+    }
+
+    private def inProfile(
+        bytes: Array[Byte], from: Int, until: Int, ws: Array[Array[Byte]]): Boolean = {
+      val n = until - from
+      var s = 0
+      while (s < ws.length) {
+        val w = ws(s)
+        if (w.length == n) {
+          var k = 0
+          var ok = true
+          while (ok && k < n) {
+            var c = bytes(from + k)
+            if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+            if (c != w(k)) ok = false
+            k += 1
+          }
+          if (ok) return true
+        }
+        s += 1
+      }
+      false
+    }
+  }
+
+  // shared singleton: profiles are fixed, the evaluator is stateless
+  lazy val evaluator: Evaluator = new Evaluator(TextFns.langProfiles)
+
+  def apply(text: Column): Column =
+    Bridge.toColumn(LangId(Bridge.toExpression(text)))
+}
+
+/** Distinct word n-gram shingles (as strings) in one compiled pass. The
+  * composed form ([[TextFns.wordShingles]]) re-evaluates the `split` per
+  * shingle inside an interpreted `transform` lambda — quadratic in
+  * tokens. Shingle strings are built directly from the token byte ranges;
+  * first-occurrence order is preserved (array_distinct semantics), and a
+  * text with fewer than n tokens yields its tokens joined by single
+  * spaces as one shingle (the concat_ws fallback of the composed form).
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String].getBytes, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c.getBytes(), $n);")
+}
+
+object WordShingles {
+
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\r' || b == '\f'
+
+  def compute(bytes: Array[Byte], n: Int): GenericArrayData = {
+    val len = bytes.length
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isSpace(bytes(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nTok = starts.size()
+    if (nTok == 0) return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val span = math.min(n, nTok)
+    val count = if (nTok < n) 1 else nTok - n + 1
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var s = 0
+    while (s < count) {
+      var size = span - 1 // separators
+      var t = s
+      while (t < s + span) { size += ends.get(t) - starts.get(t); t += 1 }
+      val out = new Array[Byte](size)
+      var p = 0
+      t = s
+      while (t < s + span) {
+        if (t > s) { out(p) = ' '; p += 1 }
+        val st = starts.get(t); val e = ends.get(t)
+        System.arraycopy(bytes, st, out, p, e - st)
+        p += e - st
+        t += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      s += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def apply(text: Column, n: Int): Column =
+    Bridge.toColumn(WordShingles(Bridge.toExpression(text), n))
+}

@@ -224,4 +224,33 @@ class ExtSpec extends SparkSuite {
     val again = Text.textLangId(spark, dir).collect()
     assert(r.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("native LangId matches the composed HOF formulation on real documents") {
+    val composed = TextFns.langId(col("text"))
+    val native = graft.functions.LangId(col("text"))
+    val diff = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        composed.getField("lang").as("cl"), round(composed.getField("score"), 9).as("cs"),
+        native.getField("lang").as("nl"), round(native.getField("score"), 9).as("ns"))
+      .filter(col("cl") =!= col("nl") || col("cs") =!= col("ns"))
+    assert(diff.count() === 0)
+  }
+
+  test("native WordShingles matches the composed HOF formulation on real documents") {
+    val diff = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        array_sort(TextFns.wordShingles(col("text"), 2)).as("c"),
+        array_sort(graft.functions.WordShingles(col("text"), 2)).as("n"))
+      .filter(not(col("c") === col("n")))
+    assert(diff.count() === 0)
+    // edge cases: empty, single-token, duplicate shingles
+    import spark.implicits._
+    val edge = Seq("", "one", "a b a b a b", "  padded   runs  ").toDF("text")
+      .select(
+        array_sort(TextFns.wordShingles(col("text"), 2)).as("c"),
+        array_sort(graft.functions.WordShingles(col("text"), 2)).as("n"))
+    edge.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
 }
