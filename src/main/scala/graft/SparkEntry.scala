@@ -25,6 +25,7 @@ object SparkEntry {
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (ops.Asof.queries, ops.Asof.oracles),
+      (ops.RangeJoin.queries, ops.RangeJoin.oracles),
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

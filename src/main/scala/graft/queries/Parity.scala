@@ -296,7 +296,71 @@ object Parity {
         countDistinct(col("l_suppkey")).as("n_supps"))
       .orderBy("l_returnflag")
 
+  /** FULL OUTER equi-join — per-nation customer vs supplier counts with
+    * deliberately asymmetric filters so both null-padded sides occur.
+    * Both inputs pre-aggregate before the join (≤25 rows each), so at any
+    * scale the join itself is trivial; the aggregations are the usual
+    * partial/final two-phase.
+    */
+  def qFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_nationkey") >= 5)
+      .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir).filter(col("s_nationkey") < 20)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, c("ck") === s("sk"), "full_outer")
+      .select(
+        coalesce(c("ck"), s("sk")).as("nation"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nation")
+  }
+
+  /** Correlated EXISTS subquery — Catalyst decorrelates it into a
+    * left-semi join (no per-row subquery execution), which is the only
+    * shape that scales; expressed in SQL over the registered views to
+    * exercise the SQL front door.
+    */
+  def qExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Uncorrelated scalar subquery as a filter threshold. The subquery
+    * computes max (exact, order-independent) rather than avg, whose
+    * partial-sum association order differs across engines and could flip
+    * borderline rows; prices pass through unarithmetic'd so the hash
+    * compare is bit-exact.
+    */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_full_join" ->
+      """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer
+        |           WHERE c_nationkey >= 5 GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier
+        |           WHERE s_nationkey < 20 GROUP BY 1)
+        |SELECT coalesce(ck, sk) AS nation,
+        |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL JOIN s ON ck = sk ORDER BY nation""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -446,5 +510,8 @@ object Parity {
     "q_count_distinct" -> (qCountDistinct _),
     "q_approx_sketch" -> (qApproxSketch _),
     "q_unpivot" -> (qUnpivot _),
+    "q_full_join" -> (qFullJoin _),
+    "q_exists_subquery" -> (qExistsSubquery _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
   )
 }

@@ -150,6 +150,48 @@ object Streaming {
       }
   }
 
+  // --- stream-stream join ---------------------------------------------------
+
+  /** Attribution join shared by batch and stream: each purchase paired
+    * with every view by the same user in the preceding hour (inclusive on
+    * both ends). The predicate references the event-time columns directly
+    * so that, on a stream, the watermark plus the one-hour range bound the
+    * buffered join state to ~an hour of views per side — without the time
+    * bound a stream-stream join must buffer forever.
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(
+      col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val p = purchases.select(
+      col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"))
+  }
+
+  /** Stream-stream inner join runner: both sides watermarked, AvailableNow
+    * trigger, append mode (inner-join matches emit as soon as both rows
+    * have arrived; the watermark only governs state eviction, so draining
+    * the source emits every match). StreamingSpec asserts stream == batch.
+    */
+  def runStreamJoin(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    def src(): DataFrame =
+      normalize(spark.readStream.schema(eventsRawSchema).parquet(inputGlob))
+    val views = src().filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+    val q = viewPurchaseJoin(views, purchases).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // --- driver-contract query entries ---------------------------------------
 
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame =
@@ -166,9 +208,18 @@ object Streaming {
       .orderBy("user_id", "session_start")
   }
 
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    viewPurchaseJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("purchase_id", "view_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
     "q_sessionize" -> (qSessionize _),
+    "q_stream_join" -> (qStreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,5 +239,12 @@ object Streaming {
         |       CAST(count(*) AS INTEGER) AS n_events,
         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |ORDER BY purchase_id, view_id""".stripMargin,
   )
 }

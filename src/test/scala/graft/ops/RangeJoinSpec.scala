@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  test("binned range join equals the naive range-predicate join") {
+    val epoch = lit("1970-01-01").cast("date")
+    val iv = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), datediff(col("o_orderdate"), epoch).as("lo"))
+      .withColumn("hi", col("lo") + 7)
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), epoch).as("ship_day"))
+
+    val binned = RangeJoin
+      .joinBinned(facts, col("ship_day"), iv, col("lo"), col("hi"), binWidth = 7L)
+      .select("l_orderkey", "l_linenumber", "o_orderkey")
+      .collect().map(_.toString).sorted
+    val naive = facts.join(iv,
+        col("ship_day") >= col("lo") && col("ship_day") <= col("hi"))
+      .select("l_orderkey", "l_linenumber", "o_orderkey")
+      .collect().map(_.toString).sorted
+
+    assert(binned.nonEmpty)
+    assert(binned.toSeq === naive.toSeq)
+  }
+
+  test("binned range join plans as a hash join on the bin key, not a nested loop") {
+    val plan = RangeJoin.qRangeJoin(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must not degrade to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi hash join on the bin key:\n$plan")
+  }
+
+  test("interval spanning multiple bins matches facts in every bin; one-bin facts never duplicate") {
+    import spark.implicits._
+    // interval [0, 20] with binWidth 7 covers bins 0..2; facts at 0, 7, 14, 20, 21
+    val iv = Seq((1L, 0L, 20L)).toDF("iv_id", "lo", "hi")
+    val facts = Seq(0L, 7L, 14L, 20L, 21L).toDF("p")
+    val got = RangeJoin.joinBinned(facts, col("p"), iv, col("lo"), col("hi"), 7L)
+      .select("p", "iv_id").collect().map(r => r.getLong(0)).sorted
+    assert(got.toSeq === Seq(0L, 7L, 14L, 20L)) // 21 outside; no duplicates
+  }
+}

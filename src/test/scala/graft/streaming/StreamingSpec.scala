@@ -23,6 +23,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-stream join equals the batch join") {
+    val streamDir = java.nio.file.Files.createTempDirectory("events_join_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    Streaming.runStreamJoin(spark, streamDir.toString, "stream_join_out")
+    val streamed = spark.table("stream_join_out")
+      .orderBy("purchase_id", "view_id").collect().map(_.toString)
+    val batch = Streaming.qStreamJoin(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("sessionize splits on >30min gaps and keeps totals per session") {
     import spark.implicits._
     def ev(id: Long, minute: Long, uid: Long, v: Double) = Streaming.Event(
