@@ -22,6 +22,7 @@ object SparkEntry {
       (ext.Text.queries, ext.Text.oracles),
       (ext.Dedup.queries, ext.Dedup.oracles),
       (ext.Similarity.queries, ext.Similarity.oracles),
+      (ext.Ivf.queries, ext.Ivf.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (ops.Asof.queries, ops.Asof.oracles),

@@ -217,6 +217,36 @@ class ExtSpec extends SparkSuite {
     assert(cands >= 10, "planted pairs must all be candidates")
   }
 
+  test("IVF search finds planted near-neighbors and scores exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val partners = base.take(10).map { case (i, v) =>
+      (100L + i, v.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat))
+    }
+    val corpus = (base ++ partners).toDF("vec_id", "embedding")
+    val centroids = Ivf.trainCentroids(corpus, k = 8, sampleN = 60)
+    val queries = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    // a vector and its near-identical partner quantize to the same list,
+    // so nProbe=1 already suffices for planted pairs
+    val top1 = Ivf.search(corpus, queries, centroids, k = 1, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val found = (0 until 10).count(i => top1.get(i.toLong).contains(100L + i))
+    assert(found >= 9, s"only $found/10 planted neighbors found at rank 1")
+  }
+
+  test("IVF inverted lists partition the corpus; assignment is deterministic") {
+    val counts = Ivf.annIvfLists(spark, dir).collect()
+    assert(counts.map(_.getLong(1)).sum === Tables.embeddings(spark, dir).count())
+    val again = Ivf.annIvfLists(spark, dir).collect()
+    assert(counts.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // IVF candidates per query are bounded by the probed lists, not the corpus
+    val probed = counts.sortBy(-_.getLong(1)).take(Ivf.NProbe).map(_.getLong(1)).sum
+    assert(probed < Tables.embeddings(spark, dir).count())
+  }
+
   test("langId is deterministic and scores in [0,1]") {
     val r = Text.textLangId(spark, dir).collect()
     assert(r.length === 500)

@@ -43,7 +43,8 @@ class SqlFunctionsSpec extends SparkSuite {
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ===
       Set("rolling_hash_fingerprint", "minhash_signature", "simhash",
-        "shingle_hash_set", "jaccard_sorted", "dot_product"))
+        "shingle_hash_set", "jaccard_sorted", "dot_product",
+        "lang_id", "word_shingles"))
     assert(ext != null)
   }
 }
