@@ -17,10 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftFunctions._
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-plan rewrites: range-predicate joins become binned equi joins
+    ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftFunctions {

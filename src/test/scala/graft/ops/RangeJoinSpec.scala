@@ -39,6 +39,57 @@ class RangeJoinSpec extends SparkSuite {
       s"expected an equi hash join on the bin key:\n$plan")
   }
 
+  test("optimizer rule turns a RAW range-predicate join into a hash join automatically") {
+    val epoch = lit("1970-01-01").cast("date")
+    val iv = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), datediff(col("o_orderdate"), epoch).as("lo"))
+      .withColumn("hi", col("lo") + 7)
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), epoch).as("ship_day"))
+    def raw() = facts.join(iv,
+      col("ship_day") >= col("lo") && col("ship_day") <= col("hi"))
+
+    spark.conf.set("spark.graft.rangejoin.binShift", "3") // 8-day bins
+    try {
+      val plan = raw().queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rule must eliminate the nested loop:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+      val rewritten = raw().select("l_orderkey", "l_linenumber", "o_orderkey")
+        .collect().map(_.toString).sorted
+
+      spark.conf.set("spark.graft.rangejoin.enabled", "false")
+      val vanilla = raw()
+      val vplan = vanilla.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(vplan.contains("BroadcastNestedLoopJoin"),
+        s"kill switch must restore the default plan:\n$vplan")
+      val expected = vanilla.select("l_orderkey", "l_linenumber", "o_orderkey")
+        .collect().map(_.toString).sorted
+      assert(rewritten.nonEmpty)
+      assert(rewritten.toSeq === expected.toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.rangejoin.enabled")
+      spark.conf.unset("spark.graft.rangejoin.binShift")
+    }
+  }
+
+  test("optimizer rule stands down for equi joins and strict single bounds") {
+    import spark.implicits._
+    val a = Seq((1L, 5L)).toDF("k", "v")
+    val b = Seq((1L, 3L)).toDF("k2", "w")
+    // equi join: untouched (no Generate node in the plan)
+    val equi = a.join(b, col("k") === col("k2")).queryExecution.optimizedPlan.toString
+    assert(!equi.contains("__graft_bin"))
+    // single inequality (no lower+upper pair): untouched
+    val ineq = a.join(b, col("v") > col("w")).queryExecution.optimizedPlan.toString
+    assert(!ineq.contains("__graft_bin"))
+  }
+
   test("interval spanning multiple bins matches facts in every bin; one-bin facts never duplicate") {
     import spark.implicits._
     // interval [0, 20] with binWidth 7 covers bins 0..2; facts at 0, 7, 14, 20, 21
