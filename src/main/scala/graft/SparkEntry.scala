@@ -23,6 +23,7 @@ object SparkEntry {
       (ext.Dedup.queries, ext.Dedup.oracles),
       (ext.Similarity.queries, ext.Similarity.oracles),
       (ext.Ivf.queries, ext.Ivf.oracles),
+      (ext.Curation.queries, ext.Curation.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (ops.Asof.queries, ops.Asof.oracles),

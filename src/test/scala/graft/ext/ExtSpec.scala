@@ -247,6 +247,36 @@ class ExtSpec extends SparkSuite {
     assert(probed < Tables.embeddings(spark, dir).count())
   }
 
+  test("hash split is total, stable, and roughly 80/10/10; hash sampling is monotone") {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val counts = Curation.qSplitAssign(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === n)
+    assert(counts("train") > n * 7 / 10 && counts("train") < n * 9 / 10)
+    // stability: same assignment on re-evaluation
+    assert(Curation.qSplitAssign(spark, dir).collect().toSeq ===
+      Curation.qSplitAssign(spark, dir).collect().toSeq)
+    // monotone sampling: smaller rate is a subset of larger rate
+    val s32 = Curation.sampleByHash(docs, col("doc_id"), 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s64 = Curation.sampleByHash(docs, col("doc_id"), 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s32.subsetOf(s64))
+    assert(Curation.sampleByHash(docs, col("doc_id"), 256).count() === n)
+  }
+
+  test("curation output is deduplicated and language-consistent") {
+    val curated = Curation.qCurate(spark, dir)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.length < 500)
+    // no two curated docs share a text (exact dedup held)
+    val docs = Tables.documents(spark, dir)
+    val texts = docs.filter(col("doc_id").isin(ids.map(Long.box): _*))
+      .select("text").collect().map(_.getString(0))
+    assert(texts.distinct.length === texts.length)
+  }
+
   test("langId is deterministic and scores in [0,1]") {
     val r = Text.textLangId(spark, dir).collect()
     assert(r.length === 500)
