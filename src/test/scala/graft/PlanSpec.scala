@@ -78,4 +78,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"))
     assert(!p.toLowerCase.contains("collectlimit"), p)
   }
+
+  test("correlated EXISTS decorrelates to a semi join, not per-row subqueries") {
+    val p = planOf(Parity.qExistsSubquery(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("curation is a narrow pipeline: only the dedup window and final sort shuffle") {
+    val p = planOf(ext.Curation.qCurate(spark, dir))
+    // quality/langid/split are pure maps fused into the scan stage; the
+    // only exchanges are the window's hash partitioning and the output
+    // range sort — no joins, no extra aggregations
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && l.contains("("))
+    assert(exchanges <= 4, s"expected at most window+sort exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"curation must not join:\n$p")
+  }
 }
