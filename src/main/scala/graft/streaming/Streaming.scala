@@ -192,6 +192,46 @@ object Streaming {
     q.awaitTermination()
   }
 
+  // --- stream-static enrichment ---------------------------------------------
+
+  /** Static event-type → category dimension (the broadcast side). */
+  val typeDim: Seq[(String, String)] = Seq(
+    "click" -> "engagement", "view" -> "engagement", "purchase" -> "revenue",
+    "signup" -> "growth", "error" -> "ops")
+
+  /** Stream-static broadcast enrichment + per-category rollup, shared by
+    * batch and stream. A static dimension joined to a stream needs no
+    * state and no watermark: each micro-batch broadcast-joins the dim —
+    * the canonical enrichment shape at any scale (dim broadcasts; the
+    * stream side never shuffles for the join).
+    */
+  def categoryCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dim = typeDim.toDF("event_type", "category")
+    events.join(broadcast(dim), Seq("event_type"), "left_outer")
+      .groupBy(col("category"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("category"), col("n_events"), col("sum_value"))
+  }
+
+  /** Stream runner for the enrichment rollup (Complete mode: running
+    * per-category totals, the live-dashboard shape).
+    */
+  def runEnrichedStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    val stream = normalize(
+      spark.readStream.schema(eventsRawSchema).parquet(inputGlob))
+    val q = categoryCounts(stream).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // --- driver-contract query entries ---------------------------------------
 
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame =
@@ -216,10 +256,15 @@ object Streaming {
       .orderBy("purchase_id", "view_id")
   }
 
+  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    categoryCounts(graft.Tables.events(spark, dir))
+      .orderBy("category")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_enrich" -> (qStreamEnrich _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -246,5 +291,13 @@ object Streaming {
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |ORDER BY purchase_id, view_id""".stripMargin,
+    "q_stream_enrich" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('click','engagement'),('view','engagement'),('purchase','revenue'),
+        |  ('signup','growth'),('error','ops'))
+        |SELECT d.category AS category, count(*) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1 ORDER BY category""".stripMargin,
   )
 }

@@ -90,6 +90,30 @@ class RangeJoinSpec extends SparkSuite {
     assert(!ineq.contains("__graft_bin"))
   }
 
+  test("rule rewrite is exact on random intervals including negatives and strict bounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val facts = Seq.fill(400)((rnd.nextInt(4001) - 2000).toLong).toDF("p")
+    val iv = Seq.tabulate(80) { i =>
+      val a = (rnd.nextInt(4001) - 2000).toLong
+      (i.toLong, a, a + rnd.nextInt(200))
+    }.toDF("iv_id", "lo", "hi")
+
+    def run(cond: org.apache.spark.sql.Column): Seq[String] =
+      facts.join(iv, cond).select("p", "iv_id").collect().map(_.toString).sorted.toSeq
+
+    for (cond <- Seq(
+        col("p") >= col("lo") && col("p") <= col("hi"),
+        col("p") > col("lo") && col("p") < col("hi"))) {
+      val rewritten = run(cond)
+      spark.conf.set("spark.graft.rangejoin.enabled", "false")
+      val expected = try run(cond)
+      finally spark.conf.unset("spark.graft.rangejoin.enabled")
+      assert(rewritten === expected)
+      assert(rewritten.nonEmpty)
+    }
+  }
+
   test("interval spanning multiple bins matches facts in every bin; one-bin facts never duplicate") {
     import spark.implicits._
     // interval [0, 20] with binWidth 7 covers bins 0..2; facts at 0, 7, 14, 20, 21

@@ -36,6 +36,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-static broadcast enrichment equals the batch rollup") {
+    val streamDir = java.nio.file.Files.createTempDirectory("events_enrich_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    Streaming.runEnrichedStream(spark, streamDir.toString, "stream_enrich_out")
+    val streamed = spark.table("stream_enrich_out")
+      .orderBy("category").collect().map(_.toString)
+    val batch = Streaming.qStreamEnrich(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("sessionize splits on >30min gaps and keeps totals per session") {
     import spark.implicits._
     def ev(id: Long, minute: Long, uid: Long, v: Double) = Streaming.Event(
