@@ -101,6 +101,63 @@ object Multimodal {
       Some(BmpImage(width, height, sr / n, sg / n, sb / n))
     }
 
+    /** Row-major RGB pixels of a 24-bit uncompressed BMP; None on any
+      * malformed header (same validation as [[decodeBmp]]).
+      */
+    def decodeBmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      val buf = java.nio.ByteBuffer.wrap(b).order(LE)
+      val dataOffset = buf.getInt(10)
+      val width = buf.getInt(18)
+      val height = buf.getInt(22)
+      val bpp = buf.getShort(28)
+      val compression = buf.getInt(30)
+      if (bpp != 24 || compression != 0 || width <= 0 || height <= 0 || dataOffset < 54)
+        return None
+      val stride = ((width * 3 + 3) / 4) * 4
+      if (dataOffset.toLong + stride.toLong * height > b.length) return None
+      val rgb = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val rowStart = dataOffset + (height - 1 - y) * stride
+        var x = 0
+        while (x < width) {
+          val p = rowStart + x * 3
+          val o = (y * width + x) * 3
+          rgb(o) = b(p + 2); rgb(o + 1) = b(p + 1); rgb(o + 2) = b(p)
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, rgb))
+    }
+
+    /** Nearest-neighbor resize of a 24-bit BMP (decode → sample →
+      * re-encode, pure JVM); None if the payload isn't a decodable BMP.
+      * Per-row transform — composes with the mapPartitions plumbing the
+      * same way decode does.
+      */
+    def resizeBmp(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+      require(outW > 0 && outH > 0)
+      decodeBmpPixels(b).map { case (w, h, rgb) =>
+        val out = new Array[Byte](outW * outH * 3)
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * h / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val sx = (x.toLong * w / outW).toInt
+            val s = (sy * w + sx) * 3
+            val d = (y * outW + x) * 3
+            out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+            x += 1
+          }
+          y += 1
+        }
+        encodeBmp(outW, outH, out)
+      }
+    }
+
     /** Mono 16-bit PCM WAV (RIFF/WAVE, fmt + data chunks). */
     def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
       val dataSize = samples.length * 2

@@ -86,6 +86,32 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(audio.rms - math.sqrt(xs.map(x => x * x).sum / 4)) < 1e-12)
   }
 
+  test("BMP resize samples nearest pixels and round-trips through the codec") {
+    import Multimodal.MediaCodec
+    // 4x4 quadrant image: TL red, TR green, BL blue, BR white
+    val rgb = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      val c: (Int, Int, Int) =
+        if (y < 2 && x < 2) (255, 0, 0)
+        else if (y < 2) (0, 255, 0)
+        else if (x < 2) (0, 0, 255)
+        else (255, 255, 255)
+      rgb(o) = c._1.toByte; rgb(o + 1) = c._2.toByte; rgb(o + 2) = c._3.toByte
+    }
+    val bmp = MediaCodec.encodeBmp(4, 4, rgb)
+    val resized = MediaCodec.resizeBmp(bmp, 2, 2).get
+    val (w, h, out) = MediaCodec.decodeBmpPixels(resized).get
+    assert(w === 2 && h === 2)
+    // 2x2 nearest-neighbor keeps one pixel per quadrant
+    assert(out.toSeq.map(_ & 0xff) === Seq(
+      255, 0, 0,   0, 255, 0,
+      0, 0, 255,   255, 255, 255))
+    // upscale is lossless for a solid region; non-BMP input is None
+    assert(MediaCodec.resizeBmp(bmp, 8, 8).flatMap(MediaCodec.decodeBmp).get.width === 8)
+    assert(MediaCodec.resizeBmp("nope".getBytes, 2, 2).isEmpty)
+  }
+
   test("decode dispatches on magic bytes and falls back to the stub") {
     import Multimodal.{MediaCodec, MediaRow}
     val bmpRow = MediaRow(1L, "image", MediaCodec.encodeBmp(4, 3, Array.fill[Byte](36)(10)))
