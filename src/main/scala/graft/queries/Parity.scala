@@ -343,7 +343,43 @@ object Parity {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * still one pass — Expand replicates each row per set, then the usual
+    * partial/final aggregation.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** posexplode — the ordinal-preserving generator (LATERAL VIEW
+    * surface); the explode fan-out happens map-side, no shuffle.
+    */
+  def qPosexplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_posexplode" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(unnest(range(len(w))) AS INTEGER) AS pos,
+        |       unnest(w) AS token
+        |FROM t ORDER BY doc_id, pos""".stripMargin,
     "q_full_join" ->
       """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer
         |           WHERE c_nationkey >= 5 GROUP BY 1),
@@ -513,5 +549,7 @@ object Parity {
     "q_full_join" -> (qFullJoin _),
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_posexplode" -> (qPosexplode _),
   )
 }
