@@ -60,7 +60,10 @@ class RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), _) =>
+      // batch only: a streaming join has its own state/watermark planning
+      // that the explode+equi rewrite must not silently alter
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !left.isStreaming && !right.isStreaming =>
         rewrite(j, left, right, cond).getOrElse(j)
     }
   }
