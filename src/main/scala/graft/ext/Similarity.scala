@@ -35,6 +35,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force top-k over the int8-QUANTIZED corpus — the
+    * storage-compressed path ([[graft.functions.QuantizeInt8]]: 4x
+    * smaller on disk, per-vector scale). Same plan shape as [[annTopk]];
+    * the scores are computed on dequantized vectors so the quantization
+    * error is observable (ExtSpec bounds it; a production serving path
+    * re-ranks the final k with the float originals).
+    */
+  def annTopkInt8(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    import graft.functions.{DequantizeInt8, QuantizeInt8}
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("qz", QuantizeInt8(col("embedding")))
+      .select(col("vec_id"),
+        DequantizeInt8(col("qz.scale"), col("qz.codes")).as("demb"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("demb").as("query_emb"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("demb"), col("query_emb")), 4).as("cosine_q"))
+      .orderBy(col("cosine_q").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batched top-k: k nearest for EACH of the first `nQueries` vectors —
     * the production shape (broadcast the query block, per-query window
     * rank). One corpus scan regardless of query count.
@@ -184,6 +206,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> ((s: SparkSession, d: String) => annTopk(s, d)),
+    "ann_topk_int8" -> ((s: SparkSession, d: String) => annTopkInt8(s, d)),
     "ann_topk_batch" -> ((s: SparkSession, d: String) => annTopkBatch(s, d)),
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_search" -> (annLshSearchQuery _),

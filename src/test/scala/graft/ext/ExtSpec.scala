@@ -247,6 +247,24 @@ class ExtSpec extends SparkSuite {
     assert(probed < Tables.embeddings(spark, dir).count())
   }
 
+  test("int8 quantization keeps cosine within 1% and preserves planted top-1") {
+    import spark.implicits._
+    import graft.functions.{DequantizeInt8, QuantizeInt8, VectorFns}
+    // round-trip cosine error on the real embeddings
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("qz", QuantizeInt8(col("embedding")))
+      .withColumn("demb", DequantizeInt8(col("qz.scale"), col("qz.codes")))
+      .select(VectorFns.cosine(col("embedding"), col("demb")).as("c"))
+    val minCos = e.agg(min(col("c"))).first().getDouble(0)
+    assert(minCos > 0.99, s"quantization cosine floor too low: $minCos")
+    // quantized ranking stays faithful: its top-1 is among the exact top-3
+    // (ties within quantization error may swap adjacent ranks, no more)
+    val got = Similarity.annTopkInt8(spark, dir, queryId = 0L, k = 1).collect()
+    val exact3 = Similarity.annTopk(spark, dir, queryId = 0L, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact3.contains(got.head.getLong(0)))
+  }
+
   test("hash split is total, stable, and roughly 80/10/10; hash sampling is monotone") {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()

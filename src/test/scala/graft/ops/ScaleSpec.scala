@@ -57,4 +57,19 @@ class ScaleSpec extends SparkSuite {
       assert(joined.count() === 6000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compaction merges many small files into few, preserving every row") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("compact_tbl").toString
+    // 64 tiny files
+    (1L to 6400L).toDF("v").repartition(64).write.mode("overwrite").parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles === 64)
+    Scale.compact(spark, path, targetFileBytes = 1L << 30)
+    assert(parquetFiles === 1, "1 GiB target must collapse tiny files to one")
+    val vs = spark.read.parquet(path).as[Long].collect().sorted
+    assert(vs.toSeq === (1L to 6400L))
+    assert(!new java.io.File(path.stripSuffix("/") + "__compact").exists())
+  }
 }
