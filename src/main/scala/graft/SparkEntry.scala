@@ -21,6 +21,8 @@ object SparkEntry {
       (Parity.queries, Parity.oracles),
       (ext.Text.queries, ext.Text.oracles),
       (ext.Dedup.queries, ext.Dedup.oracles),
+      (ext.Cluster.queries, ext.Cluster.oracles),
+      (ext.Retrieval.queries, ext.Retrieval.oracles),
       (ext.Similarity.queries, ext.Similarity.oracles),
       (ext.Ivf.queries, ext.Ivf.oracles),
       (ext.Curation.queries, ext.Curation.oracles),

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution — the step a dedup pipeline runs AFTER
+  * pairwise near-dup detection: near-dup pairs form a graph, connected
+  * components of that graph are the duplicate clusters, and one canonical
+  * document (the minimum id) survives per cluster. Pair emission alone
+  * over-deletes (a~b, b~c without a~c must still collapse to ONE
+  * survivor, not two).
+  *
+  * Components are computed by hash-min label propagation: every node
+  * starts labeled with the min of itself and its neighbors, and each
+  * round replaces a label with the min label among neighbors. The label
+  * set is monotone non-increasing and converges to the component minimum
+  * in at most graph-diameter rounds (duplicate clusters are
+  * near-cliques, so 2-3 rounds in practice). Each round is one
+  * edge⋈label join + a groupBy-min — both shuffle on node id, nothing
+  * ever materializes a component in one task, so the algorithm scales to
+  * corpus-sized graphs. `localCheckpoint` truncates the growing lineage
+  * each round (iterative plans otherwise re-execute the whole history).
+  */
+object Cluster {
+
+  /** Connected components of an undirected edge list (`u`, `v` columns).
+    * Returns (`id`, `label`) where `label` is the smallest node id
+    * reachable from `id`. Only nodes with at least one edge appear
+    * (isolated docs are not in any duplicate cluster).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
+      .localCheckpoint()
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // min over neighbors' labels; every node has >=1 neighbor, so the
+      // inner joins lose nothing
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, "id")
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Driver-contract query: duplicate clusters over the MinHash near-dup
+    * pairs (word-3-gram jaccard >= 0.8), one row per clustered document
+    * with its cluster id (min member), cluster size, and whether it is
+    * the canonical survivor. Oracle: DuckDB recursive-CTE transitive
+    * closure over the exact all-pairs jaccard truth.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val w = Window.partitionBy(col("cluster_id"))
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster" -> (dedupCluster _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // transitive closure over the exact near-dup pair truth (the same
+    // pair CTE the dedup_minhash oracle checks against)
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
+         |       doc_id = cluster_id AS is_canonical
+         |FROM lbl ORDER BY cluster_id, doc_id""".stripMargin,
+  )
+}

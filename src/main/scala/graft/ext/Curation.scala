@@ -85,10 +85,42 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Stratified sampling: exactly ceil(frac·n) documents per stratum,
+    * chosen by hash rank — reproducible (the same documents every run,
+    * every engine) and exactly proportional per stratum, which plain
+    * hash-threshold sampling only achieves in expectation.
+    *
+    * The rank is a window per stratum, so work shuffles on the stratum
+    * key. With low-cardinality strata and a huge corpus, a hot stratum
+    * serializes into one task; the fix at that scale is selection rather
+    * than ranking — approx-quantile the hash within each stratum to a
+    * threshold, keep below it, and fix up the boundary bucket exactly.
+    * The rank form here IS the exactness oracle for that optimization.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column, frac: Double): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(hashBucketFull(id), id)
+    val n = Window.partitionBy(stratum)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n_stratum", count(lit(1)).over(n))
+      .filter(col("rn") <= ceil(lit(frac) * col("n_stratum")))
+      .drop("rn", "n_stratum")
+  }
+
+  /** Full md5 hex of the id — the per-stratum sampling order. */
+  private def hashBucketFull(id: Column): Column =
+    md5(id.cast("string").cast("binary"))
+
+  /** 20% per-language reproducible sample of the documents. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), col("lang"), col("doc_id"), 0.2)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign" -> (qSplitAssign _),
     "q_sample_hash" -> (qSampleHash _),
     "q_curate" -> (qCurate _),
+    "q_stratified_sample" -> (qStratifiedSample _),
   )
 
   private val splitSql =
@@ -111,6 +143,15 @@ object Curation {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         |ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n_stratum
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r
+        |WHERE rn <= ceil(0.2 * n_stratum) ORDER BY doc_id""".stripMargin,
     "q_curate" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, text,

@@ -315,30 +315,40 @@ object Dedup {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
   )
 
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * exact all-pairs word-3-gram jaccard >= 0.8 truth. Shared by the
+    * `dedup_minhash` oracle and the `dedup_cluster` transitive closure
+    * ([[Cluster]]), so the pair semantics cannot drift between them.
+    */
+  val minhashPairsCte: String =
+    """t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |    ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
+      |  FROM t),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS content_hash
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     // exact all-pairs truth for the LSH pipeline (recall ≈ 1 at j≥0.8)
     "dedup_minhash" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-        |    ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
-        |  FROM t),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       round(jaccard(a.text, b.text), 4) AS jaccard

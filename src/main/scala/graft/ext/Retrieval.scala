@@ -1,0 +1,143 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.{TextFns, WordShingles}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval / audit operators a training-data pipeline runs over
+  * the document store: BM25 ranked retrieval (the classic quality-biased
+  * selector for "find documents about X" curation passes) and
+  * benchmark-contamination detection (n-gram overlap between a held-out
+  * evaluation set and the training corpus).
+  *
+  * Scale shape: both are explode→partial-aggregate pipelines. The
+  * per-term and per-gram fan-out is absorbed map-side by partial aggregation
+  * before any exchange; the tiny side (term stats, the benchmark gram
+  * set) broadcasts, so the corpus is scanned exactly once and never
+  * shuffled in full.
+  */
+object Retrieval {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Default query for the driver-contract entry. */
+  val QueryTerms: Seq[String] = Seq("spark", "hash", "join")
+
+  /** BM25 over whitespace tokens: score(d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)) with idf(t) = ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Plan: one corpus scan → explode to query-term hits only (the filter
+    * sits inside the generator's child, so non-query tokens never leave
+    * the mapper) → partial-agg tf per (doc, term); df and the corpus
+    * stats are two scalar-sized aggregates broadcast back. Top-k lowers
+    * to TakeOrderedAndProject.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFns.tokens(lower(col("text"))).as("w"))
+      .withColumn("dl", size(col("w")))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), QueryTerms)
+
+  /** Benchmark contamination: for each held-out document (doc_id ≡ 0 mod
+    * 100 stands in for the eval set), how many corpus documents share at
+    * least one word-5-gram with it, and how many of its distinct 5-grams
+    * leak. Emits one row per benchmark document (zero counts included),
+    * so the result is stable even on a clean corpus.
+    *
+    * The benchmark gram set is tiny relative to the corpus and
+    * broadcasts; the corpus side is a single explode→join→partial-agg
+    * pass, never shuffled in full. 5-grams (not shorter) keep accidental
+    * collisions near zero so a hit means real leakage.
+    */
+  def contamination(docs: DataFrame, n: Int = 5): DataFrame = {
+    val isBench = col("doc_id") % 100 === 0
+    val grams = docs.select(col("doc_id"),
+      explode(WordShingles(col("text"), n)).as("g"))
+    val bench = grams.filter(isBench).select(col("doc_id").as("bench_id"), col("g"))
+    val corpus = grams.filter(!isBench).select(col("doc_id").as("corpus_id"), col("g"))
+    val hits = corpus.join(broadcast(bench), "g")
+      .groupBy(col("bench_id"))
+      .agg(
+        countDistinct(col("corpus_id")).as("n_contam_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+    docs.filter(isBench).select(col("doc_id").as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .orderBy("bench_id")
+  }
+
+  def qContamination(spark: SparkSession, dir: String): DataFrame =
+    contamination(Tables.documents(spark, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _),
+    "q_contamination" -> (qContamination _),
+  )
+
+  private def termList = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         |d AS (SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM t),
+         |stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM t),
+         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM d
+         |       WHERE list_contains($termList, tok) GROUP BY 1, 2, 3),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+         |SELECT doc_id,
+         |       round(sum(ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+         |             * (tf.tf * ${K1 + 1}) /
+         |               (tf.tf + $K1 * (1.0 - $B + $B * dl / avgdl))), 4) AS score,
+         |       count(*) AS n_terms_hit
+         |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |             ELSE list_transform(range(1, len(w) - 3),
+        |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END)) AS g
+        |      FROM t),
+        |hits AS (
+        |  SELECT b.doc_id AS bench_id,
+        |         count(DISTINCT c.doc_id) AS n_contam_docs,
+        |         count(DISTINCT b.g) AS n_shared_grams
+        |  FROM g b JOIN g c ON b.g = c.g
+        |  WHERE b.doc_id % 100 = 0 AND c.doc_id % 100 <> 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS bench_id,
+        |       coalesce(n_contam_docs, 0) AS n_contam_docs,
+        |       coalesce(n_shared_grams, 0) AS n_shared_grams
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.bench_id
+        |WHERE d.doc_id % 100 = 0 ORDER BY bench_id""".stripMargin,
+  )
+}

@@ -219,6 +219,28 @@ object Similarity {
         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) AS cosine
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // replicates QuantizeInt8/DequantizeInt8 float arithmetic exactly:
+    // each ::REAL cast rounds the (exact-in-double) intermediate to
+    // float32, which equals the JVM's float op for single +,/,* steps;
+    // floor(f + 0.5f) mirrors java.lang.Math.round(float)
+    "ann_topk_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding AS e,
+        |         (list_max(list_transform(embedding, x -> abs(x))) / 127)::REAL AS scale
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id,
+        |         CASE WHEN scale > 0 THEN
+        |           list_transform(e, x ->
+        |             (greatest(-127, least(127,
+        |                floor(((x / scale)::REAL + 0.5)::REAL)::INTEGER)) * scale)::REAL)
+        |         ELSE list_transform(e, x -> 0.0::REAL) END AS demb
+        |  FROM s),
+        |q AS (SELECT demb AS qemb FROM d WHERE vec_id = 0)
+        |SELECT d.vec_id,
+        |       round(list_cosine_similarity(d.demb::DOUBLE[], q.qemb::DOUBLE[]), 4) AS cosine_q
+        |FROM d, q WHERE d.vec_id <> 0
+        |ORDER BY cosine_q DESC, vec_id LIMIT 10""".stripMargin,
     "ann_topk_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb FROM embeddings WHERE vec_id < 5),
         |scored AS (

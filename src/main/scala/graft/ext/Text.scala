@@ -82,12 +82,45 @@ object Text {
       .orderBy(col("df").desc, col("ngram"))
       .limit(20)
 
+  /** Repetition signals (the Gopher-style quality rules adapted to
+    * newline-free documents): per document, the fraction of repeated
+    * words (1 − distinct/total) and the share of word-bigram occurrences
+    * taken by the single most frequent bigram. Highly repetitive
+    * machine-generated text scores near 1 on both and gets filtered.
+    *
+    * Shape at scale: the bigram multiplicities come from the native
+    * non-distinct [[graft.functions.WordShingles]] pass, explode →
+    * partial-agg per (doc, bigram) → per-doc max/sum — the fan-out
+    * collapses map-side, and the only exchanges hash on doc_id.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    docs
+      .join(perDoc, "doc_id")
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("w"))).cast("double") / size(col("w")), 4)
+          .as("dup_word_frac"),
+        round(col("top_c").cast("double") / col("n_bg"), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -115,6 +148,19 @@ object Text {
         |        x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
         |        / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(
+        |        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS bg
+        |      FROM t),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        |p AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM c GROUP BY 1)
+        |SELECT t.doc_id AS doc_id,
+        |       CAST(len(w) AS INTEGER) AS n_tokens,
+        |       round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_word_frac,
+        |       round(CAST(top_c AS DOUBLE) / n_bg, 4) AS top_bigram_frac
+        |FROM t JOIN p ON t.doc_id = p.doc_id ORDER BY doc_id""".stripMargin,
     // generated from the SAME langProfiles list the Spark side scores with,
     // so the two can't drift
     "text_langid" -> {

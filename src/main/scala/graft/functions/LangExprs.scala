@@ -129,7 +129,8 @@ object LangId {
   * text with fewer than n tokens yields its tokens joined by single
   * spaces as one shingle (the concat_ws fallback of the composed form).
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -138,11 +139,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String].getBytes, n)
+    WordShingles.compute(input.asInstanceOf[UTF8String].getBytes, n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShingles.compute($c.getBytes(), $n);")
+      s"${ev.value} = graft.functions.WordShingles.compute($c.getBytes(), $n, $distinct);")
 }
 
 object WordShingles {
@@ -150,7 +151,7 @@ object WordShingles {
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\r' || b == '\f'
 
-  def compute(bytes: Array[Byte], n: Int): GenericArrayData = {
+  def compute(bytes: Array[Byte], n: Int, distinct: Boolean): GenericArrayData = {
     val len = bytes.length
     val starts = new java.util.ArrayList[Int]()
     val ends = new java.util.ArrayList[Int]()
@@ -167,7 +168,12 @@ object WordShingles {
     if (nTok == 0) return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
     val span = math.min(n, nTok)
     val count = if (nTok < n) 1 else nTok - n + 1
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // LinkedHashSet dedups preserving first-occurrence order; the
+    // non-distinct mode (repetition statistics need multiplicities)
+    // appends every shingle instead.
+    val seen: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](count)
     var s = 0
     while (s < count) {
       var size = span - 1 // separators
@@ -191,4 +197,7 @@ object WordShingles {
 
   def apply(text: Column, n: Int): Column =
     Bridge.toColumn(WordShingles(Bridge.toExpression(text), n))
+
+  def apply(text: Column, n: Int, distinct: Boolean): Column =
+    Bridge.toColumn(WordShingles(Bridge.toExpression(text), n, distinct))
 }
