@@ -69,6 +69,53 @@ object Scale {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Morton (Z-order) interleave of two 16-bit grid coordinates — the
+    * multi-dimensional clustering key. Files written in z order are
+    * narrow in BOTH dimensions at once, so parquet min/max row-group
+    * stats prune scans filtered on either column (a linear sort only
+    * prunes its leading column; secondary-column file ranges stay
+    * full-width).
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Scale a numeric column onto the 16-bit z grid between known bounds. */
+  private def toGrid(c: Column, lo: Double, hi: Double): Column =
+    if (hi <= lo) lit(0L)
+    else least(lit(65535L), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65535.0).cast("long")))
+
+  /** Z-ordered parquet write on two numeric columns: grid each column
+    * between its min/max (one tiny pre-aggregate — the only driver-side
+    * data is 4 scalars), interleave bits, range-partition + sort by the
+    * z value, write `nFiles` files. Equality with the input is trivially
+    * preserved (layout only); ScaleSpec asserts the payoff — per-file
+    * min/max spans shrink on BOTH dimensions, which is what row-group
+    * stats pruning consumes at scan time.
+    *
+    * At 100 TB the min/max pre-pass becomes a percentile pre-pass
+    * (linear gridding is skew-sensitive); the interleave and write shape
+    * are unchanged.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, xCol: String, yCol: String, nFiles: Int): Unit = {
+    val b = df.agg(
+      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
+    val z = zValue(
+      toGrid(col(xCol), b.getDouble(0), b.getDouble(1)),
+      toGrid(col(yCol), b.getDouble(2), b.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files. Incremental pipelines accrete
     * tiny files (one-per-task-per-batch); at scale the file count, not

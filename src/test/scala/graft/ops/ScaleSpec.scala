@@ -58,6 +58,51 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-ordered layout narrows per-file ranges on BOTH dimensions") {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val g = ev.agg(
+      min(col("user_id").cast("double")), max(col("user_id").cast("double")),
+      min(col("value")), max(col("value"))).head()
+    val (xr, yr) = (g.getDouble(1) - g.getDouble(0), g.getDouble(3) - g.getDouble(2))
+
+    // mean per-file normalized (span_x, span_y) over a layout's files
+    def spans(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length > 8, s"expected many files, got ${files.length}")
+      val s = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          min(col("user_id").cast("double")), max(col("user_id").cast("double")),
+          min(col("value")), max(col("value"))).head()
+        ((r.getDouble(1) - r.getDouble(0)) / xr, (r.getDouble(3) - r.getDouble(2)) / yr)
+      }
+      (s.map(_._1).sum / s.length, s.map(_._2).sum / s.length)
+    }
+
+    val zPath = java.nio.file.Files.createTempDirectory("zorder").toString + "/z"
+    Scale.writeZOrdered(ev, zPath, "user_id", "value", 16)
+    // layout-only: every row survives
+    assert(spark.read.parquet(zPath).count() === ev.count())
+    val (zx, zy) = spans(zPath)
+
+    // baseline: linear sort on user_id alone
+    val linPath = java.nio.file.Files.createTempDirectory("zorder").toString + "/lin"
+    ev.repartitionByRange(16, col("user_id")).sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(linPath)
+    val (lx, ly) = spans(linPath)
+
+    // linear files are narrow on the sort column but wide on value
+    // (not fully 1.0: a heavy-tailed value column rarely realizes its
+    // extremes in a 1/16 sample)
+    assert(lx < 0.2, s"linear leading-column span $lx")
+    assert(ly > 0.55, s"linear secondary-column span $ly")
+    // z-order narrows BOTH (16 range partitions of z ~ a 4x4 grid), and
+    // beats the linear layout's secondary span by a wide margin
+    assert(zx < 0.6, s"z-order user_id span $zx")
+    assert(zy < 0.6, s"z-order value span $zy")
+    assert(zy < ly / 1.5, s"z-order value span $zy vs linear $ly")
+  }
+
   test("compaction merges many small files into few, preserving every row") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("compact_tbl").toString
