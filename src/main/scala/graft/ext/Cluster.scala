@@ -80,8 +80,27 @@ object Cluster {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** The materialized deduplicated corpus: every document except the
+    * non-canonical members of duplicate clusters — the anti join that an
+    * actual corpus build ships. The dup-member set is tiny relative to
+    * the corpus (it is the clustered docs minus one survivor each), so
+    * the anti join broadcasts and the corpus is scanned exactly once.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val dropped = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    graft.Tables.documents(spark, dir)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_survivors" -> (dedupSurvivors _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -101,5 +120,18 @@ object Cluster {
          |       CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
          |       doc_id = cluster_id AS is_canonical
          |FROM lbl ORDER BY cluster_id, doc_id""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reach GROUP BY u)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -96,9 +96,39 @@ object Retrieval {
   def qContamination(spark: SparkSession, dir: String): DataFrame =
     contamination(Tables.documents(spark, dir))
 
+  /** Per-document top-3 TF-IDF terms (tf · ln(N/df), ties broken by
+    * term) — the keyword-extraction pass of a corpus indexing pipeline.
+    * df is a vocabulary-sized aggregate (broadcast back); the per-doc
+    * rank uses the Spark 4 window-group-limit partial top-k, so no
+    * document's term list is ever sorted in full on one task.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def qTfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
     "q_contamination" -> (qContamination _),
+    "q_tfidf" -> (qTfidf _),
   )
 
   private def termList = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -120,6 +150,25 @@ object Retrieval {
          |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
          |GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // rank by the ROUNDED score on both sides so tie-breaks agree
+    "q_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term AS term,
+        |         round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_contamination" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(
