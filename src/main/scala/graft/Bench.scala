@@ -12,11 +12,11 @@ object Bench {
     // JVM warmup on the smallest SF: classloading, parquet reader init, and
     // the codegen compiler otherwise land on whichever query happens to run
     // first (~4-6s of non-query cost attributed to it). Warmup work is not
-    // timed; the three queries cover scan+agg, native expressions, and a
-    // shuffle join.
+    // timed; the queries cover scan+agg, native expressions, a shuffle
+    // join, and the generate+window codegen paths (explode, group-limit).
     val warm = new java.io.File("/root/testdata/sf0.001")
     val warmDir = if (warm.isDirectory) warm.toString else sfDir
-    Seq("q_agg", "text_quality", "dedup_minhash").foreach { q =>
+    Seq("q_agg", "text_quality", "dedup_minhash", "q_tfidf", "q_window_topk").foreach { q =>
       SparkEntry.queries.get(q).foreach { fn =>
         try { fn(spark, warmDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }

@@ -82,9 +82,11 @@ object Cluster {
 
   /** The materialized deduplicated corpus: every document except the
     * non-canonical members of duplicate clusters — the anti join that an
-    * actual corpus build ships. The dup-member set is tiny relative to
-    * the corpus (it is the clustered docs minus one survivor each), so
-    * the anti join broadcasts and the corpus is scanned exactly once.
+    * actual corpus build ships. The corpus is scanned exactly once; the
+    * join plan is left to AQE on purpose: when the dup-member set is
+    * small it broadcasts at runtime, and on a heavily-duplicated corpus
+    * (billions of dropped ids — far past broadcast size) it degrades to
+    * the correct shuffle-on-id anti join.
     */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.dedupMinhash(spark, dir)
