@@ -367,7 +367,40 @@ object Parity {
         posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("pos", "token")))
       .orderBy("doc_id", "pos")
 
+  /** Event-time RANGE window frame: per event, the count and sum of the
+    * same user's events in the preceding hour (inclusive). RANGE frames
+    * include peer rows, so the result is deterministic even with
+    * duplicate timestamps — no tie-break needed. The sum runs in
+    * DECIMAL (exact, association-order-free): Spark rebuilds sliding
+    * frames sequentially while DuckDB uses segment-tree aggregation, so
+    * a double sum could differ in the last ulp between engines.
+    *
+    * At scale this is the standard "feature within trailing window"
+    * shape: one shuffle on user_id, frames computed in a single sorted
+    * pass per partition with bounded memory.
+    */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_ms"))
+      .rangeBetween(-3600000L, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("t_ms", unix_millis(col("ts")))
+      .withColumn("n_1h", count(lit(1)).over(w).cast("int"))
+      .withColumn("sum_1h",
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .select("event_id", "user_id", "n_1h", "sum_1h")
+      .orderBy("event_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(*) OVER w AS INTEGER) AS n_1h,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem
@@ -551,5 +584,6 @@ object Parity {
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_posexplode" -> (qPosexplode _),
+    "q_window_range" -> (qWindowRange _),
   )
 }

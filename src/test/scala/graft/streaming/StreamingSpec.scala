@@ -97,4 +97,47 @@ class StreamingSpec extends SparkSuite {
       .agg(sum(col("n_events"))).first().getLong(0)
     assert(total === Tables.events(spark, dir).count())
   }
+
+  test("streaming CDC apply merges micro-batches into only the touched partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cdc")
+    val tablePath = root.resolve("table").toString
+    val changesDir = root.resolve("changes")
+    java.nio.file.Files.createDirectory(changesDir)
+
+    // initial partitioned table: 3 days, 2 rows each
+    val init = Seq(
+      (1L, 10L, 1.0, "2024-01-01"), (2L, 11L, 2.0, "2024-01-01"),
+      (3L, 10L, 3.0, "2024-01-02"), (4L, 12L, 4.0, "2024-01-02"),
+      (5L, 13L, 5.0, "2024-01-03"), (6L, 10L, 6.0, "2024-01-03"),
+    ).toDF("event_id", "user_id", "value", "day")
+    init.write.partitionBy("day").parquet(tablePath)
+
+    def files(day: String) = new java.io.File(s"$tablePath/day=$day").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length, f.lastModified))
+      .sortBy(_._1).toSeq
+    val day3Before = files("2024-01-03")
+
+    // two change files -> two micro-batches: batch 1 updates day 1,
+    // batch 2 updates day 2 and inserts a new row into day 2
+    Seq((1L, 10L, 100.0, "2024-01-01"))
+      .toDF("event_id", "user_id", "value", "day")
+      .coalesce(1).write.parquet(changesDir.resolve("c1").toString)
+    Seq((4L, 12L, 400.0, "2024-01-02"), (7L, 14L, 7.0, "2024-01-02"))
+      .toDF("event_id", "user_id", "value", "day")
+      .coalesce(1).write.parquet(changesDir.resolve("c2").toString)
+
+    Streaming.runChangeApply(spark, s"$changesDir/*", tablePath)
+
+    val got = spark.read.parquet(tablePath)
+      .select("event_id", "user_id", "value", "day")
+      .as[(Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 10L, 100.0, "2024-01-01"), (2L, 11L, 2.0, "2024-01-01"),
+      (3L, 10L, 3.0, "2024-01-02"), (4L, 12L, 400.0, "2024-01-02"),
+      (5L, 13L, 5.0, "2024-01-03"), (6L, 10L, 6.0, "2024-01-03"),
+      (7L, 14L, 7.0, "2024-01-02")))
+    // the day no batch touched kept its exact files
+    assert(files("2024-01-03") === day3Before)
+  }
 }
