@@ -114,6 +114,24 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization for hashing/dedup keys: lowercase,
+    * strip everything but alphanumerics and whitespace, collapse
+    * whitespace runs, trim. Emitting the md5 of the normalized form
+    * (not the text itself) keeps the result narrow — at corpus scale
+    * the normalized-key column is what downstream exact dedup joins on.
+    * Pure per-row map over a pruned 2-column scan.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(norm).as("n_chars_norm"),
+        md5(norm.cast("binary")).as("norm_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tokens" -> (textTokens _),
@@ -121,6 +139,7 @@ object Text {
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
+    "text_normalize" -> (textNormalize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,6 +167,15 @@ object Text {
         |        x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
         |        / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |              '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(norm) AS INTEGER) AS n_chars_norm,
+        |       md5(norm) AS norm_hash
+        |FROM n ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |b AS (SELECT doc_id, unnest(

@@ -85,6 +85,35 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // 100 TB shape: a selective dim filter on one side of a fact-fact
+    // shuffle join should inject a bloom filter into the probe side's
+    // scan stage, cutting shuffled bytes before the exchange. Thresholds
+    // are tuned down because the test tables are tiny; the optimizer
+    // feature (and this assertion) is what matters.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    import org.apache.spark.sql.functions.col
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val orders = Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") < 1000.0)
+      val li = Tables.lineitem(spark, dir)
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val p = planOf(joined)
+      // injected filter shows as might_contain(<bloom subquery>, xxhash64(key))
+      // on the probe side's scan-stage Filter
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("curation is a narrow pipeline: only the dedup window and final sort shuffle") {
     val p = planOf(ext.Curation.qCurate(spark, dir))
     // quality/langid/split are pure maps fused into the scan stage; the

@@ -77,4 +77,22 @@ class PipelineSpec extends SparkSuite {
     assert(cisoDec.count() === 2)
     assert(cisoDec.filter("demand_forecast = 77777").count() === 2)
   }
+
+  test("schema evolution: a column added in later partitions reads back with mergeSchema") {
+    // the long-lived-table reality at scale: day N+1's writer adds a
+    // column; historical partitions never get rewritten. mergeSchema
+    // reconciles the footers and back-fills nulls for old partitions.
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.parquet(s"$path/day=2024-01-01")
+    Seq((3L, 30.0, "beta")).toDF("id", "v", "variant")
+      .write.parquet(s"$path/day=2024-01-02")
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet === Set("id", "v", "variant", "day"))
+    val rows = merged.select("id", "variant")
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(rows === Array(1L -> None, 2L -> None, 3L -> Some("beta")))
+  }
 }

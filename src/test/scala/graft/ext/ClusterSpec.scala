@@ -35,6 +35,28 @@ class ClusterSpec extends SparkSuite {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val es = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      val expected = es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> es.flatMap(e => Seq(e._1, e._2)).distinct
+          .filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+      val got = Cluster.connectedComponents(es.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected)
+    }
+  }
+
   test("dedupCluster is consistent with the minhash pairs it clusters") {
     val dir = "/root/testdata/sf0.001"
     val clusters = Cluster.dedupCluster(spark, dir).collect()
