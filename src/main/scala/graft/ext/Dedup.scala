@@ -48,24 +48,50 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.SketchFns.minhashSignature(col("text"), 3, NumHashes).as("sig"))
 
+  /** LSH band table: (doc_id, band_idx, band_hash). Banding carries ONLY
+    * (doc_id, band) through the shuffle — the wide shingle arrays stay
+    * out of the bucket join and are re-attached just for the (few)
+    * candidates afterwards. At corpus scale this is the difference
+    * between shuffling ids and shuffling the corpus 32x.
+    */
+  def bandTable(docs: DataFrame): DataFrame = {
+    val r = NumHashes / Bands
+    minhashSignatures(docs).select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(Bands - 1)),
+        b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Sorted-hash shingle sets for exact verification: (doc_id, hs). */
+  def shingleTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SketchFns.shingleHashSet(col("text"), 3).as("hs"))
+
+  /** Exact word-3-gram jaccard verification of candidate pairs: one
+    * merge walk per candidate, shingle sets joined only for candidates.
+    */
+  def verifyPairs(
+      candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.SketchFns
+    val shA = shingles.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val shB = shingles.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard", SketchFns.jaccardSorted(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Banded candidate pairs + exact word-3-gram Jaccard verification.
     * LSH recall at the 0.8 threshold with r=4,b=32 is 1-(1-0.8^4)^32
     * ≈ 1-2e-7 — the oracle computes exact all-pairs truth and the two
     * agree because the planted near-dups sit at j≥0.97.
     */
   def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    // Banding carries ONLY (doc_id, band) through the shuffle — the wide
-    // shingle arrays stay out of the bucket join and are re-attached just
-    // for the (few) candidates afterwards. At corpus scale this is the
-    // difference between shuffling ids and shuffling the corpus 32x.
-    val r = NumHashes / Bands
-    val banded = minhashSignatures(Tables.documents(spark, dir))
-      .select(
-        col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), lit(Bands - 1)),
-          b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band_idx", "band_hash")))
-
+    val docs = Tables.documents(spark, dir)
+    val banded = bandTable(docs)
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_idx").as("band_idx_b"), col("band_hash").as("band_hash_b"),
       col("doc_id").as("doc_b"))
@@ -75,20 +101,63 @@ object Dedup {
           col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    verifyPairs(candidates, shingleTable(docs), threshold)
+  }
 
-    // Exact verification over native sorted-hash shingle sets: one merge
-    // walk per candidate, computed/joined only for candidates.
-    import graft.functions.SketchFns
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), SketchFns.shingleHashSet(col("text"), 3).as("hs"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    candidates
-      .join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("jaccard", SketchFns.jaccardSorted(col("hs_a"), col("hs_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  // --- incremental MinHash index --------------------------------------------
+
+  /** Initializes a persistent near-dup index from a document batch: the
+    * band table and shingle sets land as parquet under `indexPath`.
+    */
+  def indexInit(docs: DataFrame, indexPath: String): Unit = {
+    bandTable(docs).write.mode("overwrite").parquet(s"$indexPath/bands")
+    shingleTable(docs).write.mode("overwrite").parquet(s"$indexPath/shingles")
+  }
+
+  /** Incremental near-dup detection — the daily-cadence shape at 100 TB:
+    * sketching cost is proportional to the NEW batch only, never the
+    * accumulated corpus. The new batch's bands probe the index (plus the
+    * batch itself, for new-new pairs), candidates verify against stored
+    * shingle sets, and the batch's sketches append to the index. Every
+    * emitted pair has at least one endpoint in the new batch by
+    * construction (historical pairs were emitted by earlier runs), so a
+    * batch is processed exactly once and the union over runs equals the
+    * full-corpus [[dedupMinhash]] (ExtSpec asserts this equivalence).
+    */
+  def indexIncremental(
+      newDocs: DataFrame, indexPath: String, threshold: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newBands = bandTable(newDocs).localCheckpoint()
+    val newShingles = shingleTable(newDocs).localCheckpoint()
+    val allBands = spark.read.parquet(s"$indexPath/bands").unionByName(newBands)
+    val allShingles = spark.read.parquet(s"$indexPath/shingles").unionByName(newShingles)
+
+    val probe = newBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_n"))
+    val build = allBands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+      col("doc_id").as("doc_o"))
+    val candidates = probe.join(build,
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("doc_n") =!= col("doc_o"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+      .distinct()
+    val pairs = verifyPairs(candidates, allShingles, threshold).localCheckpoint()
+
+    newBands.write.mode("append").parquet(s"$indexPath/bands")
+    newShingles.write.mode("append").parquet(s"$indexPath/shingles")
+    pairs
+  }
+
+  /** Driver-contract entry for the incremental path: index the docs with
+    * id < 250 (yesterday's corpus), then run the rest as the arriving
+    * batch. Deterministic (fresh scratch index per run); the result is
+    * every near-dup pair with at least one endpoint in the new batch.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("minhash_index").toString
+    indexInit(docs.filter(col("doc_id") < 250), idx)
+    indexIncremental(docs.filter(col("doc_id") >= 250), idx)
   }
 
   // --- SimHash -------------------------------------------------------------
@@ -309,6 +378,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -348,6 +418,13 @@ object Dedup {
     "dedup_minhash" ->
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental run must emit exactly the pairs touching the new
+    // batch (doc_id >= 250) — same exact truth, filtered
+    "dedup_incremental" ->
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE doc_a >= 250 OR doc_b >= 250
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,

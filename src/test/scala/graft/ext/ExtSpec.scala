@@ -28,6 +28,29 @@ class ExtSpec extends SparkSuite {
     assert(lsh === brute)
   }
 
+  test("incremental minhash index: union over batches equals the full-corpus run") {
+    val full = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty)
+    val batch1Internal = full.filter { case (a, b, _) => a < 250 && b < 250 }
+
+    val docs = graft.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("minhash_idx").toString
+    Dedup.indexInit(docs.filter(org.apache.spark.sql.functions.col("doc_id") < 250), idx)
+    val incremental = Dedup.indexIncremental(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 250), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // incremental emits exactly the pairs touching the new batch...
+    assert(incremental === (full -- batch1Internal))
+    // ...and the index accumulated the new batch: a re-run of the SAME
+    // batch still finds its pairs against the now-complete index
+    val rerun = Dedup.indexIncremental(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 250), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rerun === (full -- batch1Internal))
+  }
+
   test("simhash pairs are true near-duplicates (precision check)") {
     val pairs = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
