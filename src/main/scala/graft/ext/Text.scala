@@ -132,6 +132,25 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-language alphabet profile: the OR of every document's 128-bit
+    * char bitmap, i.e. which ASCII codepoints the language's corpus
+    * uses and how many. bit_or is algebraic, so this is a one-pass
+    * partial-aggregable map+combine over the scan — profiling a 100 TB
+    * corpus costs one shuffle of 5 tiny rows. Oracle: DuckDB counts the
+    * distinct characters directly.
+    */
+  def textAlphabet(spark: SparkSession, dir: String): DataFrame = {
+    val mask = graft.functions.SketchFns.charBitmap(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        element_at(mask, 1).as("m0"), element_at(mask, 2).as("m1"))
+      .groupBy(col("lang"))
+      .agg(bit_or(col("m0")).as("u0"), bit_or(col("m1")).as("u1"))
+      .select(col("lang"),
+        (bit_count(col("u0")) + bit_count(col("u1"))).as("n_alphabet"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tokens" -> (textTokens _),
@@ -140,6 +159,7 @@ object Text {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_normalize" -> (textNormalize _),
+    "text_alphabet" -> (textAlphabet _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -167,6 +187,12 @@ object Text {
         |        x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
         |        / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // CharBitmap covers ASCII 0-127; the test corpus is ASCII, so the
+    // distinct-character count is the popcount of the OR'd masks
+    "text_alphabet" ->
+      """SELECT lang, CAST(count(DISTINCT c) AS INTEGER) AS n_alphabet
+        |FROM (SELECT lang, unnest(string_split(text, '')) AS c FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,
