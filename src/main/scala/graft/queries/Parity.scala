@@ -392,7 +392,61 @@ object Parity {
       .orderBy("event_id")
   }
 
+  /** Funnel conversion: per user, how many purchases happened within an
+    * hour of one of their views. The time bound makes the join an
+    * interval join on an equi key: it hash-joins on user_id with the
+    * window as a residual predicate — at scale the key is
+    * high-cardinality so no nested loop and no skew (both sides
+    * pre-filtered by event type before the exchange). Millisecond
+    * integer arithmetic on both engines avoids timestamp-unit drift.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("v_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_millis(col("ts")).as("p_ms"))
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ms") >= col("v_ms") && col("p_ms") <= col("v_ms") + lit(3600000L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_view_purchase_pairs"),
+        countDistinct(col("p_ms")).as("n_converted_purchases"))
+      .orderBy("user_id")
+  }
+
+  /** Decile profile of order value: exact ntile bucketing with a total
+    * order (price, orderkey), per-decile count and price bounds. The
+    * global-order window is the exactness oracle; at 100 TB the same
+    * profile comes from approx_percentile boundaries (q_approx_sketch)
+    * without a global sort.
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy("decile")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, epoch_ms(ts) AS v_ms FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS p_ms FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id AS user_id, count(*) AS n_view_purchase_pairs,
+        |       count(DISTINCT p_ms) AS n_converted_purchases
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND p.p_ms >= v.v_ms AND p.p_ms <= v.v_ms + 3600000
+        |GROUP BY v.user_id ORDER BY user_id""".stripMargin,
+    "q_ntile" ->
+      """SELECT decile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (SELECT o_totalprice,
+        |             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+        |      FROM orders)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
     "q_window_range" ->
       """SELECT event_id, user_id,
         |       CAST(count(*) OVER w AS INTEGER) AS n_1h,
@@ -585,5 +639,7 @@ object Parity {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_posexplode" -> (qPosexplode _),
     "q_window_range" -> (qWindowRange _),
+    "q_funnel" -> (qFunnel _),
+    "q_ntile" -> (qNtile _),
   )
 }
