@@ -45,6 +45,23 @@ object Streaming {
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding event-time windows: 1-hour windows every 15 minutes, so
+    * each event lands in exactly 4 overlapping windows. Spark's
+    * `window()` generator expands the assignment map-side (no
+    * self-join); the 4x fan-out collapses into the partial aggregate
+    * before the exchange, exactly like the tumbling case. The same
+    * expression is streaming-ready (watermark + append mode).
+    */
+  def slidingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
   /** File-source stream over a parquet directory, 10-minute watermark,
     * AvailableNow trigger (drain-everything-then-stop: incremental batch).
     * Returns the in-memory result table name.
@@ -297,14 +314,27 @@ object Streaming {
     categoryCounts(graft.Tables.events(spark, dir))
       .orderBy("category")
 
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    slidingTypeCounts(graft.Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
+    "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
   )
 
   val oracles: Map[String, String] = Map(
+    // each event belongs to the 4 hour-long windows whose epoch-aligned
+    // 15-minute starts cover it (mirrors Spark's window() assignment)
+    "q_sliding_window" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS t, event_type FROM events),
+        |w AS (SELECT event_type, (t // 900000) * 900000 - k * 900000 AS ws_ms
+        |      FROM e, unnest([0, 1, 2, 3]) AS u(k))
+        |SELECT ws_ms // 1000 AS window_start, event_type, count(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
         |       count(*) AS n_events,
