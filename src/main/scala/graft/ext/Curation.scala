@@ -116,7 +116,32 @@ object Curation {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Deterministic weighted sampling (Efraimidis-Spirakis A-Res): keep
+    * the k rows with the largest u^(1/w), where u is a hash-derived
+    * uniform in [0,1) — higher weight ⇒ proportionally higher keep
+    * probability, and the decision is a pure function of the id (no
+    * rand(): reproducible across runs, engines, and task retries, like
+    * every other curation op here). The top-k lowers to
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
+    // first 8 md5 hex chars as an unsigned 32-bit uniform
+    val u = conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    df.withColumn("__k", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("__k").desc, id)
+      .limit(k)
+      .drop("__k")
+  }
+
+  /** 100 documents sampled with probability proportional to length. */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir), col("doc_id"), col("n_chars"), 100)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_split_assign" -> (qSplitAssign _),
     "q_sample_hash" -> (qSampleHash _),
     "q_curate" -> (qCurate _),
@@ -142,6 +167,14 @@ object Curation {
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        |ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+        |             / 4294967296.0, 1.0 / n_chars) AS k
+        |  FROM documents
+        |  ORDER BY k DESC, doc_id LIMIT 100) t
         |ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """WITH r AS (
