@@ -110,6 +110,46 @@ object Curation {
   private def hashBucketFull(id: Column): Column =
     md5(id.cast("string").cast("binary"))
 
+  /** The hot-stratum scale path for [[stratifiedSample]], result-equal
+    * by construction (RetrievalSpec asserts it): instead of ranking the
+    * whole stratum in one task, a per-stratum hash threshold keeps
+    * ~slack·frac of the rows (hashes are uniform, so the frac-quantile
+    * of the hash IS ≈frac), and only that slice is ranked exactly.
+    * The single hot-stratum window task shrinks from n to ~slack·frac·n
+    * rows. Correctness: if the kept slice has ≥ k rows, it provably
+    * contains the true top-k (every row outside it hashes strictly
+    * higher); strata where the slice came up short — possible but
+    * exponentially unlikely with slack — fall back to ranking the full
+    * stratum via the `deficient` flag, all inside one plan.
+    */
+  def stratifiedSampleThreshold(
+      df: DataFrame, stratum: Column, id: Column, frac: Double,
+      slack: Double = 1.5): DataFrame = {
+    val withU = df
+      .withColumn("__h", hashBucketFull(id))
+      // numeric prefix of the hash: consistent with the hex sort order
+      .withColumn("__u",
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("long").cast("double")
+          / lit(4294967296.0))
+    val counts = withU.groupBy(stratum.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__k", ceil(lit(frac) * col("__n")))
+      .withColumn("__t", least(lit(1.0), lit(frac * slack) + lit(32.0) / col("__n")))
+    val below = withU.join(broadcast(counts), stratum === col("__s"))
+      .filter(col("__u") < col("__t"))
+    val belowCounts = below.groupBy(col("__s").as("__s2"))
+      .agg(count(lit(1)).as("__bn"))
+    val flags = counts.join(belowCounts, col("__s") === col("__s2"), "left")
+      .select(col("__s"), col("__k"), col("__t"),
+        (coalesce(col("__bn"), lit(0L)) < col("__k")).as("__deficient"))
+    val w = Window.partitionBy(stratum).orderBy(col("__h"), id)
+    withU.join(broadcast(flags), stratum === col("__s"))
+      .filter(col("__u") < col("__t") || col("__deficient"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__k"))
+      .drop("__h", "__u", "__s", "__k", "__t", "__deficient", "__rn")
+  }
+
   /** 20% per-language reproducible sample of the documents. */
   def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.documents(spark, dir), col("lang"), col("doc_id"), 0.2)

@@ -80,6 +80,23 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** The sliding-window aggregation as a stream (same expression as the
+    * batch [[slidingTypeCounts]]; overlap handled by window state).
+    */
+  def runSlidingStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(inputGlob)
+    val agg = slidingTypeCounts(normalize(stream).withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // --- stateful sessionization ---------------------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -47,6 +47,17 @@ class RetrievalSpec extends SparkSuite {
     assert(byBench(200L) === ((0L, 0L))) // clean benchmark rows still present
   }
 
+  test("threshold-based stratified sampling equals the rank-based form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    for (frac <- Seq(0.2, 0.02)) {
+      val rank = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), frac)
+        .select("doc_id").as[Long].collect().sorted
+      val thresh = Curation.stratifiedSampleThreshold(docs, col("lang"), col("doc_id"), frac)
+        .select("doc_id").as[Long].collect().sorted
+      assert(thresh === rank, s"frac=$frac")
+    }
+  }
+
   test("stratifiedSample keeps exactly ceil(frac*n) rows per stratum") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val kept = Curation.stratifiedSample(docs, col("lang"), col("doc_id"), 0.2)

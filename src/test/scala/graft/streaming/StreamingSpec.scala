@@ -23,6 +23,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("sliding-window stream equals the batch sliding aggregation") {
+    val streamDir = java.nio.file.Files.createTempDirectory("events_sliding_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    Streaming.runSlidingStream(spark, streamDir.toString, "sliding_out")
+    val streamed = spark.table("sliding_out")
+      .orderBy("window_start", "event_type").collect().map(_.toString)
+    val batch = Streaming.qSlidingWindow(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stream-stream join equals the batch join") {
     val streamDir = java.nio.file.Files.createTempDirectory("events_join_stream")
     java.nio.file.Files.copy(
