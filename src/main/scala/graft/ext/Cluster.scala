@@ -49,15 +49,16 @@ object Cluster {
         .join(labels.select(col("id").as("v"), col("label")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("label")).as("nbr_min"))
+      // carry the previous label through the same join so convergence
+      // detection is a filter over the (already materialized) checkpoint
+      // instead of a second join+shuffle job per round
       val next = labels
         .join(nbrMin, "id")
-        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), col("nbr_min")).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") < col("prev"))
-        .count()
-      labels = next
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     labels

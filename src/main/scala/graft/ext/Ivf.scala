@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: training touches a fixed-size sample (driver Lloyd's over
   * ≤4096 vectors — the model is k·dim floats); assignment is shuffle-free;
-  * at serving time the corpus is written partitioned by `list_id` (same
-  * layout discipline as [[Similarity.writeBucketedCorpus]]) so a probe
+  * at serving time the corpus is written partitioned by `list_id`
+  * ([[writeIvfPartitioned]] / [[ivfSearchPartitioned]] — same layout
+  * discipline as [[Similarity.writeBucketedCorpus]]) so a probe
   * reads nProbe/k of the data. Expected recall is tunable via nProbe;
   * candidates per query ≈ nProbe·N/k versus LSH's occupancy-dependent
   * buckets — IVF adapts to the data distribution where SRP hyperplanes
@@ -87,6 +88,48 @@ object Ivf {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  /** The 100 TB serving layout: corpus written hive-partitioned by
+    * inverted list, with the nearest-centroid assignment and the vector
+    * norm computed ONCE at ingest — the learned-quantizer twin of
+    * [[Similarity.writeBucketedCorpus]]. A probe then reads nProbe of k
+    * directories instead of the corpus.
+    */
+  def writeIvfPartitioned(emb: DataFrame, centroids: Seq[Seq[Float]], path: String): Unit =
+    assignLists(emb, centroids)
+      .select(col("vec_id"), col("embedding"),
+        VectorFns.l2norm(col("embedding")).as("nrm"), col("list_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id").parquet(path)
+
+  /** Probe + exact re-rank against the [[writeIvfPartitioned]] layout.
+    * The probe list ids (nProbe ints per query — query metadata, not
+    * corpus data) are collected driver-side and become a STATIC partition
+    * filter, so the scan's PartitionFilters prune the read to the probed
+    * inverted-list directories at file-listing time (asserted in
+    * ExtSpec) — the same point-lookup shape as
+    * [[Similarity.annLshSearchPartitioned]].
+    */
+  def ivfSearchPartitioned(
+      spark: SparkSession, path: String, queryVecs: DataFrame,
+      centroids: Seq[Seq[Float]], k: Int, nProbe: Int = NProbe): DataFrame = {
+    val probes = queryVecs.select(
+      col("query_id"), col("query_emb"),
+      VectorFns.l2norm(col("query_emb")).as("qnrm"),
+      explode(NearestCentroids(col("query_emb"), centroids, nProbe)).as("list_id"))
+    val probeKeys = probes.select("list_id").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path).filter(col("list_id").isin(probeKeys: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)

@@ -415,13 +415,58 @@ object Parity {
       .orderBy("user_id")
   }
 
-  /** Decile profile of order value: exact ntile bucketing with a total
-    * order (price, orderkey), per-decile count and price bounds. The
-    * global-order window is the exactness oracle; at 100 TB the same
-    * profile comes from approx_percentile boundaries (q_approx_sketch)
-    * without a global sort.
+  /** Decile profile of order value — EXACT ntile semantics without the
+    * single-task global window: range-partition on the total order
+    * (price, orderkey) — the same sampled-boundary exchange a global sort
+    * uses, but never merged into one task — rank within each range
+    * partition in parallel, then add the partition's cumulative row
+    * offset (one bounded driver collect: #partitions longs, the same
+    * metadata a global sort's boundary job produces). The global rank is
+    * exact because range partitions are disjoint, ordered, and
+    * internally sorted; `ntile(k)` over rank r of n rows is a closed
+    * form (first n mod k buckets carry one extra row), so bucket
+    * assignment is a pure map over the rank. The input is
+    * localCheckpointed so the offset
+    * pass and the profile pass scan the shuffled data once each instead
+    * of re-shuffling. [[qNtileGlobalWindow]] keeps the one-task window
+    * form as the test oracle (ParitySpec asserts equality).
     */
   def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = 10
+    val parts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // bounded collect: one (pid, count) row per partition
+    val counts = parts.groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val nParts = if (counts.isEmpty) 1 else counts.keys.max + 1
+    val offsets = (0 until nParts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetCol = element_at(array(offsets.take(nParts).map(lit): _*), col("pid") + 1)
+    val w = Window.partitionBy(col("pid")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    parts
+      .withColumn("rank", offsetCol + row_number().over(w))
+      .withColumn("decile", {
+        // ntile(k) closed form: q rows per bucket, the first rem buckets
+        // take one extra ((q+1)-sized); rank is 1-based
+        val q = total / nBuckets
+        val rem = total % nBuckets
+        expr(s"CAST(CASE WHEN rank <= ${rem * (q + 1)} THEN (rank - 1) DIV ${q + 1} " +
+          s"ELSE $rem + (rank - ${rem * (q + 1)} - 1) DIV ${math.max(q, 1L)} END AS INT) + 1")
+      })
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy("decile")
+  }
+
+  /** The one-task exact form retired from the driver surface — kept as
+    * the ParitySpec oracle for [[qNtile]]'s distributed-rank rewrite.
+    */
+  def qNtileGlobalWindow(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(spark, dir)

@@ -38,6 +38,18 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("q_ntile distributed rank: equals the exact global-window form, no single-task window") {
+    val got = queries.Parity.qNtile(spark, sfDir).collect().map(_.toString).toSeq
+    val want = queries.Parity.qNtileGlobalWindow(spark, sfDir).collect().map(_.toString).toSeq
+    assert(got === want)
+    // the profile plan must not merge the corpus into one task: the only
+    // windows are per-range-partition (the old form shuffled everything
+    // into a SinglePartition exchange for its global ntile window)
+    val plan = queries.Parity.qNtile(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("SinglePartition"), s"single-task stage in q_ntile plan:\n$plan")
+  }
+
   test("registerAll exposes every table to spark.sql") {
     Tables.registerAll(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM lineitem").first().getLong(0) === 6000L)
