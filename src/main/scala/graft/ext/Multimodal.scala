@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / frame-sample implemented as per-partition
   * batch transforms over a typed Dataset.
   *
-  * Decode is REAL for two formats — 24-bit BMP and 16-bit PCM WAV,
-  * parsed pure-JVM by [[MediaCodec]] — with a deterministic
+  * Decode is REAL for three formats — 24-bit BMP and 16-bit PCM WAV
+  * parsed pure-JVM by [[MediaCodec]], PNG via the JDK's ImageIO — with
+  * a deterministic
   * byte-histogram fallback ([[MediaCodec.decodeStub]]) for formats whose
   * codecs need native libraries this environment lacks. The Spark-side
   * plumbing is format-agnostic and tested: binary payload column,
@@ -28,10 +29,11 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Int,
       n_frames: Int, features: Array[Float])
 
-  /** Media decode. Two REAL pure-JVM parsers — 24-bit uncompressed BMP
-    * and mono 16-bit PCM WAV (header + sample walk, no libraries) — with
-    * a deterministic byte-histogram fallback for formats that need native
-    * codecs the sandbox lacks (JPEG, MP3, H.264). A production build
+  /** Media decode. Three REAL decoders — 24-bit uncompressed BMP and
+    * mono 16-bit PCM WAV (header + sample walk, no libraries) plus PNG
+    * via the JDK's `javax.imageio` — with a deterministic byte-histogram
+    * fallback for formats that need native codecs the sandbox lacks
+    * (JPEG, MP3, H.264). A production build
     * extends ONLY this object; the surrounding Spark plumbing (binary
     * column, partition-batched mapPartitions, feature schema) is format-
     * agnostic and unchanged.
@@ -132,6 +134,59 @@ object Multimodal {
       Some((width, height, rgb))
     }
 
+    /** PNG decode via `javax.imageio` — pure JDK, no native libraries,
+      * and PNG is lossless so decoded pixels are bit-identical to the
+      * encoded source on every compliant JVM (JPEG stays on the stub:
+      * its IDCT output may differ across JDK builds, which would break
+      * the deterministic-features contract). Dispatch is by the 8-byte
+      * PNG signature; any parse failure returns None so the caller
+      * falls back rather than throwing mid-partition.
+      */
+    def decodePng(b: Array[Byte]): Option[BmpImage] = {
+      if (b.length < 8 || (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
+        return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) return None
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return None
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h * 255.0
+        Some(BmpImage(w, h, sr / n, sg / n, sb / n))
+      } catch { case _: Exception => None }
+    }
+
+    /** PNG encode of row-major RGB bytes (fixture/ingest helper). */
+    def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val i = (y * width + x) * 3
+          img.setRGB(x, y,
+            ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
     /** Nearest-neighbor resize of a 24-bit BMP (decode → sample →
       * re-encode, pure JVM); None if the payload isn't a decodable BMP.
       * Per-row transform — composes with the mapPartitions plumbing the
@@ -217,7 +272,7 @@ object Multimodal {
       * 1024 samples.
       */
     def decode(row: MediaRow): MediaFeatures =
-      decodeBmp(row.payload).map { img =>
+      decodeBmp(row.payload).orElse(decodePng(row.payload)).map { img =>
         val f = new Array[Float](FeatureDim)
         f(0) = img.width.toFloat; f(1) = img.height.toFloat
         f(2) = img.meanR.toFloat; f(3) = img.meanG.toFloat; f(4) = img.meanB.toFloat
@@ -291,13 +346,16 @@ object Multimodal {
     import spark.implicits._
     val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        if (id % 2 == 0) {
+        if (id % 3 == 0) {
           val samples = Array.tabulate(512)(i =>
             (math.sin(2 * math.Pi * i * (1 + id % 32) / 64.0) * 16384).toShort)
           MediaRow(id, "audio", MediaCodec.encodeWav(samples, 16000))
-        } else {
+        } else if (id % 3 == 1) {
           val rgb = Array.tabulate(16 * 16 * 3)(i => ((i + id) % 256).toByte)
           MediaRow(id, "image", MediaCodec.encodeBmp(16, 16, rgb))
+        } else {
+          val rgb = Array.tabulate(8 * 8 * 3)(i => ((i * 7 + id) % 256).toByte)
+          MediaRow(id, "image", MediaCodec.encodePng(8, 8, rgb))
         }
       })
     decodeFeatures(spark, media.toDF())

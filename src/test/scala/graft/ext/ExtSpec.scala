@@ -51,6 +51,42 @@ class ExtSpec extends SparkSuite {
     assert(rerun === (full -- batch1Internal))
   }
 
+  test("exact embedding dedup fails fast when a label block exceeds the guard") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupEmbedding(spark, dir, maxBlock = 1)
+    }
+    assert(ex.getMessage.contains("dedupEmbeddingLsh"))
+    // the default guard admits the test corpus
+    assert(Dedup.dedupEmbedding(spark, dir).count() === 50)
+  }
+
+  test("incremental index compaction: file count drops, probe results identical") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("minhash_compact").toString
+    Dedup.indexInit(docs.filter(col("doc_id") < 250), idx)
+    // accrete small files: five 50-doc batches, trigger high enough not to fire
+    (250L until 500L by 50L).foreach { lo =>
+      Dedup.indexIncremental(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 50), idx,
+        compactTrigger = 10000)
+    }
+    def nFiles(sub: String): Int =
+      new java.io.File(s"$idx/$sub").listFiles().count(_.getName.endsWith(".parquet"))
+    val bandsBefore = nFiles("bands")
+    assert(bandsBefore >= 6, s"appends should accrete files, saw $bandsBefore")
+    val probe = () => Dedup.indexProbe(docs.filter(col("doc_id") >= 400), idx)
+      .collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+
+    // a batch that trips the trigger compacts both index dirs in-place
+    Dedup.indexIncremental(docs.filter(col("doc_id") < 0), idx, compactTrigger = 2)
+    assert(nFiles("bands") < bandsBefore)
+    assert(nFiles("shingles") >= 1)
+    assert(probe() === before, "compaction must not change probe results")
+  }
+
   test("simhash pairs are true near-duplicates (precision check)") {
     val pairs = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -268,6 +304,29 @@ class ExtSpec extends SparkSuite {
     // IVF candidates per query are bounded by the probed lists, not the corpus
     val probed = counts.sortBy(-_.getLong(1)).take(Ivf.NProbe).map(_.getLong(1)).sum
     assert(probed < Tables.embeddings(spark, dir).count())
+  }
+
+  test("ivf-partitioned corpus: probe search prunes the scan to the probed list directories") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_corpus").toString
+    val e = Tables.embeddings(spark, dir)
+    val centroids = Ivf.trainCentroids(e)
+    Ivf.writeIvfPartitioned(e, centroids, path)
+    val layout = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("list_id="))
+    assert(layout.length > 1, "corpus must span multiple inverted-list directories")
+
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val got = Ivf.ivfSearchPartitioned(spark, path, queries, centroids, k = 5)
+    // the probed list ids reach the scan as PartitionFilters (pruned at
+    // file listing), not as a post-scan Filter, so the read touches at
+    // most nProbe directories per query
+    val plan = got.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("list_id"), s"probe keys must prune partitions:\n$plan")
+    assert(pf.contains(" IN") || pf.contains("INSET"), s"expected static IN/INSET partition filter: $pf")
+    // same answers as the in-memory probe search over the same centroids
+    val want = Ivf.search(e, queries, centroids, k = 5).collect().map(_.toString).toSeq
+    assert(got.collect().map(_.toString).toSeq === want)
   }
 
   test("int8 quantization keeps cosine within 1% and preserves planted top-1") {

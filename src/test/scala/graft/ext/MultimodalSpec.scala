@@ -86,6 +86,34 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(audio.rms - math.sqrt(xs.map(x => x * x).sum / 4)) < 1e-12)
   }
 
+  test("PNG golden fixture decodes byte-exactly via ImageIO") {
+    import Multimodal.{MediaCodec, MediaRow}
+    // same 2x2 golden image as the BMP fixture: red, green / blue, white.
+    // PNG is lossless, so the decoded pixels — and therefore the channel
+    // means — must be EXACTLY the source values, not approximations.
+    val rgb = Array[Int](
+      255, 0, 0,   0, 255, 0,
+      0, 0, 255,   255, 255, 255).map(_.toByte)
+    val png = MediaCodec.encodePng(2, 2, rgb)
+    // pinned container bytes: PNG signature + IHDR declaring 2x2, 8-bit
+    assert(png.take(8).toSeq === Seq(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    assert(new String(png.slice(12, 16), "US-ASCII") === "IHDR")
+    assert(java.nio.ByteBuffer.wrap(png, 16, 8).getInt === 2) // width
+    assert(java.nio.ByteBuffer.wrap(png, 20, 4).getInt === 2) // height
+    assert(png(24) === 8.toByte) // bit depth
+
+    val img = MediaCodec.decodePng(png).get
+    assert(img.width === 2 && img.height === 2)
+    assert(img.meanR === 2.0 / 4 && img.meanG === 2.0 / 4 && img.meanB === 2.0 / 4)
+
+    // dispatch: a PNG payload takes the ImageIO path, not the stub
+    val feats = MediaCodec.decode(MediaRow(7L, "image", png))
+    assert(feats.features(0) === 2f && feats.features(1) === 2f && feats.n_frames === 1)
+    // non-PNG magic and truncated payloads fall through cleanly
+    assert(MediaCodec.decodePng("not a png".getBytes).isEmpty)
+    assert(MediaCodec.decodePng(png.take(10)).isEmpty)
+  }
+
   test("BMP resize samples nearest pixels and round-trips through the codec") {
     import Multimodal.MediaCodec
     // 4x4 quadrant image: TL red, TR green, BL blue, BR white
@@ -131,18 +159,21 @@ class MultimodalSpec extends SparkSuite {
     assert(same(MediaCodec.decode(broken), MediaCodec.decodeStub(broken)))
   }
 
-  test("multimodal_decode query parses real WAV/BMP payloads at scale shape") {
+  test("multimodal_decode query parses real WAV/BMP/PNG payloads at scale shape") {
     val df = Multimodal.multimodalDecode(spark, dir)
     val rows = df.collect()
     assert(rows.length === 500)
     rows.foreach { r =>
       val id = r.getLong(0)
-      if (id % 2 == 0) { // audio: sampleRate, nSamples
+      if (id % 3 == 0) { // audio: sampleRate, nSamples
         assert(r.getString(1) === "audio")
         assert(r.getDouble(4) === 16000.0 && r.getDouble(5) === 512.0)
-      } else { // image: width, height
+      } else if (id % 3 == 1) { // BMP image: width, height
         assert(r.getString(1) === "image")
         assert(r.getDouble(4) === 16.0 && r.getDouble(5) === 16.0)
+      } else { // PNG image via ImageIO: width, height
+        assert(r.getString(1) === "image")
+        assert(r.getDouble(4) === 8.0 && r.getDouble(5) === 8.0)
       }
     }
   }
