@@ -151,7 +151,46 @@ object Text {
       .orderBy("lang")
   }
 
+  /** PII patterns shared by detection and redaction. ASCII-explicit and
+    * boundary-free on purpose: Java regex (Spark) and RE2 (DuckDB) agree
+    * on character classes and leftmost-first greedy matching, but NOT on
+    * `\b` around non-ASCII word characters — so word boundaries are
+    * avoided and both engines see byte-identical semantics.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction — the curation stage every shipped corpus
+    * runs: emails, NANP-style phone numbers, and IPv4 literals counted
+    * (pre-redaction) and masked by three nested codegen'd regexp passes,
+    * email → phone → ip so an address inside a redacted email never
+    * double-counts. The synthetic corpus carries no PII, so the query
+    * plants one deterministic contact line per document (identical
+    * expression on the oracle side); detection then operates on real
+    * matches. Pure map over the scan — no shuffle at any scale.
+    */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-0199 from 10.0."),
+      pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).as("n_email"),
+        regexp_count(col("t"), lit(PhoneRe)).as("n_phone"),
+        regexp_count(col("t"), lit(Ipv4Re)).as("n_ipv4"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          Ipv4Re, "[IP]").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii" -> (textPii _),
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -163,6 +202,21 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pii" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+         |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 from 10.0.' ||
+         |         CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$EmailRe')) AS INTEGER) AS n_email,
+         |       CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INTEGER) AS n_phone,
+         |       CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS INTEGER) AS n_ipv4,
+         |       regexp_replace(regexp_replace(regexp_replace(t,
+         |         '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'),
+         |         '$Ipv4Re', '[IP]', 'g') AS redacted
+         |FROM t ORDER BY doc_id""".stripMargin,
     "text_top_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(

@@ -463,6 +463,30 @@ object Parity {
       .orderBy("decile")
   }
 
+  /** Skew-tolerant aggregation on the driver surface: lineitem grouped
+    * by l_returnflag is 3 hot keys over the whole table — the
+    * one-task-per-hot-key shape that stalls a 1000-executor job on 3
+    * stragglers. [[graft.ops.Scale.saltedAggregate]] spreads each hot
+    * key over 16 (key, salt) sub-groups aggregated in parallel, then
+    * merges 3×16 partial rows. sum/count are algebraic, so the result is
+    * EXACTLY the plain GROUP BY (the oracle); decimal partial sums keep
+    * the merge association-exact.
+    */
+  def qSkewAgg(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(18, 2)
+    graft.ops.Scale.saltedAggregate(
+      Tables.lineitem(spark, dir), Seq(col("l_returnflag")), nSalts = 16,
+      partial = Seq(
+        sum(col("l_quantity")).as("p_qty"),
+        sum(col("l_extendedprice").cast(d)).as("p_price"),
+        count(lit(1)).as("p_n")),
+      merge = Seq(
+        sum(col("p_qty")).as("sum_qty"),
+        sum(col("p_price")).cast("double").as("sum_base_price"),
+        sum(col("p_n")).as("n")))
+      .orderBy("l_returnflag")
+  }
+
   /** The one-task exact form retired from the driver surface — kept as
     * the ParitySpec oracle for [[qNtile]]'s distributed-rank rewrite.
     */
@@ -486,6 +510,12 @@ object Parity {
         |FROM v JOIN p ON v.user_id = p.user_id
         |  AND p.p_ms >= v.v_ms AND p.p_ms <= v.v_ms + 3600000
         |GROUP BY v.user_id ORDER BY user_id""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_ntile" ->
       """SELECT decile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM (SELECT o_totalprice,
@@ -686,5 +716,6 @@ object Parity {
     "q_window_range" -> (qWindowRange _),
     "q_funnel" -> (qFunnel _),
     "q_ntile" -> (qNtile _),
+    "q_skew_agg" -> (qSkewAgg _),
   )
 }

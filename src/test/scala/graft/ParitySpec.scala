@@ -50,6 +50,28 @@ class ParitySpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), s"single-task stage in q_ntile plan:\n$plan")
   }
 
+  test("q_skew_agg salted two-phase equals the plain groupBy, salt stays internal") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(18, 2)
+    val got = queries.Parity.qSkewAgg(spark, sfDir)
+    val want = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(d)).cast("double").as("sum_base_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .collect().map(_.toString).toSeq
+    assert(got.collect().map(_.toString).toSeq === want)
+    assert(!got.schema.fieldNames.contains("__salt"))
+    // the partial phase really shuffles on (key, salt): a hot key spreads
+    // over nSalts tasks instead of landing on one reducer
+    val plan = got.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val saltedExchange = plan.linesIterator
+      .filter(_.contains("hashpartitioning")).exists(_.contains("__salt"))
+    assert(saltedExchange, s"expected a (key, __salt) exchange in:\n$plan")
+  }
+
   test("registerAll exposes every table to spark.sql") {
     Tables.registerAll(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM lineitem").first().getLong(0) === 6000L)
