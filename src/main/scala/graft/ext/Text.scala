@@ -189,7 +189,37 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Char-trigram language-model quality score — the perplexity proxy a
+    * corpus-filtering pipeline runs without a neural LM: train
+    * P(c3 | c1c2) = count(c1c2c3) / Σ count(c1c2·) on the corpus itself,
+    * score each document by its mean trigram log-probability (less
+    * negative = more typical text; gibberish and corrupt encodings sink).
+    * Two-pass shape that scales: the explode feeds a partial aggregate
+    * (trigram counts never leave the mapper un-combined), the model is
+    * bounded by the observed alphabet³ so it BROADCASTS back, and the
+    * per-doc average is one doc-keyed shuffle. No driver-side loops;
+    * self-trained, so every scored trigram has count ≥ 1 (no smoothing
+    * term needed).
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text"))
+    val triArr = when(len < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), len - 2), i => col("text").substr(i, lit(3))))
+    val tris = Tables.documents(spark, dir).select(col("doc_id"), explode(triArr).as("g"))
+    val triCounts = tris.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val biCounts = triCounts.groupBy(substring(col("g"), 1, 2).as("b"))
+      .agg(sum(col("cnt")).as("ctx"))
+    val model = triCounts
+      .join(biCounts, substring(col("g"), 1, 2) === col("b"))
+      .select(col("g"), log(col("cnt").cast("double") / col("ctx").cast("double")).as("lp"))
+    tris.join(broadcast(model), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("lp")), 4).as("lm_logprob"), count(lit(1)).as("n_trigrams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (textLmScore _),
     "text_pii" -> (textPii _),
     "text_top_ngrams" -> (textTopNgrams _),
     "text_tokens" -> (textTokens _),
@@ -202,6 +232,18 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH tri AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS g
+        |  FROM documents WHERE length(text) >= 3),
+        |tc AS (SELECT g, count(*) AS cnt FROM tri GROUP BY g),
+        |bc AS (SELECT substr(g, 1, 2) AS b, sum(cnt) AS ctx FROM tc GROUP BY 1),
+        |model AS (SELECT g, ln(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)) AS lp
+        |          FROM tc JOIN bc ON substr(tc.g, 1, 2) = bc.b)
+        |SELECT doc_id, round(avg(lp), 4) AS lm_logprob, count(*) AS n_trigrams
+        |FROM tri JOIN model USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pii" ->
       s"""WITH t AS (
          |  SELECT doc_id,

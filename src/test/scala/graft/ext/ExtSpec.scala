@@ -51,6 +51,22 @@ class ExtSpec extends SparkSuite {
     assert(rerun === (full -- batch1Internal))
   }
 
+  test("trigram LM score: negative log-probs, one score per trigram-bearing doc, deterministic") {
+    val got = Text.textLmScore(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.length === docs.count(_._2 >= 3))
+    got.foreach { r =>
+      assert(r.getDouble(1) < 0.0, s"log-prob must be negative: $r")
+      // every position contributes one trigram, and self-training means
+      // every trigram is in the model — nothing drops out of the join
+      assert(r.getLong(2) === docs(r.getLong(0)) - 2L, s"trigram count off: $r")
+    }
+    val again = Text.textLmScore(spark, dir).collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("exact embedding dedup fails fast when a label block exceeds the guard") {
     val ex = intercept[IllegalArgumentException] {
       Dedup.dedupEmbedding(spark, dir, maxBlock = 1)
