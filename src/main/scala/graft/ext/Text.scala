@@ -206,7 +206,10 @@ object Text {
     val triArr = when(len < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), len - 2), i => col("text").substr(i, lit(3))))
     val tris = Tables.documents(spark, dir).select(col("doc_id"), explode(triArr).as("g"))
-    val triCounts = tris.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    // pinned: the bigram derivation and the model join both read the
+    // BOUNDED counts table instead of re-running the corpus explode —
+    // exactly 2 corpus passes (train + score) at any scale
+    val triCounts = tris.groupBy(col("g")).agg(count(lit(1)).as("cnt")).localCheckpoint()
     val biCounts = triCounts.groupBy(substring(col("g"), 1, 2).as("b"))
       .agg(sum(col("cnt")).as("ctx"))
     val model = triCounts
