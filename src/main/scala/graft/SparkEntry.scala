@@ -25,6 +25,7 @@ object SparkEntry {
       (ext.Retrieval.queries, ext.Retrieval.oracles),
       (ext.Similarity.queries, ext.Similarity.oracles),
       (ext.Ivf.queries, ext.Ivf.oracles),
+      (ext.Pq.queries, ext.Pq.oracles),
       (ext.Curation.queries, ext.Curation.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),

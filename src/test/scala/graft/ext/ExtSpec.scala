@@ -345,6 +345,52 @@ class ExtSpec extends SparkSuite {
     assert(got.collect().map(_.toString).toSeq === want)
   }
 
+  test("PQ codes: M byte-range ints per vector, deterministic encode") {
+    val e = Tables.embeddings(spark, dir)
+    val books = Pq.trainCodebooks(e)
+    assert(books.length === Pq.M && books.forall(_.length === Pq.Ksub))
+    val codes = Pq.encodeCorpus(e, books).collect()
+    assert(codes.length === e.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === Pq.M)
+      assert(cs.forall(c => c >= 0 && c < Pq.Ksub))
+    }
+    val again = Pq.encodeCorpus(e, Pq.trainCodebooks(e)).collect()
+    assert(codes.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
+  test("PQ ADC search finds planted near-identical partners at rank 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    val partners = base.take(10).map { case (i, v) =>
+      (100L + i, v.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat))
+    }
+    val corpus = (base ++ partners).toDF("vec_id", "embedding")
+    val books = Pq.trainCodebooks(corpus, ksub = 32, sampleN = 60)
+    val codes = Pq.encodeCorpus(corpus, books)
+    val queries = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    // a vector and its near-identical partner quantize to the same codes,
+    // so the partner's ADC score is the query's own reconstruction score
+    val top1 = Pq.search(codes, queries, books, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val found = (0 until 10).count(i => top1.get(i.toLong).contains(100L + i))
+    assert(found >= 8, s"only $found/10 planted neighbors found at ADC rank 1")
+  }
+
+  test("PQ occupancy query: every subspace uses multiple codes, none overflow") {
+    val occ = Pq.annPqOccupancy(spark, dir).collect()
+    assert(occ.length === Pq.M)
+    occ.foreach { r =>
+      assert(r.getLong(1) > 1, s"collapsed subspace: $r")
+      assert(r.getLong(1) <= Pq.Ksub)
+      assert(r.getLong(2) === Tables.embeddings(spark, dir).count())
+    }
+  }
+
   test("int8 quantization keeps cosine within 1% and preserves planted top-1") {
     import spark.implicits._
     import graft.functions.{DequantizeInt8, QuantizeInt8, VectorFns}
