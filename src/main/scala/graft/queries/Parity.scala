@@ -487,6 +487,58 @@ object Parity {
       .orderBy("l_returnflag")
   }
 
+  /** Skew-tolerant equi-join on the driver surface: lineitem ⋈ orders
+    * through [[graft.ops.Scale.saltedJoin]] — the big side salted per
+    * row, the small side replicated nSalts times, the join key widened
+    * to (key, salt) so one hot key spreads over nSalts tasks. Join
+    * results are row-identical to the plain join (each big-side row
+    * matches exactly its salt's replica), so the aggregate equals the
+    * plain-join oracle.
+    */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(18, 2)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount"))
+    graft.ops.Scale.saltedJoin(li, orders, "o_orderkey", nSalts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_extendedprice").cast(d) * (lit(1).cast(d) - col("l_discount").cast(d)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Time-series gap fill — the regularization step before any
+    * training-window or forecasting job: per-user hourly activity on a
+    * dense hour spine (sequence between each user's first and last
+    * active hour), zero-filled counts and last-observation-carried-
+    * forward values. The spine generates from ONE bounded row per user
+    * (min/max hour), the left join is hash on (user, hour), and LOCF is
+    * a single sorted pass per user partition — no driver-side time
+    * arithmetic at any scale.
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DecimalType(18, 6)
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(d)).as("hour_value"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_millis(col("h")).as("hour_ms"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("hour_value"), ignoreNulls = true).over(w).cast("double").as("locf_value"))
+      .orderBy("user_id", "hour_ms")
+  }
+
   /** The one-task exact form retired from the driver surface — kept as
     * the ParitySpec oracle for [[qNtile]]'s distributed-rank rewrite.
     */
@@ -516,6 +568,27 @@ object Parity {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,6))) AS hour_value
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM hourly GROUP BY user_id)
+        |SELECT s.user_id AS user_id, epoch_ms(s.h) AS hour_ms,
+        |       COALESCE(e.n, 0) AS n_events,
+        |       CAST(last_value(e.hour_value IGNORE NULLS) OVER
+        |         (PARTITION BY s.user_id ORDER BY s.h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS locf_value
+        |FROM spine s LEFT JOIN hourly e ON s.user_id = e.user_id AND s.h = e.h
+        |ORDER BY user_id, hour_ms""".stripMargin,
     "q_ntile" ->
       """SELECT decile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM (SELECT o_totalprice,
@@ -717,5 +790,7 @@ object Parity {
     "q_funnel" -> (qFunnel _),
     "q_ntile" -> (qNtile _),
     "q_skew_agg" -> (qSkewAgg _),
+    "q_skew_join" -> (qSkewJoin _),
+    "q_gap_fill" -> (qGapFill _),
   )
 }

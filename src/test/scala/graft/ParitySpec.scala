@@ -72,6 +72,45 @@ class ParitySpec extends SparkSuite {
     assert(saltedExchange, s"expected a (key, __salt) exchange in:\n$plan")
   }
 
+  test("q_skew_join salted join equals the plain join, joins on (key, salt)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(18, 2)
+    val got = queries.Parity.qSkewJoin(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val want = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_extendedprice").cast(d) * (lit(1).cast(d) - col("l_discount").cast(d)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toString).toSeq
+    assert(got.collect().map(_.toString).toSeq === want)
+    val plan = got.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("__salt"), s"expected a (key, __salt) join in:\n$plan")
+  }
+
+  test("q_gap_fill spine is dense per user and LOCF carries the last seen value") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Parity.qGapFill(spark, sfDir).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val hours = rs.map(_.getLong(1))
+      // dense hourly spine: consecutive rows are exactly 3600000 ms apart
+      hours.sliding(2).foreach {
+        case Array(a, b) => assert(b - a === 3600000L, "spine must be dense")
+        case _           =>
+      }
+      // LOCF: the first row is an observation, and no fill is null after it
+      assert(rs.head.getLong(2) > 0, "spine starts at the first active hour")
+      rs.foreach(r => assert(!r.isNullAt(3), "LOCF leaves no null after the first observation"))
+    }
+    // gap rows exist (zero-filled) and carry the previous hour's value
+    assert(rows.exists(_.getLong(2) === 0L), "expected gap hours in the test data")
+  }
+
   test("registerAll exposes every table to spark.sql") {
     Tables.registerAll(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM lineitem").first().getLong(0) === 6000L)
