@@ -206,18 +206,22 @@ object Text {
     val triArr = when(len < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), len - 2), i => col("text").substr(i, lit(3))))
     val tris = Tables.documents(spark, dir).select(col("doc_id"), explode(triArr).as("g"))
-    // pinned: the bigram derivation and the model join both read the
-    // BOUNDED counts table instead of re-running the corpus explode —
-    // exactly 2 corpus passes (train + score) at any scale
-    val triCounts = tris.groupBy(col("g")).agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // ONE corpus explode: per-doc trigram counts are pinned, and the
+    // model (bounded by the observed alphabet), the bigram contexts, and
+    // the per-doc scores all derive from that materialization — train
+    // and score share a single pass over the data at any scale
+    val docTri = tris.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val triCounts = docTri.groupBy(col("g")).agg(sum(col("c")).as("cnt"))
     val biCounts = triCounts.groupBy(substring(col("g"), 1, 2).as("b"))
       .agg(sum(col("cnt")).as("ctx"))
     val model = triCounts
       .join(biCounts, substring(col("g"), 1, 2) === col("b"))
       .select(col("g"), log(col("cnt").cast("double") / col("ctx").cast("double")).as("lp"))
-    tris.join(broadcast(model), Seq("g"))
+    docTri.join(broadcast(model), Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(round(avg(col("lp")), 4).as("lm_logprob"), count(lit(1)).as("n_trigrams"))
+      .agg(round(sum(col("c") * col("lp")) / sum(col("c")), 4).as("lm_logprob"),
+        sum(col("c")).as("n_trigrams"))
       .orderBy("doc_id")
   }
 
@@ -240,12 +244,14 @@ object Text {
         |  SELECT doc_id,
         |         unnest(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS g
         |  FROM documents WHERE length(text) >= 3),
-        |tc AS (SELECT g, count(*) AS cnt FROM tri GROUP BY g),
+        |dt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+        |tc AS (SELECT g, sum(c) AS cnt FROM dt GROUP BY g),
         |bc AS (SELECT substr(g, 1, 2) AS b, sum(cnt) AS ctx FROM tc GROUP BY 1),
         |model AS (SELECT g, ln(CAST(cnt AS DOUBLE) / CAST(ctx AS DOUBLE)) AS lp
         |          FROM tc JOIN bc ON substr(tc.g, 1, 2) = bc.b)
-        |SELECT doc_id, round(avg(lp), 4) AS lm_logprob, count(*) AS n_trigrams
-        |FROM tri JOIN model USING (g)
+        |SELECT doc_id, round(sum(c * lp) / sum(c), 4) AS lm_logprob,
+        |       CAST(sum(c) AS BIGINT) AS n_trigrams
+        |FROM dt JOIN model USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pii" ->
       s"""WITH t AS (

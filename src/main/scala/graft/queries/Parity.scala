@@ -497,17 +497,17 @@ object Parity {
     */
   def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
     val d = DecimalType(18, 2)
-    val orders = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount"))
-    graft.ops.Scale.saltedJoin(li, orders, "o_orderkey", nSalts = 8)
-      .groupBy(col("o_orderpriority"))
+      .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"), col("l_discount"))
+    graft.ops.Scale.saltedJoin(li, supp, "s_suppkey", nSalts = 8)
+      .groupBy(col("s_nationkey"))
       .agg(
         sum(col("l_extendedprice").cast(d) * (lit(1).cast(d) - col("l_discount").cast(d)))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("o_orderpriority")
+      .orderBy("s_nationkey")
   }
 
   /** Time-series gap fill — the regularization step before any
@@ -569,11 +569,11 @@ object Parity {
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_skew_join" ->
-      """SELECT o_orderpriority,
+      """SELECT s_nationkey,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_gap_fill" ->
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,

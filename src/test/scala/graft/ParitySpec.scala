@@ -78,14 +78,14 @@ class ParitySpec extends SparkSuite {
     val d = DecimalType(18, 2)
     val got = queries.Parity.qSkewJoin(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir)
-    val want = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
+    val supp = Tables.supplier(spark, sfDir)
+    val want = li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .groupBy(col("s_nationkey"))
       .agg(
         sum(col("l_extendedprice").cast(d) * (lit(1).cast(d) - col("l_discount").cast(d)))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("o_orderpriority")
+      .orderBy("s_nationkey")
       .collect().map(_.toString).toSeq
     assert(got.collect().map(_.toString).toSeq === want)
     val plan = got.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
