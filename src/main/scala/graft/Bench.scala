@@ -40,10 +40,13 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 chars of stdout: millisecond
+    // rounding keeps the whole line under that budget, and the headline
+    // total goes at the END of the object so it survives any truncation.
+    val qs = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f}""")
     spark.stop()
   }
 }

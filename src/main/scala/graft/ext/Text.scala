@@ -206,12 +206,14 @@ object Text {
     val triArr = when(len < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), len - 2), i => col("text").substr(i, lit(3))))
     val tris = Tables.documents(spark, dir).select(col("doc_id"), explode(triArr).as("g"))
-    // ONE corpus explode: per-doc trigram counts are pinned, and the
-    // model (bounded by the observed alphabet), the bigram contexts, and
-    // the per-doc scores all derive from that materialization — train
-    // and score share a single pass over the data at any scale
+    // ONE corpus explode feeding both train and score: the model branch
+    // and the scoring branch aggregate the SAME (doc, trigram, count)
+    // subplan, so Spark's exchange reuse runs the explode once —
+    // pinning it with localCheckpoint instead was measurably slower
+    // (materializing a corpus-sized intermediate beats re-reading
+    // columnar parquet only when reuse fails, and here it doesn't)
     val docTri = tris.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
+      .agg(count(lit(1)).as("c"))
     val triCounts = docTri.groupBy(col("g")).agg(sum(col("c")).as("cnt"))
     val biCounts = triCounts.groupBy(substring(col("g"), 1, 2).as("b"))
       .agg(sum(col("cnt")).as("ctx"))
