@@ -27,7 +27,10 @@ object Bench {
     // dedup_incremental entry measures the probe pipeline only.
     try { ext.Dedup.ensureIncrementalIndex(spark, sfDir) }
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q1,q2 times a subset (driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = selected.map { case (name, fn) =>
       // GC outside the timer: broadcast/shuffle cleanup is GC-triggered in
       // Spark, so without this a heavy query's garbage is collected inside
       // some later query's timing window.

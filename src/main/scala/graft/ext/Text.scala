@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import graft.functions.{RollingHashFingerprint, TextFns}
+import graft.functions.{CharNgrams, RollingHashFingerprint, TextFns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -202,28 +202,30 @@ object Text {
     * term needed).
     */
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val len = length(col("text"))
-    val triArr = when(len < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), len - 2), i => col("text").substr(i, lit(3))))
-    val tris = Tables.documents(spark, dir).select(col("doc_id"), explode(triArr).as("g"))
-    // ONE corpus explode feeding both train and score: the model branch
-    // and the scoring branch aggregate the SAME (doc, trigram, count)
-    // subplan, so Spark's exchange reuse runs the explode once —
-    // pinning it with localCheckpoint instead was measurably slower
-    // (materializing a corpus-sized intermediate beats re-reading
-    // columnar parquet only when reuse fails, and here it doesn't)
-    val docTri = tris.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val triCounts = docTri.groupBy(col("g")).agg(sum(col("c")).as("cnt"))
+    val tris = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(CharNgrams(col("text"), 3)).as("g"))
+    // Neither branch ever shuffles the raw (doc, trigram) stream — that
+    // exchange (near one row per corpus character) was the whole cost of
+    // the earlier pre-aggregated formulation. Training groups by trigram
+    // alone, so map-side partial aggregation compresses each task's
+    // output to its distinct-trigram count (alphabet³-bounded) before
+    // the exchange; scoring broadcast-joins the exploded stream in place
+    // and partially aggregates per doc, so the final exchange carries
+    // one row per document. The explode runs once per branch, but
+    // re-running a pure map over a columnar scan is far cheaper than
+    // exchanging the un-aggregated pairs.
+    val triCounts = tris.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
     val biCounts = triCounts.groupBy(substring(col("g"), 1, 2).as("b"))
       .agg(sum(col("cnt")).as("ctx"))
     val model = triCounts
       .join(biCounts, substring(col("g"), 1, 2) === col("b"))
       .select(col("g"), log(col("cnt").cast("double") / col("ctx").cast("double")).as("lp"))
-    docTri.join(broadcast(model), Seq("g"))
+    // Per-occurrence Σ lp ≡ Σ c·lp over per-doc trigram counts; the two
+    // orders of double addition agree well past the rounded 4th decimal.
+    tris.join(broadcast(model), Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("c") * col("lp")) / sum(col("c")), 4).as("lm_logprob"),
-        sum(col("c")).as("n_trigrams"))
+      .agg(round(sum(col("lp")) / count(lit(1)), 4).as("lm_logprob"),
+        count(lit(1)).as("n_trigrams"))
       .orderBy("doc_id")
   }
 

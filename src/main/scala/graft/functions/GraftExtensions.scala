@@ -61,6 +61,9 @@ object GraftFunctions {
     ("word_shingles",
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "n"))),
+    ("char_ngrams",
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (args: Seq[Expression]) => CharNgrams(args.head, intArg(args(1), "n"))),
     ("quantize_int8",
       new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
       (args: Seq[Expression]) => QuantizeInt8(args.head)),

@@ -201,3 +201,57 @@ object WordShingles {
   def apply(text: Column, n: Int, distinct: Boolean): Column =
     Bridge.toColumn(WordShingles(Bridge.toExpression(text), n, distinct))
 }
+
+/** Character n-grams (with multiplicity, in order) in one compiled pass —
+  * the trigram feed of the LM quality scorer. The composed form
+  * (`transform(sequence(1, len-n+1), i -> substr(text, i, n))`) is an
+  * interpreted HOF whose per-element `substr` seeks from the string start
+  * (UTF-8 has no random access), so it is quadratic in characters; this
+  * records each character's byte offset once and slices n-gram byte
+  * ranges directly. Texts shorter than n characters yield an empty
+  * array, matching the composed form's guard.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngrams"
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    CharNgrams.compute(input.asInstanceOf[UTF8String].getBytes, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharNgrams.compute($c.getBytes(), $n);")
+}
+
+object CharNgrams {
+
+  def compute(bytes: Array[Byte], n: Int): GenericArrayData = {
+    val len = bytes.length
+    var offs = new Array[Int](math.max(len / 2, 8))
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      if (nChars == offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+      offs(nChars) = i
+      nChars += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    if (nChars < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nChars - n + 1)
+    var s = 0
+    while (s < out.length) {
+      val from = offs(s)
+      val until = if (s + n < nChars) offs(s + n) else len
+      out(s) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(text: Column, n: Int): Column =
+    Bridge.toColumn(CharNgrams(Bridge.toExpression(text), n))
+}

@@ -475,4 +475,25 @@ class ExtSpec extends SparkSuite {
         array_sort(graft.functions.WordShingles(col("text"), 2)).as("n"))
     edge.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
+
+  test("native CharNgrams matches the composed substr formulation on real documents") {
+    def composed(n: Int) = {
+      val len = length(col("text"))
+      when(len < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), len - (n - 1)),
+          i => col("text").substr(i, lit(n))))
+    }
+    val diff = Tables.documents(spark, dir)
+      .select(
+        composed(3).as("c"),
+        graft.functions.CharNgrams(col("text"), 3).as("n"))
+      .filter(not(col("c") === col("n")))
+    assert(diff.count() === 0)
+    // edge cases incl. multi-byte UTF-8 (substr is character-based)
+    import spark.implicits._
+    val edge = Seq("", "ab", "abc", "abcd", "héllo wörld", "日本語のテキスト")
+      .toDF("text")
+      .select(composed(3).as("c"), graft.functions.CharNgrams(col("text"), 3).as("n"))
+    edge.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
 }
