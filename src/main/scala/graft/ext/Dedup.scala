@@ -439,6 +439,50 @@ object Dedup {
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(k)
 
+  /** SemDeDup-style semantic dedup: cluster the embedding space with the
+    * IVF coarse quantizer (deterministic k-means on a bounded sample,
+    * assignment via the compiled [[graft.functions.NearestCentroids]]
+    * map — no shuffle), then mark within-cluster pairs above the cosine
+    * threshold and drop the higher vec_id of each pair. Keeping the
+    * min-id endpoint of every qualifying pair approximates one
+    * representative per duplicate group without a transitive-closure
+    * pass — the published SemDeDup recipe. Pairwise work is
+    * cluster²-bounded by construction (that bound is the point of
+    * clustering first); the same fail-fast guard as the exact baseline
+    * refuses degenerate clusterings. Summary: per-cluster size and drop
+    * count. Rows-only (learned centroids aren't ANSI-expressible);
+    * ExtSpec checks the drop set against an in-memory within-cluster
+    * pairwise pass.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String,
+      tau: Double = 0.92, maxCluster: Int = MaxExactBlock): DataFrame = {
+    import graft.functions.VectorFns
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ivf.trainCentroids(emb)
+    val e = Ivf.assignLists(emb, cents)
+      .select(col("list_id"), col("vec_id"), col("embedding"),
+        VectorFns.l2norm(col("embedding")).as("nrm"))
+    val biggest = e.groupBy(col("list_id")).count()
+      .agg(max(col("count"))).first().getLong(0)
+    require(biggest <= maxCluster,
+      s"within-cluster dedup is cluster-quadratic: largest cluster has " +
+        s"$biggest vectors (max $maxCluster); retrain with more centroids")
+    val a = e.select(col("list_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("list_id").as("list_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = a.join(b, col("list_id") === col("list_b") && col("vec_a") < col("vec_b"))
+      .filter(VectorFns.dotProduct(col("emb_a"), col("emb_b")) /
+        (col("nrm_a") * col("nrm_b")) >= tau)
+      .select(col("list_id"), col("vec_b").as("vec_id")).distinct()
+    e.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy(col("list_id")).agg(count(lit(1)).as("n_dropped")),
+        Seq("list_id"), "left")
+      .select(col("list_id"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("list_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
@@ -447,6 +491,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
   )
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the

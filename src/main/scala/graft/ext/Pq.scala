@@ -151,6 +151,80 @@ object Pq {
     search(corpus, queries, codebooks, k = 5)
   }
 
+  /** IVF+PQ (IVFADC, Jégou et al. §IV) — the composition that serves
+    * billion-vector corpora: the IVF coarse quantizer restricts each
+    * query to its nProbe nearest inverted lists (at 100 TB, with the
+    * corpus hive-partitioned by list as [[Ivf.writeIvfPartitioned]]
+    * lays it out, that is partition pruning), and PQ codes are all that
+    * is scored inside a probed list — so a query reads nProbe/K of the
+    * corpus at 1/32 the bytes per vector. Probes join on list_id
+    * (broadcast — they are query metadata), each corpus vector lives in
+    * exactly one list so no candidate dedup is needed, and ranking is
+    * the same per-query ADC window top-k as the flat PQ search.
+    */
+  def ivfPqSearch(
+      corpusCodes: DataFrame, queryVecs: DataFrame, centroids: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]], k: Int, nProbe: Int = Ivf.NProbe): DataFrame = {
+    val spark = corpusCodes.sparkSession
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val queries: Array[(Long, Array[Float])] = queryVecs
+      .select(col("query_id"), col("query_emb"))
+      .collect().map(r => r.getLong(0) -> normalize(r.getSeq[Float](1).toArray))
+    // probe lists + ADC tables, both driver-computed from the bounded
+    // query block (the corpus is never touched before the list join)
+    val probeEval = new graft.functions.NearestCentroids.Evaluator(
+      centroids.map(_.toArray).toArray, nProbe)
+    val probes = queries.flatMap { case (qid, q) =>
+      val lists = probeEval.eval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
+      (0 until nProbe).map(i => (qid, lists.getInt(i)))
+    }.toSeq
+    val tables = queries.map { case (qid, q) =>
+      val subDim = q.length / m
+      val t = new Array[Double](m * ksub)
+      for (s <- 0 until m; c <- 0 until ksub) {
+        val cent = codebooks(s)(c)
+        var dot = 0.0
+        var j = 0
+        while (j < subDim) { dot += q(s * subDim + j).toDouble * cent(j); j += 1 }
+        t(s * ksub + c) = dot
+      }
+      (qid, t.toSeq)
+    }.toSeq
+    import spark.implicits._
+    val probesDf = probes.toDF("query_id", "list_id")
+    val tablesDf = tables.toDF("query_id", "qtable")
+    val adc = expr(s"aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE), " +
+      s"(acc, s) -> acc + element_at(qtable, s * $ksub + element_at(codes, s + 1) + 1))")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    corpusCodes
+      .join(broadcast(probesDf), Seq("list_id"))
+      .join(broadcast(tablesDf), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("list_id"), round(adc, 4).as("adc_score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Driver-contract entry: IVFADC top-5 for the first 5 vectors
+    * (rows-only; ExtSpec asserts equality with the flat ADC search
+    * restricted to the probed lists, and planted-neighbor recall).
+    */
+  def annIvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ivf.trainCentroids(emb)
+    val codebooks = trainCodebooks(emb)
+    val corpus = Ivf.assignLists(emb, cents)
+      .select(col("vec_id"), col("list_id"),
+        PqEncode(normalizedCol(col("embedding")), codebooks).as("codes"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    ivfPqSearch(corpus, queries, cents, codebooks, k = 5)
+  }
+
   /** Code-space occupancy (rows-only): distinct codes used per subspace —
     * the quantity that says whether the codebook is actually spreading
     * the corpus (a collapsed subspace means wasted bits).
@@ -167,6 +241,7 @@ object Pq {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_search" -> (annPqSearch _),
     "ann_pq_occupancy" -> (annPqOccupancy _),
+    "ann_ivfpq_search" -> (annIvfPqSearch _),
   )
 
   val oracles: Map[String, String] = Map.empty

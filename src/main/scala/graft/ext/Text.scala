@@ -229,7 +229,31 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Overlapping token-window chunking — the retrieval/training prep
+    * step that splits long documents into model-sized pieces: 64-token
+    * windows every 48 tokens (16-token overlap so no boundary context is
+    * lost). Tokenize once, explode one small int per chunk, slice the
+    * kept token array — a pure map-side fan-out absorbed by the scan;
+    * the only exchange is the deterministic output order.
+    */
+  def textChunks(spark: SparkSession, dir: String): DataFrame = {
+    val win = 64
+    val stride = 48
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+      .withColumn("n_chunks",
+        greatest(ceil((col("n_tok") - lit(win)).cast("double") / stride).cast("int") + 1, lit(1)))
+      .select(col("doc_id"), col("n_tok"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(col("n_tok") - col("chunk_id") * stride, lit(win)).cast("int").as("chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("chunk_id") * stride + 1, lit(win))).as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks" -> (textChunks _),
     "text_lm_score" -> (textLmScore _),
     "text_pii" -> (textPii _),
     "text_top_ngrams" -> (textTopNgrams _),
@@ -243,6 +267,19 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_tok,
+        |         GREATEST(CAST(ceil((len(toks) - 64) / 48.0) AS INTEGER) + 1, 1) AS n_chunks
+        |  FROM t)
+        |SELECT doc_id, CAST(u.chunk_id AS INTEGER) AS chunk_id,
+        |       CAST(LEAST(n_tok - u.chunk_id * 48, 64) AS INTEGER) AS chunk_tokens,
+        |       array_to_string(toks[u.chunk_id * 48 + 1 : u.chunk_id * 48 + 64], ' ') AS chunk
+        |FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(chunk_id)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "text_lm_score" ->
       """WITH tri AS (
         |  SELECT doc_id,

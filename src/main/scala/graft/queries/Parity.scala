@@ -539,6 +539,79 @@ object Parity {
       .orderBy("user_id", "hour_ms")
   }
 
+  /** Weekly cohort retention — the engagement query every analytics
+    * surface ships: users grouped by first-activity week, counted once
+    * per (cohort, weeks-since-cohort) cell. Two aggregations and one
+    * join, ALL keyed on user_id, so at scale the plan is two shuffles of
+    * one row per user(+week) and a final tiny cell aggregate; no window,
+    * no driver state. Week alignment is Monday both engines.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** One-pass multi-column data profile — the QC shape that matters at
+    * 100 TB: every statistic for every profiled column comes from a
+    * SINGLE scan and a single aggregation (exact distincts plan as one
+    * Expand — data×4 map-side, partially aggregated before the
+    * exchange), then the wide row unpivots to one row per column. The
+    * alternative — one query per column — scans the table N times.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_dist"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        round(avg(col(c)), 4).as(s"${c}_avg"))
+    } :+ count(lit(1)).as("n_rows")
+    val wide = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}_nulls").as("n_null"), col(s"${c}_dist").as("n_distinct"),
+        col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"),
+        col(s"${c}_avg").as("mean_val"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .orderBy("col_name")
+  }
+
+  /** Training-sequence packing by character budget — the step that turns
+    * a curated corpus into fixed-size model inputs: documents
+    * concatenate in stable (bucket, doc_id) order and cut every `budget`
+    * characters, so a document's sequence id is its start offset over
+    * the budget. Packing is per hash bucket (256 of them), which is what
+    * makes it scale: each bucket's running sum is an independent window
+    * over its own partition — no global order, no single task, and
+    * adding machines splits buckets, not the stream.
+    */
+  def qPackChars(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 4096
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), bucket.as("bucket"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .groupBy(col("bucket"),
+        floor((col("cum") - col("n_chars")) / budget).as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("bucket", "seq_id")
+  }
+
   /** The one-task exact form retired from the driver surface — kept as
     * the ParitySpec oracle for [[qNtile]]'s distributed-rank rewrite.
     */
@@ -554,6 +627,41 @@ object Parity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER) AS week_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN first f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val rows = cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       min($c) AS min_val, max($c) AS max_val,
+           |       round(avg($c), 4) AS mean_val
+           |FROM lineitem""".stripMargin
+      }
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q_pack_chars" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT bucket, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT bucket, CAST(floor((cum - n_chars) / 4096) AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM c GROUP BY 1, 2 ORDER BY bucket, seq_id""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, epoch_ms(ts) AS v_ms FROM events WHERE event_type = 'view'),
         |p AS (SELECT user_id, epoch_ms(ts) AS p_ms FROM events WHERE event_type = 'purchase')
@@ -792,5 +900,8 @@ object Parity {
     "q_skew_agg" -> (qSkewAgg _),
     "q_skew_join" -> (qSkewJoin _),
     "q_gap_fill" -> (qGapFill _),
+    "q_retention" -> (qRetention _),
+    "q_profile" -> (qProfile _),
+    "q_pack_chars" -> (qPackChars _),
   )
 }

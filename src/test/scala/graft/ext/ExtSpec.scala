@@ -381,6 +381,53 @@ class ExtSpec extends SparkSuite {
     assert(found >= 8, s"only $found/10 planted neighbors found at ADC rank 1")
   }
 
+  test("IVFADC search equals an in-memory ADC pass over the probed lists") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ivf.trainCentroids(emb)
+    val books = Pq.trainCodebooks(emb)
+    val corpus = Ivf.assignLists(emb, cents)
+      .select(col("vec_id"), col("list_id"),
+        graft.functions.PqEncode(
+          transform(col("embedding"),
+            x => (x / graft.functions.VectorFns.l2norm(col("embedding"))).cast("float")),
+          books).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toArray))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        r.getLong(0) -> v.map(x => (x / n).toFloat)
+      }
+    val probeEval = new graft.functions.NearestCentroids.Evaluator(
+      cents.map(_.toArray).toArray, Ivf.NProbe)
+    val m = Pq.M
+    val subDim = queries(0)._2.length / m
+    val expected = queries.flatMap { case (qid, q) =>
+      val pl = probeEval.eval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
+      val lists = (0 until Ivf.NProbe).map(pl.getInt).toSet
+      val table = Array.tabulate(m, Pq.Ksub) { (s, c) =>
+        (0 until subDim).map(j => q(s * subDim + j).toDouble * books(s)(c)(j)).sum
+      }
+      corpus
+        .filter { case (vid, list, _) => vid != qid && lists(list) }
+        .map { case (vid, _, codes) =>
+          val score = (0 until m).map(s => table(s)(codes(s))).sum
+          (vid, BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (vid, sc) => (-sc, vid) }
+        .take(5)
+        .zipWithIndex
+        .map { case ((vid, sc), i) => (qid, vid, sc, i + 1) }
+    }.toSet
+    val got = Pq.annIvfPqSearch(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("adc_score"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("PQ occupancy query: every subspace uses multiple codes, none overflow") {
     val occ = Pq.annPqOccupancy(spark, dir).collect()
     assert(occ.length === Pq.M)
@@ -474,6 +521,36 @@ class ExtSpec extends SparkSuite {
         array_sort(TextFns.wordShingles(col("text"), 2)).as("c"),
         array_sort(graft.functions.WordShingles(col("text"), 2)).as("n"))
     edge.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
+  test("semantic dedup drop counts match an in-memory within-cluster pairwise pass") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ivf.trainCentroids(emb)
+    val tau = 0.92
+    val assigned = Ivf.assignLists(emb, cents)
+      .select(col("list_id"), col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      // same association as the query (dot / (l2norm * l2norm)) so a
+      // boundary cosine can't flip between the two formulations
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val expected = assigned.groupBy(_._1).map { case (list, vs) =>
+      val sorted = vs.sortBy(_._2)
+      val dropped = sorted.indices.flatMap { j =>
+        val (_, idB, embB) = sorted(j)
+        if (sorted.indices.take(j).exists(i => cos(sorted(i)._3, embB) >= tau)) Some(idB)
+        else None
+      }.toSet
+      list -> ((vs.length.toLong, dropped.size.toLong))
+    }
+    val got = Dedup.dedupSemantic(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === assigned.length.toLong)
   }
 
   test("native CharNgrams matches the composed substr formulation on real documents") {
