@@ -43,10 +43,11 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // The driver keeps only the LAST ~2000 chars of stdout: millisecond
-    // rounding keeps the whole line under that budget, and the headline
-    // total goes at the END of the object so it survives any truncation.
-    val qs = results.map { case (k, v) => f"""\"$k\":$v%.3f""" }
+    // The driver keeps only the LAST ~2000 chars of stdout: centisecond
+    // per-query rounding keeps the whole 85-query line under that budget
+    // with headroom, and the headline total goes at the END of the
+    // object so it survives any truncation.
+    val qs = results.map { case (k, v) => f"""\"$k\":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(f"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f}""")

@@ -553,10 +553,15 @@ object Parity {
     val active = ev
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
       .distinct()
+    // `active` is distinct on (user, wk) and wk -> offset is injective
+    // per user (wk values are 7-day-spaced Mondays), so every
+    // (cohort, offset, user) row is already unique: count(*) IS the
+    // distinct-user count, without the Expand + extra exchange a
+    // count(DISTINCT) would plan.
     active.join(first, Seq("user_id"))
       .groupBy(col("cohort_week"),
         (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_week", "week_offset")
   }
 

@@ -123,4 +123,34 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 4, s"expected at most window+sort exchanges, got $exchanges:\n$p")
     assert(!p.contains("Join"), s"curation must not join:\n$p")
   }
+
+  // formatted plans print each node twice (tree line + "(n) Node" detail
+  // header); counting the headers counts each physical node exactly once
+  private def nodeCount(p: String, node: String): Int =
+    p.linesIterator.count(_.matches(s".*\\(\\d+\\) $node\\b.*"))
+
+  test("chunking is a map-side fan-out: one exchange (output order), no join, no agg") {
+    val p = planOf(ext.Text.textChunks(spark, dir))
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges === 1, s"expected only the output-order exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("profile computes all column stats from ONE scan and one aggregation") {
+    val p = planOf(queries.Parity.qProfile(spark, dir))
+    val scans = nodeCount(p, "Scan parquet")
+    assert(scans === 1, s"expected a single scan, got $scans:\n$p")
+    // single two-phase aggregate (multi-distinct plans through one
+    // Expand), then the unpivot Generate — never one job per column
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges <= 2, s"expected partial/final agg exchanges only, got $exchanges:\n$p")
+  }
+
+  test("IVFADC probes and ADC tables broadcast; top-k is partial before the exchange") {
+    val p = planOf(ext.Pq.annIvfPqSearch(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"probe/table joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must never shuffle for the join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must partially apply before the exchange:\n$p")
+  }
 }
