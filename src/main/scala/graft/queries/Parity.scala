@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -617,6 +617,52 @@ object Parity {
       .orderBy("bucket", "seq_id")
   }
 
+  /** Equi-width histogram of order totals — the distribution profile
+    * behind data-drift checks: min/max come from one aggregate whose
+    * scalar results fold into the bucketing expression (engine-stable,
+    * no magic constants), then one pass assigns floor((x-min)/width) and
+    * counts. Two scans total, both fully parallel; the bucket count (20)
+    * bounds the result regardless of data volume.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 20
+    val orders = Tables.orders(spark, dir)
+    val Row(lo: Double, hi: Double) =
+      orders.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val width = (hi - lo) / nBuckets
+    orders
+      .select(least(floor((col("o_totalprice") - lo) / width), lit(nBuckets - 1))
+        .cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", round(lit(lo) + col("bucket") * width, 4))
+      .withColumn("hi", round(lit(lo) + (col("bucket") + 1) * width, 4))
+      .select(col("bucket"), col("lo"), col("hi"), col("n"))
+      .orderBy("bucket")
+  }
+
+  /** Pairwise Pearson correlations of the lineitem measures in ONE
+    * aggregation — corr is algebraic (six running sums per pair), so all
+    * three pairs partial-aggregate map-side and the exchange carries one
+    * row. The profile/drift companion to [[qProfile]].
+    */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"),
+      ("l_extendedprice", "l_discount"))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val wide = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__$b").as("pearson_r"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** The one-task exact form retired from the driver surface — kept as
     * the ParitySpec oracle for [[qNtile]]'s distributed-rank rewrite.
     */
@@ -654,6 +700,26 @@ object Parity {
            |FROM lineitem""".stripMargin
       }
       rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q_histogram" ->
+      """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+        |b AS (
+        |  SELECT CAST(LEAST(floor((o_totalprice - mn) / ((mx - mn) / 20)), 19) AS INTEGER) AS bucket
+        |  FROM orders, s),
+        |g AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+        |SELECT bucket,
+        |       round(mn + bucket * ((mx - mn) / 20), 4) AS lo,
+        |       round(mn + (bucket + 1) * ((mx - mn) / 20), 4) AS hi,
+        |       n
+        |FROM g, s ORDER BY bucket""".stripMargin,
+    "q_corr" -> {
+      val pairs = Seq(
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 6) AS pearson_r FROM lineitem"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
     "q_pack_chars" ->
       """WITH d AS (
@@ -908,5 +974,7 @@ object Parity {
     "q_retention" -> (qRetention _),
     "q_profile" -> (qProfile _),
     "q_pack_chars" -> (qPackChars _),
+    "q_histogram" -> (qHistogram _),
+    "q_corr" -> (qCorr _),
   )
 }
