@@ -512,12 +512,13 @@ object Parity {
 
   /** Time-series gap fill — the regularization step before any
     * training-window or forecasting job: per-user hourly activity on a
-    * dense hour spine (sequence between each user's first and last
-    * active hour), zero-filled counts and last-observation-carried-
-    * forward values. The spine generates from ONE bounded row per user
-    * (min/max hour), the left join is hash on (user, hour), and LOCF is
-    * a single sorted pass per user partition — no driver-side time
-    * arithmetic at any scale.
+    * dense hour spine, zero-filled counts and last-observation-carried-
+    * forward values. No spine table and no join: each observed hour
+    * emits itself plus its gap hours up to the next observation
+    * (lead()), whose chained half-open intervals tile [first, last]
+    * exactly; LOCF runs over the compact hourly rows in the SAME
+    * window exchange, before the explode multiplies rows. One
+    * exchange + one map-side generate at any scale.
     */
   def qGapFill(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -526,16 +527,28 @@ object Parity {
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(d)).as("hour_value"))
-    val spine = hourly.groupBy(col("user_id"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    // No spine join: each observed hour generates itself plus the gap
+    // hours up to (exclusive) the NEXT observed hour via lead() — the
+    // chained half-open intervals tile [min(h), max(h)] exactly, gap
+    // rows inherit the generating row's value (LOCF for free), and the
+    // plan drops from spine-build + hash join + LOCF window to one
+    // window + a map-side explode.
     val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("user_id", "h"), "left")
-      .select(col("user_id"), unix_millis(col("h")).as("hour_ms"),
-        coalesce(col("n"), lit(0L)).as("n_events"),
-        last(col("hour_value"), ignoreNulls = true).over(w).cast("double").as("locf_value"))
+    val wLocf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      // both windows share one exchange + sort; LOCF runs over the
+      // COMPACT hourly rows (pre-explode), and an all-null hour still
+      // carries the prior non-null value — the full LOCF contract
+      .select(col("user_id"), col("n"), col("h"),
+        lead(col("h"), 1).over(w).as("next_h"),
+        last(col("hour_value"), ignoreNulls = true).over(wLocf).as("locf"))
+      .select(col("user_id"), col("n"), col("locf"), col("h"),
+        explode(sequence(col("h"),
+          coalesce(col("next_h") - expr("INTERVAL 1 HOUR"), col("h")),
+          expr("INTERVAL 1 HOUR"))).as("fill_h"))
+      .select(col("user_id"), unix_millis(col("fill_h")).as("hour_ms"),
+        when(col("fill_h") === col("h"), col("n")).otherwise(lit(0L)).as("n_events"),
+        col("locf").cast("double").as("locf_value"))
       .orderBy("user_id", "hour_ms")
   }
 
@@ -615,6 +628,27 @@ object Parity {
         floor((col("cum") - col("n_chars")) / budget).as("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("bucket", "seq_id")
+  }
+
+  /** SCD2 temporal-dimension build — turn an event stream into validity
+    * intervals: each row where a user's event_type differs from the
+    * previous one opens a version, valid until 1 ms before the next
+    * change (open-ended for the current version). Both windows partition
+    * on user_id, so one exchange feeds lag-detect and lead-close; change
+    * detection halves the data before the second window. Millisecond
+    * epoch keys keep both engines' tiebreaks identical.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"), col("t").as("valid_from_ms"),
+        (lead(col("t"), 1).over(w) - 1).as("valid_to_ms"))
+      .orderBy("user_id", "valid_from_ms", "event_type")
   }
 
   /** Equi-width histogram of order totals — the distribution profile
@@ -701,6 +735,15 @@ object Parity {
       }
       rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS t, event_id FROM events),
+        |m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |      FROM e),
+        |c AS (SELECT user_id, event_type, t, event_id FROM m
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, t AS valid_from_ms,
+        |       lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - 1 AS valid_to_ms
+        |FROM c ORDER BY user_id, valid_from_ms, event_type""".stripMargin,
     "q_histogram" ->
       """WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
         |b AS (
@@ -976,5 +1019,6 @@ object Parity {
     "q_pack_chars" -> (qPackChars _),
     "q_histogram" -> (qHistogram _),
     "q_corr" -> (qCorr _),
+    "q_scd2" -> (qScd2 _),
   )
 }
