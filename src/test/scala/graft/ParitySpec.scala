@@ -111,6 +111,30 @@ class ParitySpec extends SparkSuite {
     assert(rows.exists(_.getLong(2) === 0L), "expected gap hours in the test data")
   }
 
+  test("q_gap_fill lead-tiling equals the retired spine-join + LOCF-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(18, 6)
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(d)).as("hour_value"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = spine.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), unix_millis(col("h")).as("hour_ms"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("hour_value"), ignoreNulls = true).over(w).cast("double").as("locf_value"))
+      .orderBy("user_id", "hour_ms")
+      .collect().map(_.toString).toSeq
+    val got = queries.Parity.qGapFill(spark, sfDir).collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
   test("registerAll exposes every table to spark.sql") {
     Tables.registerAll(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM lineitem").first().getLong(0) === 6000L)
