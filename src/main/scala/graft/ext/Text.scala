@@ -88,29 +88,24 @@ object Text {
     * taken by the single most frequent bigram. Highly repetitive
     * machine-generated text scores near 1 on both and gets filtered.
     *
-    * Shape at scale: the bigram multiplicities come from the native
-    * non-distinct [[graft.functions.WordShingles]] pass, explode →
-    * partial-agg per (doc, bigram) → per-doc max/sum — the fan-out
-    * collapses map-side, and the only exchanges hash on doc_id.
+    * Shape at scale: all four ingredients (token count, distinct
+    * tokens, top bigram multiplicity, bigram total) come from ONE
+    * compiled pass per document ([[graft.functions.RepetitionStats]]) —
+    * a pure map, so the only exchange is the output order. The earlier
+    * explode → (doc, bigram) partial-agg → per-doc max/sum → join
+    * formulation is retained in ExtSpec as the semantics oracle.
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.WordShingles(col("text"), 2, distinct = false)).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
-    docs
-      .join(perDoc, "doc_id")
+    val r = graft.functions.RepetitionStats(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), r.as("r"))
       .select(
         col("doc_id"),
-        size(col("w")).as("n_tokens"),
-        round(lit(1.0) - size(array_distinct(col("w"))).cast("double") / size(col("w")), 4)
+        col("r.n_tokens").as("n_tokens"),
+        round(lit(1.0) - col("r.n_distinct").cast("double") / col("r.n_tokens"), 4)
           .as("dup_word_frac"),
-        round(col("top_c").cast("double") / col("n_bg"), 4).as("top_bigram_frac"))
+        round(col("r.top_bigram").cast("double") / col("r.n_bigrams"), 4)
+          .as("top_bigram_frac"))
       .orderBy("doc_id")
   }
 

@@ -64,6 +64,9 @@ object GraftFunctions {
     ("char_ngrams",
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       (args: Seq[Expression]) => CharNgrams(args.head, intArg(args(1), "n"))),
+    ("repetition_stats",
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (args: Seq[Expression]) => RepetitionStats(args.head)),
     ("quantize_int8",
       new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
       (args: Seq[Expression]) => QuantizeInt8(args.head)),

@@ -255,3 +255,81 @@ object CharNgrams {
   def apply(text: Column, n: Int): Column =
     Bridge.toColumn(CharNgrams(Bridge.toExpression(text), n))
 }
+
+/** Per-document repetition statistics in one compiled pass: token count,
+  * distinct-token count, the highest bigram multiplicity, and the bigram
+  * total. The composed formulation explodes every (doc, bigram) pair
+  * into TWO corpus-sized shuffles plus a join back to the tokens — this
+  * expression is a pure map, so the repetition query's only exchange is
+  * its output order. Tokens intern to dense ids while the distinct set
+  * is built, so bigram counting hashes one long per pair instead of
+  * re-hashing string bytes.
+  *
+  * Semantics mirror the composed form: tokens split on Java \s runs
+  * (all-whitespace text = one empty token), bigrams are
+  * `WordShingles(2, distinct=false)` — a sub-2-token text yields its
+  * tokens joined as ONE shingle.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStats.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RepetitionStats.compute($c.getBytes());")
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_bigram", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\r' || b == '\f'
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val len = bytes.length
+    val ids = new java.util.HashMap[UTF8String, Integer]()
+    val tokIds = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isSpace(bytes(i))) i += 1
+        val tok = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i))
+        var id = ids.get(tok)
+        if (id == null) { id = ids.size(); ids.put(tok, id) }
+        tokIds.add(id)
+      }
+    }
+    val nTok = tokIds.size()
+    // split(trim(""), "\s+") yields one empty token; WordShingles emits
+    // the joined tokens as a single shingle whenever nTok < 2
+    if (nTok < 2)
+      return InternalRow(1, 1, 1L, 1L)
+    val counts = new java.util.HashMap[java.lang.Long, Integer]()
+    var top = 0
+    var t = 0
+    while (t < nTok - 1) {
+      val key = java.lang.Long.valueOf(
+        (tokIds.get(t).toLong << 32) | (tokIds.get(t + 1).toLong & 0xffffffffL))
+      val c = counts.merge(key, 1, (a, b) => a + b)
+      if (c > top) top = c
+      t += 1
+    }
+    InternalRow(nTok, ids.size(), top.toLong, (nTok - 1).toLong)
+  }
+
+  def apply(text: Column): Column =
+    Bridge.toColumn(RepetitionStats(Bridge.toExpression(text)))
+}

@@ -553,6 +553,36 @@ class ExtSpec extends SparkSuite {
     assert(got.values.map(_._1).sum === assigned.length.toLong)
   }
 
+  test("native RepetitionStats matches the exploded-bigram formulation on real documents") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), 2, distinct = false)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bg"))
+    val composed = docs.join(perDoc, "doc_id")
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        col("top_c"), col("n_bg"))
+    val native = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.RepetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.n_distinct"),
+        col("r.top_bigram"), col("r.n_bigrams"))
+    assert(native.orderBy("doc_id").collect().map(_.toString).toSeq ===
+      composed.orderBy("doc_id").collect().map(_.toString).toSeq)
+    // edge cases: empty, whitespace-only, single token, all-same bigrams
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "a a a a a", "x y x y x y")
+      .toDF("text").select(graft.functions.RepetitionStats(col("text")).as("r"))
+      .select("r.n_tokens", "r.n_distinct", "r.top_bigram", "r.n_bigrams")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(edge === Seq((1, 1, 1L, 1L), (1, 1, 1L, 1L), (1, 1, 1L, 1L),
+      (5, 1, 4L, 4L), (6, 2, 3L, 5L)))
+  }
+
   test("native CharNgrams matches the composed substr formulation on real documents") {
     def composed(n: Int) = {
       val len = length(col("text"))

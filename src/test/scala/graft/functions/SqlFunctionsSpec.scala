@@ -44,8 +44,8 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(GraftFunctions.all.map(_._1).toSet ===
       Set("rolling_hash_fingerprint", "minhash_signature", "simhash",
         "shingle_hash_set", "jaccard_sorted", "dot_product",
-        "lang_id", "word_shingles", "char_ngrams", "quantize_int8",
-        "dequantize_int8"))
+        "lang_id", "word_shingles", "char_ngrams", "repetition_stats",
+        "quantize_int8", "dequantize_int8"))
     assert(ext != null)
   }
 }
