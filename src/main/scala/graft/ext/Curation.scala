@@ -180,7 +180,80 @@ object Curation {
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** Temperature-scaled domain mixture (multilingual-sampling style,
+    * alpha = 0.5): the resampling weight each source needs so the mixed
+    * corpus draws from source s with probability ∝ share_s^alpha instead
+    * of its raw char share — upweights small domains without letting any
+    * one domain dominate, the standard mixture discipline for pretraining
+    * corpora. All heavy work is one groupBy(source) over the corpus
+    * (partial-agg'd count/sum, one shuffle whose output is #domains
+    * rows); the share normalizations run on that domain-sized result via
+    * two broadcast scalar totals, so corpus scale only touches the first
+    * aggregate. Char totals stay exact (long sums); the two double
+    * normalizations are rounded to 6 decimals so cross-engine summation
+    * order cannot surface in the last bit.
+    */
+  def mixtureWeights(docs: DataFrame, alpha: Double): DataFrame = {
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val tot = bySource.agg(sum(col("sum_chars")).as("tot_chars"))
+    val shared = bySource.crossJoin(broadcast(tot))
+      .withColumn("share", col("sum_chars").cast("double") / col("tot_chars").cast("double"))
+      .withColumn("w_raw", pow(col("share"), lit(alpha)))
+    val z = shared.agg(sum(col("w_raw")).as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(
+        col("source"), col("n_docs"), col("sum_chars"),
+        round(col("share"), 6).as("share"),
+        round(col("w_raw") / col("z"), 6).as("target_share"),
+        round(col("w_raw") / col("z") / col("share"), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  def qMixWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeights(Tables.documents(spark, dir), 0.5)
+
+  /** Corpus snapshot delta — the audit a daily corpus build runs between
+    * yesterday's and today's versions: full outer join on the stable doc
+    * id, rows classified added / removed / changed / unchanged by
+    * content hash. The join shuffles both snapshots on doc_id (or
+    * neither, when snapshots are written bucketed by doc_id — the layout
+    * a versioned corpus store should use); the md5 compare is a pure map
+    * and the aggregated report is 4 rows regardless of corpus size.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val a = prev.select(col("doc_id"), md5(col("text").cast("binary")).as("hash_a"))
+    val b = cur.select(col("doc_id"), md5(col("text").cast("binary")).as("hash_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("hash_a").isNull, "added")
+          .when(col("hash_b").isNull, "removed")
+          .when(col("hash_a") =!= col("hash_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("status")
+  }
+
+  /** Driver entry: deterministic synthetic snapshots carved from the one
+    * documents table — yesterday misses doc_id ≡ 0 (mod 13) (today's
+    * adds), today drops doc_id ≡ 5 (mod 17) (deletes) and re-edits
+    * doc_id ≡ 2 (mod 11) (changes).
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val prev = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+    val cur = docs.filter(pmod(col("doc_id"), lit(17)) =!= 5)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(11)) === 2, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+    snapshotDiff(prev, cur)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_weights" -> (qMixWeights _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_split_assign" -> (qSplitAssign _),
     "q_sample_hash" -> (qSampleHash _),
@@ -201,6 +274,36 @@ object Curation {
   }.mkString(",\n        ")
 
   val oracles: Map[String, String] = Map(
+    "q_mix_weights" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT *, CAST(sum_chars AS DOUBLE) /
+        |            CAST((SELECT sum(sum_chars) FROM s) AS DOUBLE) AS share FROM s),
+        |r AS (SELECT *, pow(share, 0.5) AS w_raw FROM t)
+        |SELECT source, n_docs, sum_chars,
+        |       round(share, 6) AS share,
+        |       round(w_raw / (SELECT sum(w_raw) FROM r), 6) AS target_share,
+        |       round(w_raw / (SELECT sum(w_raw) FROM r) / share, 6) AS weight
+        |FROM r ORDER BY source""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 0),
+        |cur AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 2 THEN text || ' [rev2]' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 17 <> 5),
+        |d AS (
+        |  SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |         CASE WHEN p.doc_id IS NULL THEN 'added'
+        |              WHEN c.doc_id IS NULL THEN 'removed'
+        |              WHEN p.h <> c.h THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+        |SELECT status, count(*) AS n_docs,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q_split_assign" ->
       s"""SELECT $splitSql AS split, count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,

@@ -483,6 +483,56 @@ object Dedup {
       .orderBy("list_id")
   }
 
+  // --- exact substring (span) dedup ----------------------------------------
+
+  /** Span window width / expected anchor spacing for [[dedupSpans]]. */
+  val SpanWindow = 48
+  val SpanStride = 16
+
+  /** Exact duplicated-passage detection (the span-level complement of
+    * whole-document dedup), per Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"): hash fixed-width character
+    * windows and group by hash — documents sharing a verbatim passage
+    * collide on its windows.
+    *
+    * Window starts are CONTENT-DEFINED (winnowing-style anchoring): a
+    * window begins wherever the character's codepoint ≡ 0 (mod 16), so a
+    * copied passage anchors at the same passage-relative offsets in every
+    * document that contains it — detection is offset-alignment-free,
+    * which a fixed-stride grid is not (copies at offsets differing mod
+    * stride would sample disjoint windows and never collide). Expected
+    * anchor density is 1/16 of positions (higher on space-heavy text:
+    * ' ' = 32 anchors), so per-document work stays O(n) cheap checks +
+    * O(n/16) hashes; the position generate + anchor filter are map-side
+    * and collapse into the partial aggregate — no row explosion crosses
+    * the exchange — and the only shuffle is the groupBy on the 128-bit
+    * hash, with output bounded by the number of duplicated spans. A
+    * shared passage of L ≥ 63 chars is missed only if its first L-47
+    * chars contain no anchor: probability ≈ (15/16)^(L-47) on
+    * alphabet-uniform text, and ≈ 0 on real prose (any space anchors).
+    *
+    * md5 rather than [[graft.functions.RollingHashFingerprint]] so the
+    * oracle reproduces the values verbatim; the rolling hash is the
+    * cheaper scale path when cross-engine parity isn't needed.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    dedupSpansDf(Tables.documents(spark, dir))
+
+  def dedupSpansDf(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("n_chars") >= SpanWindow)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), (col("n_chars") - (SpanWindow - 1)).cast("int"))).as("p"),
+        col("text"))
+      .filter(pmod(ascii(substring(col("text"), col("p"), lit(1))), lit(SpanStride)) === 0)
+      .select(col("doc_id"), md5(substring(col("text"), col("p"), lit(SpanWindow))).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("span_hash"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
@@ -492,6 +542,7 @@ object Dedup {
     "dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
+    "dedup_spans" -> (dedupSpans _),
   )
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
@@ -520,6 +571,21 @@ object Dedup {
       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // content-anchored 48-char window hashes (window starts where the
+    // char code ≡ 0 mod 16) — copies collide regardless of offset
+    "dedup_spans" ->
+      """WITH spans AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(1, CAST(n_chars AS BIGINT) - 47)) AS p,
+        |         text
+        |  FROM documents WHERE n_chars >= 48),
+        |anchored AS (
+        |  SELECT doc_id, md5(substr(text, CAST(p AS INT), 48)) AS span_hash
+        |  FROM spans WHERE ascii(substr(text, CAST(p AS INT), 1)) % 16 = 0)
+        |SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |       min(doc_id) AS first_doc
+        |FROM anchored GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, span_hash""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS content_hash
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

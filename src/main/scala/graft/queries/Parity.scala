@@ -400,6 +400,38 @@ object Parity {
     * pre-filtered by event type before the exchange). Millisecond
     * integer arithmetic on both engines avoids timestamp-unit drift.
     */
+  /** Windowed anomaly detection — the data-QC pass a 100 TB ingest runs
+    * over its event feed: per user, each value is z-scored against the
+    * trailing 20 events (frame excludes the current row), and rows with
+    * |z| > 3 are flagged. One shuffle on user_id, then a single sorted
+    * pass computes every trailing frame. Mean/variance come from frame
+    * sums of DECIMAL(18,2)-quantized values, so both engines feed
+    * BIT-IDENTICAL exact sums into the same double arithmetic — no
+    * accumulation-order drift, no Welford-vs-textbook disagreement at the
+    * |z| = 3 boundary; z is rounded only for display.
+    */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val vdec = col("value").cast(DecimalType(18, 2))
+    val ev = Tables.events(spark, dir)
+      .withColumn("n", count(vdec).over(w))
+      .withColumn("s1", sum(vdec).over(w).cast("double"))
+      .withColumn("s2", sum(vdec * vdec).over(w).cast("double"))
+      .filter(col("n") >= 5)
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .filter(col("variance") > 0)
+      .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 3)
+    ev.select(col("user_id"), col("event_id"), col("value"),
+        round(col("mean"), 4).as("trailing_mean"), round(col("z"), 4).as("z"))
+      .orderBy("user_id", "event_id")
+  }
+
   def qFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val views = ev.filter(col("event_type") === "view")
@@ -978,6 +1010,27 @@ object Parity {
       """SELECT o_orderkey,
         |       CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // trailing-frame z-score; DECIMAL frame sums keep both engines'
+    // mean/variance inputs bit-identical (see qAnomaly scaladoc)
+    "q_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CAST(value AS DECIMAL(18,2)) AS vd FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, value,
+        |         count(vd) OVER w AS n,
+        |         CAST(sum(vd) OVER w AS DOUBLE) AS s1,
+        |         CAST(sum(vd * vd) OVER w AS DOUBLE) AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT *, s1 / n AS mean, (s2 - s1 * s1 / n) / (n - 1) AS variance
+        |  FROM f WHERE n >= 5),
+        |h AS (
+        |  SELECT *, (value - mean) / sqrt(variance) AS z FROM g WHERE variance > 0)
+        |SELECT user_id, event_id, value,
+        |       round(mean, 4) AS trailing_mean, round(z, 4) AS z
+        |FROM h WHERE abs(z) > 3 ORDER BY user_id, event_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1010,6 +1063,7 @@ object Parity {
     "q_posexplode" -> (qPosexplode _),
     "q_window_range" -> (qWindowRange _),
     "q_funnel" -> (qFunnel _),
+    "q_anomaly" -> (qAnomaly _),
     "q_ntile" -> (qNtile _),
     "q_skew_agg" -> (qSkewAgg _),
     "q_skew_join" -> (qSkewJoin _),

@@ -303,7 +303,62 @@ object Streaming {
     q.awaitTermination()
   }
 
+  // --- exactly-once over at-least-once delivery ----------------------------
+
+  /** At-least-once delivery simulation: every event whose id ≡ 7 (mod 20)
+    * arrives twice. The copies are EXACT (same ts, same payload), so which
+    * copy survives dedup is immaterial and the result is delivery-order
+    * invariant — the property a redelivering source (Kinesis/Kafka
+    * at-least-once) actually guarantees.
+    */
+  def withDuplicateDelivery(events: DataFrame): DataFrame =
+    events.unionAll(events.filter(pmod(col("event_id"), lit(20)) === 7))
+
+  /** Exactly-once per-type totals over an at-least-once feed: drop
+    * duplicate deliveries by event key, then aggregate. Batch form uses
+    * `dropDuplicates` (one shuffle on event_id, then the partial/final
+    * aggregate); the streaming form in [[runDedupDeliveryStream]] is the
+    * same pipeline with `dropDuplicatesWithinWatermark`, whose dedup
+    * state is BOUNDED by the event-time watermark — the only way
+    * streaming dedup survives an unbounded key space (an unbounded
+    * `dropDuplicates` state grows forever on a real feed).
+    */
+  def dedupedTypeTotals(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+
+  /** File-source stream with duplicated deliveries already in the input;
+    * watermark-bounded dedup + per-type totals into a memory sink.
+    */
+  def runDedupDeliveryStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(inputGlob)
+    val deduped = normalize(stream)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // --- driver-contract query entries ---------------------------------------
+
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupedTypeTotals(withDuplicateDelivery(graft.Tables.events(spark, dir)))
+      .orderBy("event_type")
 
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame =
     hourlyTypeCounts(graft.Tables.events(spark, dir))
@@ -341,9 +396,16 @@ object Streaming {
     "q_sessionize" -> (qSessionize _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
+    "q_stream_dedup" -> (qStreamDedup _),
   )
 
   val oracles: Map[String, String] = Map(
+    // dedup over duplicated delivery restores exactly-once: totals equal
+    // the plain per-type totals over the original events
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // each event belongs to the 4 hour-long windows whose epoch-aligned
     // 15-minute starts cover it (mirrors Spark's window() assignment)
     "q_sliding_window" ->

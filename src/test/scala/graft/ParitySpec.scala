@@ -135,6 +135,23 @@ class ParitySpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("q_anomaly flags exactly the planted spike") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("anomaly_events")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 40).map { i =>
+      val v = if (i == 30) 100.0 else if (i % 2 == 0) 10.5 else 9.5
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 60000L), 1L, "click", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(tmp.resolve("events.parquet").toString)
+    val got = queries.Parity.qAnomaly(spark, tmp.toString).collect()
+    assert(got.map(_.getAs[Long]("event_id")).toSeq === Seq(30L),
+      "only the planted spike crosses |z| > 3")
+    assert(math.abs(got.head.getAs[Double]("trailing_mean") - 10.0) < 0.1)
+    assert(got.head.getAs[Double]("z") > 3)
+  }
+
   test("registerAll exposes every table to spark.sql") {
     Tables.registerAll(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM lineitem").first().getLong(0) === 6000L)

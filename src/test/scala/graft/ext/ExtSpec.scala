@@ -603,4 +603,64 @@ class ExtSpec extends SparkSuite {
       .select(composed(3).as("c"), graft.functions.CharNgrams(col("text"), 3).as("n"))
     edge.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
+
+  test("span dedup finds planted passages at MISALIGNED offsets and nothing else") {
+    import spark.implicits._
+    val passage = ("x" * 10) + "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN AND AGAIN AND AGAIN." + ("y" * 10)
+    // docs 1 and 2 share a 91-char passage at offsets 4 and 12 — offsets
+    // differing mod 16, which a fixed-stride grid would NEVER collide on;
+    // content anchoring (the passage's own spaces) must. 3 and 4 are
+    // unique prose of similar length.
+    val docs = Seq(
+      (1L, "AAAA" + passage),
+      (2L, ("B" * 12) + passage),
+      (3L, "The weather in the mountains turned suddenly cold and the hikers made camp early that night near the river bend."),
+      (4L, "Quarterly revenue exceeded expectations although operating margins narrowed due to one-time restructuring charges."))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val hits = Dedup.dedupSpansDf(docs).collect()
+    assert(hits.nonEmpty, "shared passage must collide on its anchored windows")
+    // every reported span involves exactly the two planted docs
+    hits.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === 2L)
+      assert(r.getAs[Long]("first_doc") === 1L)
+    }
+    val unique = Dedup.dedupSpansDf(docs.filter(col("doc_id") >= 3))
+    assert(unique.count() === 0)
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val cur = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(prev, cur).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      "added" -> ((1L, 4L, 4L)),
+      "removed" -> ((1L, 1L, 1L)),
+      "changed" -> ((1L, 3L, 3L)),
+      "unchanged" -> ((1L, 2L, 2L))))
+  }
+
+  test("mixture weights: shares normalize, alpha=1 is identity, alpha<1 upweights small domains") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "src_big", 900L), (2L, "src_big", 900L), (3L, "src_big", 900L),
+      (4L, "src_small", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val w1 = Curation.mixtureWeights(docs, 1.0).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    assert(w1.values.forall(v => math.abs(v - 1.0) < 1e-6), s"alpha=1 must be identity: $w1")
+    val w5 = Curation.mixtureWeights(docs, 0.5)
+    val byName = w5.collect().map(r => r.getAs[String]("source") ->
+      (r.getAs[Double]("target_share"), r.getAs[Double]("weight"))).toMap
+    assert(math.abs(byName.values.map(_._1).sum - 1.0) < 1e-5, "target shares sum to 1")
+    assert(byName("src_small")._2 > 1.0 && byName("src_big")._2 < 1.0,
+      "temperature mix upweights the small domain")
+    // weight * share recovers target share (definition holds after rounding)
+    val chk = w5.collect().forall(r =>
+      math.abs(r.getAs[Double]("share") * r.getAs[Double]("weight") -
+        r.getAs[Double]("target_share")) < 1e-5)
+    assert(chk)
+  }
 }

@@ -23,6 +23,28 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("watermark-dedup stream over duplicated delivery equals exactly-once totals") {
+    import org.apache.spark.sql.functions._
+    // stage a feed that redelivers part of the events (exact copies), the
+    // way an at-least-once source does
+    val streamDir = java.nio.file.Files.createTempDirectory("events_dedup_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    raw.write.parquet(streamDir.resolve("b1").toString)
+    raw.filter(pmod(col("event_id"), lit(20)) === 7)
+      .write.parquet(streamDir.resolve("b2").toString)
+    Streaming.runDedupDeliveryStream(spark, s"$streamDir/*", "dedup_delivery_out")
+    val streamed = spark.table("dedup_delivery_out")
+      .orderBy("event_type").collect().map(_.toString)
+    // exactly-once ground truth: totals over the ORIGINAL events
+    val truth = Streaming.dedupedTypeTotals(graft.Tables.events(spark, dir))
+      .orderBy("event_type").collect().map(_.toString)
+    // and the batch driver query over the duplicated feed agrees too
+    val batch = Streaming.qStreamDedup(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === truth.toSeq)
+    assert(batch.toSeq === truth.toSeq)
+  }
+
   test("sliding-window stream equals the batch sliding aggregation") {
     val streamDir = java.nio.file.Files.createTempDirectory("events_sliding_stream")
     java.nio.file.Files.copy(
