@@ -194,19 +194,25 @@ object Curation {
     * order cannot surface in the last bit.
     */
   def mixtureWeights(docs: DataFrame, alpha: Double): DataFrame = {
+    // corpus-sized work ends at this one two-phase aggregate; everything
+    // after runs on #domains rows
     val bySource = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-    val tot = bySource.agg(sum(col("sum_chars")).as("tot_chars"))
-    val shared = bySource.crossJoin(broadcast(tot))
-      .withColumn("share", col("sum_chars").cast("double") / col("tot_chars").cast("double"))
+    // both normalization totals via a single-partition window over the
+    // DOMAIN-sized result (bounded by the domain count, not the corpus —
+    // unlike a naive self-crossJoin of the aggregate, which would re-scan
+    // the corpus once per total)
+    val all = Window.partitionBy()
+    bySource
+      .withColumn("share",
+        col("sum_chars").cast("double") / sum(col("sum_chars")).over(all).cast("double"))
       .withColumn("w_raw", pow(col("share"), lit(alpha)))
-    val z = shared.agg(sum(col("w_raw")).as("z"))
-    shared.crossJoin(broadcast(z))
+      .withColumn("target_share", col("w_raw") / sum(col("w_raw")).over(all))
       .select(
         col("source"), col("n_docs"), col("sum_chars"),
         round(col("share"), 6).as("share"),
-        round(col("w_raw") / col("z"), 6).as("target_share"),
-        round(col("w_raw") / col("z") / col("share"), 6).as("weight"))
+        round(col("target_share"), 6).as("target_share"),
+        round(col("target_share") / col("share"), 6).as("weight"))
       .orderBy("source")
   }
 

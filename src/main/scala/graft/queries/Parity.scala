@@ -417,9 +417,10 @@ object Parity {
       .rowsBetween(-20, -1)
     val vdec = col("value").cast(DecimalType(18, 2))
     val ev = Tables.events(spark, dir)
-      .withColumn("n", count(vdec).over(w))
-      .withColumn("s1", sum(vdec).over(w).cast("double"))
-      .withColumn("s2", sum(vdec * vdec).over(w).cast("double"))
+      .select(col("*"),
+        count(vdec).over(w).as("n"),
+        sum(vdec).over(w).cast("double").as("s1"),
+        sum(vdec * vdec).over(w).cast("double").as("s2"))
       .filter(col("n") >= 5)
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("variance",

@@ -153,4 +153,60 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"),
       s"per-query top-k must partially apply before the exchange:\n$p")
   }
+
+  test("span dedup: position fan-out is map-side, only the hash agg + output sort shuffle") {
+    val p = planOf(ext.Dedup.dedupSpans(spark, dir))
+    // Generate (position explode) + anchor filter + md5 all fuse before
+    // the first partial aggregate, so per-CHAR rows never cross a
+    // shuffle; the distinct count plans as two agg levels — partial on
+    // (span_hash, doc_id) collapses within-doc repeats map-side, then
+    // the span-level merge — plus the output ordering: 3 exchanges, all
+    // carrying window-or-coarser rows
+    assert(nodeCount(p, "Generate") === 1, p)
+    assert(!p.contains("Join"), s"span dedup must not join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges <= 3, s"expected distinct-agg + span-agg + sort exchanges, got $exchanges:\n$p")
+    val aggs = nodeCount(p, "HashAggregate")
+    assert(aggs >= 3, s"expected partial distinct + two-phase span aggregation:\n$p")
+    // the generate must sit below every exchange (fused into the scan
+    // stage): formatted detail ordinals ascend from the leaf, so the
+    // Generate detail header precedes the first Exchange's
+    val lines = p.linesIterator.toSeq
+    val genLine = lines.indexWhere(_.matches("\\(\\d+\\) Generate\\b.*"))
+    val firstExchange = lines.indexWhere(_.matches("\\(\\d+\\) Exchange\\b.*"))
+    assert(genLine >= 0 && firstExchange >= 0 && genLine < firstExchange,
+      s"Generate must be upstream of every exchange (gen@$genLine, exch@$firstExchange)")
+  }
+
+  test("anomaly detection: one shuffle on user_id computes every trailing frame") {
+    val p = planOf(queries.Parity.qAnomaly(spark, dir))
+    assert(nodeCount(p, "Window") === 1, s"all three frame stats in ONE window pass:\n$p")
+    // user_id hash exchange + output range sort; no joins, no aggregates
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges <= 2, s"expected window + sort exchanges only, got $exchanges:\n$p")
+  }
+
+  test("mixture weights: corpus scans once; normalization stays domain-sized") {
+    val p = planOf(ext.Curation.mixtureWeights(
+      Tables.documents(spark, dir), 0.5))
+    // corpus-sized work: ONE scan into one two-phase groupBy(source);
+    // the normalization windows run on the #domains-row result (a naive
+    // self-crossJoin formulation re-scans the corpus once per total)
+    assert(nodeCount(p, "Scan parquet") === 1, s"corpus must scan once:\n$p")
+    assert(!p.contains("Join"), s"no joins — totals come from domain-sized windows:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges <= 3, s"agg + single-partition window + sort, got $exchanges:\n$p")
+  }
+
+  test("stream dedup batch form: dedup agg then type agg, both two-phase") {
+    val p = planOf(streaming.Streaming.qStreamDedup(spark, dir))
+    // dropDuplicates lowers to a two-phase aggregate on event_id (sort-
+    // based here: the carried string payload pushes it off the hash-agg
+    // fast path, partial dedup still runs map-side before the exchange);
+    // totals are a two-phase hash aggregate on event_type — no joins
+    assert(!p.contains("Join"), p)
+    val aggs = nodeCount(p, "HashAggregate") + nodeCount(p, "SortAggregate")
+    assert(aggs >= 4, s"expected two-phase dedup agg + two-phase type agg:\n$p")
+  }
 }
