@@ -204,7 +204,42 @@ object Similarity {
     annLshSearch(e, queries, 5)
   }
 
+  /** Per-dimension corpus statistics — the feature-scaling / whitening
+    * pre-pass an embedding pipeline runs before quantization or indexing
+    * (centering for PQ, scale checks for int8): mean, std, min, max for
+    * every dimension in ONE pass. posexplode is a map-side fan-out (64
+    * rows per vector) absorbed by the partial aggregate, so only 64
+    * partial rows per task cross the exchange; sums are algebraic, so
+    * the merge is exact at any cluster size. Values are quantized to
+    * DECIMAL(12,10) (exact for unit-scale embeddings) so both engines
+    * feed bit-identical sums into the same double mean/variance
+    * arithmetic — no accumulation-order drift.
+    */
+  def embedStats(emb: DataFrame): DataFrame = {
+    val vdec = col("v").cast("double").cast("decimal(12,10)")
+    emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(vdec).cast("double").as("s1"),
+        sum(vdec * vdec).cast("double").as("s2"),
+        min(col("v").cast("double")).as("vmin"),
+        max(col("v").cast("double")).as("vmax"))
+      .select(
+        col("dim"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6).as("std"),
+        round(col("vmin"), 6).as("vmin"),
+        round(col("vmax"), 6).as("vmax"))
+      .orderBy("dim")
+  }
+
+  def qEmbedStats(spark: SparkSession, dir: String): DataFrame =
+    embedStats(Tables.embeddings(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_stats" -> (qEmbedStats _),
     "ann_topk" -> ((s: SparkSession, d: String) => annTopk(s, d)),
     "ann_topk_int8" -> ((s: SparkSession, d: String) => annTopkInt8(s, d)),
     "ann_topk_batch" -> ((s: SparkSession, d: String) => annTopkBatch(s, d)),
@@ -213,6 +248,24 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // DECIMAL(12,10)-quantized sums mirror embedStats exactly (see its
+    // scaladoc); generate_subscripts-1 matches posexplode's 0-based dim
+    "q_embed_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |         unnest(embedding) AS v
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT dim, count(*) AS n,
+        |         CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(12,10))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(12,10)) *
+        |                  CAST(CAST(v AS DOUBLE) AS DECIMAL(12,10))) AS DOUBLE) AS s2,
+        |         min(CAST(v AS DOUBLE)) AS vmin, max(CAST(v AS DOUBLE)) AS vmax
+        |  FROM x GROUP BY dim)
+        |SELECT dim, n, round(s1 / n, 6) AS mean,
+        |       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS std,
+        |       round(vmin, 6) AS vmin, round(vmax, 6) AS vmax
+        |FROM a ORDER BY dim""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT embedding AS query_emb FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

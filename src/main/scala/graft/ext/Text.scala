@@ -247,7 +247,24 @@ object Text {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Compression-ratio quality gate (Gopher/RefinedWeb-style): deflate
+    * output bytes / input bytes per document via the compiled
+    * [[graft.functions.DeflateRatio]] expression — a pure map fused into
+    * the scan, no shuffle except output order. Low ratios mark
+    * repetitive/machine-generated text; the flag threshold (0.35) is the
+    * kind of corpus-specific knob a curation run tunes. Engine-local
+    * signal (zlib has no canonical cross-implementation output size), so
+    * rows-only + ExtSpec ordering/determinism assertions.
+    */
+  def textCompress(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        round(graft.functions.DeflateRatio(col("text")), 4).as("compress_ratio"))
+      .withColumn("low_entropy", col("compress_ratio") < 0.35)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress" -> (textCompress _),
     "text_chunks" -> (textChunks _),
     "text_lm_score" -> (textLmScore _),
     "text_pii" -> (textPii _),

@@ -629,6 +629,42 @@ class ExtSpec extends SparkSuite {
     assert(unique.count() === 0)
   }
 
+  test("deflate ratio separates repetitive text from prose and is deterministic") {
+    import spark.implicits._
+    val rep = "spam spam spam spam " * 50
+    val prose = "The committee reviewed seventeen distinct proposals before narrowing " +
+      "the field to three finalists, each presenting materially different cost structures."
+    val df = Seq((1L, rep), (2L, prose), (3L, ""), (4L, "x")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), graft.functions.DeflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1) < 0.2, s"repetitive text must compress hard: ${got(1)}")
+    assert(got(2) > 0.5, s"prose must compress far less: ${got(2)}")
+    assert(got(1) < got(2) / 2)
+    assert(got(3) === 1.0, "empty input is defined as 1.0")
+    assert(got(4) > 1.0, "tiny input pays the deflate framing overhead")
+    // determinism across evaluations (fresh plan, same bytes)
+    val again = df.select(col("doc_id"), graft.functions.DeflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === got)
+    // driver query shape: every document scored, ratios positive
+    val q = Text.textCompress(spark, dir).collect()
+    assert(q.length === 500)
+    assert(q.forall(_.getAs[Double]("compress_ratio") > 0))
+  }
+
+  test("embedStats matches hand-computed per-dimension moments") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 10.0f)), (2L, Array(3.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedStats(df).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getAs[Long]("n") === 2L)
+    assert(got(0).getAs[Double]("mean") === 2.0)
+    assert(math.abs(got(0).getAs[Double]("std") - math.sqrt(2.0)) < 1e-6)
+    assert(got(0).getAs[Double]("vmin") === 1.0 && got(0).getAs[Double]("vmax") === 3.0)
+    assert(got(1).getAs[Double]("mean") === 10.0 && got(1).getAs[Double]("std") === 0.0)
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
