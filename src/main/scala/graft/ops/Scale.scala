@@ -98,8 +98,9 @@ object Scale {
     * stats pruning consumes at scan time.
     *
     * At 100 TB the min/max pre-pass becomes a percentile pre-pass
-    * (linear gridding is skew-sensitive); the interleave and write shape
-    * are unchanged.
+    * (linear gridding is skew-sensitive) — implemented as
+    * [[writeZOrderedQuantile]]; the interleave and write shape are
+    * unchanged.
     */
   def writeZOrdered(
       df: DataFrame, path: String, xCol: String, yCol: String, nFiles: Int): Unit = {
@@ -109,6 +110,45 @@ object Scale {
     val z = zValue(
       toGrid(col(xCol), b.getDouble(0), b.getDouble(1)),
       toGrid(col(yCol), b.getDouble(2), b.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Rank-space grid cell for a value against sorted quantile boundaries:
+    * the number of boundaries at or below it (a monotone 0..boundaries.length
+    * bucketing, codegen'd as a fold of comparisons — no interpreted HOF).
+    */
+  private def quantileGrid(c: Column, boundaries: Seq[Double]): Column =
+    boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(c.cast("double") >= b, 1L).otherwise(0L)
+    }
+
+  /** Quantile-gridded z-order — the skew-tolerant form [[writeZOrdered]]'s
+    * scaladoc names as the 100 TB path, as code: each dimension is
+    * bucketed by its own approximate percentile boundaries (equal
+    * OCCUPANCY per cell) instead of a linear min/max grid (equal WIDTH
+    * per cell). Under a heavy-tailed column a linear grid collapses —
+    * most rows land in a few cells, the z-curve loses locality, and
+    * per-file spans stop pruning; rank-space cells keep the curve
+    * balanced regardless of the distribution. The percentile pre-pass is
+    * one `approxQuantile` (Greenwald-Khanna: a single scan, bounded
+    * sketch per partition — no sort, no collect of data rows); 16
+    * boundaries per dimension suffice because pruning granularity only
+    * needs to match the file count (16×16 cells over `nFiles` files).
+    */
+  def writeZOrderedQuantile(
+      df: DataFrame, path: String, xCol: String, yCol: String, nFiles: Int,
+      buckets: Int = 16): Unit = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(Array(xCol, yCol), probs, 0.001)
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(buckets - 1)) // ceil(log2)
+    val z = zValue(
+      quantileGrid(col(xCol), bounds(0).toSeq.distinct.sorted),
+      quantileGrid(col(yCol), bounds(1).toSeq.distinct.sorted),
+      bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -103,6 +103,40 @@ class ScaleSpec extends SparkSuite {
     assert(zy < ly / 1.5, s"z-order value span $zy vs linear $ly")
   }
 
+  test("quantile z-order keeps rank locality under heavy skew where linear gridding collapses") {
+    import spark.implicits._
+    // x = u^8: ~84% of rows land in the first 1/16 of the VALUE range, so
+    // a linear grid puts them all in one cell; x is monotone in id, so id
+    // is x's exact rank and per-file (max(id)-min(id))/n measures the
+    // rank-space span pruning actually sees
+    val n = 20000
+    val df = spark.range(n).select(
+      col("id"),
+      pow(col("id").cast("double") / n, 8.0).as("x"),
+      (col("id") % 97).cast("double").as("y"))
+
+    def meanRankSpan(path: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col("id")), max(col("id"))).head()
+        (r.getLong(1) - r.getLong(0)).toDouble / n
+      }
+      spans.sum / spans.length
+    }
+
+    val qPath = java.nio.file.Files.createTempDirectory("zq").toString + "/q"
+    Scale.writeZOrderedQuantile(df, qPath, "x", "y", 16)
+    assert(spark.read.parquet(qPath).count() === n)
+
+    val linPath = java.nio.file.Files.createTempDirectory("zq").toString + "/lin"
+    Scale.writeZOrdered(df, linPath, "x", "y", 16)
+
+    val (qs, ls) = (meanRankSpan(qPath), meanRankSpan(linPath))
+    assert(qs < 0.35, s"quantile z-order rank span $qs")
+    assert(qs < ls / 2, s"quantile rank span $qs must beat linear $ls by 2x under skew")
+  }
+
   test("compaction merges many small files into few, preserving every row") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("compact_tbl").toString
