@@ -204,6 +204,41 @@ object Similarity {
     annLshSearch(e, queries, 5)
   }
 
+  /** Streaming index maintenance — the freshness half of the serving
+    * story: newly-arrived embeddings append into the
+    * [[writeBucketedCorpus]] layout as they land, so
+    * [[annLshSearchPartitioned]] immediately sees them without an index
+    * rebuild. Each micro-batch computes signature + norm with the SAME
+    * expressions the bulk write uses (one layout discipline, no drift)
+    * and appends partition-scoped files — only the bucket directories the
+    * batch actually touches get new files; the rest of the index is
+    * untouched bytes. Appends accrete small files per bucket at high
+    * arrival rates; [[graft.ops.Scale.compact]] over hot bucket dirs on a
+    * size trigger is the same hygiene the incremental minhash index
+    * already wires.
+    */
+  def runIndexAppendStream(spark: SparkSession, inputGlob: String, indexPath: String): Unit = {
+    import graft.functions.VectorFns
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(schema).parquet(inputGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          batch.select(col("vec_id"), col("embedding"),
+              VectorFns.l2norm(col("embedding")).as("nrm"),
+              lshSignature(col("embedding")).as("bucket"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("bucket").parquet(indexPath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-dimension corpus statistics — the feature-scaling / whitening
     * pre-pass an embedding pipeline runs before quantization or indexing
     * (centering for PQ, scale checks for int8): mean, std, min, max for

