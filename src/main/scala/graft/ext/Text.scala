@@ -263,7 +263,37 @@ object Text {
       .withColumn("low_entropy", col("compress_ratio") < 0.35)
       .orderBy("doc_id")
 
+  /** Vocabulary coverage / OOV-rate scoring — the tokenizer-fit metric a
+    * pretraining pipeline tracks per document (high OOV = the tokenizer
+    * fragments this text; gate or re-route it). Two corpus passes by
+    * design, mirroring production shape: pass 1 builds the vocabulary
+    * (explode absorbed by partial agg, TakeOrderedAndProject for the
+    * top-k — in production this is a separate artifact built once), pass
+    * 2 scores documents against the BROADCAST vocab — the corpus-sized
+    * join never shuffles the token stream, and per-doc aggregation is
+    * the only exchange. Vocab size 16 fits the synthetic corpus's
+    * 31-token vocabulary so rates are non-degenerate; ties break
+    * deterministically (count DESC, token ASC).
+    */
+  def textVocabOov(spark: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).count()
+      .orderBy(col("count").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
     "text_compress" -> (textCompress _),
     "text_chunks" -> (textChunks _),
     "text_lm_score" -> (textLmScore _),
@@ -279,6 +309,23 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    // top-16 vocab by (count DESC, token ASC); OOV = token not in vocab
+    "text_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM toks GROUP BY 1
+        |    ORDER BY c DESC, tok LIMIT 16)),
+        |j AS (
+        |  SELECT t.doc_id, v.tok AS vtok
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(count(*) FILTER (WHERE vtok IS NULL) AS BIGINT) AS n_oov,
+        |       round(CAST(count(*) FILTER (WHERE vtok IS NULL) AS DOUBLE) / count(*), 4)
+        |         AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -428,8 +428,13 @@ object Parity {
       .filter(col("variance") > 0)
       .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
       .filter(abs(col("z")) > 3)
+    // NO rounding on the outputs: mean and z are IEEE arithmetic over
+    // bit-identical decimal-sourced inputs, so the raw doubles already
+    // hash-equal across engines — while round(x, 4) would CREATE
+    // divergence (cents/20 means land exactly on the half-grid at scale
+    // 4, and the engines round decimal ties differently)
     ev.select(col("user_id"), col("event_id"), col("value"),
-        round(col("mean"), 4).as("trailing_mean"), round(col("z"), 4).as("z"))
+        col("mean").as("trailing_mean"), col("z"))
       .orderBy("user_id", "event_id")
   }
 
@@ -1030,7 +1035,7 @@ object Parity {
         |h AS (
         |  SELECT *, (value - mean) / sqrt(variance) AS z FROM g WHERE variance > 0)
         |SELECT user_id, event_id, value,
-        |       round(mean, 4) AS trailing_mean, round(z, 4) AS z
+        |       mean AS trailing_mean, z
         |FROM h WHERE abs(z) > 3 ORDER BY user_id, event_id""".stripMargin,
   )
 
