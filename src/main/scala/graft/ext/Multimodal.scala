@@ -307,6 +307,45 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], everyK: Int): Seq[Array[Byte]] =
       payload.grouped(16).zipWithIndex
         .collect { case (b, i) if i % everyK == 0 => b }.toSeq
+
+    // --- multi-frame container ("video") -----------------------------------
+
+    /** Length-prefixed frame container: "GVID" magic, int32 frame count,
+      * then [int32 length | frame bytes] per frame — the moral shape of a
+      * video file (codec-agnostic: frames here are real BMP blobs). All
+      * ints big-endian.
+      */
+    def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(
+        8 + frames.map(_.length + 4).sum)
+      bb.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+      bb.putInt(frames.length)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+
+    /** Frame index + total count without materializing every frame: the
+      * header walk is O(frames), each frame skipped by its length prefix.
+      */
+    def decodeVideoFrames(b: Array[Byte]): Option[(Int, Seq[Array[Byte]])] = {
+      if (b.length < 8 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' || b(3) != 'D') return None
+      val bb = java.nio.ByteBuffer.wrap(b)
+      bb.position(4)
+      val n = bb.getInt
+      if (n < 0) return None
+      val frames = Seq.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < n) {
+        if (bb.remaining() < 4) return None
+        val len = bb.getInt
+        if (len < 0 || bb.remaining() < len) return None
+        val f = new Array[Byte](len)
+        bb.get(f)
+        frames += f
+        i += 1
+      }
+      Some((n, frames.result()))
+    }
   }
 
   /** The media table: documents' text bytes standing in for media blobs,
@@ -391,10 +430,47 @@ object Multimodal {
         col("meta.origin").as("origin"))
       .orderBy("doc_id")
 
+  final case class FrameRow(doc_id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, mean_lum: Double)
+
+  /** Frame sampling over a real multi-frame container: each "video" is a
+    * GVID blob of real 8x8 BMP frames (content evolves per frame, keyed
+    * to the doc id); every 4th frame is sampled, decoded with the SAME
+    * BMP parser as still images, and reduced to per-frame features. The
+    * container walk skips unsampled frames by length prefix — the decode
+    * cost is frames/k, not frames — and the whole pipeline is a
+    * partition-batched map (the right shape for batch codecs): no
+    * shuffle except output order, sampled-frame rows fan out map-side.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String, everyK: Int = 4): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val nFrames = 4 + (id % 13).toInt
+        val frames = Seq.tabulate(nFrames) { f =>
+          val rgb = Array.tabulate(8 * 8 * 3)(i => ((i * 3 + id + f * 11) % 256).toByte)
+          MediaCodec.encodeBmp(8, 8, rgb)
+        }
+        val video = MediaCodec.encodeVideo(frames)
+        // serving path: parse the container back, sample, decode
+        val (total, fs) = MediaCodec.decodeVideoFrames(video).get
+        fs.zipWithIndex.collect { case (blob, idx) if idx % everyK == 0 =>
+          val img = MediaCodec.decodeBmp(blob).get
+          // Rec.601 luma from the decoder's channel means
+          val lum = 0.299 * img.meanR + 0.587 * img.meanG + 0.114 * img.meanB
+          FrameRow(id, idx, total, img.width, img.height,
+            math.rint(lum * 10000) / 10000)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_frames" -> ((s: SparkSession, d: String) => multimodalFrames(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

@@ -177,4 +177,36 @@ class MultimodalSpec extends SparkSuite {
       }
     }
   }
+
+  test("video container round-trips and frame sampling decodes every 4th frame") {
+    import Multimodal.MediaCodec
+    // container round-trip preserves frame bytes exactly
+    val frames = Seq.tabulate(7) { f =>
+      MediaCodec.encodeBmp(8, 8, Array.tabulate(8 * 8 * 3)(i => ((i + f * 11) % 256).toByte))
+    }
+    val video = MediaCodec.encodeVideo(frames)
+    val Some((n, back)) = MediaCodec.decodeVideoFrames(video)
+    assert(n === 7)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // malformed input is refused, not thrown
+    assert(MediaCodec.decodeVideoFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodec.decodeVideoFrames(video.take(20)).isEmpty)
+
+    // query: ceil(nFrames/4) sampled frames per doc, luma matches a direct
+    // computation from the same generator
+    val got = Multimodal.multimodalFrames(spark, dir)
+    val byDoc = got.collect().groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, rows) =>
+      val nFrames = 4 + (id % 13).toInt
+      assert(rows.length === (nFrames + 3) / 4, s"doc $id: every 4th of $nFrames frames")
+      assert(rows.forall(_.getInt(2) === nFrames))
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (0 until nFrames by 4).toSeq)
+    }
+    val sample = byDoc(byDoc.keys.min).minBy(_.getInt(1))
+    val rgb = Array.tabulate(8 * 8 * 3)(i => ((i * 3 + byDoc.keys.min + 0 * 11) % 256).toByte)
+    val img = MediaCodec.decodeBmp(MediaCodec.encodeBmp(8, 8, rgb)).get
+    val lum = 0.299 * img.meanR + 0.587 * img.meanG + 0.114 * img.meanB
+    assert(sample.getDouble(5) === math.rint(lum * 10000) / 10000)
+  }
 }
