@@ -292,7 +292,42 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus health report — the daily dashboard artifact of a
+    * corpus build: document counts, token volume, quality ratios, and
+    * exact-dup rate per source, in ONE pass (the native TextStats struct
+    * is computed map-side once per document and partially aggregated;
+    * countDistinct of the content hash adds the usual two-level distinct
+    * plan). Every ratio divides exact integer sums, so the doubles are
+    * bit-identical across engines and ship UNROUNDED — round(x, k) of an
+    * int/int rational can land exactly on a decimal half (the q_anomaly
+    * lesson) where engines disagree.
+    */
+  def qSourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextStats(
+      col("text"), Seq("the", "a", "of", "and", "to", "in"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("text"), st.as("st"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique"),
+        sum(col("st.n_tokens").cast("long")).as("total_tokens"),
+        sum(col("st.n_chars").cast("long")).as("total_chars"),
+        sum(col("st.n_punct").cast("long")).as("punct_sum"),
+        sum(col("st.n_digit").cast("long")).as("digit_sum"),
+        sum(col("st.stopword_hits").cast("long")).as("stop_sum"))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+        (col("punct_sum").cast("double") / col("total_chars").cast("double")).as("punct_ratio"),
+        (col("digit_sum").cast("double") / col("total_chars").cast("double")).as("digit_ratio"),
+        (col("stop_sum").cast("double") / col("total_tokens").cast("double")).as("stopword_ratio"),
+        (lit(1.0) - col("n_unique").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_report" -> (qSourceReport _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
     "text_compress" -> (textCompress _),
     "text_chunks" -> (textChunks _),
@@ -309,6 +344,26 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer sums mirror TextStats exactly (same classes as text_quality);
+    // ratios unrounded — int/int doubles are bit-identical cross-engine
+    "q_source_report" ->
+      """WITH per AS (
+        |  SELECT source, text,
+        |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        |    length(text) AS n_chars,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','a','of','and','to','in'], x))) AS n_stop
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+        |  CAST(sum(n_punct) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE) AS punct_ratio,
+        |  CAST(sum(n_digit) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE) AS digit_ratio,
+        |  CAST(sum(n_stop) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS stopword_ratio,
+        |  1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     // top-16 vocab by (count DESC, token ASC); OOV = token not in vocab
     "text_vocab_oov" ->
       """WITH toks AS (
