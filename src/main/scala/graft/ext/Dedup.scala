@@ -503,8 +503,11 @@ object Dedup {
     * stride would sample disjoint windows and never collide). Expected
     * anchor density is 1/16 of positions (higher on space-heavy text:
     * ' ' = 32 anchors), so per-document work stays O(n) cheap checks +
-    * O(n/16) hashes; the position generate + anchor filter are map-side
-    * and collapse into the partial aggregate — no row explosion crosses
+    * O(n/16) hashes: the compiled [[graft.functions.AnchoredSpans]]
+    * expression emits only the surviving windows in one byte-walk (the
+    * composed explode(sequence)+filter form generates a row per CHAR and
+    * re-seeks UTF-8 per substring — ExtSpec pins equality), the generate
+    * collapses into the partial aggregate — no row explosion crosses
     * the exchange — and the only shuffle is the groupBy on the 128-bit
     * hash, with output bounded by the number of duplicated spans. A
     * shared passage of L ≥ 63 chars is missed only if its first L-47
@@ -522,10 +525,8 @@ object Dedup {
     docs
       .filter(col("n_chars") >= SpanWindow)
       .select(col("doc_id"),
-        explode(sequence(lit(1), (col("n_chars") - (SpanWindow - 1)).cast("int"))).as("p"),
-        col("text"))
-      .filter(pmod(ascii(substring(col("text"), col("p"), lit(1))), lit(SpanStride)) === 0)
-      .select(col("doc_id"), md5(substring(col("text"), col("p"), lit(SpanWindow))).as("span_hash"))
+        explode(graft.functions.AnchoredSpans(col("text"), SpanWindow, SpanStride)).as("span"))
+      .select(col("doc_id"), md5(col("span").cast("binary")).as("span_hash"))
       .groupBy(col("span_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),

@@ -333,3 +333,80 @@ object RepetitionStats {
   def apply(text: Column): Column =
     Bridge.toColumn(RepetitionStats(Bridge.toExpression(text)))
 }
+
+/** Content-anchored span windows in one compiled pass: every
+  * `window`-codepoint substring whose first codepoint ≡ 0 (mod
+  * `modulus`), for span-level dedup ([[graft.ext.Dedup.dedupSpans]]).
+  *
+  * Semantics exactly mirror the SQL formulation the oracle runs —
+  * positions are CODEPOINTS (not bytes), the anchor test is the full
+  * codepoint value, and only starts with `window` codepoints remaining
+  * qualify — but in ONE byte-walk per document. The composed
+  * explode(sequence(1, n))-then-filter form materializes an int array
+  * the size of the text and pays an O(position) UTF-8 re-seek per
+  * substring call (quadratic per document); this expression emits only
+  * the ~n/modulus surviving windows, each sliced by precomputed byte
+  * offsets.
+  */
+case class AnchoredSpans(child: Expression, window: Int, modulus: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "anchored_spans"
+  override protected def withNewChildInternal(newChild: Expression): AnchoredSpans =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    AnchoredSpans.compute(input.asInstanceOf[UTF8String].getBytes, window, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AnchoredSpans.compute($c.getBytes(), $window, $modulus);")
+}
+
+object AnchoredSpans {
+
+  def compute(bytes: Array[Byte], window: Int, modulus: Int): GenericArrayData = {
+    val len = bytes.length
+    // one pass: byte offset + decoded codepoint per char
+    var offs = new Array[Int](math.max(len / 2, 8))
+    var cps = new Array[Int](math.max(len / 2, 8))
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      if (nChars == offs.length) {
+        offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+        cps = java.util.Arrays.copyOf(cps, cps.length * 2)
+      }
+      val b0 = bytes(i) & 0xff
+      val nb = UTF8String.numBytesForFirstByte(bytes(i))
+      val cp =
+        if (b0 < 0x80) b0
+        else if (nb == 2) ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+        else if (nb == 3) ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+        else ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+      offs(nChars) = i
+      cps(nChars) = cp
+      nChars += 1
+      i += nb
+    }
+    if (nChars < window) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nChars / modulus + 1)
+    var s = 0
+    val lastStart = nChars - window
+    while (s <= lastStart) {
+      if (cps(s) % modulus == 0) {
+        val from = offs(s)
+        val until = if (s + window < nChars) offs(s + window) else len
+        out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until))
+      }
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(text: Column, window: Int, modulus: Int): Column =
+    Bridge.toColumn(AnchoredSpans(Bridge.toExpression(text), window, modulus))
+}

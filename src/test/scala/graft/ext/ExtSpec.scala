@@ -633,6 +633,36 @@ class ExtSpec extends SparkSuite {
     edge.collect().foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("native AnchoredSpans matches the composed explode+filter formulation on real documents") {
+    val docs = Tables.documents(spark, dir).filter(col("n_chars") >= 48)
+    val composed = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), (col("n_chars") - 47).cast("int"))).as("p"),
+        col("text"))
+      .filter(pmod(ascii(substring(col("text"), col("p"), lit(1))), lit(16)) === 0)
+      .select(col("doc_id"), substring(col("text"), col("p"), lit(48)).as("span"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val native = docs
+      .select(col("doc_id"),
+        explode(graft.functions.AnchoredSpans(col("text"), 48, 16)).as("span"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(native.nonEmpty)
+    assert(native === composed)
+    // multi-byte text: codepoint positions and anchor values, not bytes
+    import spark.implicits._
+    val uni = Seq((1L, "é" * 60), (2L, ("ـ" * 50) + "abc")) // U+0640 % 16 == 0
+      .toDF("doc_id", "text")
+    val got = uni.select(col("doc_id"),
+        explode(graft.functions.AnchoredSpans(col("text"), 48, 16)).as("span"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // 'é' = 0xE9, 233 % 16 = 9 -> no anchors; U+0640 = 1600 % 16 = 0 ->
+    // anchors at every arabic-tatweel position with 48 codepoints left
+    assert(!got.exists(_._1 == 1L))
+    val doc2 = got.filter(_._1 == 2L)
+    assert(doc2.length === 6, "53 codepoints, window 48: starts 1..6 all anchored")
+    assert(doc2.forall(_._2.length === 48))
+  }
+
   test("span dedup finds planted passages at MISALIGNED offsets and nothing else") {
     import spark.implicits._
     val passage = ("x" * 10) + "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN AND AGAIN AND AGAIN." + ("y" * 10)
