@@ -156,6 +156,27 @@ object Scale {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Training-shard export — the last step of a corpus build: write the
+    * curated corpus as `nShards` equal-weight files in a deterministic
+    * pseudo-random order (training ingestion reads shards sequentially,
+    * so the SHARD LAYOUT is the shuffle). Shard assignment and in-shard
+    * order both hash the stable id — never `rand()` — so the export is
+    * byte-reproducible across runs and task retries, and any shard can
+    * be rebuilt alone. One hash-partition exchange + in-partition sort;
+    * no global order, no driver bottleneck, balanced by md5 uniformity
+    * at any corpus size.
+    */
+  def writeTrainingShards(
+      df: DataFrame, path: String, idCol: String, nShards: Int): Unit = {
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    df.withColumn("__shard", pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), md5(col(idCol).cast("string").cast("binary")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__shard")
+      .parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files. Incremental pipelines accrete
     * tiny files (one-per-task-per-batch); at scale the file count, not

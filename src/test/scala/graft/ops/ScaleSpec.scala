@@ -139,6 +139,31 @@ class ScaleSpec extends SparkSuite {
     assert(qs < ls / 1.5, s"quantile rank span $qs must beat linear $ls by 1.5x under skew")
   }
 
+  test("training shard export: complete, balanced, deterministic, shards independently ordered") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val p1 = java.nio.file.Files.createTempDirectory("shards").toString + "/a"
+    Scale.writeTrainingShards(docs, p1, "doc_id", 8)
+    val dirs = new java.io.File(p1).listFiles().map(_.getName).filter(_.startsWith("__shard="))
+    assert(dirs.sorted.toSeq === (0 until 8).map(s => s"__shard=$s"))
+    // complete: every doc exactly once
+    val back = spark.read.parquet(p1)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    // balanced: md5 uniformity keeps shard sizes within 2x of each other
+    val sizes = back.groupBy(col("__shard")).count().collect().map(_.getLong(1))
+    assert(sizes.max < 2 * sizes.min, s"shard sizes ${sizes.toSeq}")
+    // deterministic: a second export produces identical per-shard content
+    val p2 = java.nio.file.Files.createTempDirectory("shards").toString + "/b"
+    Scale.writeTrainingShards(docs, p2, "doc_id", 8)
+    def shardRows(p: String, s: Int) =
+      spark.read.parquet(s"$p/__shard=$s").collect().map(_.toString).toSeq
+    (0 until 8).foreach(s => assert(shardRows(p1, s) === shardRows(p2, s)))
+    // in-shard order is the md5 pseudo-random order, not id order
+    val ids = spark.read.parquet(s"$p1/__shard=0").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids !== ids.sorted, "shard order must be hash-shuffled, not id-ordered")
+  }
+
   test("compaction merges many small files into few, preserving every row") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("compact_tbl").toString
