@@ -88,4 +88,40 @@ class SketchPropertiesSpec extends AnyFunSuite {
       assert(hs.toSet.size === hs.length)
     }
   }
+
+  // unicode text: ascii + latin-1 + CJK + an anchor-class codepoint
+  // (U+0640, 1600 % 16 == 0) so multi-byte anchors are exercised
+  val uniChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('é'),
+    1 -> Gen.const('日'), 1 -> Gen.const('ـ'))
+  val uniText: Gen[String] =
+    Gen.choose(0, 120).flatMap(n => Gen.stringOfN(n, uniChar))
+
+  test("AnchoredSpans equals a naive codepoint-based reference on unicode text") {
+    def reference(s: String, window: Int, mod: Int): Seq[String] = {
+      val cps = s.codePoints().toArray // all test chars are BMP
+      (0 to cps.length - window)
+        .filter(i => cps(i) % mod == 0)
+        .map(i => new String(cps, i, window))
+    }
+    samples(uniText, 200).foreach { s =>
+      val got = AnchoredSpans.compute(s.getBytes("UTF-8"), 8, 16)
+        .array.map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+      assert(got === reference(s, 8, 16), s"text=${s.take(40)}")
+    }
+  }
+
+  test("DeflateRatio: monotone under repetition, deterministic, defined on empty") {
+    samples(uniText, 100).foreach { s =>
+      val r1 = DeflateRatio.ratio(s.getBytes("UTF-8"))
+      assert(r1 === DeflateRatio.ratio(s.getBytes("UTF-8")))
+      assert(r1 > 0)
+      if (s.length >= 20) {
+        // repeating the same content must compress at least as well
+        val rep = DeflateRatio.ratio((s * 20).getBytes("UTF-8"))
+        assert(rep <= r1 * 1.05, s"repetition ratio $rep vs single $r1")
+      }
+    }
+    assert(DeflateRatio.ratio(Array.emptyByteArray) === 1.0)
+  }
 }
