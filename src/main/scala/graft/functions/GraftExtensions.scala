@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-plan rewrites: range-predicate joins become binned equi joins
     ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRule)
+    // whole-operator semantics Spark lacks: the as-of join's logical node
+    // plans to the streaming merge exec (preference-order (c))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

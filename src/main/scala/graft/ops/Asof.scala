@@ -73,15 +73,65 @@ object Asof {
       .orderBy("event_id")
   }
 
+  /** The same as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoinExec]]): co-partition by key, sort each side,
+    * one streaming merge per partition with O(1) state — no union of the
+    * sides, no window carrying left rows. The payload columns are
+    * appended to the left schema (nullable).
+    */
+  def joinLastExec(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    // manual pruning + FRESH ids: the logical node is opaque to
+    // ColumnPruning, and self-joins share attribute ids between sides —
+    // the analyzer's DeduplicateRelations rewrites child plans but not a
+    // custom node's captured attributes, so reference the right side
+    // through explicit aliases (always new exprIds, never remapped)
+    val rightP = right.select((Seq(key, ts) ++ payload).map(n => col(n).as(n)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightP.queryExecution.analyzed
+    def attr(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      pl.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${pl.output.map(_.name)}"))
+    val payloadAttrs = payload.map(attr(rPlan, _))
+    val payloadOut = payloadAttrs.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)())
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      left.sparkSession,
+      graft.plans.AsofJoinPlan(lPlan, rPlan,
+        attr(lPlan, key), attr(lPlan, ts), attr(rPlan, key), attr(rPlan, ts),
+        payloadAttrs, payloadOut))
+  }
+
+  /** Driver-contract entry for the custom operator, against the SAME
+    * DuckDB ASOF oracle as the composed form — a correctness gate on the
+    * physical operator itself.
+    */
+  def qAsofExec(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+    joinLastExec(
+      events.select("event_id", "user_id", "ts"),
+      purchases, "user_id", "ts", Seq("last_purchase"))
+      .select("event_id", "last_purchase")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_exec" -> (qAsofExec _),
   )
 
+  private val asofOracle =
+    """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, p.value AS last_purchase
+      |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_asof_join" ->
-      """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
-        |SELECT e.event_id, p.value AS last_purchase
-        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
-        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_join" -> asofOracle,
+    "q_asof_exec" -> asofOracle,
   )
 }

@@ -57,4 +57,40 @@ class AsofSpec extends SparkSuite {
     // purchases themselves must be matched to at least their own value
     assert(df.filter("last_purchase IS NOT NULL").count() > 0)
   }
+
+  test("custom AsofJoinExec matches the composed form on every handcrafted case") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 35L),
+      (4L, "u2", 50L), (5L, "u3", 99L)
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      ("u1", 20L, Option(200.0)), ("u1", 20L, Option(900.0)),
+      ("u1", 30L, Option(300.0)), ("u2", 15L, Option(150.0)),
+      ("u2", 40L, Option.empty[Double])
+    ).toDF("user_id", "t", "px")
+    def collectMap(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+      df.collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // exec == composed, independent of the right side's partition layout
+    val want = collectMap(Asof.joinLast(left, right, "user_id", "t", Seq("px")))
+    Seq(right, right.repartition(7), right.coalesce(1)).foreach { r =>
+      val got = collectMap(Asof.joinLastExec(left, r, "user_id", "t", Seq("px")))
+      assert(got === want)
+    }
+    // spot-check semantics directly: tie -> largest payload; null-carrying
+    // most-recent row wins; no-prior and no-key rows null
+    assert(want(1L).isEmpty && want(2L).contains(900.0) && want(3L).contains(300.0))
+    assert(want(5L).isEmpty)
+  }
+
+  test("AsofJoinExec equals joinLast on the full events table and plans as a streaming merge") {
+    val df = Asof.qAsofExec(spark, "/root/testdata/sf0.001")
+    val want = Asof.qAsofJoin(spark, "/root/testdata/sf0.001")
+    assert(df.collect().map(_.toString).toSeq === want.collect().map(_.toString).toSeq)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("AsofJoin"), s"custom exec node must plan:\n$plan")
+    assert(!plan.contains("Window"), s"no window pass in the exec path:\n$plan")
+    assert(!plan.contains("Union"), s"no union of the sides in the exec path:\n$plan")
+  }
 }
