@@ -83,6 +83,37 @@ class AsofSpec extends SparkSuite {
     assert(want(5L).isEmpty)
   }
 
+  test("AsofJoinExec over bucketed tables runs without an exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+    Scale.writeBucketed(
+      ev.select("event_id", "user_id", "ts"), "asof_left_b", "user_id", 8)
+    Scale.writeBucketed(
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("value").as("last_purchase")),
+      "asof_right_b", "user_id", 8)
+    val joined = Asof.joinLastExec(
+      spark.table("asof_left_b"), spark.table("asof_right_b"),
+      "user_id", "ts", Seq("last_purchase"))
+    val plan = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed sides must merge without shuffling:\n$plan")
+    // and the bucketed run returns the same rows as the plain one
+    val want = Asof.joinLastExec(
+      ev.select("event_id", "user_id", "ts"),
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("value").as("last_purchase")),
+      "user_id", "ts", Seq("last_purchase"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(joined.collect().map(_.toString).sorted.toSeq === want)
+  }
+
   test("AsofJoinExec equals joinLast on the full events table and plans as a streaming merge") {
     val df = Asof.qAsofExec(spark, "/root/testdata/sf0.001")
     val want = Asof.qAsofJoin(spark, "/root/testdata/sf0.001")
