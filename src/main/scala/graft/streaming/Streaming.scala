@@ -354,6 +354,37 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming as-of enrichment: each micro-batch of events is enriched
+    * with the most recent static-dimension row at or before its event
+    * time, THROUGH THE CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoinExec]]) — `foreachBatch` hands every
+    * micro-batch over as a plain DataFrame, so the batch operator (and
+    * its exchange-free bucketed layout) serves streaming unchanged.
+    * Because the as-of is against a STATIC right side, per-batch
+    * enrichment equals the full-batch run row for row (StreamingSpec
+    * asserts it); per-batch output goes to partition-scoped parquet
+    * appends, the same sink discipline as the CDC apply.
+    */
+  def runAsofEnrichStream(
+      spark: SparkSession, inputGlob: String, dim: DataFrame, outDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val enriched = graft.ops.Asof.joinLastExec(
+            normalize(batch.toDF()).select("event_id", "user_id", "ts"),
+            dim, "user_id", "ts", Seq("last_purchase"))
+          enriched.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // --- driver-contract query entries ---------------------------------------
 
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame =

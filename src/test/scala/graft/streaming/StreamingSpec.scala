@@ -45,6 +45,28 @@ class StreamingSpec extends SparkSuite {
     assert(batch.toSeq === truth.toSeq)
   }
 
+  test("streaming as-of enrichment through the custom exec equals the full-batch run") {
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("asof_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    // two files -> two micro-batches
+    raw.filter(pmod(col("event_id"), lit(2)) === 0).write.parquet(streamDir.resolve("b1").toString)
+    raw.filter(pmod(col("event_id"), lit(2)) === 1).write.parquet(streamDir.resolve("b2").toString)
+    val dim = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("last_purchase"))
+    val outDir = java.nio.file.Files.createTempDirectory("asof_out").toString + "/enriched"
+    Streaming.runAsofEnrichStream(spark, s"$streamDir/*", dim, outDir)
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(_.toString).sorted.toSeq
+    val full = graft.ops.Asof.joinLastExec(
+      graft.Tables.events(spark, dir).select("event_id", "user_id", "ts"),
+      dim, "user_id", "ts", Seq("last_purchase"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === full, "static-dim as-of is batch-decomposable")
+  }
+
   test("sliding-window stream equals the batch sliding aggregation") {
     val streamDir = java.nio.file.Files.createTempDirectory("events_sliding_stream")
     java.nio.file.Files.copy(
