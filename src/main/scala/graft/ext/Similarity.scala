@@ -35,6 +35,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** PRE-FILTERED vector search — the metadata-constrained ANN shape a
+    * retrieval stack actually serves ("nearest neighbors among docs
+    * matching this predicate"). Pre-filtering beats post-filtering
+    * structurally: filtering the candidate set FIRST guarantees k true
+    * results under any predicate selectivity, where post-filtering a
+    * top-k' overfetch can come back short (or rescan) when the predicate
+    * is selective. The metadata predicate lives on the documents table,
+    * so the plan is: pushed-down predicate scan of the metadata side →
+    * broadcast-semi join onto the embedding corpus (one scan, no corpus
+    * shuffle) → exact cosine → TakeOrderedAndProject. Against a
+    * bucketed/IVF layout the same semi join composes with partition
+    * pruning — the filter and the probe both cut the scan.
+    */
+  def annTopkFiltered(
+      spark: SparkSession, dir: String, lang: String = "en",
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === lang)
+      .select(col("doc_id").as("vec_id"))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_emb"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(allowed), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("query_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Brute-force top-k over the int8-QUANTIZED corpus — the
     * storage-compressed path ([[graft.functions.QuantizeInt8]]: 4x
     * smaller on disk, per-vector scale). Same plan shape as [[annTopk]];
@@ -276,6 +306,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_stats" -> (qEmbedStats _),
     "ann_topk" -> ((s: SparkSession, d: String) => annTopk(s, d)),
+    "ann_topk_filtered" -> ((s: SparkSession, d: String) => annTopkFiltered(s, d)),
     "ann_topk_int8" -> ((s: SparkSession, d: String) => annTopkInt8(s, d)),
     "ann_topk_batch" -> ((s: SparkSession, d: String) => annTopkBatch(s, d)),
     "ann_lsh_buckets" -> (annLshBuckets _),
@@ -301,6 +332,16 @@ object Similarity {
         |       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS std,
         |       round(vmin, 6) AS vmin, round(vmax, 6) AS vmax
         |FROM a ORDER BY dim""".stripMargin,
+    // pre-filtered exact search: predicate on the metadata table, then
+    // cosine top-k among the survivors only
+    "ann_topk_filtered" ->
+      """WITH q AS (SELECT embedding AS query_emb FROM embeddings WHERE vec_id = 0),
+        |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en')
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) AS cosine
+        |FROM embeddings e JOIN allowed a ON e.vec_id = a.doc_id, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT embedding AS query_emb FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
