@@ -257,7 +257,32 @@ object Curation {
     snapshotDiff(prev, cur)
   }
 
+  /** Cross-split contamination audit: the verified near-duplicate pairs
+    * of [[Dedup.dedupMinhash]] grouped by the split labels of their two
+    * endpoints — the check a corpus build runs AFTER splitting, because
+    * a near-duplicate of a test document sitting in train silently
+    * defeats the held-out evaluation (dedup-then-split or this audit is
+    * mandatory; Lee et al. 2022 measure the effect). Split labels are
+    * canonically ordered per pair (least/greatest) so (train,test) and
+    * (test,train) aggregate as one row; any row with split_lo ≠ split_hi
+    * is leakage.
+    *
+    * Scale shape: the pair pipeline is LSH-bucket-bounded (never
+    * corpus²), split assignment is a pure hash map on the pair row, and
+    * the rollup is ≤6 rows regardless of corpus size.
+    */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupMinhash(spark, dir)
+      .select(
+        least(splitAssign(col("doc_a")), splitAssign(col("doc_b"))).as("split_lo"),
+        greatest(splitAssign(col("doc_a")), splitAssign(col("doc_b"))).as("split_hi"),
+        col("jaccard"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("split_lo", "split_hi")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_mix_weights" -> (qMixWeights _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -267,10 +292,12 @@ object Curation {
     "q_stratified_sample" -> (qStratifiedSample _),
   )
 
-  private val splitSql =
-    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-      |     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-      |     ELSE 'test' END""".stripMargin
+  private def splitSqlFor(c: String) =
+    s"""CASE WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+       |     WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  private val splitSql = splitSqlFor("doc_id")
 
   // langid argmax structs generated from the SAME profile list the Spark
   // side scores with (mirrors Text.oracles("text_langid"))
@@ -280,6 +307,18 @@ object Curation {
   }.mkString(",\n        ")
 
   val oracles: Map[String, String] = Map(
+    // same pairs CTE as dedup_minhash/dedup_cluster (shared truth), with
+    // the md5 split CASE applied to each endpoint
+    "q_split_leakage" ->
+      s"""WITH ${Dedup.minhashPairsCte},
+         |lab AS (
+         |  SELECT jaccard,
+         |         ${splitSqlFor("doc_a")} AS sa,
+         |         ${splitSqlFor("doc_b")} AS sb
+         |  FROM pairs)
+         |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+         |       count(*) AS n_pairs, max(jaccard) AS max_jaccard
+         |FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
     "q_mix_weights" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -125,31 +125,108 @@ object Retrieval {
   def qTfidf(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(Tables.documents(spark, dir))
 
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF): the lexical
+    * (BM25) and dense (cosine top-k) candidate lists merge by
+    * Σ 1/(c + rank) — the standard fusion rule for text+vector search,
+    * robust to the two scorers' incomparable score scales because only
+    * RANKS enter the sum.
+    *
+    * Scale shape: each retriever runs its own scale-safe plan (BM25's
+    * explode→partial-agg, the vector side's one-scan
+    * TakeOrderedAndProject); fusion then touches only 2×depth candidate
+    * rows — the rank windows and the full-outer merge are bounded by the
+    * `depth` constant, independent of corpus size.
+    */
+  def rrfFusion(
+      spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, depth: Int = 50, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = bm25(Tables.documents(spark, dir), QueryTerms, depth)
+      .select(col("doc_id"), col("score"))
+    val tRank = text
+      .withColumn("text_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("text_rank"))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("query_emb"))
+    val vec = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("embedding"), col("query_emb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(depth)
+    val vRank = vec
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+    tRank.join(vRank, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(c) + col("text_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(c) + col("vec_rank")), lit(0.0)), 6).as("rrf_score"),
+        col("text_rank"), col("vec_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfFusion(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
     "q_contamination" -> (qContamination _),
     "q_tfidf" -> (qTfidf _),
+    "q_rrf_fusion" -> (qRrfFusion _),
   )
 
   private def termList = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  /** Shared CTE chain ending in `bscore(doc_id, score, n_terms_hit)` —
+    * BM25 scores for [[QueryTerms]] (mirrors [[bm25]]); shared by the
+    * `q_bm25` and `q_rrf_fusion` oracles so the scoring semantics cannot
+    * drift between them.
+    */
+  private def bm25ScoreCte: String =
+    s"""t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |d AS (SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM t),
+       |stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM t),
+       |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM d
+       |       WHERE list_contains($termList, tok) GROUP BY 1, 2, 3),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |bscore AS (
+       |  SELECT doc_id,
+       |         round(sum(ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+       |               * (tf.tf * ${K1 + 1}) /
+       |                 (tf.tf + $K1 * (1.0 - $B + $B * dl / avgdl))), 4) AS score,
+       |         count(*) AS n_terms_hit
+       |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+       |  GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bm25" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
-         |d AS (SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM t),
-         |stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM t),
-         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM d
-         |       WHERE list_contains($termList, tok) GROUP BY 1, 2, 3),
-         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
-         |SELECT doc_id,
-         |       round(sum(ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
-         |             * (tf.tf * ${K1 + 1}) /
-         |               (tf.tf + $K1 * (1.0 - $B + $B * dl / avgdl))), 4) AS score,
-         |       count(*) AS n_terms_hit
-         |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
-         |GROUP BY doc_id
+      s"""WITH $bm25ScoreCte
+         |SELECT doc_id, score, n_terms_hit FROM bscore
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_rrf_fusion" ->
+      s"""WITH $bm25ScoreCte,
+         |btop AS (SELECT doc_id, score FROM bscore ORDER BY score DESC, doc_id LIMIT 50),
+         |brank AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS text_rank
+         |          FROM btop),
+         |vtop AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) AS cosine
+         |  FROM embeddings e, (SELECT embedding AS query_emb FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0 ORDER BY cosine DESC, doc_id LIMIT 50),
+         |vrank AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS vec_rank
+         |          FROM vtop)
+         |SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         |       round(coalesce(CAST(1 AS DOUBLE) / (60 + b.text_rank), 0)
+         |             + coalesce(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0), 6) AS rrf_score,
+         |       b.text_rank AS text_rank, v.vec_rank AS vec_rank
+         |FROM brank b FULL JOIN vrank v ON b.doc_id = v.doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     // rank by the ROUNDED score on both sides so tie-breaks agree
     "q_tfidf" ->
       """WITH t AS (

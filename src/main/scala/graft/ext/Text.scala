@@ -326,8 +326,55 @@ object Text {
       .orderBy("source")
   }
 
+  /** Collocation mining via pointwise mutual information: top word
+    * bigrams by PMI = ln(P(xy) / (P(x)·P(y))) over corpus unigram/bigram
+    * frequencies, with a minimum-support filter — the phrase-extraction
+    * pass of corpus analysis (multi-word expressions surface as high-PMI
+    * pairs; high-frequency/low-PMI pairs are grammatical noise).
+    *
+    * Scale shape: unigram and bigram counting are explode→partial-agg
+    * passes (the fan-out is absorbed map-side before the exchange; the
+    * bigram explode comes from the compiled
+    * [[graft.functions.WordShingles]] byte-walk, multiplicities kept).
+    * Corpus totals are scalar re-aggregations of the grouped counts
+    * (exchange reuse runs each explode once) and broadcast; the two
+    * unigram joins key on the word, so work is bounded by DISTINCT
+    * bigram count, never corpus size. Top-k lowers to
+    * TakeOrderedAndProject.
+    */
+  def textPmi(spark: SparkSession, dir: String, minCount: Int = 5, k: Int = 20): DataFrame =
+    pmiBigrams(Tables.documents(spark, dir), minCount, k)
+
+  def pmiBigrams(docs: DataFrame, minCount: Int, k: Int): DataFrame = {
+    import graft.functions.WordShingles
+    val uni = docs
+      .select(explode(TextFns.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val uniTotal = uni.agg(sum(col("c_w")).as("n_uni"))
+    val bigAll = docs
+      .select(explode(WordShingles(lower(col("text")), 2, distinct = false)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+    val bigTotal = bigAll.agg(sum(col("c_xy")).as("n_big"))
+    bigAll.filter(col("c_xy") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+      .crossJoin(broadcast(uniTotal))
+      .crossJoin(broadcast(bigTotal))
+      .select(
+        col("bg").as("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        round(log(col("c_xy").cast("double") * col("n_uni") * col("n_uni") /
+          (col("c_x").cast("double") * col("c_y") * col("n_big"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def qTextPmi(spark: SparkSession, dir: String): DataFrame = textPmi(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_report" -> (qSourceReport _),
+    "text_pmi" -> (qTextPmi _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
     "text_compress" -> (textCompress _),
     "text_chunks" -> (textChunks _),
@@ -344,6 +391,26 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    // bigram construction mirrors WordShingles(n=2, distinct=false):
+    // <2-token docs contribute their tokens joined as ONE shingle
+    "text_pmi" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |uc AS (SELECT wd, count(*) AS c_w
+        |       FROM (SELECT unnest(w) AS wd FROM t) GROUP BY wd),
+        |ut AS (SELECT sum(c_w) AS n_uni FROM uc),
+        |bc AS (SELECT bg, count(*) AS c_xy FROM (
+        |         SELECT unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |                            ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS bg
+        |         FROM t) GROUP BY bg),
+        |bt AS (SELECT sum(c_xy) AS n_big FROM bc)
+        |SELECT f.bg AS bigram, f.c_xy AS c_xy, x.c_w AS c_x, y.c_w AS c_y,
+        |       round(ln(CAST(f.c_xy AS DOUBLE) * n_uni * n_uni /
+        |             (CAST(x.c_w AS DOUBLE) * y.c_w * n_big)), 4) AS pmi
+        |FROM (SELECT bg, c_xy FROM bc WHERE c_xy >= 5) f
+        |JOIN uc x ON string_split(f.bg, ' ')[1] = x.wd
+        |JOIN uc y ON string_split(f.bg, ' ')[2] = y.wd
+        |CROSS JOIN ut CROSS JOIN bt
+        |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
     // integer sums mirror TextStats exactly (same classes as text_quality);
     // ratios unrounded — int/int doubles are bit-identical cross-engine
     "q_source_report" ->

@@ -548,6 +548,49 @@ object Parity {
       .orderBy("s_nationkey")
   }
 
+  /** Star-schema flagship (TPC-H Q5 shape): revenue per nation for one
+    * region and one order year, with the supplier constrained to the
+    * customer's nation. The canonical mixed-join plan at 100 TB:
+    *   - region→nation and the region-filtered customer set BROADCAST
+    *     (dimension chain never shuffles the facts);
+    *   - orders is date-filtered AT THE SCAN (pushed predicate) before
+    *     touching lineitem, so the fact-fact join sees only the
+    *     qualifying year;
+    *   - the only shuffles are the two fact-side equi-joins
+    *     (orders⋈customer is broadcast too once customers are filtered;
+    *     AQE picks broadcast when the filtered side fits);
+    *   - revenue in DECIMAL(18,2), cast to double only at the end.
+    */
+  def qStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(18, 2)
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(d) * (lit(1).cast(d) - col("l_discount").cast(d)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   /** Time-series gap fill — the regularization step before any
     * training-window or forecasting job: per-user hourly activity on a
     * dense hour spine, zero-filled counts and last-observation-carried-
@@ -828,6 +871,20 @@ object Parity {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_star_join" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_skew_join" ->
       """SELECT s_nationkey,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -1080,5 +1137,6 @@ object Parity {
     "q_histogram" -> (qHistogram _),
     "q_corr" -> (qCorr _),
     "q_scd2" -> (qScd2 _),
+    "q_star_join" -> (qStarJoin _),
   )
 }

@@ -242,6 +242,41 @@ object Streaming {
       .select(col("purchase_id"), col("view_id"))
   }
 
+  /** LEFT OUTER attribution — every view paired with the purchases it
+    * preceded within an hour, unmatched views kept as null rows. The
+    * outer side is what the inner join cannot express: "views that did
+    * NOT convert" (the abandonment signal). On a stream, a view can only
+    * be DECLARED unmatched once the purchase-side watermark passes
+    * v_ts + 1h — so null rows emit watermark-late by construction, and
+    * both watermarks plus the time bound are mandatory (they are what
+    * lets the engine ever give up on a match). State stays ~an hour of
+    * events per side, same as the inner join.
+    */
+  def viewPurchaseLeftJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.select(
+      col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val p = purchases.select(
+      col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    v.join(p,
+        col("p_user") === col("v_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"))
+  }
+
+  /** Per-user conversion rollup over the left-outer attribution — the
+    * batch/stream-shared form the driver checks: views, matched
+    * (view, purchase) rows, and views that never converted.
+    */
+  def viewConversionRollup(views: DataFrame, purchases: DataFrame): DataFrame =
+    viewPurchaseLeftJoin(views, purchases)
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("view_id")).as("n_views"),
+        count(col("purchase_id")).as("n_matched_rows"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched_views"))
+
   /** Stream-stream inner join runner: both sides watermarked, AvailableNow
     * trigger, append mode (inner-join matches emit as soon as both rows
     * have arrived; the watermark only governs state eviction, so draining
@@ -255,6 +290,38 @@ object Streaming {
     val purchases = src().filter(col("event_type") === "purchase")
       .withWatermark("ts", "10 minutes")
     val q = viewPurchaseJoin(views, purchases).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Stream-stream LEFT OUTER join runner — and the outer-join tail
+    * problem it has to solve: a view's null row only emits once the
+    * watermark passes v_ts + 1h, so the last hour of a drained feed
+    * stays in state forever unless something still advances the
+    * watermark. A heartbeat must reach BOTH watermark nodes, and
+    * "neutral" events of a type neither side keeps do NOT: Catalyst
+    * pushes the event-type filter below the watermark operator (filter
+    * pushdown is semantics-preserving there), so each side's watermark
+    * tracks only its own filtered rows. The heartbeat therefore has to
+    * be one sentinel VIEW plus one sentinel PURCHASE on reserved user
+    * ids that can never join (the downstream rollup drops sentinel
+    * users) — after which the advanced watermark triggers eviction in
+    * the no-data micro-batch AvailableNow runs before terminating.
+    * StreamingSpec stages exactly this and asserts stream == batch.
+    */
+  def runStreamLeftJoin(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    def src(): DataFrame =
+      normalize(spark.readStream
+        .schema(eventsRawSchema)
+        .parquet(inputGlob))
+        .withWatermark("ts", "10 minutes")
+    val views = src().filter(col("event_type") === "view")
+    val purchases = src().filter(col("event_type") === "purchase")
+    val q = viewPurchaseLeftJoin(views, purchases).writeStream
       .outputMode(OutputMode.Append())
       .format("memory")
       .queryName(queryName)
@@ -413,6 +480,14 @@ object Streaming {
       .orderBy("purchase_id", "view_id")
   }
 
+  def qStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    viewConversionRollup(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("user_id")
+  }
+
   def qStreamEnrich(spark: SparkSession, dir: String): DataFrame =
     categoryCounts(graft.Tables.events(spark, dir))
       .orderBy("category")
@@ -426,6 +501,7 @@ object Streaming {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_left_join" -> (qStreamLeftJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_dedup" -> (qStreamDedup _),
   )
@@ -468,6 +544,16 @@ object Streaming {
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |ORDER BY purchase_id, view_id""".stripMargin,
+    "q_stream_left_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        |      FROM v LEFT JOIN p ON p.user_id = v.user_id
+        |        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |SELECT user_id, count(DISTINCT view_id) AS n_views,
+        |       count(purchase_id) AS n_matched_rows,
+        |       CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_views
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_enrich" ->
       """WITH dim(event_type, category) AS (VALUES
         |  ('click','engagement'),('view','engagement'),('purchase','revenue'),

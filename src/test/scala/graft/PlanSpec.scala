@@ -48,6 +48,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("star join: dimension chain broadcasts, order-date filter reaches the scan") {
+    val p = planOf(Parity.qStarJoin(spark, dir))
+    // customer/supplier/nation sides all broadcast — the fact table is
+    // never shuffled for a dimension
+    val nBroadcast = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("o_orderdate"), s"order-date filter not pushed: $pushed")
+  }
+
   test("aggregations use two-phase hash aggregation (map-side partials)") {
     val p = planOf(Parity.qAgg(spark, dir))
     assert(p.contains("HashAggregate"), p)

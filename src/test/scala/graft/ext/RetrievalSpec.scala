@@ -74,4 +74,54 @@ class RetrievalSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(a === b)
   }
+
+  test("RRF fusion scores are exactly the reciprocal-rank sums of its lists") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Retrieval.rrfFusion(spark, dir)
+      .as[(Long, Double, Option[Int], Option[Int])].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // returned ranks reconstruct the score bit-for-bit
+    rows.foreach { case (id, score, tr, vr) =>
+      assert(tr.isDefined || vr.isDefined, s"doc $id in neither list")
+      val expect = tr.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(score === math.rint(expect * 1e6) / 1e6, s"doc $id")
+      tr.foreach(r => assert(r >= 1 && r <= 50)); vr.foreach(r => assert(r >= 1 && r <= 50))
+    }
+    // descending by fused score with doc_id tiebreak
+    val pairs = rows.map(r => (r._2, r._1))
+    assert(pairs.sameElements(pairs.sortBy { case (s, id) => (-s, id) }))
+  }
+
+  test("PMI surfaces a planted collocation and matches the closed form") {
+    // "alpha beta" always adjacent; fillers independent. 8 docs x "alpha
+    // beta" once per doc + noise
+    val docs = (0L until 8L).map { i =>
+      (i, s"alpha beta w$i x$i y$i z$i w$i x$i")
+    }.toDF("doc_id", "text")
+    val got = Text.pmiBigrams(docs, minCount = 5, k = 5)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.head._1 === "alpha beta")
+    val (_, cxy, cx, cy, pmi) = got.head
+    assert(cxy === 8L && cx === 8L && cy === 8L)
+    // every doc has 8 tokens -> 64 unigrams, 7 bigrams -> 56 bigrams
+    val expect = math.log(cxy.toDouble * 64 * 64 / (cx.toDouble * cy * 56))
+    assert(pmi === math.rint(expect * 1e4) / 1e4)
+  }
+
+  test("split-leakage rollup partitions the near-dup pairs by endpoint splits") {
+    val dir = "/root/testdata/sf0.001"
+    val report = Curation.qSplitLeakage(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    val pairs = Dedup.dedupMinhash(spark, dir)
+      .withColumn("sa", Curation.splitAssign(col("doc_a")))
+      .withColumn("sb", Curation.splitAssign(col("doc_b")))
+      .select(least(col("sa"), col("sb")), greatest(col("sa"), col("sb")))
+      .as[(String, String)].collect()
+    assert(report.map(_._3).sum === pairs.length.toLong)
+    val expected = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(report.map(r => (r._1, r._2) -> r._3).toMap === expected)
+    // canonical ordering: lo <= hi on every row
+    report.foreach { case (lo, hi, _, _) => assert(lo <= hi) }
+  }
 }

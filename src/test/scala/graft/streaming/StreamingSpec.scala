@@ -93,6 +93,40 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-stream LEFT OUTER join + heartbeat flush equals the batch left join") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_leftjoin_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    raw.write.parquet(streamDir.resolve("b1").toString)
+    // heartbeats 2h past the end of the feed, one per join side on
+    // reserved users that can never match (see runStreamLeftJoin's
+    // scaladoc for why a neutral event type would be filtered BELOW the
+    // watermark and advance nothing). They push both watermarks past
+    // every real view's match deadline; the rollup below drops the
+    // sentinel users. Without them the last hour of views stays in state.
+    val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
+    val hbTs = maxTs + 2L * 3600L * 1000000000L
+    Seq((-2L, hbTs, -1L, "view", 0.0, "{}"), (-3L, hbTs, -2L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(streamDir.resolve("b2").toString)
+    Streaming.runStreamLeftJoin(spark, s"$streamDir/*", "stream_left_join_out")
+    val streamed = spark.table("stream_left_join_out")
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("view_id")).as("n_views"),
+        count(col("purchase_id")).as("n_matched_rows"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched_views"))
+      .orderBy("user_id").collect().map(_.toString)
+    val batch = Streaming.qStreamLeftJoin(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+    // the outer side really fires: some views never convert
+    val unmatched = spark.table("stream_left_join_out")
+      .filter(col("user_id") >= 0 && col("purchase_id").isNull).count()
+    assert(unmatched > 0)
+  }
+
   test("stream-static broadcast enrichment equals the batch rollup") {
     val streamDir = java.nio.file.Files.createTempDirectory("events_enrich_stream")
     java.nio.file.Files.copy(
