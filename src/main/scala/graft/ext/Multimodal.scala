@@ -229,10 +229,11 @@ object Multimodal {
     final case class WavAudio(
         sampleRate: Int, nSamples: Int, meanAbs: Double, rms: Double)
 
-    /** Chunk-walking WAV parse (word-aligned chunks per RIFF); PCM mono
-      * 16-bit only, None otherwise. Amplitudes normalized to [-1, 1].
+    /** RIFF chunk walk shared by every WAV consumer: locates the fmt /
+      * data chunks (word-aligned per spec), returns (sampleRate,
+      * dataStart, nSamples) for PCM mono 16-bit, None otherwise.
       */
-    def decodeWav(b: Array[Byte]): Option[WavAudio] = {
+    private def wavPcm(b: Array[Byte]): Option[(Int, Int, Int)] = {
       if (b.length < 44 ||
           !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
           !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
@@ -252,17 +253,50 @@ object Multimodal {
         } else if (id == "data") { dataStart = pos + 8; dataLen = size }
         pos += 8 + size + (size & 1)
       }
-      if (sampleRate <= 0 || bits != 16 || channels != 1 || dataStart < 0) return None
-      val n = dataLen / 2
-      var sumAbs = 0.0; var sumSq = 0.0
-      var i = 0
-      while (i < n) {
-        val s = buf.getShort(dataStart + i * 2) / 32768.0
-        sumAbs += math.abs(s); sumSq += s * s
-        i += 1
-      }
-      Some(WavAudio(sampleRate, n,
-        if (n > 0) sumAbs / n else 0.0, if (n > 0) math.sqrt(sumSq / n) else 0.0))
+      if (sampleRate <= 0 || bits != 16 || channels != 1 || dataStart < 0) None
+      else Some((sampleRate, dataStart, dataLen / 2))
+    }
+
+    /** WAV parse; amplitudes normalized to [-1, 1]. */
+    def decodeWav(b: Array[Byte]): Option[WavAudio] = wavPcm(b).map {
+      case (sampleRate, dataStart, n) =>
+        val buf = java.nio.ByteBuffer.wrap(b).order(LE)
+        var sumAbs = 0.0; var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val s = buf.getShort(dataStart + i * 2) / 32768.0
+          sumAbs += math.abs(s); sumSq += s * s
+          i += 1
+        }
+        WavAudio(sampleRate, n,
+          if (n > 0) sumAbs / n else 0.0, if (n > 0) math.sqrt(sumSq / n) else 0.0)
+    }
+
+    final case class WavAnalysis(
+        sampleRate: Int, nSamples: Int, durationS: Double,
+        rms: Double, zcr: Double, peak: Double)
+
+    /** Audio feature extraction beyond the basic decode: RMS energy,
+      * zero-crossing RATE (crossings per sample — the classic cheap
+      * voiced/unvoiced & pitch proxy), and normalized peak, one pass
+      * over the PCM samples.
+      */
+    def analyzeWav(b: Array[Byte]): Option[WavAnalysis] = wavPcm(b).map {
+      case (sampleRate, dataStart, n) =>
+        val buf = java.nio.ByteBuffer.wrap(b).order(LE)
+        var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+        var prev = 0; var i = 0
+        while (i < n) {
+          val raw = buf.getShort(dataStart + i * 2).toInt
+          val s = raw / 32768.0
+          sumSq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && ((prev >= 0 && raw < 0) || (prev < 0 && raw >= 0))) crossings += 1
+          prev = raw; i += 1
+        }
+        WavAnalysis(sampleRate, n, n.toDouble / sampleRate,
+          if (n > 0) math.sqrt(sumSq / n) else 0.0,
+          if (n > 1) crossings.toDouble / (n - 1) else 0.0, peak)
     }
 
     /** Magic-byte dispatch: real BMP/WAV parse into the fixed feature
@@ -466,7 +500,38 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  final case class AudioRow(doc_id: Long, sample_rate: Int, n_samples: Int,
+      duration_s: Double, rms: Double, zcr: Double, peak: Double)
+
+  /** Audio feature extraction: per-doc tone WAVs (frequency and
+    * amplitude keyed to the id — the deterministic stand-in for an audio
+    * ingest source) analyzed by [[MediaCodec.analyzeWav]] into RMS
+    * energy, zero-crossing rate, and peak — the cheap signal features an
+    * audio curation pass filters on (silence, clipping, noise). Pure
+    * partition-batched map, no shuffle except output order.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        // 1..31 cycles per 64 samples — 32 would be the Nyquist rate,
+        // where every sample of the sine lands exactly on a zero
+        val cycles = 1 + (id % 31).toInt
+        val amp = 4096 * (1 + (id % 4).toInt)
+        val samples = Array.tabulate(512)(i =>
+          (math.sin(2 * math.Pi * i * cycles / 64.0) * amp).toShort)
+        val wav = MediaCodec.encodeWav(samples, 16000)
+        val a = MediaCodec.analyzeWav(wav).get
+        AudioRow(id, a.sampleRate, a.nSamples,
+          math.rint(a.durationS * 10000) / 10000, math.rint(a.rms * 10000) / 10000,
+          math.rint(a.zcr * 10000) / 10000, math.rint(a.peak * 10000) / 10000)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio" -> (multimodalAudio _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),

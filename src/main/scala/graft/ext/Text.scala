@@ -3,6 +3,7 @@ package graft.ext
 import graft.Tables
 import graft.functions.{CharNgrams, RollingHashFingerprint, TextFns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY §2.11):
@@ -372,9 +373,70 @@ object Text {
 
   def qTextPmi(spark: SparkSession, dir: String): DataFrame = textPmi(spark, dir)
 
+  /** Self-trained multinomial Naive Bayes classifier — the fastText-style
+    * "train a cheap classifier on weak labels, score the corpus" pass of
+    * a curation pipeline (CCNet/GPT-3 quality filtering), here labeled by
+    * the declared `lang`. Training is one explode→partial-agg pass:
+    * per-(class, token) counts densified over the full vocab×class grid
+    * (add-one smoothing needs the ZERO cells — a sparse join would
+    * silently drop the unseen-token penalty), plus class priors. Scoring
+    * joins each token occurrence against the BROADCAST model and sums
+    * log-likelihoods per (doc, class); argmax by window rank.
+    *
+    * Determinism: per-token log-probs are quantized to DECIMAL(18,9)
+    * BEFORE summing (the embedStats pattern) — double sums associate
+    * differently across engines/partitionings, decimal sums are exact —
+    * so the scores and the argmax are bit-stable and oracle-checkable.
+    *
+    * Scale shape: the model is a vocab×classes aggregate artifact
+    * (bounded, broadcast); the corpus explodes once; the |classes|-way
+    * fan-out collapses into the partial aggregate keyed (doc, class);
+    * the argmax window partitions by doc_id — no global ordering.
+    */
+  def nbClassify(docs: DataFrame, labelCol: String): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 9)
+    val toks = docs.select(col("doc_id"), col(labelCol).as("label"),
+      explode(TextFns.tokens(lower(col("text")))).as("tok"))
+    val classCounts = toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c"))
+    val classTotals = classCounts.groupBy(col("label")).agg(sum(col("c")).as("tot"))
+    val vocab = classCounts.select(col("tok")).distinct()
+    val vocabSize = vocab.agg(count(lit(1)).as("v"))
+    // dense vocab x class grid with add-one smoothing
+    val model = vocab.crossJoin(classTotals)
+      .join(classCounts, Seq("label", "tok"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("label"), col("tok"),
+        log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") / (col("tot") + col("v")))
+          .cast(d9).as("lp"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val priors = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_class"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("label"),
+        log(col("n_class").cast("double") / col("n_docs")).cast(d9).as("prior"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    docs.select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .join(broadcast(model), "tok")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("lp")).as("ll"))
+      .join(broadcast(priors), "label")
+      .select(col("doc_id"), col("label"), (col("prior") + col("ll")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .join(docs.select(col("doc_id"), col(labelCol).as("label_declared")), "doc_id")
+      .select(col("doc_id"), col("label").as("label_pred"),
+        round(col("score").cast("double"), 4).as("nb_score"), col("label_declared"))
+      .orderBy("doc_id")
+  }
+
+  def qTextNbLang(spark: SparkSession, dir: String): DataFrame =
+    nbClassify(Tables.documents(spark, dir), "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_report" -> (qSourceReport _),
     "text_pmi" -> (qTextPmi _),
+    "text_nb_lang" -> (qTextNbLang _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
     "text_compress" -> (textCompress _),
     "text_chunks" -> (textChunks _),
@@ -411,6 +473,39 @@ object Text {
         |JOIN uc y ON string_split(f.bg, ' ')[2] = y.wd
         |CROSS JOIN ut CROSS JOIN bt
         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+    // mirrors nbClassify: dense vocab x class smoothing grid, DECIMAL(18,9)
+    // log-prob quantization before summing (exact, association-free)
+    "text_nb_lang" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(w) AS tok FROM t),
+        |cc AS (SELECT lang AS label, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT label, sum(c) AS tot FROM cc GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM cc),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |model AS (
+        |  SELECT ct.label AS label, vocab.tok AS tok,
+        |         CAST(ln(CAST(COALESCE(cc.c, 0) + 1 AS DOUBLE) / (ct.tot + v)) AS DECIMAL(18,9)) AS lp
+        |  FROM vocab CROSS JOIN ct
+        |  LEFT JOIN cc ON cc.label = ct.label AND cc.tok = vocab.tok
+        |  CROSS JOIN vs),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |pri AS (SELECT lang AS label,
+        |               CAST(ln(CAST(count(*) AS DOUBLE) / n_docs) AS DECIMAL(18,9)) AS prior
+        |        FROM documents CROSS JOIN nd GROUP BY lang, n_docs),
+        |ll AS (SELECT d.doc_id AS doc_id, m.label AS label, sum(m.lp) AS ll
+        |       FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |             FROM documents) d
+        |       JOIN model m ON m.tok = d.tok GROUP BY 1, 2),
+        |sc AS (SELECT ll.doc_id AS doc_id, ll.label AS label, pri.prior + ll.ll AS score
+        |       FROM ll JOIN pri ON ll.label = pri.label),
+        |rk AS (SELECT doc_id, label, score,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rank
+        |       FROM sc)
+        |SELECT rk.doc_id AS doc_id, rk.label AS label_pred,
+        |       round(CAST(rk.score AS DOUBLE), 4) AS nb_score,
+        |       docs.lang AS label_declared
+        |FROM rk JOIN documents docs ON docs.doc_id = rk.doc_id
+        |WHERE rank = 1 ORDER BY doc_id""".stripMargin,
     // integer sums mirror TextStats exactly (same classes as text_quality);
     // ratios unrounded — int/int doubles are bit-identical cross-engine
     "q_source_report" ->

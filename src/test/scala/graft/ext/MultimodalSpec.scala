@@ -209,4 +209,46 @@ class MultimodalSpec extends SparkSuite {
     val lum = 0.299 * img.meanR + 0.587 * img.meanG + 0.114 * img.meanB
     assert(sample.getDouble(5) === math.rint(lum * 10000) / 10000)
   }
+
+  test("analyzeWav matches the closed forms for a pure tone") {
+    import Multimodal.MediaCodec
+    // c cycles per 64 samples over 512 samples: 2c crossings per cycle,
+    // 8 full cycles => zcr ~ 2c/64 per sample; rms = amp/sqrt(2) for
+    // integer cycle counts; peak <= amp (hit exactly when 64/(4c) lands
+    // on a sample)
+    for (c <- Seq(1, 4, 8); ampRaw <- Seq(8192, 16384)) {
+      val amp = ampRaw / 32768.0
+      val samples = Array.tabulate(512)(i =>
+        (math.sin(2 * math.Pi * i * c / 64.0) * ampRaw).toShort)
+      val a = MediaCodec.analyzeWav(MediaCodec.encodeWav(samples, 16000)).get
+      assert(a.sampleRate === 16000 && a.nSamples === 512)
+      assert(a.durationS === 512.0 / 16000)
+      assert(math.abs(a.rms - amp / math.sqrt(2)) < 0.01, s"c=$c rms=${a.rms}")
+      assert(math.abs(a.zcr - 2.0 * c / 64) < 0.005, s"c=$c zcr=${a.zcr}")
+      assert(a.peak <= amp + 1e-9 && a.peak > amp * 0.95, s"c=$c peak=${a.peak}")
+    }
+    // silence: zero everything
+    val silent = MediaCodec.analyzeWav(
+      MediaCodec.encodeWav(Array.fill[Short](256)(0), 8000)).get
+    assert(silent.rms === 0.0 && silent.zcr === 0.0 && silent.peak === 0.0)
+    // decodeWav still agrees with analyzeWav on the shared stats
+    val tone = MediaCodec.encodeWav(
+      Array.tabulate(512)(i => (math.sin(2 * math.Pi * i / 64.0) * 16384).toShort), 16000)
+    val (dec, ana) = (MediaCodec.decodeWav(tone).get, MediaCodec.analyzeWav(tone).get)
+    assert(dec.sampleRate === ana.sampleRate && dec.nSamples === ana.nSamples)
+    assert(math.abs(dec.rms - ana.rms) < 1e-12)
+  }
+
+  test("multimodal_audio query emits one analyzed row per document") {
+    val got = Multimodal.multimodalAudio(spark, dir).collect()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(got.length === nDocs)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val amp = 4096 * (1 + (id % 4).toInt) / 32768.0
+      assert(r.getInt(1) === 16000 && r.getInt(2) === 512)
+      assert(math.abs(r.getDouble(4) - amp / math.sqrt(2)) < 0.01, s"doc $id rms")
+      assert(math.abs(r.getDouble(5) - 2.0 * (1 + (id % 31)) / 64) < 0.01, s"doc $id zcr")
+    }
+  }
 }

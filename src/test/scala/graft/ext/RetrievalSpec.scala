@@ -109,6 +109,20 @@ class RetrievalSpec extends SparkSuite {
     assert(pmi === math.rint(expect * 1e4) / 1e4)
   }
 
+  test("NB classifier separates planted disjoint-vocab classes") {
+    val docs = (
+      (0L until 10L).map(i => (i, "aa bb cc aa bb", "A")) ++
+        (10L until 20L).map(i => (i, "xx yy zz xx yy", "B"))
+      ).toDF("doc_id", "text", "lang")
+    val got = Text.nbClassify(docs, "lang")
+      .as[(Long, String, Double, String)].collect()
+    assert(got.length === 20)
+    got.foreach { case (id, pred, score, declared) =>
+      assert(pred === declared, s"doc $id predicted $pred")
+      assert(score < 0, s"log-likelihood must be negative, got $score")
+    }
+  }
+
   test("split-leakage rollup partitions the near-dup pairs by endpoint splits") {
     val dir = "/root/testdata/sf0.001"
     val report = Curation.qSplitLeakage(spark, dir)
