@@ -96,6 +96,55 @@ object Retrieval {
   def qContamination(spark: SparkSession, dir: String): DataFrame =
     contamination(Tables.documents(spark, dir))
 
+  /** Bloom-screened contamination — same RESULT as [[contamination]],
+    * different scale posture: instead of broadcasting the benchmark gram
+    * SET into the join, the benchmark grams aggregate into a fixed-size
+    * Bloom filter (Spark's native `BloomFilterAggregate`, the runtime-
+    * filter machinery) and the corpus side drops non-members with a
+    * codegen'd `might_contain` BEFORE the join. At 100 TB the gram set
+    * of a large eval suite outgrows a broadcast hash relation; the bloom
+    * stays at its configured bit size no matter the corpus, and false
+    * positives only cost a little extra join input — the exact join
+    * confirms, so false positives never reach the result and false
+    * negatives are impossible. Oracle: the same SQL as q_contamination.
+    */
+  def contaminationBloom(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val isBench = col("doc_id") % 100 === 0
+    val grams = docs.select(col("doc_id"),
+      explode(WordShingles(col("text"), n)).as("g"))
+    val bench = grams.filter(isBench).select(col("doc_id").as("bench_id"), col("g"))
+    // one distributed pass builds the sketch; the driver relays the
+    // fixed-size binary into a literal (the same shape Spark's own
+    // InjectRuntimeFilter produces via a scalar subquery)
+    val bf = bench.select(Bridge.toColumn(
+        new BloomFilterAggregate(new XxHash64(Seq(Bridge.toExpression(col("g")))))
+          .toAggregateExpression()).as("bf"))
+      .first().getAs[Array[Byte]](0)
+    val screened = grams.filter(!isBench)
+      .filter(Bridge.toColumn(BloomFilterMightContain(
+        Literal.create(bf, BinaryType),
+        new XxHash64(Seq(Bridge.toExpression(col("g")))))))
+      .select(col("doc_id").as("corpus_id"), col("g"))
+    val hits = screened.join(broadcast(bench), "g")
+      .groupBy(col("bench_id"))
+      .agg(
+        countDistinct(col("corpus_id")).as("n_contam_docs"),
+        countDistinct(col("g")).as("n_shared_grams"))
+    docs.filter(isBench).select(col("doc_id").as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .orderBy("bench_id")
+  }
+
+  def qContaminationBloom(spark: SparkSession, dir: String): DataFrame =
+    contaminationBloom(Tables.documents(spark, dir))
+
   /** Per-document top-3 TF-IDF terms (tf · ln(N/df), ties broken by
     * term) — the keyword-extraction pass of a corpus indexing pipeline.
     * df is a vocabulary-sized aggregate (broadcast back); the per-doc
@@ -176,6 +225,7 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (qBm25 _),
     "q_contamination" -> (qContamination _),
+    "q_contamination_bloom" -> (qContaminationBloom _),
     "q_tfidf" -> (qTfidf _),
     "q_rrf_fusion" -> (qRrfFusion _),
   )
@@ -246,7 +296,12 @@ object Retrieval {
         |  FROM scored)
         |SELECT doc_id, rank, term, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "q_contamination" ->
+    "q_contamination" -> contaminationSql,
+    // bloom pre-screen changes the PLAN, not the result — same oracle
+    "q_contamination_bloom" -> contaminationSql,
+  )
+
+  private lazy val contaminationSql: String =
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(
         |        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
@@ -264,6 +319,5 @@ object Retrieval {
         |       coalesce(n_contam_docs, 0) AS n_contam_docs,
         |       coalesce(n_shared_grams, 0) AS n_shared_grams
         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.bench_id
-        |WHERE d.doc_id % 100 = 0 ORDER BY bench_id""".stripMargin,
-  )
+        |WHERE d.doc_id % 100 = 0 ORDER BY bench_id""".stripMargin
 }

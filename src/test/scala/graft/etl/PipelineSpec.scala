@@ -95,4 +95,25 @@ class PipelineSpec extends SparkSuite {
       .as[(Long, Option[String])].collect().sortBy(_._1)
     assert(rows === Array(1L -> None, 2L -> None, 3L -> Some("beta")))
   }
+
+  test("ORC sink/source round-trips with predicate pushdown at the scan") {
+    import org.apache.spark.sql.functions._
+    // the engine's sinks are format-parameterized by Spark's DataSource
+    // API — ORC is the other columnar format a lakehouse ingests; same
+    // pushdown/pruning contract as parquet
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("orc_rt").toString + "/li"
+    li.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.count() === li.count())
+    val a = li.select("l_orderkey", "l_linenumber", "l_quantity")
+      .collect().map(_.toString).sorted
+    val b = back.select("l_orderkey", "l_linenumber", "l_quantity")
+      .collect().map(_.toString).sorted
+    assert(a === b)
+    val plan = back.filter(col("l_quantity") > 25)
+      .select("l_orderkey").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"ORC scan must push the filter:\n$plan")
+  }
 }

@@ -109,6 +109,15 @@ class RetrievalSpec extends SparkSuite {
     assert(pmi === math.rint(expect * 1e4) / 1e4)
   }
 
+  test("bloom-screened contamination equals the broadcast-set form and keeps the screen in-plan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plain = Retrieval.contamination(docs).collect().map(_.toString)
+    val bloomed = Retrieval.contaminationBloom(docs)
+    assert(bloomed.queryExecution.executedPlan.toString.contains("might_contain"),
+      "corpus side must be bloom-screened before the join")
+    assert(bloomed.collect().map(_.toString).toSeq === plain.toSeq)
+  }
+
   test("NB classifier separates planted disjoint-vocab classes") {
     val docs = (
       (0L until 10L).map(i => (i, "aa bb cc aa bb", "A")) ++
