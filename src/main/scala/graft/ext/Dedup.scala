@@ -227,6 +227,46 @@ object Dedup {
     * the 4-chunk pigeonhole: any pair within distance 3 shares at least
     * one exact 16-bit chunk, so candidates come from chunk-bucket joins.
     */
+  /** Exact-recall set-similarity join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family; cf. Bayardo et al. WWW'07) — the
+    * deterministic alternative to MinHash-LSH candidate generation: two
+    * shingle sets with Jaccard ≥ t MUST share at least one of each
+    * other's (|s| − ⌈t·|s|⌉ + 1) globally rarest shingles, so candidates
+    * come from equi-joining those prefixes only. Recall is EXACTLY 1 (a
+    * theorem, not a tuning), so the result equals the exact all-pairs
+    * truth — same oracle as dedup_minhash. High thresholds keep prefixes
+    * short (t=0.8 ⇒ ~20% of each set), and the rarest-first global order
+    * makes prefix tokens LOW-df, so the candidate join fan-out per token
+    * is df² of rare tokens — the frequency ordering is what bounds the
+    * bucket sizes.
+    *
+    * Scale shape: df is one shingle-keyed groupBy; the per-doc sort is
+    * in-row (document-bounded); the candidate self-join keys on the
+    * prefix shingle; verification joins candidates only. No all-pairs
+    * anywhere.
+    */
+  def dedupPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    import graft.functions.WordShingles
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(WordShingles(col("text"), 3)).as("s"))
+    val dfTab = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfTab, "s")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("toks"))
+      .withColumn("plen",
+        (size(col("toks")) - ceil(lit(threshold) * size(col("toks"))) + 1).cast("int"))
+    val prefix = ranked
+      .select(col("doc_id"), explode(slice(col("toks"), lit(1), col("plen"))).as("p"))
+      .select(col("doc_id"), col("p.s").as("s"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(candidates, shingleTable(docs), threshold)
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = simhashTable(Tables.documents(spark, dir))
 
@@ -537,6 +577,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
+    "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -592,6 +633,12 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     // exact all-pairs truth for the LSH pipeline (recall ≈ 1 at j≥0.8)
     "dedup_minhash" ->
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // prefix filtering has recall exactly 1 by construction, so it is
+    // held to the SAME exact truth as dedup_minhash
+    "dedup_prefix" ->
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,

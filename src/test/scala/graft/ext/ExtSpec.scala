@@ -28,6 +28,21 @@ class ExtSpec extends SparkSuite {
     assert(lsh === brute)
   }
 
+  test("prefix filtering finds exactly the brute-force pairs (recall 1 by theorem)") {
+    val brute = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = Dedup.dedupPrefix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty)
+    assert(prefix === brute)
+    // at a higher threshold the prefixes shrink and the result narrows
+    // monotonically
+    val strict = Dedup.dedupPrefix(spark, dir, threshold = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(strict.subsetOf(prefix))
+    assert(strict.forall(_._3 >= 0.95))
+  }
+
   test("incremental minhash index: union over batches equals the full-corpus run") {
     val full = Dedup.dedupMinhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
