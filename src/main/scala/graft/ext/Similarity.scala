@@ -65,6 +65,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Truncated-dimension prefilter search (the Matryoshka/dimension-
+    * reduction serving pattern): rank the whole corpus by the dot
+    * product of the FIRST `prefixDims` dimensions only —
+    * prefixDims/dim of the arithmetic, and under a layout that stores
+    * the prefix column separately, that fraction of the scan bytes —
+    * keep the top `candidates`, then re-rank just those with the exact
+    * full-dimension cosine. Both stages lower to TakeOrderedAndProject
+    * (one corpus scan + a candidate-bounded rescore); the candidate
+    * margin buys recall, and the two-stage ranking is fully
+    * deterministic (rounded scores, vec_id tie-breaks), so the result is
+    * oracle-checkable end to end. NOTE the synthetic embeddings are
+    * random (no MRL front-loading), so the default prefix is half the
+    * dims; production MRL embeddings concentrate signal up front and
+    * tolerate far shorter prefixes.
+    */
+  def annTopkTruncated(
+      spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10, prefixDims: Int = 32, candidates: Int = 100): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_emb"),
+        slice(col("embedding"), 1, prefixDims).as("query_prefix"))
+    val cand = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("query_emb"),
+        round(graft.functions.VectorFns.dotProduct(
+          slice(col("embedding"), 1, prefixDims), col("query_prefix")), 4)
+          .as("prefix_score"))
+      .orderBy(col("prefix_score").desc, col("vec_id"))
+      .limit(candidates)
+    cand
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("query_emb")), 4).as("cosine"),
+        col("prefix_score"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def qAnnTopkTruncated(spark: SparkSession, dir: String): DataFrame =
+    annTopkTruncated(spark, dir)
+
   /** Brute-force top-k over the int8-QUANTIZED corpus — the
     * storage-compressed path ([[graft.functions.QuantizeInt8]]: 4x
     * smaller on disk, per-vector scale). Same plan shape as [[annTopk]];
@@ -306,6 +347,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_stats" -> (qEmbedStats _),
     "ann_topk" -> ((s: SparkSession, d: String) => annTopk(s, d)),
+    "ann_topk_truncated" -> (qAnnTopkTruncated _),
     "ann_topk_filtered" -> ((s: SparkSession, d: String) => annTopkFiltered(s, d)),
     "ann_topk_int8" -> ((s: SparkSession, d: String) => annTopkInt8(s, d)),
     "ann_topk_batch" -> ((s: SparkSession, d: String) => annTopkBatch(s, d)),
@@ -347,6 +389,20 @@ object Similarity {
         |SELECT e.vec_id,
         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) AS cosine
         |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // two-stage ranking mirrored exactly: 32-dim inner-product top-100,
+    // then exact cosine top-10 over those candidates
+    "ann_topk_truncated" ->
+      """WITH q AS (SELECT embedding AS query_emb FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id AS vec_id, e.embedding AS embedding, q.query_emb AS query_emb,
+        |         round(list_inner_product(e.embedding[1:32]::DOUBLE[], q.query_emb[1:32]::DOUBLE[]), 4) AS prefix_score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY prefix_score DESC, vec_id LIMIT 100)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(embedding::DOUBLE[], query_emb::DOUBLE[]), 4) AS cosine,
+        |       prefix_score
+        |FROM cand
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     // replicates QuantizeInt8/DequantizeInt8 float arithmetic exactly:
     // each ::REAL cast rounds the (exact-in-double) intermediate to

@@ -392,6 +392,33 @@ object Parity {
       .orderBy("event_id")
   }
 
+  /** Full analytic-window battery in ONE pass: lag/lead neighbors,
+    * percent_rank, cume_dist, and the DECIMAL running total, all over
+    * the SAME (partition, order) spec — Spark computes every function in
+    * a single sorted pass after one exchange on the partition key; a
+    * second window spec would double the sort. percent_rank/cume_dist
+    * ship unrounded: both engines evaluate the same small-int rationals
+    * in double, bit-equal (rounding would CREATE decimal-half ties —
+    * the q_anomaly lesson).
+    */
+  def qWindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = DecimalType(18, 2)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        sum(col("o_totalprice").cast(d)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Funnel conversion: per user, how many purchases happened within an
     * hour of one of their views. The time bound makes the join an
     * interval join on an equi key: it hash-joins on user_id with the
@@ -871,6 +898,18 @@ object Parity {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_star_join" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -1138,5 +1177,6 @@ object Parity {
     "q_corr" -> (qCorr _),
     "q_scd2" -> (qScd2 _),
     "q_star_join" -> (qStarJoin _),
+    "q_window_analytics" -> (qWindowAnalytics _),
   )
 }

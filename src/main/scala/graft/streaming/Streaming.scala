@@ -472,6 +472,50 @@ object Streaming {
       .orderBy("user_id", "session_start")
   }
 
+  /** Sessionization via the BUILT-IN `session_window` generator —
+    * preference order (a): the same 30-minute-gap semantics as the
+    * custom [[sessionize]] (flatMapGroupsWithState) expressed as a plain
+    * windowed aggregation, which Spark executes with partial aggregation
+    * and per-key session merging after ONE exchange on user_id, and
+    * which is streaming-ready (watermark + append) with state merging
+    * handled by the engine. Bounds emitted as min/max event time so the
+    * output matches the custom sessionizer and the shared oracle
+    * (session_window.end would be last+gap). The two split rules differ
+    * only on an EXACT-gap tie (built-in splits at >= gap, custom at >
+    * gap) — impossible on microsecond event data.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        min(unix_millis(col("ts"))).as("session_start"),
+        max(unix_millis(col("ts"))).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(graft.Tables.events(spark, dir))
+      .orderBy("user_id", "session_start")
+
+  /** Streaming run of the built-in session windows: append mode emits a
+    * session once the watermark passes its close; like every
+    * watermark-gated tail, a drained replay needs a heartbeat to flush
+    * the final sessions (StreamingSpec stages one on a sentinel user).
+    */
+  def runSessionWindowStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    val stream = normalize(
+      spark.readStream.schema(eventsRawSchema).parquet(inputGlob))
+      .withWatermark("ts", "10 minutes")
+    val q = sessionWindowAgg(stream).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
     viewPurchaseJoin(
@@ -500,6 +544,7 @@ object Streaming {
     "q_stream_window" -> (qStreamWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
+    "q_session_window" -> (qSessionWindow _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_left_join" -> (qStreamLeftJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -526,17 +571,9 @@ object Streaming {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-    "q_sessionize" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events),
-        |m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
-        |                     THEN 1 ELSE 0 END AS new_s
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-        |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
-        |       CAST(count(*) AS INTEGER) AS n_events,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_sessionize" -> sessionizeSql,
+    // the built-in session_window has the same gap semantics — one truth
+    "q_session_window" -> sessionizeSql,
     "q_stream_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id
         |FROM events p JOIN events v
@@ -563,4 +600,16 @@ object Streaming {
         |FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
         |GROUP BY 1 ORDER BY category""".stripMargin,
   )
+
+  private lazy val sessionizeSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, value FROM events),
+      |m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+      |                     THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+      |       CAST(count(*) AS INTEGER) AS n_events,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 }

@@ -48,6 +48,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("window-analytics battery: one exchange, one sort for every function") {
+    val p = planOf(Parity.qWindowAnalytics(spark, dir))
+    val body = p.substring(0, p.indexOf("(1) Scan"))
+    // all five analytic functions share the (o_custkey, order) spec: the
+    // partition exchange happens once; the final output orderBy is the
+    // only other sort
+    val exchanges = body.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected window + output-order exchanges only:\n$body")
+    val sorts = body.linesIterator.count(l => l.contains("Sort (") || l.contains("Sort ["))
+    assert(sorts <= 2, s"one window sort + one output sort:\n$body")
+  }
+
   test("star join: dimension chain broadcasts, order-date filter reaches the scan") {
     val p = planOf(Parity.qStarJoin(spark, dir))
     // customer/supplier/nation sides all broadcast — the fact table is

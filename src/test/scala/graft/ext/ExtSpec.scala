@@ -43,6 +43,25 @@ class ExtSpec extends SparkSuite {
     assert(strict.forall(_._3 >= 0.95))
   }
 
+  test("truncated-dim prefilter: exact scores, near-exact recall, exact at full margin") {
+    val exact = Similarity.annTopk(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val trunc = Similarity.annTopkTruncated(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // cosines of commonly-returned ids are the SAME exact values
+    trunc.keySet.intersect(exact.keySet).foreach { id =>
+      assert(trunc(id) === exact(id), s"vec $id rescored differently")
+    }
+    // 100-candidate margin on a 16/64-dim prefix keeps recall high
+    assert(trunc.keySet.intersect(exact.keySet).size >= 8,
+      s"recall@10 too low: ${trunc.keySet.intersect(exact.keySet).size}")
+    // with the margin widened to the whole corpus the prefilter is exact
+    val n = Tables.embeddings(spark, dir).count().toInt
+    val full = Similarity.annTopkTruncated(spark, dir, candidates = n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full === exact)
+  }
+
   test("incremental minhash index: union over batches equals the full-corpus run") {
     val full = Dedup.dedupMinhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -127,6 +127,30 @@ class StreamingSpec extends SparkSuite {
     assert(unmatched > 0)
   }
 
+  test("built-in session_window stream equals the batch run and the custom sessionizer") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_sesswin_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    raw.write.parquet(streamDir.resolve("b1").toString)
+    // heartbeat on a sentinel user 2h past the end closes every real
+    // session; its own session never closes so it never emits
+    val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
+    Seq((-10L, maxTs + 2L * 3600L * 1000000000L, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(streamDir.resolve("b2").toString)
+    Streaming.runSessionWindowStream(spark, s"$streamDir/*", "sesswin_out")
+    val streamed = spark.table("sesswin_out")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start").collect().map(_.toString)
+    val batch = Streaming.qSessionWindow(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+    // cross-validation: the built-in generator agrees with the custom
+    // flatMapGroupsWithState sessionizer
+    val custom = Streaming.qSessionize(spark, dir).collect().map(_.toString)
+    assert(batch.toSeq === custom.toSeq)
+  }
+
   test("stream-static broadcast enrichment equals the batch rollup") {
     val streamDir = java.nio.file.Files.createTempDirectory("events_enrich_stream")
     java.nio.file.Files.copy(
