@@ -221,6 +221,112 @@ object Streaming {
       }
   }
 
+  // --- transformWithState milestone detection -------------------------------
+
+  final case class Milestone(user_id: Long, event_id: Long, level: Long)
+
+  val MilestoneStep: Double = 500.0
+  private val MilestoneStepCents: Long = math.round(MilestoneStep * 100)
+
+  /** Spark's Cast(double → DECIMAL(18,2)) semantics, exactly:
+    * BigDecimal.valueOf (i.e. the decimal string of the double) then
+    * HALF_UP at scale 2 — so the stateful processor accumulates the SAME
+    * cents the batch window form sums.
+    */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  /** Per-user lifetime-value MILESTONE detection — emit a row whenever a
+    * user's cumulative value crosses another multiple of `MilestoneStep`
+    * (the loyalty-tier / alerting shape). Batch truth: one window pass
+    * (running DECIMAL sum + lag of the derived level, same
+    * partition+order spec ⇒ one exchange). The STREAMING form is the
+    * Spark 4 `transformWithState` API ([[MilestoneProcessor]]): tiny
+    * keyed `ValueState` (one long per user), append-mode emission,
+    * RocksDB state store — the arbitrary-state successor to
+    * flatMapGroupsWithState; StreamingSpec proves stream (state carried
+    * across time-split micro-batches) == batch window form.
+    */
+  def milestonesBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("run",
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("level", floor(col("run").cast("double") / MilestoneStep))
+      .withColumn("prev_level", lag(col("level"), 1, 0L).over(w))
+      .filter(col("level") > col("prev_level"))
+      .select(col("user_id"), col("event_id"), col("level"))
+  }
+
+  def qMilestones(spark: SparkSession, dir: String): DataFrame =
+    milestonesBatch(graft.Tables.events(spark, dir))
+      .orderBy("user_id", "event_id")
+
+  /** Arbitrary-state processor: one ValueState[Long] (cents) per user.
+    * Rows within a micro-batch are sorted by event time (the iterator
+    * arrives in batch order); state carries the running total across
+    * batches, so a time-split replay equals the batch run.
+    */
+  class MilestoneProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Milestone] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totalCents: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totalCents = getHandle.getValueState[Long](
+        "totalCents", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[Milestone] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      var run = if (totalCents.exists()) totalCents.get() else 0L
+      val out = Array.newBuilder[Milestone]
+      sorted.foreach { e =>
+        val prev = Math.floorDiv(run, MilestoneStepCents)
+        run += cents(e.value)
+        val level = Math.floorDiv(run, MilestoneStepCents)
+        if (level > prev) out += Milestone(key, e.event_id, level)
+      }
+      totalCents.update(run)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming run of milestone detection through transformWithState
+    * (requires the RocksDB state store; the runner pins it for the
+    * query and restores the previous provider).
+    */
+  def runMilestoneStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = normalize(
+        spark.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inputGlob))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(new MilestoneProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   // --- stream-stream join ---------------------------------------------------
 
   /** Attribution join shared by batch and stream: each purchase paired
@@ -545,6 +651,7 @@ object Streaming {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
+    "q_milestones" -> (qMilestones _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_left_join" -> (qStreamLeftJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -572,6 +679,23 @@ object Streaming {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_sessionize" -> sessionizeSql,
+    // floor(run/500) crossings over the exact DECIMAL running sum;
+    // multiples of 500 are integers so the double floor is exact
+    "q_milestones" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS t,
+        |         sum(CAST(value AS DECIMAL(18,2))) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(CAST(run AS DOUBLE) / 500.0) AS BIGINT) AS level,
+        |         CAST(coalesce(lag(floor(CAST(run AS DOUBLE) / 500.0))
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id), 0) AS BIGINT) AS prev_level
+        |  FROM r)
+        |SELECT user_id, event_id, level FROM l
+        |WHERE level > prev_level ORDER BY user_id, event_id""".stripMargin,
     // the built-in session_window has the same gap semantics — one truth
     "q_session_window" -> sessionizeSql,
     "q_stream_join" ->

@@ -127,6 +127,32 @@ class StreamingSpec extends SparkSuite {
     assert(unmatched > 0)
   }
 
+  test("transformWithState milestones across time-split batches equal the batch window form") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_milestone_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    // split the feed by TIME into two files: batch 2 must pick up each
+    // user's running total from batch 1's state, not restart it
+    val midTs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    // one file per half: with maxFilesPerTrigger=1 each half is exactly
+    // one micro-batch, so processing order matches event-time order
+    raw.filter(col("ts") <= midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    raw.filter(col("ts") > midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    Streaming.runMilestoneStream(spark, s"$streamDir/*", "milestone_out")
+    val streamed = spark.table("milestone_out")
+      .orderBy("user_id", "event_id").collect().map(_.toString)
+    val batch = Streaming.qMilestones(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+    // milestones really span both halves (state carried across batches)
+    val firstHalfOnly = Streaming.milestonesBatch(
+      graft.Tables.events(spark, dir).filter(col("ts") <= expr(s"timestamp_micros(${midTs / 1000})")))
+      .count()
+    assert(firstHalfOnly < batch.length)
+  }
+
   test("built-in session_window stream equals the batch run and the custom sessionizer") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("events_sesswin_stream")
