@@ -392,6 +392,51 @@ object Parity {
       .orderBy("event_id")
   }
 
+  /** String scalar-function battery (F-family breadth): fourteen
+    * distinct string primitives in one projection over the customer dim
+    * — every one is a codegen'd built-in fused into the scan (a pure
+    * map; zero shuffles besides the output sort). Functions chosen for
+    * exact cross-engine semantics (instr==strpos 1-based/0-absent,
+    * levenshtein, translate, lpad digit-padding).
+    */
+  def qStringFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_up"),
+        lower(col("c_name")).as("name_lo"),
+        substring(col("c_name"), 10, 5).as("sub5"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("joined"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("repl"),
+        reverse(col("c_mktsegment")).as("rev"),
+        length(col("c_name")).as("len"),
+        instr(col("c_name"), "#").as("pos"),
+        expr("left(c_name, 4)").as("l4"),
+        expr("right(c_name, 3)").as("r3"),
+        repeat(substring(col("c_mktsegment"), 1, 1), 3).as("rpt"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("transl"),
+        levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("lev"))
+      .orderBy("c_custkey")
+
+  /** Date/time scalar-function battery: quarter, day-of-year,
+    * month-arithmetic with end-of-month clamping, day difference,
+    * last-day-of-month, month truncation, and formatting — the date
+    * dimension toolkit, all fused into the scan.
+    */
+  def qDateFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to"),
+        last_day(col("o_orderdate").cast("date")).as("eom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey")
+
   /** Full analytic-window battery in ONE pass: lag/lead neighbors,
     * percent_rank, cume_dist, and the DECIMAL running total, all over
     * the SAME (partition, order) spec — Spark computes every function in
@@ -898,6 +943,33 @@ object Parity {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_string_fns" ->
+      """SELECT c_custkey,
+        |       upper(c_mktsegment) AS seg_up,
+        |       lower(c_name) AS name_lo,
+        |       substr(c_name, 10, 5) AS sub5,
+        |       concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS joined,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |       replace(c_name, 'Customer', 'Cust') AS repl,
+        |       reverse(c_mktsegment) AS rev,
+        |       CAST(length(c_name) AS INTEGER) AS len,
+        |       CAST(strpos(c_name, '#') AS INTEGER) AS pos,
+        |       left(c_name, 4) AS l4,
+        |       right(c_name, 3) AS r3,
+        |       repeat(substr(c_mktsegment, 1, 1), 3) AS rpt,
+        |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+        |       CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INTEGER) AS lev
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_window_analytics" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       lag(o_totalprice, 1) OVER w AS prev_price,
@@ -1178,5 +1250,7 @@ object Parity {
     "q_scd2" -> (qScd2 _),
     "q_star_join" -> (qStarJoin _),
     "q_window_analytics" -> (qWindowAnalytics _),
+    "q_string_fns" -> (qStringFns _),
+    "q_date_fns" -> (qDateFns _),
   )
 }
