@@ -297,7 +297,16 @@ object Streaming {
     * (requires the RocksDB state store; the runner pins it for the
     * query and restores the previous provider).
     */
-  def runMilestoneStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+  /** Checkpointed variant writing to a parquet FILE sink — the
+    * fault-tolerant pairing (the memory sink cannot recover): committed
+    * source offsets skip already-processed files on restart, the RocksDB
+    * state restores each key's running total, and the file sink's commit
+    * log makes output exactly-once across restarts. StreamingSpec stops
+    * after half the feed, restarts from the same checkpoint, and shows
+    * union-of-runs == batch with zero re-emission.
+    */
+  def runMilestoneStreamToFiles(
+      spark: SparkSession, inputGlob: String, outPath: String, checkpoint: String): Unit = {
     import spark.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
@@ -314,10 +323,41 @@ object Streaming {
         .toDF()
         .writeStream
         .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  def runMilestoneStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = normalize(
+        spark.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inputGlob))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val writer = stream.groupByKey(_.user_id)
+        .transformWithState(new MilestoneProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .outputMode(OutputMode.Append())
         .format("memory")
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
-        .start()
+      val q = writer.start()
       q.awaitTermination()
     } finally {
       prev match {

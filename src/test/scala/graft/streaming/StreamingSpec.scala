@@ -153,6 +153,34 @@ class StreamingSpec extends SparkSuite {
     assert(firstHalfOnly < batch.length)
   }
 
+  test("stateful stream restarts from its checkpoint: resumed state, no reprocessing") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_ckpt_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("events_ckpt_loc").toString
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    val midTs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    val outPath = java.nio.file.Files.createTempDirectory("events_ckpt_out").toString
+    // run 1: first half only, then the query STOPS (AvailableNow drains)
+    Streaming.runMilestoneStreamToFiles(spark, s"$streamDir/*", outPath, ckpt)
+    val out1 = spark.read.parquet(outPath).collect().map(_.toString)
+    // second half arrives while the query is down
+    raw.filter(col("ts") > midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    // run 2 from the SAME checkpoint: committed offsets skip b1, RocksDB
+    // state resumes each user's running total mid-stream
+    Streaming.runMilestoneStreamToFiles(spark, s"$streamDir/*", outPath, ckpt)
+    val all = spark.read.parquet(outPath).collect().map(_.toString)
+    assert(out1.nonEmpty && all.length > out1.length)
+    // exactly-once: run 2 only appended b2's milestones (no re-emission),
+    // and the final sink content is exactly the batch truth
+    val batch = Streaming.qMilestones(spark, dir).collect().map(_.toString)
+    assert(all.sorted.toSeq === batch.sorted.toSeq)
+    // the first run's rows are a strict subset carried through unchanged
+    assert(out1.toSet.subsetOf(all.toSet))
+  }
+
   test("built-in session_window stream equals the batch run and the custom sessionizer") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("events_sesswin_stream")
