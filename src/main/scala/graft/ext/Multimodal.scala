@@ -530,7 +530,40 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Driver entry for the GVID DataSource V2 reader
+    * ([[graft.sources.GvidSource]]): stages containers for the first 50
+    * documents once per SF (same per-id frame generator as
+    * [[multimodalFrames]]), then reads them through the custom source
+    * and rolls up per file — the scan path exercises DSv2 partition
+    * planning (one per file) and column pruning end to end.
+    */
+  def multimodalGvidScan(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(
+      s"/tmp/graft_gvid_stage_${new java.io.File(dir).getName}")
+    if (!stage.isDirectory) {
+      stage.mkdirs()
+      (0L until 50L).foreach { id =>
+        val nFrames = 4 + (id % 13).toInt
+        val frames = Seq.tabulate(nFrames) { f =>
+          val rgb = Array.tabulate(8 * 8 * 3)(i => ((i * 3 + id + f * 11) % 256).toByte)
+          MediaCodec.encodeBmp(8, 8, rgb)
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$stage/doc$id%03d.gvid"),
+          MediaCodec.encodeVideo(frames))
+      }
+    }
+    spark.read.format("graft.sources.GvidSource").load(stage.toString)
+      .groupBy(col("file"))
+      .agg(
+        max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_rows"),
+        round(avg(col("mean_lum")), 4).as("avg_lum"))
+      .orderBy("file")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_gvid_scan" -> (multimodalGvidScan _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_meta" -> (multimodalMeta _),

@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ext.Multimodal.MediaCodec
+
+/** DataSource V2 reader for the GVID frame container (the multi-frame
+  * media blob format of [[graft.ext.Multimodal]]): each `*.gvid` file
+  * under `path` becomes one input partition; each frame becomes a row
+  * with its decoded dimensions and Rec.601 luma.
+  *
+  * The point of going through DSv2 instead of `binaryFile` +
+  * `mapPartitions` is that the SOURCE sees the required schema:
+  * `SupportsPushDownRequiredColumns` hands the reader the pruned column
+  * set, and when no pixel-derived column (width/height/mean_lum) is
+  * required the reader walks the container structure only and never
+  * pixel-decodes a frame — the scan cost tracks the projection, which
+  * is the property that matters when the 100 TB corpus is media blobs
+  * and the query is `SELECT file, count(*)`. Partition planning is one
+  * partition per file (the natural split for per-file codecs);
+  * `SourcesSpec` asserts row parity with the direct decoder, the pruned
+  * ReadSchema in the plan, and decode-free metadata scans.
+  *
+  * Usage: `spark.read.format("graft.sources.GvidSource").load(dir)`.
+  */
+class GvidSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GvidSource.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
+    new GvidTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GvidSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_lum", DoubleType, nullable = false)))
+
+  /** True if any required column forces a pixel decode. */
+  def needsDecode(required: StructType): Boolean =
+    required.fieldNames.exists(f => f == "width" || f == "height" || f == "mean_lum")
+}
+
+class GvidTable(path: String) extends Table with SupportsRead {
+  require(path != null, "gvid source requires a path")
+  override def name(): String = s"gvid:$path"
+  override def schema(): StructType = GvidSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GvidScanBuilder(path)
+}
+
+class GvidScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GvidSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GvidScan(path, required)
+}
+
+class GvidScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GvidScan(path=$path, decode=${GvidSource.needsDecode(required)})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isDirectory) dir.listFiles().filter(_.getName.endsWith(".gvid")).map(_.toString).sorted
+      else Array(path)
+    files.map(f => GvidPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GvidReaderFactory(required)
+}
+
+final case class GvidPartition(file: String) extends InputPartition
+
+class GvidReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GvidReader(partition.asInstanceOf[GvidPartition].file, required)
+}
+
+/** Per-file reader: container parsed once; frames decoded ONLY when a
+  * pixel-derived column is in the pruned schema.
+  */
+class GvidReader(file: String, required: StructType) extends PartitionReader[InternalRow] {
+  private val decode = GvidSource.needsDecode(required)
+  private val fileName = UTF8String.fromString(new java.io.File(file).getName)
+  private val frames: Seq[Array[Byte]] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    MediaCodec.decodeVideoFrames(bytes) match {
+      case Some((_, fs)) => fs
+      case None          => throw new java.io.IOException(s"not a GVID container: $file")
+    }
+  }
+  private var i = -1
+
+  override def next(): Boolean = { i += 1; i < frames.length }
+
+  override def get(): InternalRow = {
+    val (w, h, lum) =
+      if (decode) {
+        val img = MediaCodec.decodeBmp(frames(i)).getOrElse(
+          throw new java.io.IOException(s"undecodable frame $i in $file"))
+        (img.width, img.height,
+          0.299 * img.meanR + 0.587 * img.meanG + 0.114 * img.meanB)
+      } else (0, 0, 0.0)
+    val values = required.fieldNames.map {
+      case "file"      => fileName
+      case "frame_idx" => i
+      case "n_frames"  => frames.length
+      case "width"     => w
+      case "height"    => h
+      case "mean_lum"  => math.rint(lum * 10000) / 10000
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}
