@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,25 +64,61 @@ class GvidTable(path: String) extends Table with SupportsRead {
     new GvidScanBuilder(path)
 }
 
-class GvidScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+class GvidScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = GvidSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GvidScan(path, required)
+
+  /** `file = x` / `file IN (...)` prune whole input partitions at
+    * planning time (one partition per file, so the filter IS the
+    * partition list). Pruning is exact, so the pushed filters need no
+    * post-scan re-evaluation — only the remainder is returned.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("file", _: String) => true
+      case In("file", vs)             => vs.forall(_.isInstanceOf[String])
+      case _                          => false
+    }
+    pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GvidScan(path, required, pushed)
 }
 
-class GvidScan(path: String, required: StructType) extends Scan with Batch {
+class GvidScan(path: String, required: StructType, pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"GvidScan(path=$path, decode=${GvidSource.needsDecode(required)})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val partitions: Array[InputPartition] = {
     val dir = new java.io.File(path)
-    val files =
+    val all =
       if (dir.isDirectory) dir.listFiles().filter(_.getName.endsWith(".gvid")).map(_.toString).sorted
       else Array(path)
-    files.map(f => GvidPartition(f): InputPartition)
+    // the pushed array is a CONJUNCTION: each filter contributes an
+    // allowed set and the partition list is their intersection
+    val allowedSets: Seq[Set[String]] = pushed.toSeq.map {
+      case EqualTo("file", v: String) => Set(v)
+      case In("file", vs)             => vs.collect { case s: String => s }.toSet
+      case _                          => Set.empty[String]
+    }
+    val kept =
+      if (allowedSets.isEmpty) all
+      else {
+        val allowed = allowedSets.reduce(_ intersect _)
+        all.filter(f => allowed.contains(new java.io.File(f).getName))
+      }
+    kept.map(f => GvidPartition(f): InputPartition)
   }
+
+  override def description(): String =
+    s"GvidScan(path=$path, decode=${GvidSource.needsDecode(required)}, files=${partitions.length})"
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
 
   override def createReaderFactory(): PartitionReaderFactory = new GvidReaderFactory(required)
 }

@@ -56,6 +56,31 @@ class SourcesSpec extends SparkSuite {
     assert(full.count() === byFile.values.map(_.length).sum)
   }
 
+  test("file filters push down to partition planning: only matching files are read") {
+    val (dir, byFile) = stageContainers()
+    val one = spark.read.format("graft.sources.GvidSource").load(dir)
+      .filter(col("file") === "v1.gvid")
+    assert(one.rdd.getNumPartitions === 1, "equality filter must prune to one partition")
+    assert(one.queryExecution.executedPlan.toString.contains("files=1"))
+    assert(one.collect().map(_.getString(0)).distinct.toSeq === Seq("v1.gvid"))
+    assert(one.count() === byFile("v1.gvid").length)
+
+    val two = spark.read.format("graft.sources.GvidSource").load(dir)
+      .filter(col("file").isin("v0.gvid", "v2.gvid"))
+    assert(two.rdd.getNumPartitions === 2)
+    assert(two.collect().map(_.getString(0)).distinct.sorted.toSeq === Seq("v0.gvid", "v2.gvid"))
+
+    // conjunction of pushed filters intersects: equality AND isin
+    val none = spark.read.format("graft.sources.GvidSource").load(dir)
+      .filter(col("file") === "v1.gvid" && col("file").isin("v0.gvid", "v2.gvid"))
+    assert(none.count() === 0)
+
+    // non-file predicates stay post-scan and still apply
+    val frames0 = spark.read.format("graft.sources.GvidSource").load(dir)
+      .filter(col("file") === "v2.gvid" && col("frame_idx") === 0)
+    assert(frames0.count() === 1)
+  }
+
   test("gvid source aggregates like any other table") {
     val (dir, _) = stageContainers()
     val agg = spark.read.format("graft.sources.GvidSource").load(dir)
