@@ -101,12 +101,82 @@ object Cluster {
       .orderBy("doc_id")
   }
 
+  /** Fixed-iteration PageRank over an undirected edge list — the graph
+    * centrality pass (here: which documents sit at the center of
+    * duplicate neighborhoods; on a web corpus: the classic quality
+    * prior). THREE unrolled iterations at damping 0.85, which makes the
+    * computation a deterministic dataflow both engines can evaluate in
+    * lockstep — the oracle unrolls the same three rounds as CTEs.
+    *
+    * Parity discipline: per-edge contributions rank/deg are quantized
+    * to DECIMAL(18,12) BEFORE the per-target sum (double sums associate
+    * differently across engines; decimal sums are exact — the
+    * embedStats pattern), and the damping constants are written as the
+    * literal doubles 0.15/0.85 on both sides (never 1−0.85, which is a
+    * DIFFERENT double). Each round is one edge⋈rank join + a
+    * groupBy-sum, both shuffling on node id — the standard distributed
+    * PageRank shape, lineage-truncated per round like
+    * [[connectedComponents]]. No dangling-mass term: symmetric edges
+    * give every node out-degree ≥ 1.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // bounded driver scalar (one long), like the ntile partition counts
+    val nNodes = deg.count()
+    var state = deg.select(col("id"), col("deg"),
+      (lit(1.0) / lit(nNodes)).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = sym
+        .join(state.select(col("id").as("u"), col("deg"), col("rank")), "u")
+        .select(col("v").as("id"), (col("rank") / col("deg")).cast(d12).as("c"))
+      val sums = contribs.groupBy(col("id")).agg(sum(col("c")).as("csum"))
+      state = deg.join(sums, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(0.15) / lit(nNodes) +
+            lit(0.85) * coalesce(col("csum").cast("double"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    state.select(col("id").as("doc_id"), round(col("rank"), 6).as("pagerank"))
+      .orderBy("doc_id")
+  }
+
+  def qPageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
+    "q_pagerank" -> (qPageRank _),
   )
 
+  /** Unrolled 3-iteration PageRank as CTE chain (see [[pageRank]]). */
+  private lazy val pagerankSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.v AS id, sum(CAST(r.rank / r.deg AS DECIMAL(18,12))) AS csum
+         |       FROM edges e JOIN r${i - 1} r ON e.u = r.id GROUP BY 1),
+         |r$i AS (SELECT d.id AS id, d.deg AS deg,
+         |              CAST(0.15 AS DOUBLE) / nn + CAST(0.85 AS DOUBLE) * coalesce(CAST(csum AS DOUBLE), 0) AS rank
+         |       FROM deg d LEFT JOIN c$i ON d.id = c$i.id CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.minhashPairsCte},
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT u AS id, count(*) AS deg FROM edges GROUP BY 1),
+       |n AS (SELECT count(*) AS nn FROM deg),
+       |r0 AS (SELECT id, deg, CAST(1 AS DOUBLE) / nn AS rank FROM deg CROSS JOIN n),
+       |$rounds
+       |SELECT id AS doc_id, round(rank, 6) AS pagerank FROM r3 ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pagerankSql,
     // transitive closure over the exact near-dup pair truth (the same
     // pair CTE the dedup_minhash oracle checks against)
     "dedup_cluster" ->

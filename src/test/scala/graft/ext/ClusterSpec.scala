@@ -81,4 +81,29 @@ class ClusterSpec extends SparkSuite {
     val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(byDoc.keySet === paired)
   }
+
+  test("pageRank: star center dominates, mass conserves, hand-computed tiny case") {
+    import spark.implicits._
+    // star: 0 - {1,2,3,4}; plus a detached edge 10-11
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+      .toDF("u", "v")
+    val ranks = Cluster.pageRank(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size === 7)
+    // the hub out-ranks every leaf; leaves are symmetric
+    assert(ranks(0L) > ranks(1L) * 2)
+    assert(Seq(1L, 2L, 3L, 4L).map(ranks).distinct.size === 1)
+    // the detached pair is symmetric and below the hub
+    assert(ranks(10L) === ranks(11L) && ranks(10L) < ranks(0L))
+    // no dangling nodes -> total mass stays 1
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-4)
+    // hand-computed round 1 for the hub: 0.15/7 + 0.85*(4 * (1/7)/1)
+    val r1Leaf = 0.15 / 7 + 0.85 * ((1.0 / 7) / 4)
+    val r1Hub = 0.15 / 7 + 0.85 * (4 * ((1.0 / 7) / 1))
+    val r2Hub = 0.15 / 7 + 0.85 * (4 * (r1Leaf / 1))
+    val r3Hub = 0.15 / 7 + 0.85 *
+      (4 * ((0.15 / 7 + 0.85 * (r1Hub / 4)) / 1))
+    assert(math.abs(ranks(0L) - math.rint(r3Hub * 1e6) / 1e6) < 2e-6)
+    assert(r2Hub > 0) // (documenting the recurrence; r3 uses r2's leaves)
+  }
 }
