@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,11 +66,38 @@ class GvidTable(path: String) extends Table with SupportsRead {
 }
 
 class GvidScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = GvidSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed: Boolean = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** COUNT(*) — optionally grouped by `file` — is answered from the
+    * 8-byte container HEADER (magic + frame count): no frame walk, no
+    * pixel decode, one row per file. Pushdown is PARTIAL
+    * (supportCompletePushDown=false): the reader emits per-file counts
+    * and Spark's final aggregate merges them, which also makes the
+    * global COUNT(*) correct across many files. Composes with the file
+    * filters (partition pruning is exact, so pruned-away files simply
+    * contribute no partial row).
+    */
+  private var countGroupedByFile: Boolean = false
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groups = aggregation.groupByExpressions()
+    val groupOk = groups.isEmpty ||
+      (groups.length == 1 && groups(0).references().map(_.toString).toSeq == Seq("file"))
+    val countOnly = aggregation.aggregateExpressions().toSeq match {
+      case Seq(_: CountStar) => true
+      case _                 => false
+    }
+    countPushed = groupOk && countOnly
+    countGroupedByFile = countPushed && groups.nonEmpty
+    countPushed
+  }
 
   /** `file = x` / `file IN (...)` prune whole input partitions at
     * planning time (one partition per file, so the filter IS the
@@ -87,10 +115,24 @@ class GvidScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GvidScan(path, required, pushed)
+  override def build(): Scan = {
+    // after an accepted aggregate pushdown Spark expects the scan to
+    // output exactly (group cols ++ agg cols) — it does not re-prune
+    val schema =
+      if (countPushed && countGroupedByFile)
+        StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("count(*)", LongType, nullable = false)))
+      else if (countPushed)
+        StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+      else required
+    new GvidScan(path, schema, pushed, countPushed)
+  }
 }
 
-class GvidScan(path: String, required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+class GvidScan(
+    path: String, required: StructType, pushed: Array[Filter],
+    countPushed: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -116,18 +158,53 @@ class GvidScan(path: String, required: StructType, pushed: Array[Filter]) extend
   }
 
   override def description(): String =
-    s"GvidScan(path=$path, decode=${GvidSource.needsDecode(required)}, files=${partitions.length})"
+    s"GvidScan(path=$path, decode=${GvidSource.needsDecode(required)}, " +
+      s"files=${partitions.length}, countFromHeader=$countPushed)"
 
   override def planInputPartitions(): Array[InputPartition] = partitions
 
-  override def createReaderFactory(): PartitionReaderFactory = new GvidReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GvidReaderFactory(required, countPushed)
 }
 
 final case class GvidPartition(file: String) extends InputPartition
 
-class GvidReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GvidReader(partition.asInstanceOf[GvidPartition].file, required)
+class GvidReaderFactory(required: StructType, countPushed: Boolean = false)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GvidPartition].file
+    if (countPushed) new GvidCountReader(file, required)
+    else new GvidReader(file, required)
+  }
+}
+
+/** Count-pushdown reader: ONE row per file, frame count taken from the
+  * 8-byte header — the file body is never read.
+  */
+class GvidCountReader(file: String, required: StructType) extends PartitionReader[InternalRow] {
+  private var emitted = false
+  private lazy val count: Long = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(file), 8))
+    try {
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      if (!(magic(0) == 'G' && magic(1) == 'V' && magic(2) == 'I' && magic(3) == 'D'))
+        throw new java.io.IOException(s"not a GVID container: $file")
+      in.readInt().toLong
+    } finally in.close()
+  }
+
+  override def next(): Boolean = { val first = !emitted; emitted = true; first }
+
+  override def get(): InternalRow = {
+    val fileName = UTF8String.fromString(new java.io.File(file).getName)
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+      if (f.name == "file") (fileName: Any) else (count: Any)
+    })
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Per-file reader: container parsed once; frames decoded ONLY when a

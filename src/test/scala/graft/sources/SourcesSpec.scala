@@ -81,6 +81,28 @@ class SourcesSpec extends SparkSuite {
     assert(frames0.count() === 1)
   }
 
+  test("count(*) pushes down to the 8-byte container header") {
+    val (dir, byFile) = stageContainers()
+    val perFile = spark.read.format("graft.sources.GvidSource").load(dir)
+      .groupBy("file").count()
+    val plan = perFile.queryExecution.executedPlan.toString
+    assert(plan.contains("countFromHeader=true"), s"count must come from the header:\n$plan")
+    assert(perFile.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      byFile.view.mapValues(_.length.toLong).toMap)
+    // global count: partial per-file counts merged by Spark's final agg
+    val total = spark.read.format("graft.sources.GvidSource").load(dir).count()
+    assert(total === byFile.values.map(_.length).sum.toLong)
+    // composes with file-filter partition pruning
+    val one = spark.read.format("graft.sources.GvidSource").load(dir)
+      .filter(col("file") === "v1.gvid").count()
+    assert(one === byFile("v1.gvid").length.toLong)
+    // a non-count aggregate does NOT push and still decodes correctly
+    val lum = spark.read.format("graft.sources.GvidSource").load(dir)
+      .groupBy("file").agg(avg(col("mean_lum")))
+    assert(lum.queryExecution.executedPlan.toString.contains("countFromHeader=false"))
+    assert(lum.collect().length === 3)
+  }
+
   test("gvid source aggregates like any other table") {
     val (dir, _) = stageContainers()
     val agg = spark.read.format("graft.sources.GvidSource").load(dir)
