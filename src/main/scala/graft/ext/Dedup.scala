@@ -245,9 +245,11 @@ object Dedup {
     * prefix shingle; verification joins candidates only. No all-pairs
     * anywhere.
     */
-  def dedupPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  def dedupPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    dedupPrefixDocs(Tables.documents(spark, dir), threshold)
+
+  def dedupPrefixDocs(docs: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.WordShingles
-    val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"),
       explode(WordShingles(col("text"), 3)).as("s"))
     val dfTab = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))

@@ -62,6 +62,33 @@ class ExtSpec extends SparkSuite {
     assert(full === exact)
   }
 
+  test("prefix-filter theorem holds on randomized corpora (no pair at j>=t ever missed)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (0 until 3).foreach { trial =>
+      // random docs over a tiny vocabulary force heavy shingle overlap —
+      // the adversarial regime for candidate generation
+      val docs = (0L until 25L).map { id =>
+        val n = 6 + rng.nextInt(10)
+        (id, Seq.fill(n)(alphabet(rng.nextInt(alphabet.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      Seq(0.5, 0.8).foreach { t =>
+        val brute = docs.select(col("doc_id"), graft.functions.TextFns.wordShingles(col("text"), 3).as("sh"))
+        val a = brute.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = brute.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        val truth = a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("j", graft.functions.TextFns.jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("j") >= t)
+          .select("doc_a", "doc_b")
+          .as[(Long, Long)].collect().toSet
+        val got = Dedup.dedupPrefixDocs(docs, t)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        assert(got === truth, s"trial=$trial t=$t")
+      }
+    }
+  }
+
   test("incremental minhash index: union over batches equals the full-corpus run") {
     val full = Dedup.dedupMinhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
