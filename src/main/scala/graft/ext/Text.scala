@@ -393,13 +393,21 @@ object Text {
     * fan-out collapses into the partial aggregate keyed (doc, class);
     * the argmax window partitions by doc_id — no global ordering.
     */
-  def nbClassify(docs: DataFrame, labelCol: String): DataFrame = {
+  def nbClassify(docs: DataFrame, labelCol: String, vocabCap: Int = 65536): DataFrame = {
     val d9 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 9)
     val toks = docs.select(col("doc_id"), col(labelCol).as("label"),
       explode(TextFns.tokens(lower(col("text")))).as("tok"))
-    val classCounts = toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c"))
+    val allCounts = toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c"))
+    // BOUNDED model vocabulary: top-K tokens by corpus frequency (the
+    // fastText discipline — the model artifact must stay broadcastable
+    // at ANY corpus size; an uncapped web-corpus vocabulary is not).
+    // Out-of-vocab tokens simply drop out of scoring (inner model join).
+    val vocab = allCounts.groupBy(col("tok")).agg(sum(col("c")).as("ctot"))
+      .orderBy(col("ctot").desc, col("tok"))
+      .limit(vocabCap)
+      .select(col("tok"))
+    val classCounts = allCounts.join(broadcast(vocab), "tok")
     val classTotals = classCounts.groupBy(col("label")).agg(sum(col("c")).as("tot"))
-    val vocab = classCounts.select(col("tok")).distinct()
     val vocabSize = vocab.agg(count(lit(1)).as("v"))
     // dense vocab x class grid with add-one smoothing
     val model = vocab.crossJoin(classTotals)
@@ -478,9 +486,13 @@ object Text {
     "text_nb_lang" ->
       """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
         |tok AS (SELECT doc_id, lang, unnest(w) AS tok FROM t),
-        |cc AS (SELECT lang AS label, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |cc0 AS (SELECT lang AS label, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT tok FROM (
+        |  SELECT tok, sum(c) AS ctot FROM cc0 GROUP BY tok
+        |  ORDER BY ctot DESC, tok LIMIT 65536)),
+        |cc AS (SELECT cc0.label AS label, cc0.tok AS tok, cc0.c AS c
+        |       FROM cc0 JOIN vocab ON cc0.tok = vocab.tok),
         |ct AS (SELECT label, sum(c) AS tot FROM cc GROUP BY 1),
-        |vocab AS (SELECT DISTINCT tok FROM cc),
         |vs AS (SELECT count(*) AS v FROM vocab),
         |model AS (
         |  SELECT ct.label AS label, vocab.tok AS tok,
