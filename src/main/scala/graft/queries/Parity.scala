@@ -623,14 +623,16 @@ object Parity {
   /** Star-schema flagship (TPC-H Q5 shape): revenue per nation for one
     * region and one order year, with the supplier constrained to the
     * customer's nation. The canonical mixed-join plan at 100 TB:
-    *   - region→nation and the region-filtered customer set BROADCAST
-    *     (dimension chain never shuffles the facts);
+    *   - region→nation is FORCE-broadcast (25 rows at any corpus size —
+    *     the only side that is dimension-sized by construction);
+    *   - customer and supplier SCALE WITH THE CORPUS, so their joins
+    *     are deliberately left to statistics + AQE: at bench SFs they
+    *     broadcast (small files), at 100 TB they correctly degrade to
+    *     shuffle joins — forcing broadcast() there would OOM the build
+    *     side at scale;
     *   - orders is date-filtered AT THE SCAN (pushed predicate) before
     *     touching lineitem, so the fact-fact join sees only the
     *     qualifying year;
-    *   - the only shuffles are the two fact-side equi-joins
-    *     (orders⋈customer is broadcast too once customers are filtered;
-    *     AQE picks broadcast when the filtered side fits);
     *   - revenue in DECIMAL(18,2), cast to double only at the end.
     */
   def qStarJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -651,8 +653,8 @@ object Parity {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))

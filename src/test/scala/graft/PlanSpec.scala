@@ -62,10 +62,11 @@ class PlanSpec extends SparkSuite {
 
   test("star join: dimension chain broadcasts, order-date filter reaches the scan") {
     val p = planOf(Parity.qStarJoin(spark, dir))
-    // customer/supplier/nation sides all broadcast — the fact table is
-    // never shuffled for a dimension
+    // the nation chain is force-broadcast; at test SF the stats make the
+    // corpus-scaling sides (customer/supplier) broadcast too — at 100 TB
+    // those degrade to shuffle joins by design (no broadcast() hint)
     val nBroadcast = p.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(nBroadcast >= 3, s"expected >=3 broadcast joins, got $nBroadcast:\n$p")
+    assert(nBroadcast >= 3, s"expected >=3 broadcast joins at test SF, got $nBroadcast:\n$p")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
     assert(pushed.contains("o_orderdate"), s"order-date filter not pushed: $pushed")
   }
