@@ -43,10 +43,14 @@ object Similarity {
     * top-k' overfetch can come back short (or rescan) when the predicate
     * is selective. The metadata predicate lives on the documents table,
     * so the plan is: pushed-down predicate scan of the metadata side →
-    * broadcast-semi join onto the embedding corpus (one scan, no corpus
-    * shuffle) → exact cosine → TakeOrderedAndProject. Against a
-    * bucketed/IVF layout the same semi join composes with partition
-    * pruning — the filter and the probe both cut the scan.
+    * semi join onto the embedding corpus → exact cosine →
+    * TakeOrderedAndProject. The allowed-id set SCALES WITH THE CORPUS
+    * (a filtered projection of documents), so the semi join carries no
+    * broadcast hint: AQE broadcasts it when the predicate is selective
+    * and shuffles on vec_id when it is not — either way the embedding
+    * corpus is scanned once. Against a bucketed/IVF layout the same
+    * semi join composes with partition pruning — the filter and the
+    * probe both cut the scan.
     */
   def annTopkFiltered(
       spark: SparkSession, dir: String, lang: String = "en",
@@ -58,7 +62,7 @@ object Similarity {
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("query_emb"))
     e.filter(col("vec_id") =!= queryId)
-      .join(broadcast(allowed), Seq("vec_id"), "left_semi")
+      .join(allowed, Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosine(col("embedding"), col("query_emb")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
