@@ -147,9 +147,13 @@ object Retrieval {
 
   /** Per-document top-3 TF-IDF terms (tf · ln(N/df), ties broken by
     * term) — the keyword-extraction pass of a corpus indexing pipeline.
-    * df is a vocabulary-sized aggregate (broadcast back); the per-doc
-    * rank uses the Spark 4 window-group-limit partial top-k, so no
-    * document's term list is ever sorted in full on one task.
+    * df is a VOCABULARY-sized aggregate, which grows with the corpus, so
+    * its join carries no broadcast hint (AQE broadcasts a small
+    * vocabulary, shuffles a web-scale one on the term key — tf is
+    * already term-keyed from its own aggregation, so the exchange often
+    * reuses); the per-doc rank uses the Spark 4 window-group-limit
+    * partial top-k, so no document's term list is ever sorted in full
+    * on one task.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -161,7 +165,7 @@ object Retrieval {
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(stats))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
