@@ -284,6 +284,34 @@ object Parity {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
       .orderBy("l_returnflag")
 
+  /** HLL sketch MERGEABILITY — the property that makes approximate
+    * distinct counting distributable: per-group Datasketches HLL
+    * sketches (`hll_sketch_agg`) union-merge (`hll_union_agg`) into
+    * exactly the sketch of the union, so pre-aggregated per-partition /
+    * per-day / per-source sketches can be stored as columns and rolled
+    * up later WITHOUT rescanning raw data — the sketch-warehouse pattern
+    * at 100 TB. Output: one row per event type (estimate vs exact) plus
+    * the ALL row whose estimate comes from MERGING the per-type
+    * sketches, never from re-scanning. Rows-only (sketch internals are
+    * engine-specific); ParitySpec asserts merge == direct-global sketch
+    * bit-exactly and bounds the estimate error.
+    */
+  def qHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perType = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .localCheckpoint()
+    val parts = perType.select(col("event_type").as("scope"),
+      expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est_users"), col("n_exact"))
+    val exactAll = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    val merged = perType.agg(expr("hll_union_agg(sk)").as("sku"))
+      .crossJoin(broadcast(exactAll))
+      .select(lit("ALL").as("scope"),
+        expr("CAST(hll_sketch_estimate(sku) AS BIGINT)").as("est_users"), col("n_exact"))
+    parts.unionByName(merged).orderBy("scope")
+  }
+
   /** Exact distinct counting per group (two-phase: partial distinct then
     * final; the approximate HLL variant is the 100 TB path but has no
     * cross-engine oracle).
@@ -1254,5 +1282,6 @@ object Parity {
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
+    "q_hll_union" -> (qHllUnion _),
   )
 }

@@ -38,6 +38,22 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("hll sketch union merges to exactly the direct global sketch") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Parity.qHllUnion(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the ALL estimate, built by MERGING per-type sketches, must equal
+    // the estimate of one sketch over the whole table (union exactness)
+    val direct = Tables.events(spark, sfDir)
+      .agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT)"))
+      .first().getLong(0)
+    assert(rows("ALL")._1 === direct)
+    // every estimate tracks its exact count
+    rows.foreach { case (scope, (est, exact)) =>
+      assert(math.abs(est - exact).toDouble / exact < 0.05, s"$scope: $est vs $exact")
+    }
+  }
+
   test("q_ntile distributed rank: equals the exact global-window form, no single-task window") {
     val got = queries.Parity.qNtile(spark, sfDir).collect().map(_.toString).toSeq
     val want = queries.Parity.qNtileGlobalWindow(spark, sfDir).collect().map(_.toString).toSeq
