@@ -77,4 +77,21 @@ object Checks {
       .coalesce(1)
       .write.mode("overwrite").json(path)
   }
+
+  /** ZERO-EXTRA-PASS QC via `Dataset.observe`: the row count and
+    * per-column null counts are accumulated INSIDE whatever job
+    * materializes the frame (the ETL write itself), so at 100 TB the
+    * quality counters cost nothing beyond the write that was happening
+    * anyway — where the reference's QC (and [[run]]) re-scans the output
+    * once per check. Call, run exactly one action on the returned frame,
+    * then read the metrics row from the `Observation`.
+    */
+  def observed(df: DataFrame, nullCols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val metrics =
+      count(lit(1)).as("n_rows") +:
+        nullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

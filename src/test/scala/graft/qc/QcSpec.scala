@@ -53,4 +53,20 @@ class QcSpec extends SparkSuite {
     val baChecks = Checks.referenceChecks.take(3)
     assert(Checks.run(spark, baChecks).forall(_.passed))
   }
+
+  test("observed QC accumulates counters inside the single materializing job") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("maybe_null",
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+    val (observedDf, obs) = Checks.observed(docs, Seq("maybe_null", "doc_id"))
+    // ONE action — the metrics ride along with it, no extra scan
+    observedDf.write.format("noop").mode("overwrite").save()
+    val row = obs.get
+    val expectedNulls = docs.filter(col("maybe_null").isNull).count()
+    assert(row("n_rows") === docs.count())
+    assert(row("n_null_maybe_null") === expectedNulls && expectedNulls > 0)
+    assert(row("n_null_doc_id") === 0L)
+  }
 }
