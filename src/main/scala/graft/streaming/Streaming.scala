@@ -367,6 +367,114 @@ object Streaming {
     }
   }
 
+  // --- inactivity detection (event-time timers) ----------------------------
+
+  final case class Silence(user_id: Long, after_event_id: Long,
+      silent_from_ms: Long, kind: String)
+  final case class LastSeen(ts_ms: Long, event_id: Long)
+
+  val InactivityGapMs: Long = 2 * 3600 * 1000L
+
+  /** Batch truth for INTERNAL inactivity gaps: consecutive events of a
+    * user more than 2h apart (lead over one user-keyed window). The
+    * trailing silence after a user's LAST event is deliberately not part
+    * of this form — batch has no "now" — it is what the event-time TIMER
+    * in [[InactivityProcessor]] adds on a stream.
+    */
+  def inactivityGapsBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_ms"), col("event_id"))
+    events
+      .withColumn("t_ms", unix_millis(col("ts")))
+      .withColumn("next_t", lead(col("t_ms"), 1).over(w))
+      .filter(col("next_t") - col("t_ms") > InactivityGapMs)
+      .select(col("user_id"), col("event_id").as("after_event_id"),
+        (col("t_ms") + InactivityGapMs).as("silent_from_ms"))
+  }
+
+  def qInactivity(spark: SparkSession, dir: String): DataFrame =
+    inactivityGapsBatch(graft.Tables.events(spark, dir))
+      .orderBy("user_id", "silent_from_ms")
+
+  /** Event-time-timer processor: internal gaps emit inline from the
+    * sorted per-batch pass (state carries the last event across
+    * batches); the TRAILING silence — undetectable without a clock —
+    * emits when the watermark passes last_ts + gap: each batch re-arms
+    * one timer at the current deadline (stale timers are deleted), and
+    * [[handleExpiredTimer]] double-checks the deadline against state so
+    * an out-of-date timer that still fires is ignored.
+    */
+  class InactivityProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Silence] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var last: ValueState[LastSeen] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastSeen](
+        "last", org.apache.spark.sql.Encoders.product[LastSeen], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[Silence] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Array.newBuilder[Silence]
+      var prev = if (last.exists()) Option(last.get()) else None
+      sorted.foreach { e =>
+        prev.foreach { p =>
+          if (e.ts.getTime - p.ts_ms > InactivityGapMs)
+            out += Silence(key, p.event_id, p.ts_ms + InactivityGapMs, "gap")
+        }
+        prev = Some(LastSeen(e.ts.getTime, e.event_id))
+      }
+      prev.foreach { p =>
+        last.update(p)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(p.ts_ms + InactivityGapMs)
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Silence] = {
+      val p = last.get()
+      if (p != null && expiredTimerInfo.getExpiryTimeInMs >= p.ts_ms + InactivityGapMs)
+        Iterator.single(Silence(key, p.event_id, p.ts_ms + InactivityGapMs, "trailing"))
+      else Iterator.empty
+    }
+  }
+
+  /** Streaming run: event-time TimeMode (timers fire off the watermark),
+    * RocksDB state, AvailableNow. Trailing silences only materialize
+    * once something advances the watermark past each user's deadline —
+    * the heartbeat discipline again (StreamingSpec stages it).
+    */
+  def runInactivityStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = normalize(
+        spark.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inputGlob))
+        .withWatermark("ts", "10 minutes")
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(new InactivityProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   // --- stream-stream join ---------------------------------------------------
 
   /** Attribution join shared by batch and stream: each purchase paired
@@ -692,6 +800,7 @@ object Streaming {
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
     "q_milestones" -> (qMilestones _),
+    "q_inactivity" -> (qInactivity _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_left_join" -> (qStreamLeftJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -719,6 +828,15 @@ object Streaming {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_sessionize" -> sessionizeSql,
+    // internal >2h gaps between consecutive events per user
+    "q_inactivity" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+        |g AS (SELECT user_id, event_id, t,
+        |             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt
+        |      FROM e)
+        |SELECT user_id, event_id AS after_event_id, t + 7200000 AS silent_from_ms
+        |FROM g WHERE nt - t > 7200000
+        |ORDER BY user_id, silent_from_ms""".stripMargin,
     // floor(run/500) crossings over the exact DECIMAL running sum;
     // multiples of 500 are integers so the double floor is exact
     "q_milestones" ->

@@ -153,6 +153,41 @@ class StreamingSpec extends SparkSuite {
     assert(firstHalfOnly < batch.length)
   }
 
+  test("event-time timers: internal gaps match batch, every user gets one trailing silence") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_inact_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    val midTs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    raw.filter(col("ts") > midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    // heartbeat 3h past the end: advances the watermark past every
+    // user's last_ts + 2h deadline so the trailing timers fire
+    val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
+    Seq((-20L, maxTs + 3L * 3600L * 1000000000L, -1L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(streamDir.resolve("b3").toString)
+    Streaming.runInactivityStream(spark, s"$streamDir/*", "inactivity_out")
+    val streamGaps = spark.table("inactivity_out")
+      .filter(col("user_id") >= 0 && col("kind") === "gap")
+      .select("user_id", "after_event_id", "silent_from_ms")
+      .orderBy("user_id", "silent_from_ms").collect().map(_.toString)
+    val batch = Streaming.qInactivity(spark, dir).collect().map(_.toString)
+    assert(streamGaps.nonEmpty)
+    assert(streamGaps.toSeq === batch.toSeq)
+    // exactly one watermark-fired trailing silence per real user, at
+    // that user's last event + 2h
+    val trailing = spark.table("inactivity_out")
+      .filter(col("user_id") >= 0 && col("kind") === "trailing")
+      .select("user_id", "silent_from_ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastPerUser = graft.Tables.events(spark, dir)
+      .groupBy("user_id").agg(max(unix_millis(col("ts"))).as("last_ms"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) + Streaming.InactivityGapMs)).toMap
+    assert(trailing === lastPerUser)
+  }
+
   test("stateful stream restarts from its checkpoint: resumed state, no reprocessing") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("events_ckpt_stream")
