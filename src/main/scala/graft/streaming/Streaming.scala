@@ -475,6 +475,96 @@ object Streaming {
     }
   }
 
+  // --- burst detection (ListState sliding window) ---------------------------
+
+  final case class Burst(user_id: Long, event_id: Long, n_in_window: Int)
+
+  val BurstWindowMs: Long = 3600 * 1000L
+  val BurstThreshold: Int = 3
+
+  /** Batch truth: events where the user's trailing-one-hour activity
+    * count reaches the threshold — one RANGE-frame window pass (the
+    * q_window_range shape).
+    */
+  def burstBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_ms"))
+      .rangeBetween(-BurstWindowMs, Window.currentRow)
+    events
+      .withColumn("t_ms", unix_millis(col("ts")))
+      .withColumn("n_in_window", count(lit(1)).over(w).cast("int"))
+      .filter(col("n_in_window") >= BurstThreshold)
+      .select(col("user_id"), col("event_id"), col("n_in_window"))
+  }
+
+  def qBurst(spark: SparkSession, dir: String): DataFrame =
+    burstBatch(graft.Tables.events(spark, dir))
+      .orderBy("user_id", "event_id")
+
+  /** ListState processor: the per-user state is the trailing window of
+    * event times — pruned to the one-hour horizon on every batch,
+    * so state size is bounded by the burst window, not history. Events
+    * sort per batch; each arrival prunes, appends, and emits when the
+    * window population reaches the threshold. Completing the
+    * transformWithState state surface: ValueState (milestones), timers
+    * (inactivity), ListState (bursts).
+    */
+  class BurstProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Burst] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ListState}
+    @transient private var window: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      window = getHandle.getListState[Long](
+        "window", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[Burst] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val buf = scala.collection.mutable.Queue[Long](
+        (if (window.exists()) window.get().toSeq else Seq.empty): _*)
+      val out = Array.newBuilder[Burst]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        while (buf.nonEmpty && buf.head < t - BurstWindowMs) buf.dequeue()
+        buf.enqueue(t)
+        if (buf.size >= BurstThreshold) out += Burst(key, e.event_id, buf.size)
+      }
+      window.put(buf.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming run (RocksDB state, AvailableNow; no timers — bursts are
+    * detected on arrival, so no heartbeat is needed either).
+    */
+  def runBurstStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = normalize(
+        spark.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inputGlob))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(new BurstProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   // --- stream-stream join ---------------------------------------------------
 
   /** Attribution join shared by batch and stream: each purchase paired
@@ -801,6 +891,7 @@ object Streaming {
     "q_session_window" -> (qSessionWindow _),
     "q_milestones" -> (qMilestones _),
     "q_inactivity" -> (qInactivity _),
+    "q_burst" -> (qBurst _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_left_join" -> (qStreamLeftJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -828,6 +919,15 @@ object Streaming {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_sessionize" -> sessionizeSql,
+    // trailing-1h activity count per user, threshold 3 (RANGE frame)
+    "q_burst" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),
+        |w AS (SELECT user_id, event_id,
+        |             CAST(count(*) OVER (PARTITION BY user_id ORDER BY t
+        |               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS INTEGER) AS n_in_window
+        |      FROM e)
+        |SELECT user_id, event_id, n_in_window FROM w
+        |WHERE n_in_window >= 3 ORDER BY user_id, event_id""".stripMargin,
     // internal >2h gaps between consecutive events per user
     "q_inactivity" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),

@@ -188,6 +188,23 @@ class StreamingSpec extends SparkSuite {
     assert(trailing === lastPerUser)
   }
 
+  test("ListState burst detection across time-split batches equals the batch RANGE frame") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_burst_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    val midTs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    raw.filter(col("ts") > midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    Streaming.runBurstStream(spark, s"$streamDir/*", "burst_out")
+    val streamed = spark.table("burst_out")
+      .orderBy("user_id", "event_id").collect().map(_.toString)
+    val batch = Streaming.qBurst(spark, dir).collect().map(_.toString)
+    assert(batch.nonEmpty, "test data should contain error bursts")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful stream restarts from its checkpoint: resumed state, no reprocessing") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("events_ckpt_stream")
