@@ -565,6 +565,88 @@ object Streaming {
     }
   }
 
+  // --- first-touch attribution (MapState) -----------------------------------
+
+  final case class FirstTouch(user_id: Long, event_type: String,
+      first_event_id: Long, first_ms: Long)
+
+  /** Batch truth: the first time each user performs each event type —
+    * arg-min by (time, id) per (user, type), one aggregation (min over a
+    * (t, id) struct is the argmin without a window pass).
+    */
+  def firstTouchBatch(events: DataFrame): DataFrame =
+    events
+      .withColumn("t_ms", unix_millis(col("ts")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("t_ms"), col("event_id"))).as("first"))
+      .select(col("user_id"), col("event_type"),
+        col("first.event_id").as("first_event_id"),
+        col("first.t_ms").as("first_ms"))
+
+  def qFirstTouch(spark: SparkSession, dir: String): DataFrame =
+    firstTouchBatch(graft.Tables.events(spark, dir))
+      .orderBy("user_id", "event_type")
+
+  /** MapState processor: per-user map of event_type → seen marker. A row
+    * emits only on a type's FIRST occurrence (sorted within the batch,
+    * map carried across batches), so the per-user state is bounded by
+    * the type alphabet. Completes the transformWithState state surface:
+    * ValueState, ListState, MapState, event-time timers.
+    */
+  class FirstTouchProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, FirstTouch] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var seen: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Long](
+        "seen", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[FirstTouch] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Array.newBuilder[FirstTouch]
+      sorted.foreach { e =>
+        if (!seen.containsKey(e.event_type)) {
+          seen.updateValue(e.event_type, e.event_id)
+          out += FirstTouch(key, e.event_type, e.event_id, e.ts.getTime)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming run (RocksDB state, AvailableNow, no timers needed —
+    * first touches emit on arrival).
+    */
+  def runFirstTouchStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = normalize(
+        spark.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inputGlob))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(new FirstTouchProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   // --- stream-stream join ---------------------------------------------------
 
   /** Attribution join shared by batch and stream: each purchase paired
@@ -892,6 +974,7 @@ object Streaming {
     "q_milestones" -> (qMilestones _),
     "q_inactivity" -> (qInactivity _),
     "q_burst" -> (qBurst _),
+    "q_first_touch" -> (qFirstTouch _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_left_join" -> (qStreamLeftJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -919,6 +1002,14 @@ object Streaming {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q_sessionize" -> sessionizeSql,
+    // arg-min by (time, id) per (user, type)
+    "q_first_touch" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_ms(ts) AS t,
+        |                  row_number() OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY epoch_ms(ts), event_id) AS rn
+        |           FROM events)
+        |SELECT user_id, event_type, event_id AS first_event_id, t AS first_ms
+        |FROM e WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     // trailing-1h activity count per user, threshold 3 (RANGE frame)
     "q_burst" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events),

@@ -205,6 +205,25 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("MapState first-touch across time-split batches equals the batch arg-min") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_ft_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    val midTs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    raw.filter(col("ts") > midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    Streaming.runFirstTouchStream(spark, s"$streamDir/*", "first_touch_out")
+    val streamed = spark.table("first_touch_out")
+      .orderBy("user_id", "event_type").collect().map(_.toString)
+    val batch = Streaming.qFirstTouch(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    // the seen-map must suppress batch-2 re-emissions of types already
+    // touched in batch 1
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful stream restarts from its checkpoint: resumed state, no reprocessing") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("events_ckpt_stream")
