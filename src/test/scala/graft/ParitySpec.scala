@@ -38,6 +38,28 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("results are invariant to the shuffle partition count") {
+    // partition-count sensitivity is how nondeterminism sneaks into a
+    // distributed pipeline (per-partition rand/accumulation order/limit
+    // without order). A representative slice of every operator family
+    // must produce IDENTICAL rows at 3 and 7 shuffle partitions.
+    val sample = Seq("dedup_minhash", "text_nb_lang", "q_pagerank",
+      "q_window_analytics", "ann_topk", "q_curate", "q_bm25", "q_milestones")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      val at3 = {
+        spark.conf.set(key, "3")
+        sample.map(q => q -> SparkEntry.queries(q)(spark, sfDir).collect().map(_.toString).toSeq).toMap
+      }
+      spark.conf.set(key, "7")
+      sample.foreach { q =>
+        val at7 = SparkEntry.queries(q)(spark, sfDir).collect().map(_.toString).toSeq
+        assert(at7 === at3(q), s"$q differs across shuffle partition counts")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("hll sketch union merges to exactly the direct global sketch") {
     import org.apache.spark.sql.functions._
     val rows = queries.Parity.qHllUnion(spark, sfDir).collect()
