@@ -337,16 +337,32 @@ object Streaming {
     }
   }
 
-  def runMilestoneStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+  /** `dedupeInput` composes the at-least-once answer in front of the
+    * stateful processor: a redelivering source (file replays, Kafka
+    * at-least-once) would double-count the running total, so the input
+    * passes through `dropDuplicatesWithinWatermark` on event_id FIRST —
+    * dedup state bounded by the watermark, processor state then sees
+    * each event exactly once (StreamingSpec replays a duplicated feed
+    * and still matches batch).
+    */
+  def runMilestoneStream(
+      spark: SparkSession, inputGlob: String, queryName: String,
+      dedupeInput: Boolean = false): Unit = {
     import spark.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val stream = normalize(
+      val raw = normalize(
         spark.readStream.schema(eventsRawSchema)
           .option("maxFilesPerTrigger", 1).parquet(inputGlob))
+      val cleaned =
+        if (dedupeInput)
+          raw.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark("event_id")
+        else raw
+      val stream = cleaned
         .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
       val writer = stream.groupByKey(_.user_id)
         .transformWithState(new MilestoneProcessor,

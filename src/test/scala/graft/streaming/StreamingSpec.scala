@@ -205,6 +205,28 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("watermark dedup in front of the stateful processor survives redelivery") {
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_redeliver_state")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    val midTs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    // an at-least-once source REDELIVERS part of batch 1 — without the
+    // upstream dedup the running totals would double-count these
+    raw.filter(col("ts") <= midTs && pmod(col("event_id"), lit(5)) === 2).coalesce(1)
+      .write.parquet(streamDir.resolve("b1_replay").toString)
+    raw.filter(col("ts") > midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    Streaming.runMilestoneStream(spark, s"$streamDir/*", "milestone_dedup_out",
+      dedupeInput = true)
+    val streamed = spark.table("milestone_dedup_out")
+      .orderBy("user_id", "event_id").collect().map(_.toString)
+    val batch = Streaming.qMilestones(spark, dir).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("MapState first-touch across time-split batches equals the batch arg-min") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("events_ft_stream")
