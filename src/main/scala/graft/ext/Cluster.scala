@@ -121,8 +121,12 @@ object Cluster {
     */
   def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
     val d12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
-    val sym = edges.select(col("u"), col("v"))
-      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    // checkpoint BEFORE symmetrizing: the union references the edge
+    // pipeline twice, and when that pipeline is itself expensive (the
+    // verified near-dup pairs) re-execution doubles its cost
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val sym = e
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint()
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
