@@ -75,7 +75,25 @@ object GraftFunctions {
       (args: Seq[Expression]) => QuantizeInt8(args.head)),
     ("dequantize_int8",
       new ExpressionInfo(classOf[DequantizeInt8].getName, "dequantize_int8"),
-      (args: Seq[Expression]) => DequantizeInt8(args.head, args(1))))
+      (args: Seq[Expression]) => DequantizeInt8(args.head, args(1))),
+    ("char_bitmap",
+      new ExpressionInfo(classOf[CharBitmap].getName, "char_bitmap"),
+      (args: Seq[Expression]) => CharBitmap(args.head)),
+    ("srp_signature",
+      new ExpressionInfo(classOf[SrpSignature].getName, "srp_signature"),
+      (args: Seq[Expression]) => SrpSignature(args.head, intArg(args(1), "bits"))),
+    ("deflate_ratio",
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (args: Seq[Expression]) => DeflateRatio(args.head)),
+    ("anchored_spans",
+      new ExpressionInfo(classOf[AnchoredSpans].getName, "anchored_spans"),
+      (args: Seq[Expression]) =>
+        AnchoredSpans(args.head, intArg(args(1), "window"), intArg(args(2), "modulus"))),
+    // the standard quality-gate stopword set (same list every caller uses)
+    ("text_stats",
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (args: Seq[Expression]) =>
+        TextStats(args.head, Seq("the", "a", "of", "and", "to", "in"))))
 
   /** Register on a live session (temp functions in the session registry). */
   def registerAll(spark: SparkSession): Unit =

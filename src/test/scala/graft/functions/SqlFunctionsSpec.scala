@@ -45,7 +45,36 @@ class SqlFunctionsSpec extends SparkSuite {
       Set("rolling_hash_fingerprint", "minhash_signature", "simhash",
         "shingle_hash_set", "jaccard_sorted", "dot_product",
         "lang_id", "word_shingles", "char_ngrams", "repetition_stats",
-        "quantize_int8", "dequantize_int8"))
+        "quantize_int8", "dequantize_int8", "char_bitmap", "srp_signature",
+        "deflate_ratio", "anchored_spans", "text_stats"))
     assert(ext != null)
+  }
+
+  test("round-7 registrations match their Column API results") {
+    GraftFunctions.registerAll(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_sql7")
+    val viaSql = spark.sql(
+      """SELECT doc_id, char_bitmap(text) AS cb, deflate_ratio(text) AS dr,
+        |       size(anchored_spans(text, 48, 16)) AS ns,
+        |       text_stats(text).n_tokens AS nt
+        |FROM docs_sql7 ORDER BY doc_id LIMIT 10""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getDouble(2), r.getInt(3), r.getInt(4)))
+    val viaApi = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        SketchFns.charBitmap(col("text")).as("cb"),
+        DeflateRatio(col("text")).as("dr"),
+        size(AnchoredSpans(col("text"), 48, 16)).as("ns"),
+        TextStats(col("text"), Seq("the", "a", "of", "and", "to", "in"))
+          .getField("n_tokens").as("nt"))
+      .orderBy("doc_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getDouble(2), r.getInt(3), r.getInt(4)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    // srp_signature over the embeddings table
+    Tables.embeddings(spark, dir).createOrReplaceTempView("emb_sql7")
+    val sig = spark.sql(
+      "SELECT srp_signature(embedding, 12) FROM emb_sql7 WHERE vec_id = 0").first().getLong(0)
+    val api = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(VectorFns.srpSignature(col("embedding"), 12)).first().getLong(0)
+    assert(sig === api)
   }
 }
