@@ -72,6 +72,35 @@ object Pipeline {
   def runEtlIncremental(spark: SparkSession, inputDir: String, outputDir: String): Unit =
     etlWrites(spark, inputDir, outputDir, dynamic = true)
 
+  /** Streaming face of the reference pipeline — the incremental-arrival
+    * upgrade path the Streaming module's scaladoc promises: a file
+    * stream watches the EIA gz drop directory and each micro-batch (one
+    * daily file under the AvailableNow cadence) runs the SAME
+    * balAuthTable transform and lands via DYNAMIC partition overwrite —
+    * a day's arrival costs one partition rewrite, the checkpoint makes
+    * re-runs process only NEW files, and replaying a failed batch is
+    * idempotent because partition overwrite is. Streaming CSV needs a
+    * fixed schema, so it is bound once from the existing files (the
+    * header-name contract still holds).
+    */
+  def runEtlStream(spark: SparkSession, inputDir: String, outputDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = readEia(spark, s"$inputDir/bal_auth/*.gz").schema
+    val stream = spark.readStream
+      .option("header", true)
+      .schema(schema)
+      .csv(s"$inputDir/bal_auth/*.gz")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writePartitioned(BalAuth.balAuthTable(batch),
+          Seq("bal_auth", "year", "month"), s"$outputDir/bal_auth", dynamic = true)
+      }
+      .option("checkpointLocation", s"$outputDir/_checkpoints/bal_auth")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** QC step: reads the ETL outputs back and runs the 8 reference checks,
     * writing a JSON error report (empty when all pass).
     */

@@ -78,6 +78,50 @@ class PipelineSpec extends SparkSuite {
     assert(cisoDec.filter("demand_forecast = 77777").count() === 2)
   }
 
+  test("streaming ETL: daily gz arrivals land incrementally with checkpointed offsets") {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("etl_stream_in")
+    Files.createDirectories(in.resolve("bal_auth"))
+    Files.copy(Paths.get(fixture("bal_auth/eia930.csv.gz")), in.resolve("bal_auth/eia930.csv.gz"))
+    val out = Files.createTempDirectory("etl_stream_out").toString
+
+    // run 1: day-1 file only
+    Pipeline.runEtlStream(spark, in.toString, out)
+    val bal = () => spark.read.parquet(s"$out/bal_auth")
+    val day1Rows = bal().count()
+    assert(day1Rows > 0)
+    val pjmJanBefore = bal().filter("bal_auth='PJM' AND year=2021 AND month=1").count()
+
+    // day-2 file arrives while the query is down (new PJM month + a
+    // corrected CISO December replay, as in the batch incremental test)
+    val header = "Balancing Authority,Region,Data Date,Local Time at End of Hour," +
+      "UTC Time at End of Hour,Demand Forecast (MW),Demand (MW) (Adjusted)," +
+      "Net Generation (MW) (Adjusted),Net Generation (MW) from Coal," +
+      "Net Generation (MW) from Natural Gas,Net Generation (MW) from Nuclear," +
+      "Net Generation (MW) from All Petroleum Products," +
+      "Net Generation (MW) from Hydropower and Pumped Storage," +
+      "Net Generation (MW) from Solar,Net Generation (MW) from Wind," +
+      "Net Generation (MW) from Other Fuel Sources," +
+      "Net Generation (MW) from Unknown Fuel Sources,Demand (MW)"
+    val rows = Seq(
+      "PJM,Mid-Atlantic,02/10/2021,02/10/2021 1:00:00 AM,02/10/2021 6:00:00 AM,31250,30980,31500,8000,12000,9000,100,900,300,1000,150,50,31000",
+      "CISO,CAL,12/31/2020,12/31/2020 10:00:00 PM,01/01/2021 6:00:00 AM,77777,20700,21100,1000,9000,2000,100,3000,4000,1900,80,20,20600")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(in.resolve("bal_auth/day2.csv.gz")))
+    gz.write((header +: rows).mkString("\n").getBytes("UTF-8")); gz.close()
+
+    // run 2 from the same checkpoint: ONLY day-2 processes
+    Pipeline.runEtlStream(spark, in.toString, out)
+    // untouched partition keeps its day-1 rows
+    assert(bal().filter("bal_auth='PJM' AND year=2021 AND month=1").count() === pjmJanBefore)
+    // the new month lands
+    assert(bal().filter("bal_auth='PJM' AND year=2021 AND month=2").count() === 1)
+    // the replayed partition is REPLACED with the day-2 contents
+    val cisoDec = bal().filter("bal_auth='CISO' AND year=2020 AND month=12")
+    assert(cisoDec.count() === 1)
+    assert(cisoDec.filter("demand_forecast = 77777").count() === 1)
+  }
+
   test("schema evolution: a column added in later partitions reads back with mergeSchema") {
     // the long-lived-table reality at scale: day N+1's writer adds a
     // column; historical partitions never get rewritten. mergeSchema
