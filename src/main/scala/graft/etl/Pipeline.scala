@@ -75,25 +75,40 @@ object Pipeline {
   /** Streaming face of the reference pipeline — the incremental-arrival
     * upgrade path the Streaming module's scaladoc promises: a file
     * stream watches the EIA gz drop directory and each micro-batch (one
-    * daily file under the AvailableNow cadence) runs the SAME
-    * balAuthTable transform and lands via DYNAMIC partition overwrite —
-    * a day's arrival costs one partition rewrite, the checkpoint makes
-    * re-runs process only NEW files, and replaying a failed batch is
-    * idempotent because partition overwrite is. Streaming CSV needs a
-    * fixed schema, so it is bound once from the existing files (the
-    * header-name contract still holds).
+    * file per trigger — `maxFilesPerTrigger` is pinned so one run can
+    * never fuse same-partition files into one batch nor split them
+    * unpredictably) runs the SAME balAuthTable transform and MERGES into
+    * the table by natural key (bal_auth, local_time): rows whose key
+    * reappears are replaced, every other row in the touched partitions
+    * survives. Unlike [[runEtlIncremental]] — whose batch contract is
+    * "carry complete data for every partition you touch" — a daily file
+    * that merely ADDS a day to an open month is safe here: the
+    * checkpoint guarantees old files are never reprocessed, so the merge
+    * (not the batch) is what keeps the month's earlier days. Replaying a
+    * failed micro-batch is idempotent because replace-by-key is.
+    * Streaming CSV needs a fixed schema, so it is bound once from the
+    * existing files (the header-name contract still holds).
     */
   def runEtlStream(spark: SparkSession, inputDir: String, outputDir: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = readEia(spark, s"$inputDir/bal_auth/*.gz").schema
     val stream = spark.readStream
       .option("header", true)
+      .option("maxFilesPerTrigger", 1)
       .schema(schema)
       .csv(s"$inputDir/bal_auth/*.gz")
+    val outPath = s"$outputDir/bal_auth"
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        writePartitioned(BalAuth.balAuthTable(batch),
-          Seq("bal_auth", "year", "month"), s"$outputDir/bal_auth", dynamic = true)
+        val day = BalAuth.balAuthTable(batch)
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(outPath)))
+          graft.ops.Upsert.upsertPartitioned(spark, outPath, day,
+            keyCols = Seq("bal_auth", "local_time"),
+            partCols = Seq("bal_auth", "year", "month"))
+        else
+          writePartitioned(day, Seq("bal_auth", "year", "month"), outPath, dynamic = true)
       }
       .option("checkpointLocation", s"$outputDir/_checkpoints/bal_auth")
       .trigger(Trigger.AvailableNow())

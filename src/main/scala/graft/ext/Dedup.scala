@@ -257,7 +257,13 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("toks"))
       .withColumn("plen",
-        (size(col("toks")) - ceil(lit(threshold) * size(col("toks"))) + 1).cast("int"))
+        // ⌈t·|s|⌉ in DECIMAL arithmetic: the double product can round to
+        // just above an integer when t's binary form exceeds its decimal
+        // value, shortening the prefix below what the AllPairs recall-1
+        // theorem requires; BigDecimal(toString) pins t to its decimal
+        // meaning and the multiply/ceil are then exact
+        (size(col("toks"))
+          - ceil(lit(BigDecimal(threshold.toString)) * size(col("toks"))) + 1).cast("int"))
     val prefix = ranked
       .select(col("doc_id"), explode(slice(col("toks"), lit(1), col("plen"))).as("p"))
       .select(col("doc_id"), col("p.s").as("s"))

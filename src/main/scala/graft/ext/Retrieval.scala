@@ -129,7 +129,10 @@ object Retrieval {
         Literal.create(bf, BinaryType),
         new XxHash64(Seq(Bridge.toExpression(col("g")))))))
       .select(col("doc_id").as("corpus_id"), col("g"))
-    val hits = screened.join(broadcast(bench), "g")
+    // no broadcast hint: the rationale above is precisely that the bench
+    // gram set can outgrow a broadcast relation — AQE broadcasts a small
+    // suite and shuffles a large one (the tfidf/annTopkFiltered discipline)
+    val hits = screened.join(bench, "g")
       .groupBy(col("bench_id"))
       .agg(
         countDistinct(col("corpus_id")).as("n_contam_docs"),

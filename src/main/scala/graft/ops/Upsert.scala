@@ -38,8 +38,13 @@ object Upsert {
       .distinct().collect().map(_.getString(0))
     val current = spark.read.parquet(tablePath)
       .filter(partKey(col).isin(touched.toSeq: _*)) // partition-cols-only ⇒ pruned at listing
-    val changeKeys = changes.select(keyCols.map(col): _*).distinct()
-    val kept = current.join(broadcast(changeKeys), keyCols, "left_anti")
+    // null-safe key match: a null-keyed current row must still be
+    // REPLACED by a null-keyed change, or replaying a batch duplicates it
+    val changeKeys = changes.select(
+      keyCols.map(k => col(k).as(s"__ck_$k")): _*).distinct()
+    val kept = current.join(broadcast(changeKeys),
+      keyCols.map(k => current(k) <=> changeKeys(s"__ck_$k")).reduce(_ && _),
+      "left_anti")
     val merged = kept.unionByName(changes.select(current.columns.map(col): _*))
 
     val staging = tablePath.stripSuffix("/") + "__staging"

@@ -520,10 +520,17 @@ object Streaming {
   /** ListState processor: the per-user state is the trailing window of
     * event times — pruned to the one-hour horizon on every batch,
     * so state size is bounded by the burst window, not history. Events
-    * sort per batch; each arrival prunes, appends, and emits when the
-    * window population reaches the threshold. Completing the
-    * transformWithState state surface: ValueState (milestones), timers
-    * (inactivity), ListState (bursts).
+    * sort per batch and process in TIE GROUPS: all events sharing a
+    * timestamp enqueue before any of them emits, so each tied event
+    * counts every equal-t peer in its window — the same count the batch
+    * RANGE frame assigns ([[burstBatch]]'s `rangeBetween` window is
+    * tie-inclusive on both sides). Caveat (as with the session_window
+    * exact-gap tie): ties SPLIT ACROSS micro-batches still diverge — an
+    * event emitted in batch N cannot retroactively see an equal-t peer
+    * arriving in batch N+1; exact parity across batch boundaries would
+    * require holding emission until the watermark passes t. Completing
+    * the transformWithState state surface: ValueState (milestones),
+    * timers (inactivity), ListState (bursts).
     */
   class BurstProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Burst] {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ListState}
@@ -537,11 +544,17 @@ object Streaming {
       val buf = scala.collection.mutable.Queue[Long](
         (if (window.exists()) window.get().toSeq else Seq.empty): _*)
       val out = Array.newBuilder[Burst]
-      sorted.foreach { e =>
-        val t = e.ts.getTime
+      var i = 0
+      while (i < sorted.length) {
+        val t = sorted(i).ts.getTime
+        var j = i
+        while (j < sorted.length && sorted(j).ts.getTime == t) j += 1
         while (buf.nonEmpty && buf.head < t - BurstWindowMs) buf.dequeue()
-        buf.enqueue(t)
-        if (buf.size >= BurstThreshold) out += Burst(key, e.event_id, buf.size)
+        (i until j).foreach(_ => buf.enqueue(t))
+        val n = buf.size
+        if (n >= BurstThreshold)
+          (i until j).foreach(k => out += Burst(key, sorted(k).event_id, n))
+        i = j
       }
       window.put(buf.toArray)
       out.result().iterator

@@ -92,8 +92,9 @@ class PipelineSpec extends SparkSuite {
     assert(day1Rows > 0)
     val pjmJanBefore = bal().filter("bal_auth='PJM' AND year=2021 AND month=1").count()
 
-    // day-2 file arrives while the query is down (new PJM month + a
-    // corrected CISO December replay, as in the batch incremental test)
+    // day-2 file arrives while the query is down: a new PJM month, a new
+    // DAY added to the still-open PJM January partition, and a same-key
+    // corrected replay of the CISO December 11 PM row
     val header = "Balancing Authority,Region,Data Date,Local Time at End of Hour," +
       "UTC Time at End of Hour,Demand Forecast (MW),Demand (MW) (Adjusted)," +
       "Net Generation (MW) (Adjusted),Net Generation (MW) from Coal," +
@@ -105,18 +106,24 @@ class PipelineSpec extends SparkSuite {
       "Net Generation (MW) from Unknown Fuel Sources,Demand (MW)"
     val rows = Seq(
       "PJM,Mid-Atlantic,02/10/2021,02/10/2021 1:00:00 AM,02/10/2021 6:00:00 AM,31250,30980,31500,8000,12000,9000,100,900,300,1000,150,50,31000",
-      "CISO,CAL,12/31/2020,12/31/2020 10:00:00 PM,01/01/2021 6:00:00 AM,77777,20700,21100,1000,9000,2000,100,3000,4000,1900,80,20,20600")
+      "PJM,Mid-Atlantic,01/16/2021,01/16/2021 1:00:00 AM,01/16/2021 6:00:00 AM,31100,30900,31400,8000,12000,9000,100,900,300,950,100,50,30900",
+      "CISO,CAL,12/31/2020,12/31/2020 11:00:00 PM,01/01/2021 7:00:00 AM,77777,20700,21100,1000,9000,2000,100,3000,4000,1900,80,20,20600")
     val gz = new java.util.zip.GZIPOutputStream(
       Files.newOutputStream(in.resolve("bal_auth/day2.csv.gz")))
     gz.write((header +: rows).mkString("\n").getBytes("UTF-8")); gz.close()
 
     // run 2 from the same checkpoint: ONLY day-2 processes
     Pipeline.runEtlStream(spark, in.toString, out)
-    // untouched partition keeps its day-1 rows
-    assert(bal().filter("bal_auth='PJM' AND year=2021 AND month=1").count() === pjmJanBefore)
+    // a day added to the OPEN January partition merges in — the
+    // partition's earlier days survive (the truncation hazard dynamic
+    // overwrite alone would have: day-2's batch would wipe Jan 15)
+    assert(bal().filter("bal_auth='PJM' AND year=2021 AND month=1").count() === pjmJanBefore + 1)
+    assert(bal().filter(
+      "bal_auth='PJM' AND year=2021 AND month=1 AND local_time LIKE '01/15/2021%'").count()
+      === pjmJanBefore)
     // the new month lands
     assert(bal().filter("bal_auth='PJM' AND year=2021 AND month=2").count() === 1)
-    // the replayed partition is REPLACED with the day-2 contents
+    // the same-key replay REPLACES the old row in place (no append-dup)
     val cisoDec = bal().filter("bal_auth='CISO' AND year=2020 AND month=12")
     assert(cisoDec.count() === 1)
     assert(cisoDec.filter("demand_forecast = 77777").count() === 1)

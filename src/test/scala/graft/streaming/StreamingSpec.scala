@@ -205,6 +205,36 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("burst processor matches the RANGE frame on timestamp ties") {
+    import spark.implicits._
+    // three events share one timestamp: the tie-inclusive RANGE frame
+    // gives ALL of them n_in_window=3, so all three clear the threshold —
+    // including the first in (ts, event_id) order, which a sequential
+    // count would under-report (n=1)
+    val h = 3600L * 1000000000L // one hour of raw nanos
+    val t0 = 1700000000L * 1000000000L
+    val raw = Seq(
+      (1L, t0, 99L, "error", 0.0, "{}"),
+      (2L, t0, 99L, "error", 0.0, "{}"),
+      (3L, t0, 99L, "error", 0.0, "{}"),
+      (4L, t0 + h / 6, 99L, "error", 0.0, "{}"), // +10 min: window now holds 4
+      (5L, t0 + 3 * h, 99L, "error", 0.0, "{}")) // beyond the window: alone, no burst
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val streamDir = java.nio.file.Files.createTempDirectory("events_burst_ties")
+    raw.coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+
+    Streaming.runBurstStream(spark, s"$streamDir/*", "burst_ties_out")
+    val streamed = spark.table("burst_ties_out")
+      .orderBy("event_id").collect().map(_.toString)
+    val batch = Streaming.burstBatch(Streaming.normalize(raw))
+      .orderBy("event_id").collect().map(_.toString)
+    assert(batch.map(_.toString).toSeq ===
+      Seq(Streaming.Burst(99L, 1L, 3), Streaming.Burst(99L, 2L, 3),
+        Streaming.Burst(99L, 3L, 3), Streaming.Burst(99L, 4L, 4))
+        .map(b => s"[${b.user_id},${b.event_id},${b.n_in_window}]"))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("watermark dedup in front of the stateful processor survives redelivery") {
     import spark.implicits._
     val streamDir = java.nio.file.Files.createTempDirectory("events_redeliver_state")
