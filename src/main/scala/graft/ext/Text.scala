@@ -441,8 +441,37 @@ object Text {
   def qTextNbLang(spark: SparkSession, dir: String): DataFrame =
     nbClassify(Tables.documents(spark, dir), "lang")
 
+  /** Per-document token-distribution Shannon entropy + type/token ratio —
+    * the lexical-diversity signals a corpus-quality filter thresholds on
+    * (low entropy ⇒ boilerplate/repetition, near-max ⇒ random noise).
+    * H = ln(n) − (Σ c·ln c)/n over per-doc token counts; each c·ln c
+    * term quantizes to DECIMAL(18,9) before the per-doc sum, so both
+    * engines add BIT-IDENTICAL addends in an association-free type.
+    * Scale: explode is absorbed by partial aggregation on (doc_id, tok);
+    * everything after is doc-bounded.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c") * log(col("c"))).cast(DecimalType(18, 9))).as("sclc"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens")) - col("sclc").cast("double") / col("n_tokens"), 4)
+          .as("entropy"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_report" -> (qSourceReport _),
+    "text_entropy" -> (textEntropy _),
     "text_pmi" -> (qTextPmi _),
     "text_nb_lang" -> (qTextNbLang _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
@@ -461,6 +490,19 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    // c·ln(c) quantized to DECIMAL(18,9) pre-sum, mirroring textEntropy
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |             sum(CAST(c * ln(c) AS DECIMAL(18,9))) AS sclc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |       round(ln(n_tokens) - CAST(sclc AS DOUBLE) / n_tokens, 4) AS entropy,
+        |       CAST(n_types AS DOUBLE) / n_tokens AS ttr
+        |FROM a ORDER BY doc_id""".stripMargin,
     // bigram construction mirrors WordShingles(n=2, distinct=false):
     // <2-token docs contribute their tokens joined as ONE shingle
     "text_pmi" ->

@@ -880,6 +880,119 @@ object Parity {
       .orderBy("col_a", "col_b")
   }
 
+  /** Markov transition matrix over the event stream: for every ordered
+    * pair of event types, how often does `to` directly follow `from`
+    * within a user's timeline, and with what conditional probability.
+    * The sequence-mining primitive behind next-action prediction and
+    * curriculum analysis of interaction logs. Scale: ONE shuffle on
+    * user_id for the lag window; the transition matrix is |types|² rows,
+    * so the per-`from` normalizing window runs over a tiny aggregate.
+    * p is an int/int double (bit-identical cross-engine, no rounding).
+    */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val counts = pairs
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(wf))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Top-20 session paths: each 30-minute-gap session contributes the
+    * `>`-joined sequence of its first 8 event types; paths rank by
+    * frequency. The path-mining view of the same session definition as
+    * q_sessionize (lag-gap flag + running sum — the SQL-expressible
+    * twin of the sessionizer fold). Scale: one shuffle on user_id;
+    * per-session collect_list is session-bounded and CAPPED at 8 events
+    * before stringification, so no path string grows with the data; the
+    * final rank is a TakeOrderedAndProject top-k, never a global sort.
+    */
+  def qTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t"), col("event_type"))
+      .withColumn("new_sess",
+        when(lag(col("t"), 1).over(w).isNull ||
+          col("t") - lag(col("t"), 1).over(w) > 1800000L, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(concat_ws(">",
+        transform(
+          slice(array_sort(collect_list(
+            struct(col("t"), col("event_id"), col("event_type")))), 1, 8),
+          s => s.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Distribution drift between temporal splits — the train/eval gate a
+    * 100 TB pipeline runs before shipping a new data cut: order prices
+    * before/after a pivot date compare via a 100-bin equi-width ECDF
+    * (Kolmogorov-Smirnov distance) and a Laplace-smoothed population
+    * stability index. The binned form is the scale-shaped one: the
+    * exact KS needs a global sort (the retired q_ntile shape), while
+    * bins partial-aggregate map-side and the cumulative window runs
+    * over ≤100 aggregated rows. Cross-engine parity: bucket ids and
+    * counts are integers; ECDF gaps are int/int doubles; the PSI terms
+    * quantize to DECIMAL(18,9) before the (tiny) sum so accumulation
+    * order cannot drift.
+    */
+  def qDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBins = 100
+    val pivot = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("v"),
+        (col("o_orderdate") < lit(pivot)).as("early"))
+    val s = o.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val g = o.crossJoin(broadcast(s))
+      .withColumn("bucket",
+        least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / nBins)),
+          lit(nBins - 1)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"))
+    val t = g.agg(sum(col("n_early")).as("tot_early"), sum(col("n_late")).as("tot_late"))
+    val wc = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(t))
+      .withColumn("gap", abs(
+        sum(col("n_early")).over(wc).cast("double") / col("tot_early") -
+        sum(col("n_late")).over(wc).cast("double") / col("tot_late")))
+      .withColumn("p_early",
+        (col("n_early") + 1).cast("double") / (col("tot_early") + nBins))
+      .withColumn("p_late",
+        (col("n_late") + 1).cast("double") / (col("tot_late") + nBins))
+      .withColumn("psi_term",
+        ((col("p_early") - col("p_late")) * log(col("p_early") / col("p_late")))
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("tot_early"), col("tot_late"))
+      .agg(
+        round(max(col("gap")), 6).as("ks"),
+        round(sum(col("psi_term")).cast("double"), 6).as("psi"),
+        count(lit(1)).as("n_bins_hit"))
+      .select(col("ks"), col("psi"), col("n_bins_hit"),
+        col("tot_early"), col("tot_late"))
+  }
+
   /** The one-task exact form retired from the driver surface — kept as
     * the ParitySpec oracle for [[qNtile]]'s distributed-rank rewrite.
     */
@@ -895,6 +1008,58 @@ object Parity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type FROM events),
+        |m AS (SELECT event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |      FROM e),
+        |c AS (SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |      FROM m WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // session definition mirrors q_sessionize (30-min gap, lag flag +
+    // running sum); struct list_sort orders by (t, event_id) exactly as
+    // Spark's array_sort over the same struct
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type FROM events),
+        |f AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+        |                     THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f),
+        |p AS (SELECT user_id, sess_id,
+        |        array_to_string(list_transform(
+        |          list_slice(list_sort(list(struct_pack(t := t, event_id := event_id,
+        |            event_type := event_type))), 1, 8),
+        |          x -> x.event_type), '>') AS path
+        |      FROM s GROUP BY user_id, sess_id)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // bucket ids / counts integer-exact; ECDF gaps int/int doubles; PSI
+    // terms DECIMAL(18,9)-quantized before the sum (association-free)
+    "q_drift_ks" ->
+      """WITH o AS (SELECT o_totalprice AS v,
+        |              o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AS early FROM orders),
+        |s AS (SELECT min(v) AS mn, max(v) AS mx FROM o),
+        |g AS (SELECT CAST(LEAST(floor((v - mn) / ((mx - mn) / 100)), 99) AS INTEGER) AS bucket,
+        |             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+        |             CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |      FROM o, s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS tot_early,
+        |             CAST(sum(n_late) AS BIGINT) AS tot_late FROM g),
+        |c AS (SELECT bucket, n_early, n_late, tot_early, tot_late,
+        |             abs(CAST(sum(n_early) OVER wc AS DOUBLE) / tot_early -
+        |                 CAST(sum(n_late) OVER wc AS DOUBLE) / tot_late) AS gap,
+        |             CAST(n_early + 1 AS DOUBLE) / (tot_early + 100) AS p_early,
+        |             CAST(n_late + 1 AS DOUBLE) / (tot_late + 100) AS p_late
+        |      FROM g, t
+        |      WINDOW wc AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT round(max(gap), 6) AS ks,
+        |       round(CAST(sum(CAST((p_early - p_late) * ln(p_early / p_late)
+        |         AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
+        |       count(*) AS n_bins_hit, tot_early, tot_late
+        |FROM c GROUP BY tot_early, tot_late""".stripMargin,
     "q_retention" ->
       """WITH first AS (
         |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
@@ -1280,6 +1445,9 @@ object Parity {
     "q_scd2" -> (qScd2 _),
     "q_star_join" -> (qStarJoin _),
     "q_window_analytics" -> (qWindowAnalytics _),
+    "q_transitions" -> (qTransitions _),
+    "q_top_paths" -> (qTopPaths _),
+    "q_drift_ks" -> (qDriftKs _),
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
     "q_hll_union" -> (qHllUnion _),

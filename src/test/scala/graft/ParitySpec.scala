@@ -38,6 +38,74 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("transition matrix rows are proper conditional distributions") {
+    import org.apache.spark.sql.functions._
+    val t = queries.Parity.qTransitions(spark, sfDir)
+    // per-from probabilities sum to 1 (within FP of the tiny matrix sum)
+    val sums = t.groupBy("from_type").agg(sum("p").as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, r.toString))
+    // total transition count = events minus one per (user, first event)
+    val nPairs = t.agg(sum("n")).first().getLong(0)
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(nPairs === expected)
+  }
+
+  test("top session paths are capped at 8 steps and rank by frequency") {
+    val rows = queries.Parity.qTopPaths(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getString(0).split(">").length <= 8, r.getString(0))
+    }
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("binned KS drift matches an exact recomputation of the same bins") {
+    val row = queries.Parity.qDriftKs(spark, sfDir).first()
+    val (ks, psi) = (row.getDouble(0), row.getDouble(1))
+    assert(ks >= 0 && ks <= 1, s"ks=$ks")
+    assert(row.getLong(2) <= 100)
+    val o = Tables.orders(spark, sfDir)
+    assert(row.getLong(3) + row.getLong(4) === o.count())
+    // recompute the binned ECDF distance from collected rows
+    val data = o.select("o_totalprice", "o_orderdate").collect()
+      .map(r => (r.getDouble(0), r.getAs[java.time.LocalDateTime](1).isBefore(
+        java.time.LocalDateTime.of(1998, 1, 1, 0, 0))))
+    val (mn, mx) = (data.map(_._1).min, data.map(_._1).max)
+    def bucket(v: Double) = math.min(math.floor((v - mn) / ((mx - mn) / 100)), 99).toInt
+    val early = data.filter(_._2).map(t => bucket(t._1))
+    val late = data.filterNot(_._2).map(t => bucket(t._1))
+    val gaps = (0 until 100).map { b =>
+      math.abs(early.count(_ <= b).toDouble / early.length -
+        late.count(_ <= b).toDouble / late.length)
+    }
+    assert(math.abs(ks - BigDecimal(gaps.max).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"ks=$ks vs ${gaps.max}")
+    assert(!psi.isNaN && psi >= 0, s"psi=$psi")
+  }
+
+  test("token entropy is bounded by ln(n_tokens) and zero for uniform repeats") {
+    import org.apache.spark.sql.functions._
+    val e = ext.Text.textEntropy(spark, sfDir)
+    // entropy is rounded to 4 decimals for display, so the ln(n) ceiling
+    // can be overshot by up to half the last rounding step
+    val bad = e.filter(col("entropy") < -1e-4 ||
+      col("entropy") > log(col("n_tokens")) + 1e-4 ||
+      col("ttr") <= 0 || col("ttr") > 1).count()
+    assert(bad === 0)
+    // spot-check one document by hand
+    val doc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).first()
+    val toks = doc.getString(1).trim.toLowerCase.split("\\s+")
+    val n = toks.length.toDouble
+    val h = math.log(n) - toks.groupBy(identity).values
+      .map(g => BigDecimal(g.size * math.log(g.size)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble).sum / n
+    val got = e.filter(col("doc_id") === doc.getLong(0)).first().getDouble(3)
+    assert(math.abs(got - h) < 1e-4, s"$got vs $h")
+  }
+
   test("results are invariant to the shuffle partition count") {
     // partition-count sensitivity is how nondeterminism sneaks into a
     // distributed pipeline (per-partition rand/accumulation order/limit
