@@ -30,6 +30,7 @@ object SparkEntry {
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (ops.Asof.queries, ops.Asof.oracles),
+      (ops.IncrAgg.queries, ops.IncrAgg.oracles),
       (ops.RangeJoin.queries, ops.RangeJoin.oracles),
     )
 

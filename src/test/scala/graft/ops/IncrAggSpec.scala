@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: merge algebra, partition scoping,
+  * and the read-only driver view.
+  */
+class IncrAggSpec extends SparkSuite {
+  val dir = "/root/testdata/sf0.001"
+
+  private def eventsWithDay = graft.Tables.events(spark, dir)
+    .withColumn("d", to_date(col("ts")).cast("string"))
+
+  private def daySplits: (String, String) = {
+    val days = eventsWithDay.select("d").distinct()
+      .collect().map(_.getString(0)).sorted
+    (days(days.length / 3), days(2 * days.length / 3))
+  }
+
+  test("sequential batch merges equal the full-history aggregate") {
+    val (s1, s2) = daySplits
+    val ev = eventsWithDay
+    val mv = java.nio.file.Files.createTempDirectory("incr_mv_seq").toString
+    IncrAgg.init(ev.filter(col("d") < s1).drop("d"), mv)
+    IncrAgg.merge(spark, mv, ev.filter(col("d") >= s1 && col("d") < s2).drop("d"))
+    IncrAgg.merge(spark, mv, ev.filter(col("d") >= s2).drop("d"))
+
+    val got = spark.read.parquet(mv)
+      .select("day", "event_type", "n_events", "sum_value")
+      .collect().map(_.toString).sorted
+    val want = IncrAgg.partial(graft.Tables.events(spark, dir))
+      .select("day", "event_type", "n_events", "sum_value")
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
+
+  test("a merge rewrites ONLY the day partitions the batch touches") {
+    val (s1, _) = daySplits
+    val ev = eventsWithDay
+    val mv = java.nio.file.Files.createTempDirectory("incr_mv_scope").toString
+    IncrAgg.init(ev.filter(col("d") < s1).drop("d"), mv)
+
+    def partitionFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(mv).listFiles().filter(_.getName.startsWith("day="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+
+    val before = partitionFiles()
+    IncrAgg.merge(spark, mv, ev.filter(col("d") >= s1).drop("d"))
+    val after = partitionFiles()
+
+    val touchedDays = ev.filter(col("d") >= s1)
+      .select("d").distinct().collect().map("day=" + _.getString(0)).toSet
+    // every pre-existing untouched partition keeps its exact files
+    before.keys.filterNot(touchedDays).foreach { day =>
+      assert(after(day) === before(day), s"$day was rewritten")
+    }
+    // and at least one new (touched) partition appeared
+    assert((after.keySet -- before.keySet).nonEmpty)
+  }
+
+  test("the read-only merged view equals the post-merge table") {
+    val (s1, s2) = daySplits
+    val ev = eventsWithDay
+    val mv = java.nio.file.Files.createTempDirectory("incr_mv_view").toString
+    IncrAgg.init(ev.filter(col("d") < s1).drop("d"), mv)
+    val batch = ev.filter(col("d") >= s1 && col("d") < s2).drop("d")
+
+    val view = IncrAgg.mergedView(spark, mv, batch)
+      .select("day", "event_type", "n_events", "sum_value")
+      .collect().map(_.toString).sorted
+    IncrAgg.merge(spark, mv, batch)
+    val disk = spark.read.parquet(mv)
+      .select("day", "event_type", "n_events", "sum_value")
+      .collect().map(_.toString).sorted
+    assert(view.nonEmpty && view.toSeq === disk.toSeq)
+  }
+}
