@@ -95,6 +95,71 @@ object IncrAgg {
       .unionByName(merged)
   }
 
+  /** Streaming face of the maintenance loop: a checkpointed file stream
+    * watches the event drop directory and every micro-batch (one file
+    * per trigger) merges into the view through the SAME batch merge —
+    * arrival-to-current latency is one merge of batch-sized data.
+    *
+    * The merge is ADDITIVE (counts/sums re-add), so a replayed
+    * micro-batch would double-count; foreachBatch CAN replay a batch
+    * whose processing completed but whose checkpoint commit did not.
+    * The `_ledger` file under the view records the highest applied
+    * batch id (written by atomic rename AFTER publish): a redelivered
+    * id skips, making replay exactly-once up to the crash window
+    * between partition publish and ledger rename — the same multi-file
+    * commit caveat the publish itself already has on a filesystem
+    * without a transaction log (closing it needs a manifest/Delta-style
+    * log, which the plain-parquet contract here deliberately avoids).
+    * The ledger is tied to ONE checkpoint lineage: a fresh
+    * checkpointLocation restarts batch ids at 0, so it must pair with
+    * a fresh view directory (or a cleared ledger).
+    */
+  def maintainStream(spark: SparkSession, inputGlob: String, mvPath: String,
+      checkpoint: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream
+      .schema(graft.streaming.Streaming.eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputGlob)
+    val fs = new Path(mvPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(mvPath, "_ledger")
+    def lastApplied: Long =
+      if (!fs.exists(ledger)) -1L
+      else {
+        val in = fs.open(ledger)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    def record(id: Long): Unit = {
+      val tmp = new Path(mvPath, s"_ledger.tmp$id")
+      val out = fs.create(tmp, true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+      // FileContext rename supports OVERWRITE (atomic replace);
+      // FileSystem.rename would silently refuse an existing destination
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(mvPath).toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, ledger, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    // the view "exists" once it holds day partitions — either from a
+    // prior micro-batch or a batch-mode init that seeded the history
+    def viewExists: Boolean = fs.exists(new Path(mvPath)) &&
+      fs.listStatus(new Path(mvPath)).exists(_.getPath.getName.startsWith("day="))
+    val q = graft.streaming.Streaming.normalize(stream).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (id > lastApplied) {
+          if (viewExists) merge(spark, mvPath, batch)
+          else init(batch, mvPath)
+          record(id)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // --- driver-contract entry ------------------------------------------------
 
   /** Seed-history MV cache, built once per (JVM, corpus dir): events on

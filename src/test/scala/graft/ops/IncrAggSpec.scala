@@ -60,6 +60,49 @@ class IncrAggSpec extends SparkSuite {
     assert((after.keySet -- before.keySet).nonEmpty)
   }
 
+  test("streaming maintenance equals the full aggregate and survives redelivery") {
+    val streamDir = java.nio.file.Files.createTempDirectory("incr_mv_stream")
+    val raw = spark.read.schema(graft.streaming.Streaming.eventsRawSchema)
+      .parquet(s"$dir/events.parquet")
+    val mid = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= mid).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    raw.filter(col("ts") > mid).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    val mv = streamDir.resolve("mv").toString
+    val ckpt = streamDir.resolve("ckpt").toString
+
+    IncrAgg.maintainStream(spark, s"$streamDir/b*", mv, ckpt)
+    def mvRows = spark.read.parquet(mv)
+      .select("day", "event_type", "n_events", "sum_value")
+      .collect().map(_.toString).sorted.toSeq
+    val want = IncrAgg.partial(graft.Tables.events(spark, dir))
+      .select("day", "event_type", "n_events", "sum_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(mvRows === want)
+
+    // a fresh checkpoint replays every file with already-ledgered batch
+    // ids: the additive merge must NOT re-apply them
+    IncrAgg.maintainStream(spark, s"$streamDir/b*",
+      mv, streamDir.resolve("ckpt2").toString)
+    assert(mvRows === want)
+
+    // a genuinely new file under the ORIGINAL checkpoint continues the
+    // batch sequence and merges in
+    // noon UTC keeps the calendar date stable in any session timezone
+    val extraNs = java.time.LocalDate.of(2031, 1, 1).atTime(12, 0)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    import spark.implicits._
+    Seq((900001L, extraNs, 7L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(streamDir.resolve("b3").toString)
+    IncrAgg.maintainStream(spark, s"$streamDir/b*", mv, ckpt)
+    val after = spark.read.parquet(mv)
+    assert(after.filter(col("day") === java.sql.Date.valueOf("2031-01-01"))
+      .count() === 1)
+    assert(after.count() === want.length + 1)
+  }
+
   test("the read-only merged view equals the post-merge table") {
     val (s1, s2) = daySplits
     val ev = eventsWithDay
