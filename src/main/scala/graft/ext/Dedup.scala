@@ -275,6 +275,70 @@ object Dedup {
     verifyPairs(candidates, shingleTable(docs), threshold)
   }
 
+  /** Edit-distance (Levenshtein ≤ k) string self-join via PASSJOIN-style
+    * segment filtering (cf. Li/Deng/Feng, VLDB'11) — the edit-distance
+    * sibling of [[dedupPrefixDocs]]'s set-similarity prefix filter, run
+    * here over fixed-length 40-char document titles. Pigeonhole with
+    * shifts: ≤ k edits touch at most k of the k+1 segments, so any
+    * matching pair preserves at least one whole segment, displaced by at
+    * most the net insertions/deletions before it (±k). Candidates
+    * therefore come from equi-joining each string's k+1 SEGMENTS against
+    * every other string's substrings of the same length at start
+    * positions within ±k of the segment's home — recall is EXACTLY 1 (a
+    * theorem, not a tuning); the native codegen `levenshtein` with an
+    * early-exit threshold confirms.
+    *
+    * Scale shape: the index side carries k+1 rows per string, the probe
+    * side ≤ (k+1)(2k+1); the candidate join keys on a ~13-char segment
+    * string (selective on diverse text), and verification touches
+    * candidates only. No all-pairs anywhere — the brute-force quadratic
+    * join exists ONLY as the oracle.
+    *
+    * Precondition: equal-length strings (the single-length PassJoin
+    * case); enforced by filtering to full-length titles, mirrored in the
+    * oracle.
+    */
+  def dedupFuzzy(spark: SparkSession, dir: String, k: Int = 2,
+      titleLen: Int = 40): DataFrame =
+    fuzzyTitleJoin(Tables.documents(spark, dir), k, titleLen)
+
+  def fuzzyTitleJoin(docs: DataFrame, k: Int = 2, titleLen: Int = 40): DataFrame = {
+    val titled = docs
+      .select(col("doc_id"), substring(col("text"), 1, titleLen).as("t"))
+      .filter(length(col("t")) === titleLen)
+    // segment layout: k+1 contiguous pieces, remainder spread to the tail
+    val base = titleLen / (k + 1)
+    val segLens = (0 to k).map(i => if (i < (k + 1) - titleLen % (k + 1)) base else base + 1)
+    val segPos = segLens.scanLeft(1)(_ + _) // 1-based starts
+    val segments = titled.select(col("doc_id"),
+      explode(array((0 to k).map { i =>
+        struct(lit(i).as("seg"), substring(col("t"), segPos(i), segLens(i)).as("s"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.seg").as("seg"), col("e.s").as("s"))
+    val probes = titled.select(col("doc_id"),
+      explode(array((0 to k).flatMap { i =>
+        val lo = math.max(1, segPos(i) - k)
+        val hi = math.min(titleLen - segLens(i) + 1, segPos(i) + k)
+        (lo to hi).map(p =>
+          struct(lit(i).as("seg"), substring(col("t"), p, segLens(i)).as("s")))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.seg").as("seg"), col("e.s").as("s"))
+      .distinct()
+    val candidates = segments.as("a")
+      .join(probes.as("b"),
+        col("a.seg") === col("b.seg") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(titled.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(titled.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), k))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = simhashTable(Tables.documents(spark, dir))
 
@@ -588,6 +652,7 @@ object Dedup {
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "dedup_fuzzy" -> ((s: SparkSession, d: String) => dedupFuzzy(s, d)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
@@ -657,6 +722,17 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE doc_a >= 250 OR doc_b >= 250
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // brute-force quadratic truth for the PassJoin segment filter —
+    // recall 1 is a theorem, so the filtered join must equal all-pairs
+    "dedup_fuzzy" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS t
+        |  FROM documents WHERE length(text) >= 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(a.t, b.t) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.t, b.t) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       round(jaccard(a.text, b.text), 4) AS jaccard

@@ -819,4 +819,60 @@ class ExtSpec extends SparkSuite {
         r.getAs[Double]("target_share")) < 1e-5)
     assert(chk)
   }
+
+  test("PassJoin segment filter finds exactly the brute-force levenshtein<=k pairs") {
+    val docs = Tables.documents(spark, dir)
+    val titled = docs
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      .filter(length(col("t")) === 40)
+    val a = titled.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+    val b = titled.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select("doc_a", "doc_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Dedup.fuzzyTitleJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "corpus should contain near-identical titles")
+    assert(got === brute)
+  }
+
+  test("PassJoin pigeonhole theorem holds on randomized edits (insert/delete shifts included)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcd" // tiny alphabet: adversarial segment collisions
+    val len = 12
+    (0 until 3).foreach { trial =>
+      val base = Seq.fill(10)(Seq.fill(len)(alphabet(rng.nextInt(4))).mkString)
+      // mutate while PRESERVING length: substitutions, and paired
+      // insert+delete at different positions (the case that shifts
+      // segments and defeats a naive aligned-segment join)
+      val mutated = base.flatMap { s =>
+        val sub = {
+          val p = rng.nextInt(len)
+          s.updated(p, alphabet(rng.nextInt(4)))
+        }
+        val insDel = {
+          val ins = rng.nextInt(len)
+          val withIns = s.substring(0, ins) + alphabet(rng.nextInt(4)) + s.substring(ins)
+          withIns.substring(0, len) // insert then truncate = insert+delete
+        }
+        Seq(s, sub, insDel)
+      }
+      val docs = mutated.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      val brute = a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select("doc_a", "doc_b", "dist")
+        .as[(Long, Long, Long)].collect().toSet
+      val got = Dedup.fuzzyTitleJoin(docs, k = 2, titleLen = len)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(brute.nonEmpty, s"trial=$trial planted edits must collide")
+      assert(got === brute, s"trial=$trial")
+    }
+  }
 }
