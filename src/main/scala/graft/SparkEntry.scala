@@ -27,6 +27,7 @@ object SparkEntry {
       (ext.Ivf.queries, ext.Ivf.oracles),
       (ext.Pq.queries, ext.Pq.oracles),
       (ext.Curation.queries, ext.Curation.oracles),
+      (ext.Packing.queries, ext.Packing.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (ops.Asof.queries, ops.Asof.oracles),

@@ -1,0 +1,204 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence assembly for an LLM data pipeline: concat-and-chunk
+  * sequence PACKING (every document mapped to its token offset in the
+  * virtual concatenated corpus stream, hence to the fixed-length training
+  * sequences it lands in) and per-document sliding-window CHUNKING
+  * (context-length pieces with stride overlap). The reference pipeline
+  * stops at partitioned parquet (`nrg_etl.py:37,72`); these are the two
+  * layout steps a tokenized corpus needs next, kept engine-side because
+  * both are pure arithmetic over token counts.
+  *
+  * Scale note — the packing offset is a GLOBAL running sum in doc_id
+  * order, which Spark's window API would compute on a single task
+  * (`Window.orderBy` with no partition key: the exact anti-pattern the
+  * decile profile replaced). [[packSequences]] instead runs a distributed
+  * two-pass prefix sum: bucket by a doc_id range split, per-bucket totals
+  * (one tiny aggregate, ≤`buckets` rows to the driver), driver scan turns
+  * totals into bucket base offsets, broadcast back, and the running sum
+  * runs per-bucket — every window in the plan is partitioned, asserted in
+  * PackingSpec against both the plan text and the naive global-window
+  * form's results.
+  */
+object Packing {
+
+  private def nTok = size(TextFns.tokens(col("text"))).cast("long")
+
+  /** Per-document token counts keyed for packing: cost = n_tok + 1 (the
+    * separator token every concat-and-chunk tokenizer appends).
+    */
+  private def tokenCosts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), nTok.as("n_tok"))
+      .withColumn("cost", col("n_tok") + lit(1L))
+
+  /** Concat-and-chunk packing: documents joined in doc_id order into one
+    * virtual token stream (one separator after each doc), cut into
+    * fixed-length training sequences of `seqLen`. Emits each document's
+    * global token offset, the sequence its first token lands in, and how
+    * many sequences it spans — the manifest a pack-writer shards on.
+    *
+    * Two-pass distributed prefix sum (no global-order window):
+    * pass 1 computes per-bucket cost totals where bucket = doc_id range
+    * split into `buckets` slices (exact min/max from one aggregate);
+    * the driver prefix-scans the ≤`buckets` totals into base offsets;
+    * pass 2 adds the base to a PER-BUCKET running sum. At 100 TB the
+    * only driver-side state is `buckets` longs, and no task ever holds
+    * more than one bucket's rows.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long = 512L, buckets: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val costs = tokenCosts(docs)
+    val bounds = costs.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_tok"), lit(0L).as("t_off"),
+          lit(0L).as("seq_id"), lit(0L).as("n_seqs"))
+        .limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / buckets + 1L)
+    val bucketed = costs.withColumn("bucket", ((col("doc_id") - lit(lo)) / lit(width)).cast("long"))
+    // pass 1: bucket totals -> driver prefix scan -> base offsets
+    val totals = bucketed.groupBy("bucket").agg(sum("cost").as("total"))
+      .orderBy("bucket").collect()
+    var acc = 0L
+    val bases = totals.map { r =>
+      val b = (r.getLong(0), acc); acc += r.getLong(1); b
+    }.toSeq
+    val baseDf = spark.createDataFrame(bases).toDF("bucket", "base")
+    // pass 2: per-bucket running sum + broadcast base join
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(baseDf), "bucket")
+      .withColumn("t_off", col("base") + sum("cost").over(w) - col("cost"))
+      .withColumn("seq_id", expr(s"t_off div $seqLen"))
+      .withColumn("n_seqs",
+        when(col("n_tok") === 0L, lit(0L))
+          .otherwise(expr(s"(t_off + n_tok - 1) div $seqLen") - col("seq_id") + lit(1L)))
+      .select("doc_id", "n_tok", "t_off", "seq_id", "n_seqs")
+      .orderBy("doc_id")
+  }
+
+  /** The textbook form of the same packing manifest — ONE window over the
+    * global doc_id order, which Spark executes on a single task. Kept as
+    * the in-repo oracle for [[packSequences]] (PackingSpec asserts result
+    * equality); never registered as a driver query.
+    */
+  def packSequencesGlobalWindow(docs: DataFrame, seqLen: Long = 512L): DataFrame = {
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokenCosts(docs)
+      .withColumn("t_off", sum("cost").over(w) - col("cost"))
+      .withColumn("seq_id", expr(s"t_off div $seqLen"))
+      .withColumn("n_seqs",
+        when(col("n_tok") === 0L, lit(0L))
+          .otherwise(expr(s"(t_off + n_tok - 1) div $seqLen") - col("seq_id") + lit(1L)))
+      .select("doc_id", "n_tok", "t_off", "seq_id", "n_seqs")
+      .orderBy("doc_id")
+  }
+
+  /** Per-sequence occupancy profile over the packed manifest: how many
+    * documents START in each training sequence and the token mass they
+    * contribute — the skew check a pack run ends with (a sequence
+    * spanned by one huge document starts 0 docs; a run of tiny docs
+    * piles dozens into one). Pure reaggregation of [[packSequences]]:
+    * one extra shuffle on seq_id, counts stay partial-aggregated.
+    */
+  def packProfile(docs: DataFrame, seqLen: Long = 512L, buckets: Int = 64): DataFrame =
+    packSequences(docs, seqLen, buckets)
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs_started"),
+        sum("n_tok").as("tok_started"),
+        min("doc_id").as("first_doc"))
+      .orderBy("seq_id")
+
+  /** Sliding-window chunking: each document split into context-length
+    * pieces of `chunkLen` tokens advancing by `stride` (overlap =
+    * chunkLen - stride), the long-document treatment when packing must
+    * not straddle document boundaries. Emits token-offset spans per
+    * chunk; the text extraction itself stays with the tokenizer (spans
+    * are tokenizer-agnostic). Embarrassingly parallel: counts + an
+    * explode fused into the scan stage, no shuffle before the sort.
+    */
+  def chunkDocs(docs: DataFrame, chunkLen: Long = 128L, stride: Long = 96L): DataFrame = {
+    require(stride > 0 && chunkLen >= stride, "need 0 < stride <= chunkLen")
+    docs.select(col("doc_id"), nTok.as("n_tok"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= chunkLen, lit(1L))
+          .otherwise(expr(s"(n_tok - $chunkLen + $stride - 1) div $stride") + lit(1L)))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * lit(stride))
+      .withColumn("end_tok", least(col("start_tok") + lit(chunkLen), col("n_tok")))
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "n_tok")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir))
+
+  def qPackProfile(spark: SparkSession, dir: String): DataFrame =
+    packProfile(Tables.documents(spark, dir))
+
+  // chunkLen 32 / stride 24: small enough that the shared corpus' docs
+  // genuinely split (the 128/96 default leaves every sf0.01 doc whole)
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, dir), chunkLen = 32L, stride = 24L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_profile" -> (qPackProfile _),
+    "q_chunk_docs" -> (qChunkDocs _),
+  )
+
+  private val packCte =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |         CAST(sum(n_tok + 1) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - (n_tok + 1) AS BIGINT) AS t_off
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, n_tok, t_off,
+      |         t_off // 512 AS seq_id,
+      |         CASE WHEN n_tok = 0 THEN 0
+      |              ELSE (t_off + n_tok - 1) // 512 - t_off // 512 + 1 END AS n_seqs
+      |  FROM c)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      s"""$packCte
+         |SELECT doc_id, n_tok, t_off, seq_id, n_seqs FROM p ORDER BY doc_id""".stripMargin,
+    "q_pack_profile" ->
+      s"""$packCte
+         |SELECT seq_id, count(*) AS n_docs_started,
+         |       CAST(sum(n_tok) AS BIGINT) AS tok_started,
+         |       min(doc_id) AS first_doc
+         |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, n_tok,
+        |         CASE WHEN n_tok <= 32 THEN 1
+        |              ELSE (n_tok - 32 + 23) // 24 + 1 END AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, n_tok, unnest(range(n_chunks)) AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        |       least(chunk_idx * 24 + 32, n_tok) AS end_tok, n_tok
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("distributed prefix-sum packing equals the global-window form") {
+    val docs = Tables.documents(spark, dir)
+    val got = Packing.packSequences(docs).collect().toSeq
+    val ref = Packing.packSequencesGlobalWindow(docs).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === ref)
+  }
+
+  test("packing plan contains no unpartitioned window") {
+    val p = Packing.packSequences(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    val windows = p.linesIterator
+      .map(_.replaceAll("^[-+:|* ]*", ""))
+      .filter(l => l.startsWith("Window ") && !l.startsWith("WindowGroupLimit")).toSeq
+    assert(windows.nonEmpty, s"expected a window node:\n$p")
+    // WindowExec renders "Window [fns], [partSpec], [orderSpec]" — an
+    // unpartitioned window has only two bracket groups
+    windows.foreach { w =>
+      assert(w.count(_ == '[') >= 3, s"unpartitioned window in plan line: $w")
+    }
+  }
+
+  test("packing offsets are contiguous: each t_off = previous t_off + cost") {
+    val rows = Packing.packSequences(Tables.documents(spark, dir))
+      .orderBy("doc_id").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("t_off") ===
+          a.getAs[Long]("t_off") + a.getAs[Long]("n_tok") + 1L)
+      case _ =>
+    }
+    assert(rows.head.getAs[Long]("t_off") === 0L)
+  }
+
+  test("n_seqs covers the span: seq boundaries inside a doc equal n_seqs - 1") {
+    val L = 512L
+    Packing.packSequences(Tables.documents(spark, dir)).collect().foreach { r =>
+      val (off, n, nSeqs) =
+        (r.getAs[Long]("t_off"), r.getAs[Long]("n_tok"), r.getAs[Long]("n_seqs"))
+      if (n > 0) {
+        val crossings = (off + n - 1) / L - off / L
+        assert(nSeqs === crossings + 1)
+      } else assert(nSeqs === 0L)
+    }
+  }
+
+  test("packing is invariant to bucket count") {
+    val docs = Tables.documents(spark, dir)
+    val b64 = Packing.packSequences(docs, buckets = 64).collect().toSeq
+    val b3 = Packing.packSequences(docs, buckets = 3).collect().toSeq
+    val b1000 = Packing.packSequences(docs, buckets = 1000).collect().toSeq
+    assert(b64 === b3)
+    assert(b64 === b1000)
+  }
+
+  test("chunk spans tile each document with the configured overlap") {
+    val C = 128L; val S = 96L
+    val byDoc = Packing.chunkDocs(Tables.documents(spark, dir), C, S)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_idx"))
+      val n = sorted.head.getAs[Long]("n_tok")
+      // first chunk starts at 0; every token is covered; overlap = C - S
+      assert(sorted.head.getAs[Long]("start_tok") === 0L)
+      assert(sorted.last.getAs[Long]("end_tok") === math.min(n, math.max(C, n)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") === a.getAs[Long]("start_tok") + S)
+          assert(a.getAs[Long]("end_tok") > b.getAs[Long]("start_tok"),
+            "consecutive chunks must overlap")
+        case _ =>
+      }
+      // no chunk is empty and none starts past the end
+      sorted.foreach { c =>
+        assert(c.getAs[Long]("end_tok") > c.getAs[Long]("start_tok"))
+      }
+    }
+  }
+
+  test("short documents get exactly one full-coverage chunk") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "   "), (3L, ("x " * 200).trim))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocs(docs, 128L, 96L).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(out(1L).length === 1)
+    assert(out(1L).head.getAs[Long]("end_tok") === 3L)
+    // doc 3: 200 tokens -> chunks at 0 and 96, both clipped to 200
+    assert(out(3L).map(_.getAs[Long]("start_tok")).sorted.toSeq === Seq(0L, 96L))
+    assert(out(3L).forall(_.getAs[Long]("end_tok") <= 200L))
+  }
+}
