@@ -154,10 +154,39 @@ object Cluster {
     pageRank(Dedup.dedupMinhash(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
 
+  /** Cluster-safe train/val/test split — the constructive counterpart to
+    * the `q_split_leakage` AUDIT: instead of measuring how many near-dup
+    * pairs straddle a per-document split, assign the split at the
+    * duplicate-CLUSTER level so straddling is impossible by construction.
+    * Every document's group key is its connected-component label (itself
+    * if unclustered); the split comes from the same deterministic
+    * md5-bucket rule as `q_split_assign`, applied to the group key, so a
+    * near-duplicate of a training document can never land in test.
+    *
+    * Scale shape: the label table is bounded by CLUSTERED docs (a small
+    * fraction of the corpus), so the left join AQE-broadcasts on clean
+    * corpora and degrades to a shuffle-on-id join on heavily duplicated
+    * ones; the split itself is a pure map over the group key.
+    */
+  def splitClusterSafe(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", Curation.splitAssign(col("group_id")))
+      .select("doc_id", "group_id", "split")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
     "q_pagerank" -> (qPageRank _),
+    "split_cluster_safe" -> (splitClusterSafe _),
   )
 
   /** Unrolled 3-iteration PageRank as CTE chain (see [[pageRank]]). */
@@ -210,5 +239,19 @@ object Cluster {
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    "split_cluster_safe" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reach GROUP BY u),
+         |g AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, group_id, ${Curation.splitSqlFor("group_id")} AS split
+         |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

@@ -292,7 +292,7 @@ object Curation {
     "q_stratified_sample" -> (qStratifiedSample _),
   )
 
-  private def splitSqlFor(c: String) =
+  private[ext] def splitSqlFor(c: String) =
     s"""CASE WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
        |     WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
        |     ELSE 'test' END""".stripMargin

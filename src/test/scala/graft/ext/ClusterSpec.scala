@@ -106,4 +106,29 @@ class ClusterSpec extends SparkSuite {
     assert(math.abs(ranks(0L) - math.rint(r3Hub * 1e6) / 1e6) < 2e-6)
     assert(r2Hub > 0) // (documenting the recurrence; r3 uses r2's leaves)
   }
+
+  test("cluster-safe split: no near-dup pair ever straddles splits") {
+    val dir = "/root/testdata/sf0.001"
+    val assigned = Cluster.splitClusterSafe(spark, dir)
+    val bySplit = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // every near-dup pair lands in ONE split (the invariant the
+    // q_split_leakage audit measures violations of)
+    val splitOf = assigned.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = Dedup.dedupMinhash(spark, dir)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(splitOf(r.getLong(0)) === splitOf(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) straddles splits")
+    }
+    // docs sharing a component share the group key, and the group key
+    // drives the split via the same rule as the per-doc assigner
+    val groups = assigned.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    pairs.foreach { r =>
+      assert(groups(r.getLong(0)) === groups(r.getLong(1)))
+    }
+  }
 }
