@@ -6,14 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Training-sequence assembly for an LLM data pipeline: concat-and-chunk
-  * sequence PACKING (every document mapped to its token offset in the
-  * virtual concatenated corpus stream, hence to the fixed-length training
-  * sequences it lands in) and per-document sliding-window CHUNKING
-  * (context-length pieces with stride overlap). The reference pipeline
-  * stops at partitioned parquet (`nrg_etl.py:37,72`); these are the two
-  * layout steps a tokenized corpus needs next, kept engine-side because
-  * both are pure arithmetic over token counts.
+/** Global training-sequence packing manifest for an LLM data pipeline:
+  * concat-and-chunk packing maps every document to its token offset in
+  * the virtual concatenated corpus stream, hence to the fixed-length
+  * training sequences it lands in. Completes the packing family:
+  * `q_pack_chars` (queries/Parity.scala) packs by char budget WITHIN
+  * independent hash buckets (no cross-bucket offsets) and `text_chunks`
+  * (ext/Text.scala) splits single documents into overlapping windows;
+  * this operator is the third shape — ONE corpus-wide coordinate
+  * system, the manifest an actual pack-writer shards on. The reference
+  * pipeline stops at partitioned parquet (`nrg_etl.py:37,72`); this is
+  * the layout step a tokenized corpus needs next.
   *
   * Scale note — the packing offset is a GLOBAL running sum in doc_id
   * order, which Spark's window API would compute on a single task
@@ -118,43 +121,15 @@ object Packing {
         min("doc_id").as("first_doc"))
       .orderBy("seq_id")
 
-  /** Sliding-window chunking: each document split into context-length
-    * pieces of `chunkLen` tokens advancing by `stride` (overlap =
-    * chunkLen - stride), the long-document treatment when packing must
-    * not straddle document boundaries. Emits token-offset spans per
-    * chunk; the text extraction itself stays with the tokenizer (spans
-    * are tokenizer-agnostic). Embarrassingly parallel: counts + an
-    * explode fused into the scan stage, no shuffle before the sort.
-    */
-  def chunkDocs(docs: DataFrame, chunkLen: Long = 128L, stride: Long = 96L): DataFrame = {
-    require(stride > 0 && chunkLen >= stride, "need 0 < stride <= chunkLen")
-    docs.select(col("doc_id"), nTok.as("n_tok"))
-      .withColumn("n_chunks",
-        when(col("n_tok") <= chunkLen, lit(1L))
-          .otherwise(expr(s"(n_tok - $chunkLen + $stride - 1) div $stride") + lit(1L)))
-      .select(col("doc_id"), col("n_tok"),
-        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
-      .withColumn("start_tok", col("chunk_idx") * lit(stride))
-      .withColumn("end_tok", least(col("start_tok") + lit(chunkLen), col("n_tok")))
-      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "n_tok")
-      .orderBy("doc_id", "chunk_idx")
-  }
-
   def qPackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir))
 
   def qPackProfile(spark: SparkSession, dir: String): DataFrame =
     packProfile(Tables.documents(spark, dir))
 
-  // chunkLen 32 / stride 24: small enough that the shared corpus' docs
-  // genuinely split (the 128/96 default leaves every sf0.01 doc whole)
-  def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
-    chunkDocs(Tables.documents(spark, dir), chunkLen = 32L, stride = 24L)
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_profile" -> (qPackProfile _),
-    "q_chunk_docs" -> (qChunkDocs _),
   )
 
   private val packCte =
@@ -185,20 +160,5 @@ object Packing {
          |       CAST(sum(n_tok) AS BIGINT) AS tok_started,
          |       min(doc_id) AS first_doc
          |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
-    "q_chunk_docs" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |n AS (
-        |  SELECT doc_id, n_tok,
-        |         CASE WHEN n_tok <= 32 THEN 1
-        |              ELSE (n_tok - 32 + 23) // 24 + 1 END AS n_chunks
-        |  FROM t),
-        |e AS (
-        |  SELECT doc_id, n_tok, unnest(range(n_chunks)) AS chunk_idx FROM n)
-        |SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
-        |       least(chunk_idx * 24 + 32, n_tok) AS end_tok, n_tok
-        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

@@ -60,42 +60,4 @@ class PackingSpec extends SparkSuite {
     assert(b64 === b3)
     assert(b64 === b1000)
   }
-
-  test("chunk spans tile each document with the configured overlap") {
-    val C = 128L; val S = 96L
-    val byDoc = Packing.chunkDocs(Tables.documents(spark, dir), C, S)
-      .collect().groupBy(_.getAs[Long]("doc_id"))
-    assert(byDoc.nonEmpty)
-    byDoc.foreach { case (_, chunks) =>
-      val sorted = chunks.sortBy(_.getAs[Long]("chunk_idx"))
-      val n = sorted.head.getAs[Long]("n_tok")
-      // first chunk starts at 0; every token is covered; overlap = C - S
-      assert(sorted.head.getAs[Long]("start_tok") === 0L)
-      assert(sorted.last.getAs[Long]("end_tok") === math.min(n, math.max(C, n)))
-      sorted.sliding(2).foreach {
-        case Array(a, b) =>
-          assert(b.getAs[Long]("start_tok") === a.getAs[Long]("start_tok") + S)
-          assert(a.getAs[Long]("end_tok") > b.getAs[Long]("start_tok"),
-            "consecutive chunks must overlap")
-        case _ =>
-      }
-      // no chunk is empty and none starts past the end
-      sorted.foreach { c =>
-        assert(c.getAs[Long]("end_tok") > c.getAs[Long]("start_tok"))
-      }
-    }
-  }
-
-  test("short documents get exactly one full-coverage chunk") {
-    import spark.implicits._
-    val docs = Seq((1L, "a b c"), (2L, "   "), (3L, ("x " * 200).trim))
-      .toDF("doc_id", "text")
-    val out = Packing.chunkDocs(docs, 128L, 96L).collect()
-      .groupBy(_.getAs[Long]("doc_id"))
-    assert(out(1L).length === 1)
-    assert(out(1L).head.getAs[Long]("end_tok") === 3L)
-    // doc 3: 200 tokens -> chunks at 0 and 96, both clipped to 200
-    assert(out(3L).map(_.getAs[Long]("start_tok")).sorted.toSeq === Seq(0L, 96L))
-    assert(out(3L).forall(_.getAs[Long]("end_tok") <= 200L))
-  }
 }
