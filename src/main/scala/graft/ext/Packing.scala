@@ -54,7 +54,8 @@ object Packing {
     * only driver-side state is `buckets` longs, and no task ever holds
     * more than one bucket's rows.
     */
-  def packSequences(docs: DataFrame, seqLen: Long = 512L, buckets: Int = 64): DataFrame = {
+  def packSequences(docs: DataFrame, seqLen: Long = 512L, buckets: Int = 64,
+      base: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     val costs = tokenCosts(docs)
     val bounds = costs.agg(min("doc_id"), max("doc_id")).head()
@@ -69,7 +70,7 @@ object Packing {
     // pass 1: bucket totals -> driver prefix scan -> base offsets
     val totals = bucketed.groupBy("bucket").agg(sum("cost").as("total"))
       .orderBy("bucket").collect()
-    var acc = 0L
+    var acc = base
     val bases = totals.map { r =>
       val b = (r.getLong(0), acc); acc += r.getLong(1); b
     }.toSeq
@@ -86,6 +87,34 @@ object Packing {
           .otherwise(expr(s"(t_off + n_tok - 1) div $seqLen") - col("seq_id") + lit(1L)))
       .select("doc_id", "n_tok", "t_off", "seq_id", "n_seqs")
       .orderBy("doc_id")
+  }
+
+  /** Incremental packing — the daily-cadence form: extend an existing
+    * manifest with a new batch WITHOUT repacking the corpus. The only
+    * state the stream needs is its total token count, and that is
+    * recoverable from the manifest itself (the last document's
+    * `t_off + n_tok + 1`), so one tiny aggregate over the stored
+    * manifest replaces any side-channel state file. Already-packed
+    * doc_ids are filtered out before packing, which makes batch REPLAY
+    * idempotent — the same at-least-once discipline as the incremental
+    * near-dup index (`dedupIncremental`). Daily cost is proportional to
+    * the batch, not the corpus; appended offsets continue the stream
+    * exactly (PackingSpec: union-over-batches equals the full-corpus
+    * pack).
+    *
+    * Precondition (same as the full pack): doc_ids arrive in ascending
+    * order across batches — a packing stream is append-only by
+    * construction.
+    */
+  def packAppend(manifest: DataFrame, newDocs: DataFrame,
+      seqLen: Long = 512L, buckets: Int = 64): DataFrame = {
+    val st = manifest.agg(
+      max(col("t_off") + col("n_tok") + lit(1L)).as("total"),
+      max(col("doc_id")).as("max_id")).head()
+    val (total, maxId) =
+      if (st.isNullAt(0)) (0L, Long.MinValue) else (st.getLong(0), st.getLong(1))
+    val fresh = newDocs.filter(col("doc_id") > maxId)
+    manifest.unionByName(packSequences(fresh, seqLen, buckets, base = total))
   }
 
   /** The textbook form of the same packing manifest — ONE window over the

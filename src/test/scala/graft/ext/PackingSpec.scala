@@ -60,4 +60,19 @@ class PackingSpec extends SparkSuite {
     assert(b64 === b3)
     assert(b64 === b1000)
   }
+
+  test("incremental pack over batches equals the full-corpus pack, replay idempotent") {
+    val docs = Tables.documents(spark, dir)
+    val full = Packing.packSequences(docs).collect().toSeq
+    val b1 = Packing.packSequences(docs.filter(col("doc_id") < 20))
+    val b2 = Packing.packAppend(b1, docs.filter(col("doc_id") >= 20 && col("doc_id") < 35))
+    val b3 = Packing.packAppend(b2, docs.filter(col("doc_id") >= 35))
+    assert(b3.orderBy("doc_id").collect().toSeq === full)
+    // replaying an already-packed batch adds nothing
+    val replay = Packing.packAppend(b3, docs.filter(col("doc_id") >= 35))
+    assert(replay.orderBy("doc_id").collect().toSeq === full)
+    // appending an empty batch is a no-op
+    val empty = Packing.packAppend(b3, docs.filter(col("doc_id") < 0))
+    assert(empty.orderBy("doc_id").collect().toSeq === full)
+  }
 }
