@@ -150,6 +150,27 @@ object Packing {
         min("doc_id").as("first_doc"))
       .orderBy("seq_id")
 
+  /** Physical pack layout — the write the manifest exists for: documents
+    * joined to their pack coordinates and written as parquet partitioned
+    * by SHARD (a fixed run of `shardSeqs` training sequences), rows
+    * sorted by t_off within each file. A trainer reading shard k gets
+    * its sequences' documents in stream order from one directory — the
+    * same serving-layout discipline as the LSH bucket corpus
+    * (`Similarity.writeBucketedCorpus`) and the IVF list layout
+    * (`Ivf.writeIvfPartitioned`): the reader's access pattern becomes a
+    * static partition filter. Documents spanning a shard boundary land
+    * in their STARTING shard (readers of shard k+1 re-read the boundary
+    * doc from k; boundary docs per shard ≤ 1 by construction).
+    */
+  def writePacked(docs: DataFrame, path: String, seqLen: Long = 512L,
+      buckets: Int = 64, shardSeqs: Long = 1000L): Unit =
+    packSequences(docs, seqLen, buckets)
+      .withColumn("shard", expr(s"seq_id div $shardSeqs"))
+      .join(docs, "doc_id")
+      .repartitionByRange(col("shard"), col("t_off"))
+      .sortWithinPartitions("shard", "t_off")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   def qPackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir))
 

@@ -75,4 +75,29 @@ class PackingSpec extends SparkSuite {
     val empty = Packing.packAppend(b3, docs.filter(col("doc_id") < 0))
     assert(empty.orderBy("doc_id").collect().toSeq === full)
   }
+
+  test("writePacked lands a shard-partitioned layout a reader can prune") {
+    val docs = Tables.documents(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("packed").toString
+    // tiny shards so the corpus spans several
+    Packing.writePacked(docs, out, seqLen = 64L, shardSeqs = 4L)
+    val shards = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shards.length > 2, s"expected several shards, got ${shards.toSeq}")
+    val back = spark.read.parquet(out)
+    // every manifest row survives the join+write with its text
+    val manifest = Packing.packSequences(docs, seqLen = 64L)
+    assert(back.count() === manifest.count())
+    assert(back.filter(col("text").isNull).count() === 0L)
+    // shard is the starting sequence's shard
+    assert(back.filter(expr("shard <> seq_id div 4")).count() === 0L)
+    // reading ONE shard directory prunes at planning time
+    val one = back.filter(col("shard") === 0L)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+      s"expected shard partition filter in:\n$scan")
+    // and its docs are exactly the manifest rows whose pack starts there
+    val expected = manifest.filter(expr("seq_id div 4 = 0")).count()
+    assert(one.count() === expected)
+  }
 }
