@@ -107,14 +107,69 @@ object Packing {
     * construction.
     */
   def packAppend(manifest: DataFrame, newDocs: DataFrame,
+      seqLen: Long = 512L, buckets: Int = 64): DataFrame =
+    manifest.unionByName(packDelta(manifest, newDocs, seqLen, buckets))
+
+  /** Just the NEW manifest rows a batch contributes — what the streaming
+    * maintenance appends to the stored manifest.
+    */
+  def packDelta(manifest: DataFrame, newDocs: DataFrame,
       seqLen: Long = 512L, buckets: Int = 64): DataFrame = {
     val st = manifest.agg(
       max(col("t_off") + col("n_tok") + lit(1L)).as("total"),
       max(col("doc_id")).as("max_id")).head()
     val (total, maxId) =
       if (st.isNullAt(0)) (0L, Long.MinValue) else (st.getLong(0), st.getLong(1))
-    val fresh = newDocs.filter(col("doc_id") > maxId)
-    manifest.unionByName(packSequences(fresh, seqLen, buckets, base = total))
+    packSequences(newDocs.filter(col("doc_id") > maxId), seqLen, buckets, base = total)
+  }
+
+  /** The documents drop-file schema, for the streaming reader. */
+  val docsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
+  /** Streaming face of the manifest maintenance: a checkpointed file
+    * stream watches the document drop directory and every micro-batch
+    * appends its [[packDelta]] to the stored manifest — arrival-to-
+    * packed latency is one batch-sized pack, and the checkpoint makes
+    * re-runs process only new files. Unlike the additive aggregate view
+    * (`IncrAgg.maintainStream`, which needs a batch-id ledger), replay
+    * here is idempotent WITHOUT extra state: a redelivered batch's
+    * doc_ids are ≤ the stored max, so its delta is empty by
+    * construction. The remaining crash window is a micro-batch whose
+    * multi-file append only partially published — the plain-parquet
+    * caveat every sink in this repo shares (closing it needs a
+    * transaction log).
+    *
+    * Precondition: drop files carry ascending doc_id ranges in
+    * file-arrival order (the append-only packing stream contract).
+    */
+  def packStream(spark: SparkSession, inputGlob: String, manifestPath: String,
+      checkpoint: String, seqLen: Long = 512L, buckets: Int = 64): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val fs = new Path(manifestPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestExists: Boolean =
+      fs.exists(new Path(manifestPath)) &&
+        fs.listStatus(new Path(manifestPath)).exists(_.getPath.getName.startsWith("part-"))
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inputGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta =
+          if (manifestExists) packDelta(spark.read.parquet(manifestPath), batch, seqLen, buckets)
+          else packSequences(batch, seqLen, buckets)
+        if (!delta.isEmpty) delta.write.mode("append").parquet(manifestPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** The textbook form of the same packing manifest — ONE window over the

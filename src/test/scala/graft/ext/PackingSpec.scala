@@ -100,4 +100,27 @@ class PackingSpec extends SparkSuite {
     val expected = manifest.filter(expr("seq_id div 4 = 0")).count()
     assert(one.count() === expected)
   }
+
+  test("packStream maintains the manifest across files, checkpoints, and replays") {
+    val docs = Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("packstream")
+    val in = root.resolve("in"); val mv = root.resolve("mv").toString
+    val ckpt = root.resolve("ckpt").toString
+    docs.filter(col("doc_id") < 20).write.parquet(in.resolve("b1").toString)
+    docs.filter(col("doc_id") >= 20 && col("doc_id") < 35)
+      .write.parquet(in.resolve("b2").toString)
+    Packing.packStream(spark, s"$in/b*", mv, ckpt)
+    val want35 = Packing.packSequences(docs.filter(col("doc_id") < 35))
+      .collect().map(_.toString).sorted.toSeq
+    def mvRows = spark.read.parquet(mv).collect().map(_.toString).sorted.toSeq
+    assert(mvRows === want35)
+    // fresh checkpoint replays every file: deltas must be empty
+    Packing.packStream(spark, s"$in/b*", mv, root.resolve("ckpt2").toString)
+    assert(mvRows === want35)
+    // a new file under the ORIGINAL checkpoint continues the stream
+    docs.filter(col("doc_id") >= 35).write.parquet(in.resolve("b3").toString)
+    Packing.packStream(spark, s"$in/b*", mv, ckpt)
+    val wantAll = Packing.packSequences(docs).collect().map(_.toString).sorted.toSeq
+    assert(mvRows === wantAll)
+  }
 }
