@@ -182,11 +182,60 @@ object Cluster {
       .orderBy("doc_id")
   }
 
+  /** Per-node triangle census over an undirected edge list (one row per
+    * edge, u < v): degree and the number of triangles each node closes —
+    * the local-density signal that separates a tight duplicate clique
+    * from a chain of borderline matches at the same component size.
+    *
+    * Scale shape — the textbook wedge join (`e1.v = e2.u`) fans out
+    * quadratically in the degree of a hub node. This implementation uses
+    * the DEGREE ORIENTATION (compact-forward): edges point from
+    * lower-(deg, id) to higher-(deg, id), every triangle is generated
+    * exactly once at its lowest-ranked vertex, and per-vertex out-degree
+    * is O(√m) on any graph — so the wedge join's fan-out is bounded no
+    * matter how skewed the degree distribution. Wedges close via one
+    * equi-join back to the oriented edges; per-node counts are one
+    * explode + count. The oracle uses the plain id-orientation (the
+    * triangle SET is orientation-invariant; only the join cost isn't).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val fwd = edges.select(col("u"), col("v"))
+    val sym = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+    val rk = deg.select(col("node"), struct(col("deg"), col("node")).as("rk"))
+    val oriented = sym
+      .join(rk.select(col("node").as("u"), col("rk").as("rk_u")), "u")
+      .join(rk.select(col("node").as("v"), col("rk").as("rk_v")), "v")
+      .filter(col("rk_u") < col("rk_v"))
+      .select(col("u"), col("v"), col("rk_v"))
+    // wedge legs ordered by RANK (the orientation key), so the closing
+    // edge is guaranteed to be oriented b -> c
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.rk_v") < col("e2.rk_v"))
+      .select(col("e1.v").as("b"), col("e2.v").as("c"), col("e1.u").as("a"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("doc_id")
+  }
+
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
     "q_pagerank" -> (qPageRank _),
     "split_cluster_safe" -> (splitClusterSafe _),
+    "q_triangles" -> (qTriangles _),
   )
 
   /** Unrolled 3-iteration PageRank as CTE chain (see [[pageRank]]). */
@@ -253,5 +302,21 @@ object Cluster {
          |      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
          |SELECT doc_id, group_id, ${Curation.splitSqlFor("group_id")} AS split
          |FROM g ORDER BY doc_id""".stripMargin,
+    // plain id-orientation: the triangle SET is orientation-invariant,
+    // only the join cost is (see triangleStats scaladoc)
+    "q_triangles" ->
+      s"""WITH ${Dedup.minhashPairsCte},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
+         |sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+         |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+         |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tn AS (SELECT unnest([a, b, c]) AS node FROM tri),
+         |tc AS (SELECT node, count(*) AS n_tri FROM tn GROUP BY 1)
+         |SELECT d.node AS doc_id, d.deg, coalesce(tc.n_tri, 0) AS n_tri
+         |FROM deg d LEFT JOIN tc ON d.node = tc.node
+         |ORDER BY doc_id""".stripMargin,
   )
 }

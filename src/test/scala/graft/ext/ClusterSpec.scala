@@ -131,4 +131,47 @@ class ClusterSpec extends SparkSuite {
       assert(groups(r.getLong(0)) === groups(r.getLong(1)))
     }
   }
+
+  test("triangleStats matches a brute-force count on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val n = 14
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rng.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toSeq
+      val es = edges.toSet
+      def connected(x: Long, y: Long) = es((x min y, x max y))
+      val wantTri = (for {
+        a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if connected(a, b) && connected(b, c) && connected(a, c)
+      } yield (a.toLong, b.toLong, c.toLong)).toSeq
+      val wantPerNode = wantTri.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val wantDeg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = Cluster.triangleStats(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._1).toSet === wantDeg.keySet, s"trial=$trial nodes")
+      got.foreach { case (node, deg, ntri) =>
+        assert(deg === wantDeg(node), s"trial=$trial deg($node)")
+        assert(ntri === wantPerNode.getOrElse(node, 0L), s"trial=$trial tri($node)")
+      }
+      assert(wantTri.nonEmpty, s"trial=$trial should have triangles")
+    }
+  }
+
+  test("triangleStats handles the hub graph the naive wedge join dies on") {
+    import spark.implicits._
+    // star + one closing edge: exactly one triangle, hub degree 40
+    val star = (1L to 40L).map(i => (0L, i))
+    val edges = (star :+ (1L, 2L)).toDF("u", "v")
+    val got = Cluster.triangleStats(edges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) === (40L, 1L))
+    assert(got(1L) === (2L, 1L))
+    assert(got(2L) === (2L, 1L))
+    assert(got(5L) === (1L, 0L))
+  }
 }
