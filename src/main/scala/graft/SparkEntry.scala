@@ -28,6 +28,7 @@ object SparkEntry {
       (ext.Pq.queries, ext.Pq.oracles),
       (ext.Curation.queries, ext.Curation.oracles),
       (ext.Packing.queries, ext.Packing.oracles),
+      (ext.Pca.queries, ext.Pca.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (ops.Asof.queries, ops.Asof.oracles),

@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collected: Array[Array[Double]] =
+    Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  private def covApply(es: Array[Array[Double]], mu: Array[Double],
+      v: Array[Double]): Array[Double] = {
+    val d = mu.length; val out = new Array[Double](d)
+    es.foreach { e =>
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += (e(j) - mu(j)) * v(j); j += 1 }
+      j = 0
+      while (j < d) { out(j) += (e(j) - mu(j)) * s; j += 1 }
+    }
+    out.map(_ / es.length)
+  }
+
+  test("distributed power iteration lands on a true eigenpair of the centered covariance") {
+    val (v, lambda, mu) = Pca.topComponent(Tables.embeddings(spark, dir))
+    val es = collected
+    // exact driver-side mean matches the distributed one
+    val muRef = es.transpose.map(c => c.sum / c.length)
+    mu.indices.foreach(j => assert(math.abs(mu(j) - muRef(j)) < 1e-9))
+    // eigenpair property: C·v = lambda·v (checked with driver-exact C·v)
+    val cv = covApply(es, muRef, v)
+    val residual = math.sqrt(
+      v.indices.map(j => math.pow(cv(j) - lambda * v(j), 2)).sum) / lambda
+    assert(residual < 1e-3, s"residual $residual")
+    // lambda is the dominant eigenvalue: no unit vector we can easily try
+    // beats the Rayleigh quotient (spot-check the coordinate axes)
+    val rayleigh = v.indices.map(j => cv(j) * v(j)).sum
+    (0 until mu.length).foreach { axis =>
+      val a = Array.tabulate(mu.length)(j => if (j == axis) 1.0 else 0.0)
+      val ca = covApply(es, muRef, a)
+      assert(ca(axis) <= rayleigh + 1e-9, s"axis $axis beats PC1")
+    }
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "v is unit")
+    assert(lambda > 0)
+  }
+
+  test("pca scores are the centered projections, invariant to partitioning") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = Pca.pcaScores(emb).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val repart = Pca.pcaScores(emb.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(base.length === repart.length && base.nonEmpty)
+    base.zip(repart).foreach { case ((id1, s1), (id2, s2)) =>
+      assert(id1 === id2)
+      assert(math.abs(s1 - s2) < 1e-3, s"vec $id1: $s1 vs $s2")
+    }
+    // scores actually separate: nonzero spread
+    val ss = base.map(_._2)
+    assert(ss.max - ss.min > 0.1)
+  }
+}
