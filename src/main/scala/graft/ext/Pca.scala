@@ -72,6 +72,18 @@ object Pca {
     * (1/n)·Σ(e−μ)(e−μ)ᵀ. Returns (direction, eigenvalue, μ).
     */
   def topComponent(emb: DataFrame, iters: Int = 10000): (Array[Double], Double, Array[Double]) = {
+    val (comps, mu, _) = topComponents(emb, 1, iters)
+    (comps.head._1, comps.head._2, mu)
+  }
+
+  /** Top-k eigenpairs of the centered covariance, plus μ and trace(C)
+    * (the total variance, for explained-variance ratios). The corpus is
+    * touched ONCE (the moments pass); components come from driver-side
+    * power iteration with deflation C ← C − λvvᵀ — at d=64 each extra
+    * component is microseconds, not another corpus scan.
+    */
+  def topComponents(emb: DataFrame, k: Int, iters: Int = 10000)
+      : (Seq[(Array[Double], Double)], Array[Double], Double) = {
     val (n, sums, gTri) = moments(embDouble(emb))
     val d = sums.length
     val mu = sums.map(_ / n)
@@ -79,45 +91,61 @@ object Pca {
     val c = Array.ofDim[Double](d, d)
     var j = 0; var t = 0
     while (j < d) {
-      var k = j
-      while (k < d) {
-        val v = gTri(t) / n - mu(j) * mu(k)
-        c(j)(k) = v; c(k)(j) = v
-        k += 1; t += 1
+      var k2 = j
+      while (k2 < d) {
+        val v = gTri(t) / n - mu(j) * mu(k2)
+        c(j)(k2) = v; c(k2)(j) = v
+        k2 += 1; t += 1
       }
       j += 1
     }
-    // driver power iteration to machine precision (deterministic init
-    // with an index tilt so no coordinate symmetry traps it)
-    var v = Array.tabulate(d)(i => 1.0 + 1e-3 * i)
-    var norm = math.sqrt(v.map(x => x * x).sum)
-    v = v.map(_ / norm)
-    var lambda = 0.0
-    var it = 0
-    var moved = Double.MaxValue
-    while (it < iters && moved > 1e-15) {
-      val w = Array.tabulate(d)(i => {
-        var acc = 0.0; var k = 0
-        while (k < d) { acc += c(i)(k) * v(k); k += 1 }
-        acc
-      })
-      val nrm = math.sqrt(w.map(x => x * x).sum)
-      val nv = w.map(_ / nrm)
-      moved = v.indices.map(i => math.abs(nv(i) - v(i))).max
-      v = nv; lambda = nrm
-      it += 1
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val comps = (1 to k).map { _ =>
+      // driver power iteration to machine precision (deterministic init
+      // with an index tilt so no coordinate symmetry traps it)
+      var v = Array.tabulate(d)(i => 1.0 + 1e-3 * i)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v = v.map(_ / norm)
+      var lambda = 0.0
+      var it = 0
+      var moved = Double.MaxValue
+      while (it < iters && moved > 1e-15) {
+        val w = Array.tabulate(d)(i => {
+          var acc = 0.0; var k2 = 0
+          while (k2 < d) { acc += c(i)(k2) * v(k2); k2 += 1 }
+          acc
+        })
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        val nv = w.map(_ / nrm)
+        moved = v.indices.map(i => math.abs(nv(i) - v(i))).max
+        v = nv; lambda = nrm
+        it += 1
+      }
+      // deflate: C <- C - lambda v v^T
+      var a = 0
+      while (a < d) {
+        var b = 0
+        while (b < d) { c(a)(b) -= lambda * v(a) * v(b); b += 1 }
+        a += 1
+      }
+      (v, lambda)
     }
-    (v, lambda, mu)
+    (comps, mu, trace)
   }
 
-  /** The direction itself, one row per dimension — the audit artifact
-    * (which dims the dominant component loads on) plus the eigenvalue.
+  /** The top-3 directions, one row per (component, dimension) — the
+    * audit artifact (which dims each dominant component loads on) with
+    * eigenvalue and explained-variance ratio.
     */
   def qPcaTop(spark: SparkSession, dir: String): DataFrame = {
-    val (v, lambda, _) = topComponent(Tables.embeddings(spark, dir))
+    val (comps, _, trace) = topComponents(Tables.embeddings(spark, dir), 3)
     import spark.implicits._
-    v.zipWithIndex.map { case (x, j) => (j, x, lambda) }.toSeq
-      .toDF("dim", "loading", "eigenvalue").orderBy("dim")
+    comps.zipWithIndex.flatMap { case ((v, lambda), c) =>
+      v.zipWithIndex.map { case (x, j) =>
+        (c + 1, j, x, lambda, math.rint(lambda / trace * 10000) / 10000)
+      }
+    }.toDF("component", "dim", "loading", "eigenvalue", "var_ratio")
+      .orderBy("component", "dim")
   }
 
   /** Per-vector projection onto the top component — the outlier /

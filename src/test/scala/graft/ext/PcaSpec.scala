@@ -61,4 +61,30 @@ class PcaSpec extends SparkSuite {
     val ss = base.map(_._2)
     assert(ss.max - ss.min > 0.1)
   }
+
+  test("top-3 components are orthonormal with descending eigenvalues") {
+    val (comps, mu, trace) =
+      Pca.topComponents(Tables.embeddings(spark, dir), 3)
+    assert(comps.length === 3)
+    val es = collected
+    val muRef = es.transpose.map(c => c.sum / c.length)
+    comps.foreach { case (v, lambda) =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+      // each is an eigenpair of the ORIGINAL covariance (deflation only
+      // removes previous components, which are orthogonal)
+      val cv = covApply(es, muRef, v)
+      val residual = math.sqrt(
+        v.indices.map(j => math.pow(cv(j) - lambda * v(j), 2)).sum) / lambda
+      assert(residual < 1e-6, s"residual $residual")
+    }
+    val Seq(l1, l2, l3) = comps.map(_._2).toSeq
+    assert(l1 >= l2 && l2 >= l3 && l3 > 0)
+    assert(l1 + l2 + l3 <= trace + 1e-9)
+    // pairwise orthogonal
+    for (a <- 0 until 3; b <- (a + 1) until 3) {
+      val dot = comps(a)._1.zip(comps(b)._1).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 1e-7, s"components $a,$b not orthogonal: $dot")
+    }
+    assert(mu.length === comps.head._1.length)
+  }
 }
