@@ -119,4 +119,32 @@ class IncrAggSpec extends SparkSuite {
       .collect().map(_.toString).sorted
     assert(view.nonEmpty && view.toSeq === disk.toSeq)
   }
+
+  test("sketch view estimates equal a full recompute after incremental merges") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir).withColumn("d", to_date(col("ts")))
+    val days = ev.select(col("d").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (d1, d2) = (days(days.length / 3), days(days.length * 2 / 3))
+    val mv = java.nio.file.Files.createTempDirectory("hllmv_spec").toString
+    IncrAgg.sketchInit(ev.filter(col("d").cast("string") < d1), mv)
+    // two successive merged views, the second stacked on a published first
+    val afterB1 = IncrAgg.sketchMergedView(spark, mv,
+      ev.filter(col("d").cast("string") >= d1 && col("d").cast("string") < d2))
+    afterB1.write.mode("overwrite").parquet(mv + "2")
+    val afterB2 = IncrAgg.sketchMergedView(spark, mv + "2",
+      ev.filter(col("d").cast("string") >= d2))
+    def estimates(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("day"), col("event_type"),
+        expr("CAST(hll_sketch_estimate(users_sk) AS BIGINT)").as("est"),
+        col("n_events"))
+      .collect().map(_.toString).sorted.toSeq
+    val full = IncrAgg.sketchPartial(graft.Tables.events(spark, dir))
+    assert(estimates(afterB2) === estimates(full))
+    // the estimate is actually close to truth on this data
+    val est = afterB2.select(expr("CAST(hll_sketch_estimate(hll_union_agg(users_sk)) AS BIGINT)"))
+      .head().getLong(0)
+    val exact = ev.select(countDistinct("user_id")).head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"est $est vs exact $exact")
+  }
 }
