@@ -230,12 +230,77 @@ object Cluster {
     triangleStats(Dedup.dedupMinhash(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
 
+  /** Per-node CORENESS (the largest k such that the node survives in the
+    * k-core) via iterative h-index refinement (Montresor et al., the
+    * distributed formulation): every node starts at its degree and
+    * repeatedly lowers its estimate to the h-index of its neighbors'
+    * estimates; the fixpoint is exactly the coreness. The sequential
+    * peeling algorithm is inherently ordered (remove ALL current minimum-
+    * degree nodes, repeat) — this local form is what distributes: each
+    * round is one edge⋈estimate join + per-node aggregation, estimates
+    * only ever DECREASE, and convergence is bounded by the coreness
+    * range. The h-index itself is computed in-row over the sorted
+    * neighbor-estimate array (degree-bounded; a pathological hub's array
+    * is its degree, the same bound the CC/label-propagation rounds
+    * already carry).
+    *
+    * Separates structure the component/triangle views can't: a 2-core
+    * cycle and a tree have identical degree profiles but coreness 2 vs 1.
+    */
+  def coreness(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    // h-index of a desc-sorted array: values non-increasing and ranks
+    // increasing, so "value >= rank" holds on a prefix — its size is h
+    def hIndex(arr: org.apache.spark.sql.Column) =
+      size(filter(
+        zip_with(sort_array(arr, asc = false),
+          sequence(lit(1L), size(arr).cast("long")), (x, i) => x >= i),
+        b => b))
+    var est = sym.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = sym
+        .join(est.select(col("id").as("v"), col("c")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(collect_list(col("c")).as("nbr"))
+        .join(est, "id")
+        .select(col("id"), col("c").as("prev"),
+          least(col("c"), hIndex(col("nbr")).cast("long")).as("c"))
+        .localCheckpoint()
+      changed = next.filter(col("c") < col("prev")).count()
+      est = next.select(col("id"), col("c"))
+      iter += 1
+    }
+    est.select(col("id"), col("c").as("coreness"))
+  }
+
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val deg = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("deg"))
+    coreness(edges)
+      .select(col("id").as("doc_id"), col("coreness"))
+      .join(deg, "doc_id")
+      .select(col("doc_id"), col("deg"), col("coreness"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
     "q_pagerank" -> (qPageRank _),
     "split_cluster_safe" -> (splitClusterSafe _),
     "q_triangles" -> (qTriangles _),
+    // no ANSI oracle: peeling/h-index fixpoints are not monotone-CTE
+    // expressible — ClusterSpec checks against driver-side peeling
+    "q_kcore" -> (qKcore _),
   )
 
   /** Unrolled 3-iteration PageRank as CTE chain (see [[pageRank]]). */

@@ -174,4 +174,56 @@ class ClusterSpec extends SparkSuite {
     assert(got(2L) === (2L, 1L))
     assert(got(5L) === (1L, 0L))
   }
+
+  test("coreness matches sequential peeling on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    def peel(n: Int, edges: Set[(Long, Long)]): Map[Long, Long] = {
+      var adj = edges.flatMap(e => Seq(e, (e._2, e._1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).to(collection.mutable.Set) }
+      val core = collection.mutable.Map.empty[Long, Long]
+      var k = 1L
+      while (adj.nonEmpty) {
+        var again = true
+        while (again) {
+          val drop = adj.filter(_._2.size < k).keys.toSeq
+          again = drop.nonEmpty
+          drop.foreach { v =>
+            core(v) = k - 1
+            adj(v).foreach(u => if (adj.contains(u)) adj(u) -= v)
+            adj -= v
+          }
+        }
+        k += 1
+      }
+      core.toMap
+    }
+    (0 until 3).foreach { trial =>
+      val n = 16
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rng.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toSet
+      val want = peel(n, edges)
+      val got = Cluster.coreness(edges.toSeq.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet === want.keySet, s"trial=$trial")
+      got.foreach { case (node, c) =>
+        assert(c === want(node), s"trial=$trial node=$node")
+      }
+    }
+  }
+
+  test("coreness separates a cycle from a chain at equal degree") {
+    import spark.implicits._
+    // 5-cycle (all coreness 2) + 5-chain (all coreness 1) + a 4-clique
+    val cycle = (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong))
+    val chain = (10 until 14).map(i => (i.toLong, (i + 1).toLong))
+    val clique = for (a <- 20 until 24; b <- (a + 1) until 24) yield (a.toLong, b.toLong)
+    val got = Cluster.coreness((cycle ++ chain ++ clique).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 4L).foreach(v => assert(got(v) === 2L, s"cycle node $v"))
+    (10L to 14L).foreach(v => assert(got(v) === 1L, s"chain node $v"))
+    (20L to 23L).foreach(v => assert(got(v) === 3L, s"clique node $v"))
+  }
 }
