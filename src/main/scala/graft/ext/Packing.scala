@@ -34,10 +34,12 @@ object Packing {
   private def nTok = size(TextFns.tokens(col("text"))).cast("long")
 
   /** Per-document token counts keyed for packing: cost = n_tok + 1 (the
-    * separator token every concat-and-chunk tokenizer appends).
+    * separator token every concat-and-chunk tokenizer appends). Keeps
+    * every non-text column, so grouped packing's key survives.
     */
   private def tokenCosts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), nTok.as("n_tok"))
+    docs.withColumn("n_tok", nTok)
+      .drop("text")
       .withColumn("cost", col("n_tok") + lit(1L))
 
   /** Concat-and-chunk packing: documents joined in doc_id order into one
@@ -226,15 +228,44 @@ object Packing {
       .sortWithinPartitions("shard", "t_off")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Grouped packing — one independent token stream per group (the
+    * per-language training-shard layout: each language packs into its
+    * own sequence space, offsets restarting at zero per group). Here
+    * the group key IS a partition key, so the running sum runs as an
+    * ordinary partitioned window — one shuffle on the group column, no
+    * prefix-sum machinery needed. The caveat the flat pack solves
+    * remains at the margin: ONE giant group still lands on one task, so
+    * a corpus whose largest language dominates should pack that group
+    * through [[packSequences]] instead (same manifest schema, so the
+    * union is seamless).
+    */
+  def packSequencesBy(docs: DataFrame, group: String, seqLen: Long = 512L): DataFrame = {
+    val w = Window.partitionBy(group).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokenCosts(docs.select(col("doc_id"), col(group), col("text")))
+      .withColumn("t_off", sum("cost").over(w) - col("cost"))
+      .withColumn("seq_id", expr(s"t_off div $seqLen"))
+      .withColumn("n_seqs",
+        when(col("n_tok") === 0L, lit(0L))
+          .otherwise(expr(s"(t_off + n_tok - 1) div $seqLen") - col("seq_id") + lit(1L)))
+      .select(col(group), col("doc_id"), col("n_tok"), col("t_off"),
+        col("seq_id"), col("n_seqs"))
+      .orderBy(group, "doc_id")
+  }
+
   def qPackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir))
 
   def qPackProfile(spark: SparkSession, dir: String): DataFrame =
     packProfile(Tables.documents(spark, dir))
 
+  def qPackByLang(spark: SparkSession, dir: String): DataFrame =
+    packSequencesBy(Tables.documents(spark, dir), "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_profile" -> (qPackProfile _),
+    "q_pack_by_lang" -> (qPackByLang _),
   )
 
   private val packCte =
@@ -265,5 +296,21 @@ object Packing {
          |       CAST(sum(n_tok) AS BIGINT) AS tok_started,
          |       min(doc_id) AS first_doc
          |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "q_pack_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tok,
+        |         CAST(sum(n_tok + 1) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - (n_tok + 1) AS BIGINT) AS t_off
+        |  FROM t)
+        |SELECT lang, doc_id, n_tok, t_off,
+        |       t_off // 512 AS seq_id,
+        |       CASE WHEN n_tok = 0 THEN 0
+        |            ELSE (t_off + n_tok - 1) // 512 - t_off // 512 + 1 END AS n_seqs
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
   )
 }

@@ -164,9 +164,52 @@ object Pca {
   def qPcaScores(spark: SparkSession, dir: String): DataFrame =
     pcaScores(Tables.embeddings(spark, dir))
 
+  /** Whitened-cosine top-k: cosine over the residuals after projecting
+    * out the dominant component — the hubness correction that keeps one
+    * shared direction from dominating every similarity. No residual
+    * vector is ever materialized: with r_q = (q−μ) − s_q·v precomputed
+    * on the driver (r_q ⊥ v), the per-row algebra reduces every
+    * residual dot/norm to dot products against three constant vectors
+    * (r_q, μ, v) plus the row's self-dot — a pure map over one corpus
+    * scan, lowered to TakeOrderedAndProject exactly like `ann_topk`.
+    */
+  def whitenedTopk(emb: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val (v, _, mu) = topComponent(emb)
+    val d = mu.length
+    val q = embDouble(emb).filter(col("vec_id") === queryId)
+      .head().getSeq[Double](1).toArray
+    val qc = Array.tabulate(d)(j => q(j) - mu(j))
+    val sq = qc.indices.map(j => qc(j) * v(j)).sum
+    val rq = Array.tabulate(d)(j => qc(j) - sq * v(j))
+    val rqNorm = math.sqrt(rq.map(x => x * x).sum)
+    val muDotV = mu.indices.map(j => mu(j) * v(j)).sum
+    val muDotRq = mu.indices.map(j => mu(j) * rq(j)).sum
+    val muDotMu = mu.map(x => x * x).sum
+    embDouble(emb)
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("s", dotD(col("e"), v) - lit(muDotV))
+      .withColumn("num", dotD(col("e"), rq) - lit(muDotRq))
+      .withColumn("rn2",
+        dotD(col("e"), mu) * lit(-2.0) + dotD2(col("e")) + lit(muDotMu)
+          - col("s") * col("s"))
+      .filter(col("rn2") > 0)
+      .select(col("vec_id"),
+        round(col("num") / (sqrt(col("rn2")) * lit(rqNorm)), 4).as("wcos"))
+      .orderBy(col("wcos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Row self-dot Σ e_j², same HOF shape as [[dotD]]. */
+  private def dotD2(e: org.apache.spark.sql.Column) =
+    aggregate(transform(e, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  def qAnnWhitened(spark: SparkSession, dir: String): DataFrame =
+    whitenedTopk(Tables.embeddings(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_top" -> (qPcaTop _),
     "embed_pca_scores" -> (qPcaScores _),
+    "ann_topk_whitened" -> (qAnnWhitened _),
   )
 
   // no ANSI oracle: eigenvectors of an iterative solver are not

