@@ -219,6 +219,34 @@ object Curation {
   def qMixWeights(spark: SparkSession, dir: String): DataFrame =
     mixtureWeights(Tables.documents(spark, dir), 0.5)
 
+  /** Epoch materialization of the mixture: every document appears
+    * ⌊w⌋ times plus one more with probability frac(w), where w is its
+    * domain's [[mixtureWeights]] weight — the deterministic repeat-
+    * factor expansion that actually lands the target mixture in the
+    * training manifest (expected copies per domain = n_docs·w exactly).
+    * The extra-copy coin is the same md5-u32 uniform as the samplers,
+    * so the epoch is reproducible row-for-row. Scale shape: the weight
+    * table is #domains rows (broadcast); the expansion is a pure map +
+    * explode of at most ⌈w⌉ ints per row, fused into the scan.
+    */
+  def mixtureExpand(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val w = mixtureWeights(docs, alpha).select(col("source"), col("weight"))
+    val u = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(w), "source")
+      .withColumn("n_copies",
+        floor(col("weight")).cast("long") +
+          when(u < col("weight") - floor(col("weight")), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  def qMixExpand(spark: SparkSession, dir: String): DataFrame =
+    mixtureExpand(Tables.documents(spark, dir))
+
   /** Corpus snapshot delta — the audit a daily corpus build runs between
     * yesterday's and today's versions: full outer join on the stable doc
     * id, rows classified added / removed / changed / unchanged by
@@ -284,6 +312,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_leakage" -> (qSplitLeakage _),
     "q_mix_weights" -> (qMixWeights _),
+    "q_mix_expand" -> (qMixExpand _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_split_assign" -> (qSplitAssign _),
@@ -319,6 +348,30 @@ object Curation {
          |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
          |       count(*) AS n_pairs, max(jaccard) AS max_jaccard
          |FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
+    "q_mix_expand" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT *, CAST(sum_chars AS DOUBLE) /
+        |            CAST((SELECT sum(sum_chars) FROM s) AS DOUBLE) AS share FROM s),
+        |r AS (SELECT *, pow(share, 0.5) AS w_raw FROM t),
+        |w AS (SELECT source,
+        |             round(w_raw / (SELECT sum(w_raw) FROM r) / share, 6) AS weight
+        |      FROM r),
+        |d AS (
+        |  SELECT doc_id, d0.source, weight,
+        |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+        |           / 4294967296.0 AS u
+        |  FROM documents d0 JOIN w ON d0.source = w.source),
+        |n AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(weight) AS BIGINT) +
+        |           CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END AS n_copies
+        |  FROM d)
+        |SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_idx
+        |FROM n WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     "q_mix_weights" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

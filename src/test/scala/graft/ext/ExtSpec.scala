@@ -875,4 +875,26 @@ class ExtSpec extends SparkSuite {
       assert(got === brute, s"trial=$trial")
     }
   }
+
+  test("mixture expansion lands expected copies per domain and replays identically") {
+    val docs = Tables.documents(spark, dir)
+    val out = Curation.mixtureExpand(docs)
+    val w = Curation.mixtureWeights(docs, 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("weight"))).toMap
+    val copies = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    w.foreach { case (src, (n, wt)) =>
+      val expected = n * wt
+      // binomial fluctuation around n*frac(w): allow 4 sigma + 1
+      val frac = wt - math.floor(wt)
+      val sigma = math.sqrt(n * frac * (1 - frac))
+      assert(math.abs(copies(src) - expected) <= 4 * sigma + 1,
+        s"$src: ${copies(src)} copies vs expected $expected")
+    }
+    // pure map: identical under repartitioning
+    val again = Curation.mixtureExpand(docs.repartition(7))
+      .collect().map(_.toString).sorted.toSeq
+    assert(again === out.collect().map(_.toString).sorted.toSeq)
+  }
 }
