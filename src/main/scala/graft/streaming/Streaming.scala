@@ -995,8 +995,50 @@ object Streaming {
     slidingTypeCounts(graft.Tables.events(spark, dir))
       .orderBy("window_start", "event_type")
 
+  /** Hourly distinct users as a mergeable HLL sketch — THE distinct
+    * count a stream can actually compute: exact COUNT(DISTINCT) is
+    * unsupported in streaming aggregation (its state is unbounded per
+    * group and not mergeable), while the sketch buffer is fixed-size
+    * state the streaming aggregate checkpoints like any other. The
+    * batch and stream forms share this one definition; estimates are
+    * deterministic register merges, so stream == batch EXACTLY
+    * (StreamingSpec) even though both are approximations of the truth.
+    */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est_users"))
+
+  def qStreamDistinct(spark: SparkSession, dir: String): DataFrame =
+    hourlyDistinctUsers(graft.Tables.events(spark, dir))
+      .orderBy("window_start")
+
+  /** Streaming run of [[hourlyDistinctUsers]]: watermark + append mode,
+    * sketch state per open window, results to a named memory table.
+    */
+  def runDistinctUsersStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputGlob)
+    val agg = hourlyDistinctUsers(normalize(stream).withWatermark("ts", "2 hours"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
+    // rows-only: HLL internals are engine-specific; StreamingSpec pins
+    // stream == batch estimate equality and closeness to exact
+    "q_stream_distinct" -> (qStreamDistinct _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),

@@ -432,4 +432,43 @@ class StreamingSpec extends SparkSuite {
     // the day no batch touched kept its exact files
     assert(files("2024-01-03") === day3Before)
   }
+
+  test("streaming HLL distinct-user windows equal the batch sketch exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_distinct_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    val midTs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    raw.filter(col("ts") > midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    // heartbeat 4h past the end pushes the watermark beyond every real
+    // window's close so append mode emits the tail
+    val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
+    Seq((-30L, maxTs + 4L * 3600L * 1000000000L, -1L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(streamDir.resolve("b3").toString)
+    Streaming.runDistinctUsersStream(spark, s"$streamDir/*", "distinct_users_out")
+    val batch = Streaming.qStreamDistinct(spark, dir)
+      .collect().map(_.toString)
+    val lastRealWindow = batch.length
+    val streamed = spark.table("distinct_users_out")
+      .orderBy("window_start").collect().map(_.toString)
+      .take(lastRealWindow) // drop the heartbeat's own window
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+    // the estimate tracks exact distinct within 5% per window
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct("user_id").as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Streaming.qStreamDistinct(spark, dir).collect().foreach { r =>
+      val (ws, est) = (r.getLong(0), r.getLong(1))
+      val ex = exact(ws)
+      assert(math.abs(est - ex).toDouble / math.max(ex, 1L) < 0.05,
+        s"window $ws: est $est vs exact $ex")
+    }
+  }
 }
