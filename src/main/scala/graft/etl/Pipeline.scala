@@ -23,6 +23,31 @@ object Pipeline {
   def readGhcn(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", false).schema(Schemas.ghcnDaily).csv(path)
 
+  /** Malformed-row audit for the schematized GHCN read: the same scan in
+    * PERMISSIVE mode with a corrupt-record column, returning clean rows
+    * plus the raw text of every row the schema could not parse — the
+    * triage artifact a production ingest keeps next to the load (silent
+    * DROPMALFORMED loses data; FAILFAST aborts a 100 TB job for one bad
+    * line). The audit is the same single scan: corrupt capture is a
+    * per-row parse outcome, no extra pass.
+    */
+  def readGhcnAudit(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val schema = Schemas.ghcnDaily.add("_corrupt_record", "string")
+    val all = spark.read
+      .option("header", false)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(path)
+      .cache() // one scan serves both splits; Spark requires a cache for
+               // corrupt-record-only projections anyway (SPARK-21610)
+    val clean = all.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = all.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, bad)
+  }
+
   def readLocations(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", true).csv(path)
 

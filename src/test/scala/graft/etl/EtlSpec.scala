@@ -66,4 +66,24 @@ class EtlSpec extends SparkSuite {
     assert(byKey(("USW00023174", "20201231")).getAs[Int]("year") === 2020)
     assert(byKey(("USW00023174", "20201231")).getAs[Int]("month") === 12)
   }
+
+  test("permissive GHCN audit splits clean rows from malformed raw lines in one scan") {
+    import org.apache.spark.sql.functions.col
+    val dirTmp = java.nio.file.Files.createTempDirectory("ghcn_audit")
+    val good1 = "USW00094846,20190101,TMAX,39,,,X,2400"
+    val bad = "USW00094847,20190101,TMIN,not_a_number,,,X,2400"
+    val good2 = "USW00094848,20190102,TMAX,50,,,X,2400"
+    java.nio.file.Files.write(dirTmp.resolve("day.csv"),
+      s"$good1\n$bad\n$good2\n".getBytes("UTF-8"))
+    val (clean, badRows) = Pipeline.readGhcnAudit(spark, s"$dirTmp/day.csv")
+    assert(clean.count() === 2)
+    assert(clean.filter(col("value").isNull).count() === 0)
+    val lines = badRows.collect().map(_.getString(0))
+    assert(lines.length === 1)
+    assert(lines.head.contains("not_a_number"))
+    // the strict reader on the same file nulls the unparseable value
+    val strict = Pipeline.readGhcn(spark, s"$dirTmp/day.csv")
+    assert(strict.count() === 3)
+    assert(strict.filter(col("value").isNull).count() === 1)
+  }
 }
