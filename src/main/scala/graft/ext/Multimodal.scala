@@ -213,6 +213,34 @@ object Multimodal {
       }
     }
 
+    /** 64-bit difference hash (dHash): decode, nearest-neighbor resize
+      * to 9×8, grayscale, and emit the sign of each horizontal luminance
+      * gradient — the standard perceptual fingerprint that survives
+      * re-encoding, mild noise, and brightness shifts (all bits are
+      * COMPARISONS, not values). Pure function of the pixels, so
+      * identical content hashes identically on every engine and run.
+      */
+    def dHash(bmp: Array[Byte]): Option[Long] =
+      resizeBmp(bmp, 9, 8).flatMap(decodeBmpPixels).map { case (_, _, rgb) =>
+        var h = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val p = (y * 9 + x) * 3
+            val q = p + 3
+            val lumL = (rgb(p) & 0xff) * 299 + (rgb(p + 1) & 0xff) * 587 + (rgb(p + 2) & 0xff) * 114
+            val lumR = (rgb(q) & 0xff) * 299 + (rgb(q + 1) & 0xff) * 587 + (rgb(q + 2) & 0xff) * 114
+            if (lumL < lumR) h |= 1L << bit
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        h
+      }
+
     /** Mono 16-bit PCM WAV (RIFF/WAVE, fmt + data chunks). */
     def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
       val dataSize = samples.length * 2
@@ -571,7 +599,60 @@ object Multimodal {
       .orderBy("file")
   }
 
+  /** Perceptual image near-dup pairs — the dedup step of a MULTIMODAL
+    * curation pipeline: every image is reduced to its 64-bit dHash (one
+    * decode+resize per row inside the partition-batched mapper), and
+    * pairs within Hamming distance `maxHamming` surface through the same
+    * 16-bit-chunk pigeonhole the text SimHash dedup uses (any pair
+    * within distance 3 shares one exact chunk), so candidate generation
+    * is bucket joins — never all-pairs. Images synthesized with planted
+    * near-duplicates: base gradient keyed to `doc_id % 83`, one pixel
+    * perturbed per id, so same-pattern ids hash within a few bits and
+    * different patterns do not collide.
+    */
+  def imageDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val pattern = (id % 83).toInt
+        val jitter = (id / 83).toInt
+        // pattern-keyed pseudo-random texture: dHash bits are gradient
+        // SIGNS, so distinct patterns need sign-diverse content (stripes
+        // or offset gradients all hash alike); a per-(pattern, pixel)
+        // integer hash gives each pattern an independent 64-bit signature
+        val rgb = Array.tabulate(16 * 16 * 3) { i =>
+          val px = i / 3; val x = px % 16; val y = px / 16
+          val h = pattern * 73856093 ^ x * 19349663 ^ y * 83492791
+          (((h * 2654435761L) >>> 24) & 0xff).toByte
+        }
+        // one-pixel perturbation: enough to change the bytes, small
+        // enough that the perceptual hash stays within a few bits
+        val p = (jitter * 37) % (16 * 16)
+        rgb(p * 3) = ((rgb(p * 3) & 0xff) ^ (jitter & 3)).toByte
+        MediaCodec.dHash(MediaCodec.encodeBmp(16, 16, rgb)).map(h => (id, h))
+      }).toDF("doc_id", "dhash")
+    val chunks = hashes.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("dhash"), col("chunk_idx"), col("chunk"))
+    val a = chunks.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("dhash").as("h_a"))
+    val b = chunks.select(col("chunk_idx").as("ci_b"), col("chunk").as("ch_b"),
+      col("doc_id").as("doc_b"), col("dhash").as("h_b"))
+    a.join(b, col("chunk_idx") === col("ci_b") && col("chunk") === col("ch_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // rows-only: binary decode + perceptual hash has no SQL oracle;
+    // MultimodalSpec checks == brute-force Hamming over the hash table
+    "multimodal_image_dedup" -> ((s: SparkSession, d: String) => imageDedup(s, d)),
     "multimodal_gvid_scan" -> (multimodalGvidScan _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_features" -> (multimodalFeatures _),

@@ -251,4 +251,57 @@ class MultimodalSpec extends SparkSuite {
       assert(math.abs(r.getDouble(5) - 2.0 * (1 + (id % 31)) / 64) < 0.01, s"doc $id zcr")
     }
   }
+
+  test("dHash is invariant to brightness shift and sensitive to structure") {
+    val rgb = Array.tabulate(16 * 16 * 3)(i => ((i * 5) % 200).toByte)
+    val base = Multimodal.MediaCodec.dHash(
+      Multimodal.MediaCodec.encodeBmp(16, 16, rgb)).get
+    // uniform brightness shift: every comparison bit unchanged
+    val brighter = rgb.map(b => ((b & 0xff) + 40).min(255).toByte)
+    val shifted = Multimodal.MediaCodec.dHash(
+      Multimodal.MediaCodec.encodeBmp(16, 16, brighter)).get
+    assert(shifted === base)
+    // structural change (gradient reversed): hash far away
+    val reversed = Array.tabulate(16 * 16 * 3)(i => rgb(rgb.length - 1 - i))
+    val rev = Multimodal.MediaCodec.dHash(
+      Multimodal.MediaCodec.encodeBmp(16, 16, reversed)).get
+    assert(java.lang.Long.bitCount(base ^ rev) > 10)
+  }
+
+  test("image dedup equals brute-force Hamming pairs and pairs only same-pattern ids") {
+    val got = Multimodal.imageDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    // brute force over the same synthesized hashes
+    import spark.implicits._
+    val hashes = graft.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long].collect().flatMap { id =>
+        val pattern = (id % 83).toInt
+        val jitter = (id / 83).toInt
+        // pattern-keyed pseudo-random texture: dHash bits are gradient
+        // SIGNS, so distinct patterns need sign-diverse content (stripes
+        // or offset gradients all hash alike); a per-(pattern, pixel)
+        // integer hash gives each pattern an independent 64-bit signature
+        val rgb = Array.tabulate(16 * 16 * 3) { i =>
+          val px = i / 3; val x = px % 16; val y = px / 16
+          val h = pattern * 73856093 ^ x * 19349663 ^ y * 83492791
+          (((h * 2654435761L) >>> 24) & 0xff).toByte
+        }
+        val p = (jitter * 37) % (16 * 16)
+        rgb(p * 3) = ((rgb(p * 3) & 0xff) ^ (jitter & 3)).toByte
+        Multimodal.MediaCodec.dHash(Multimodal.MediaCodec.encodeBmp(16, 16, rgb))
+          .map(h => (id, h))
+      }
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(got === brute)
+    // near-dup pairs are overwhelmingly the planted same-pattern ones
+    // (dHash is 64-bit but structured, so rare cross-pattern collisions
+    // can occur — the engine contract is got == brute, checked above)
+    val samePattern = got.count { case (a, b, _) => a % 83 == b % 83 }
+    assert(samePattern.toDouble / got.size > 0.9,
+      s"$samePattern of ${got.size} pairs same-pattern")
+  }
 }
