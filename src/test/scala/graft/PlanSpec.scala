@@ -232,4 +232,38 @@ class PlanSpec extends SparkSuite {
     val aggs = nodeCount(p, "HashAggregate") + nodeCount(p, "SortAggregate")
     assert(aggs >= 4, s"expected two-phase dedup agg + two-phase type agg:\n$p")
   }
+
+  test("packing manifest: broadcast base join, partitioned window, 2-col scan") {
+    val p = planOf(ext.Packing.packSequences(Tables.documents(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), "bucket bases must broadcast:\n" + p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("source"),
+      s"scan must read only doc_id+text: $read")
+    // the running-sum window is partitioned on bucket (never global)
+    assert(!p.contains("windowspecdefinition(doc_id#"),
+      "window must not be keyed on the global order alone:\n" + p)
+  }
+
+  test("image dedup: chunk-bucket joins only, no cartesian product") {
+    val p = planOf(ext.Multimodal.imageDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi join:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("triangle census: every join is an equi join on oriented edges") {
+    val edges = ext.Dedup.dedupMinhash(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_a").as("u"),
+        org.apache.spark.sql.functions.col("doc_b").as("v"))
+    val p = planOf(ext.Cluster.triangleStats(edges))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge/closing joins must be equi joins:\n" + p)
+  }
+
+  test("mixture expansion: weights broadcast, expansion fused before the sort") {
+    val p = planOf(ext.Curation.mixtureExpand(Tables.documents(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), "domain weight table must broadcast:\n" + p)
+    assert(p.contains("Generate"), "explode must appear as Generate:\n" + p)
+  }
 }

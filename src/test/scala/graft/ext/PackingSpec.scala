@@ -123,4 +123,16 @@ class PackingSpec extends SparkSuite {
     val wantAll = Packing.packSequences(docs).collect().map(_.toString).sorted.toSeq
     assert(mvRows === wantAll)
   }
+
+  test("grouped pack restricted to one group equals the flat pack of that group") {
+    val docs = Tables.documents(spark, dir)
+    val grouped = Packing.packSequencesBy(docs, "lang")
+      .filter(col("lang") === "en")
+      .select("doc_id", "n_tok", "t_off", "seq_id", "n_seqs")
+      .collect().map(_.toString).toSeq
+    val flat = Packing.packSequences(docs.filter(col("lang") === "en"))
+      .collect().map(_.toString).toSeq
+    assert(grouped.nonEmpty)
+    assert(grouped === flat)
+  }
 }
