@@ -285,6 +285,39 @@ object Multimodal {
       else Some((sampleRate, dataStart, dataLen / 2))
     }
 
+    /** 64-bit audio fingerprint — the WAV sibling of [[dHash]]: the
+      * sample stream folds into 65 equal energy windows (mean |sample|),
+      * and each bit is the sign of an adjacent-window energy gradient.
+      * Volume-invariant by construction (uniform gain scales every
+      * window equally, comparisons unchanged), robust to small local
+      * noise, and a pure function of the samples.
+      */
+    def audioHash(b: Array[Byte]): Option[Long] = wavPcm(b).flatMap {
+      case (_, dataStart, n) =>
+        if (n < 65) None
+        else {
+          val buf = java.nio.ByteBuffer.wrap(b).order(LE)
+          val energy = new Array[Double](65)
+          var w = 0
+          while (w < 65) {
+            val from = (w.toLong * n / 65).toInt
+            val until = ((w + 1).toLong * n / 65).toInt
+            var acc = 0.0
+            var i = from
+            while (i < until) { acc += math.abs(buf.getShort(dataStart + i * 2).toDouble); i += 1 }
+            energy(w) = acc / math.max(1, until - from)
+            w += 1
+          }
+          var h = 0L
+          var k = 0
+          while (k < 64) {
+            if (energy(k) < energy(k + 1)) h |= 1L << k
+            k += 1
+          }
+          Some(h)
+        }
+    }
+
     /** WAV parse; amplitudes normalized to [-1, 1]. */
     def decodeWav(b: Array[Byte]): Option[WavAudio] = wavPcm(b).map {
       case (sampleRate, dataStart, n) =>
@@ -631,6 +664,14 @@ object Multimodal {
         rgb(p * 3) = ((rgb(p * 3) & 0xff) ^ (jitter & 3)).toByte
         MediaCodec.dHash(MediaCodec.encodeBmp(16, 16, rgb)).map(h => (id, h))
       }).toDF("doc_id", "dhash")
+    hammingPairs(hashes, maxHamming)
+  }
+
+  /** Pairs within `maxHamming` of each other over a (doc_id, dhash)
+    * table, by the 16-bit-chunk pigeonhole (shared by the image and
+    * audio fingerprints; same family as the text SimHash dedup).
+    */
+  private def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = hashes.select(col("doc_id"), col("dhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -649,10 +690,37 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Audio near-dup pairs via the energy-envelope fingerprint
+    * ([[MediaCodec.audioHash]]) — the audio leg of multimodal dedup,
+    * through the same pigeonhole candidate join. Clips synthesized with
+    * planted near-duplicates: a pattern-keyed pseudo-random envelope
+    * modulating a fixed carrier, with per-id low-amplitude noise (and a
+    * volume change, which the fingerprint ignores by construction).
+    */
+  def audioDedup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val pattern = (id % 83).toInt
+        val jitter = (id / 83).toInt
+        val gain = 1.0 + 0.3 * (jitter % 4) // volume must not matter
+        val samples = Array.tabulate(1040) { i =>
+          val w = i * 65 / 1040
+          val h = pattern * 73856093 ^ w * 19349663
+          val env = 0.2 + 0.8 * (((h * 2654435761L) >>> 24) & 0xff) / 255.0
+          val noise = if ((i * 31 + jitter) % 997 == 0) 0.02 * (jitter % 5) else 0.0
+          ((env * math.sin(2 * math.Pi * i / 16.0) + noise) * 8192 * gain).toShort
+        }
+        MediaCodec.audioHash(MediaCodec.encodeWav(samples, 16000)).map(h => (id, h))
+      }).toDF("doc_id", "dhash")
+    hammingPairs(hashes, maxHamming)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // rows-only: binary decode + perceptual hash has no SQL oracle;
     // MultimodalSpec checks == brute-force Hamming over the hash table
     "multimodal_image_dedup" -> ((s: SparkSession, d: String) => imageDedup(s, d)),
+    "multimodal_audio_dedup" -> ((s: SparkSession, d: String) => audioDedup(s, d)),
     "multimodal_gvid_scan" -> (multimodalGvidScan _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_features" -> (multimodalFeatures _),

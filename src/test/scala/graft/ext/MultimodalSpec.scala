@@ -304,4 +304,31 @@ class MultimodalSpec extends SparkSuite {
     assert(samePattern.toDouble / got.size > 0.9,
       s"$samePattern of ${got.size} pairs same-pattern")
   }
+
+  test("audioHash is volume-invariant and envelope-sensitive") {
+    def clip(env: Int => Double, gain: Double): Array[Byte] = {
+      val samples = Array.tabulate(1040) { i =>
+        (env(i * 65 / 1040) * math.sin(2 * math.Pi * i / 16.0) * 8192 * gain).toShort
+      }
+      Multimodal.MediaCodec.encodeWav(samples, 16000)
+    }
+    val envA = (w: Int) => 0.2 + 0.8 * ((w * 37 % 19).toDouble / 19)
+    val base = Multimodal.MediaCodec.audioHash(clip(envA, 1.0)).get
+    val louder = Multimodal.MediaCodec.audioHash(clip(envA, 1.9)).get
+    assert(louder === base)
+    val envB = (w: Int) => 0.2 + 0.8 * ((w * 53 % 23).toDouble / 23)
+    val other = Multimodal.MediaCodec.audioHash(clip(envB, 1.0)).get
+    assert(java.lang.Long.bitCount(base ^ other) > 10)
+  }
+
+  test("audio dedup finds planted same-pattern clips through the pigeonhole join") {
+    val got = Multimodal.audioDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val samePattern = got.count { case (a, b, _) => a % 83 == b % 83 }
+    assert(samePattern.toDouble / got.length > 0.9,
+      s"$samePattern of ${got.length} pairs same-pattern")
+    // near-dups really are near: most planted pairs at distance 0-1
+    assert(got.count(_._3 <= 1).toDouble / got.length > 0.5)
+  }
 }
