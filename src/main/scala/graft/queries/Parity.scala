@@ -942,6 +942,41 @@ object Parity {
       .limit(20)
   }
 
+  /** Interval coverage: merge overlapping per-user activity intervals
+    * into maximal spans (the gaps-and-islands "flatten" op — distinct
+    * from q_sessionize's point-gap sessions: intervals carry a duration
+    * and nested/overlapping ones must union, which a lag-gap flag gets
+    * wrong for contained intervals). Each event opens an interval of
+    * `(event_id % 7 + 1)` minutes; a span breaks only where the start
+    * strictly exceeds the running max of all earlier ends (touching
+    * intervals merge). Scale: ONE shuffle on user_id; both windows and
+    * the final groupBy reuse that partitioning, and no span state grows
+    * beyond a running-max long. Millis arithmetic end-to-end — BIGINT
+    * in both engines, no timestamp-arithmetic drift.
+    */
+  def qMergeIntervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("s"),
+        (unix_millis(col("ts")) + (col("event_id") % 7 + 1) * 60000L).as("e"))
+    iv
+      .withColumn("rm", max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span", when(col("rm").isNull || col("s") > col("rm"), 1).otherwise(0))
+      .withColumn("span_id",
+        sum(col("new_span")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("span_id"))
+      .agg(
+        min(col("s")).as("span_start_ms"),
+        max(col("e")).as("span_end_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("covered_s", expr("(span_end_ms - span_start_ms) div 1000"))
+      .select(col("user_id"), col("span_start_ms"), col("span_end_ms"),
+        col("n_events"), col("covered_s"))
+      .orderBy(col("user_id"), col("span_start_ms"))
+  }
+
   /** Distribution drift between temporal splits — the train/eval gate a
     * 100 TB pipeline runs before shipping a new data cut: order prices
     * before/after a pivot date compare via a 100-bin equi-width ECDF
@@ -1060,6 +1095,29 @@ object Parity {
         |         AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
         |       count(*) AS n_bins_hit, tot_early, tot_late
         |FROM c GROUP BY tot_early, tot_late""".stripMargin,
+    "q_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS s,
+        |         epoch_ms(ts) + (event_id % 7 + 1) * 60000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |         sum(CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM m)
+        |SELECT user_id,
+        |       CAST(min(s) AS BIGINT) AS span_start_ms,
+        |       CAST(max(e) AS BIGINT) AS span_end_ms,
+        |       count(*) AS n_events,
+        |       CAST((max(e) - min(s)) // 1000 AS BIGINT) AS covered_s
+        |FROM g GROUP BY user_id, span_id
+        |ORDER BY user_id, span_start_ms""".stripMargin,
     "q_retention" ->
       """WITH first AS (
         |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
@@ -1448,6 +1506,7 @@ object Parity {
     "q_transitions" -> (qTransitions _),
     "q_top_paths" -> (qTopPaths _),
     "q_drift_ks" -> (qDriftKs _),
+    "q_merge_intervals" -> (qMergeIntervals _),
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
     "q_hll_union" -> (qHllUnion _),

@@ -85,6 +85,42 @@ class ParitySpec extends SparkSuite {
     assert(!psi.isNaN && psi >= 0, s"psi=$psi")
   }
 
+  test("q_merge_intervals spans are disjoint per user, cover every event, and beat lag-gap merging on nested intervals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val spans = queries.Parity.qMergeIntervals(spark, sfDir)
+    // disjoint and strictly ordered: each span starts after the previous one ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("span_start_ms"))
+    val overlaps = spans
+      .withColumn("prev_end", lag(col("span_end_ms"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("span_start_ms") <= col("prev_end"))
+      .count()
+    assert(overlaps === 0L, s"$overlaps overlapping merged spans")
+    // every event lands in exactly one span
+    val nEvents = spans.agg(sum("n_events")).first().getLong(0)
+    assert(nEvents === Tables.events(spark, sfDir).count())
+    // nested-interval regression: [0,100], [1,2], [150,160] — the running-max
+    // merge keeps [0,100] open across the contained interval; a lag-gap flag
+    // (prev END of the CONTAINED interval) would split before 150 only by luck
+    val local = Seq((1L, 0L, 100L, 1L), (1L, 1L, 2L, 2L), (1L, 150L, 160L, 3L))
+      .toDF("user_id", "s", "e", "event_id")
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val merged = local
+      .withColumn("rm", max(col("e")).over(ww.rowsBetween(Long.MinValue, -1)))
+      .withColumn("new_span", when(col("rm").isNull || col("s") > col("rm"), 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(
+        ww.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "span_id")
+      .agg(min("s").as("ss"), max("e").as("ee"), count(lit(1)).as("n"))
+      .orderBy("ss")
+      .collect()
+    assert(merged.length === 2)
+    assert(merged(0).getLong(2) === 0L && merged(0).getLong(3) === 100L && merged(0).getLong(4) === 2L)
+    assert(merged(1).getLong(2) === 150L && merged(1).getLong(3) === 160L && merged(1).getLong(4) === 1L)
+  }
+
   test("token entropy is bounded by ln(n_tokens) and zero for uniform repeats") {
     import org.apache.spark.sql.functions._
     val e = ext.Text.textEntropy(spark, sfDir)
