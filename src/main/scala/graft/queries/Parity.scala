@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1042,7 +1042,255 @@ object Parity {
       .orderBy("decile")
   }
 
+  /** Morton (Z-order) interleave of two 16-bit key columns — the bit
+    * terms occupy disjoint positions, so OR-combining the 32 shifted
+    * single-bit terms is exact and codegen-friendly (no loop at
+    * runtime; the expression tree is fixed at plan time).
+    */
+  private def zvalue(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order data layout + min-max skipping audit — the clustering step
+    * a 100 TB table runs before writing so that per-file min/max stats
+    * prune MULTI-dimensional box predicates (sorting by one key bounds
+    * only that key; Morton interleaving bounds both). Rows are bucketed
+    * into 64 equal-width z-ranges (the "files"); per bucket the query
+    * reports both keys' min/max spans and whether a fixed relative box
+    * predicate (middle eighth of each dimension) could skip the bucket
+    * entirely. ParitySpec asserts z-order prunes where a one-key sort
+    * layout cannot. Scale: one pure-map z computation fused into the
+    * scan, a 5-value global agg broadcast back, one shuffle on zbucket —
+    * the real write path would `repartitionByRange(z)` with the same
+    * arithmetic. Integer-only math end-to-end for oracle exactness.
+    */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val bounds = base.agg(
+      min(col("pk")).as("pklo0"), max(col("pk")).as("pkhi0"),
+      min(col("sk")).as("sklo0"), max(col("sk")).as("skhi0"))
+    // Normalize each dimension to the full 16-bit range before
+    // interleaving: raw-bit interleave degrades to a one-key sort when
+    // the dimensions' bit widths differ (a 10-value suppkey contributes
+    // only low-order z bits). Normalized, the top 6 z bits are the top
+    // 3 bits of EACH dimension — every bucket is a 1/8 x 1/8 tile.
+    base.crossJoin(broadcast(bounds))
+      .withColumn("npk", expr(
+        "case when pkhi0 > pklo0 then (pk - pklo0) * 65535L div (pkhi0 - pklo0) else 0L end"))
+      .withColumn("nsk", expr(
+        "case when skhi0 > sklo0 then (sk - sklo0) * 65535L div (skhi0 - sklo0) else 0L end"))
+      .withColumn("z", zvalue(col("npk"), col("nsk")))
+      .withColumn("zbucket", expr("z div 67108864L"))
+      .withColumn("qlo", expr("pklo0 + (((pkhi0 - pklo0) * 3) div 8)"))
+      .withColumn("qhi", expr("pklo0 + (((pkhi0 - pklo0) * 4) div 8)"))
+      .withColumn("slo", expr("sklo0 + (((skhi0 - sklo0) * 3) div 8)"))
+      .withColumn("shi", expr("sklo0 + (((skhi0 - sklo0) * 4) div 8)"))
+      .groupBy(col("zbucket"), col("qlo"), col("qhi"), col("slo"), col("shi"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+        min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+      .withColumn("prunable",
+        (col("pk_max") < col("qlo") || col("pk_min") > col("qhi") ||
+         col("sk_max") < col("slo") || col("sk_min") > col("shi")).cast("int"))
+      .select(col("zbucket"), col("n"), col("pk_min"), col("pk_max"),
+        col("sk_min"), col("sk_max"), col("prunable"))
+      .orderBy("zbucket")
+  }
+
+  /** 2-D skyline (Pareto frontier): parts not dominated on
+    * (minimize p_retailprice, maximize p_size) — the multi-objective
+    * filter a curation pipeline runs to keep only best-tradeoff rows
+    * (cheapest at every quality level). Distributed shape: (1) groupBy
+    * price folds same-price ties to the per-price max size — the only
+    * full-data shuffle; (2) a coarse price-bucket running max, computed
+    * over ~hundreds of buckets, broadcasts back and PRUNES every row
+    * whose size is dominated by a strictly-lower bucket (sound: a
+    * lower-bucket row always has strictly lower price), so (3) the
+    * exact running-max window runs over only the surviving sliver, not
+    * the corpus; (4) a broadcast join back to the fact recovers all
+    * tied rows. Oracle is the SEMANTIC definition (NOT EXISTS
+    * dominance), not this algorithm — the two agree exactly.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val best = Tables.part(spark, dir)
+      .groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("best_size"))
+      .withColumn("bkt", expr("cast(floor(p_retailprice) as bigint) div 100"))
+    val wB = Window.orderBy(col("bkt"))
+    val bound = best.groupBy(col("bkt")).agg(max(col("best_size")).as("bmax"))
+      .withColumn("lb", max(col("bmax")).over(
+        wB.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), col("lb"))
+    val wP = Window.orderBy(col("p_retailprice"))
+    val frontier = best.join(broadcast(bound), "bkt")
+      .filter(col("lb").isNull || col("best_size") > col("lb"))
+      .withColumn("rm", max(col("best_size")).over(
+        wP.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("rm").isNull || col("best_size") > col("rm"))
+      .select(col("p_retailprice").as("f_price"), col("best_size"))
+    Tables.part(spark, dir)
+      .join(broadcast(frontier),
+        col("p_retailprice") === col("f_price") && col("p_size") === col("best_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy("p_partkey")
+  }
+
+  /** Exponentially time-decayed aggregation — the recency weighting a
+    * feature/reporting pipeline applies so old activity fades with a
+    * 91-day half-life. The weight is 1/2^floor(age/91): an EXACT
+    * power-of-two scale (integer shift, no pow()), so the weighted term
+    * is a pure exponent shift of the double price — bit-identical in
+    * any IEEE engine — and the sum runs in DECIMAL (exact, association-
+    * order-free). The anchor is max(o_orderdate), computed once and
+    * broadcast. Scale: scan + broadcast scalar + one shuffle agg with
+    * map-side partials; no window, no sort before the 5-row output.
+    */
+  def qDecay(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+    o.crossJoin(broadcast(anchor))
+      .withColumn("hl", expr(
+        "datediff(anchor, cast(o_orderdate as date)) div 91"))
+      .withColumn("term", expr(
+        "cast(o_totalprice / shiftleft(cast(1 as bigint), cast(hl as int)) as decimal(28,10))"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("raw_rev"),
+        round(expr("cast(sum(term) as double)"), 4).as("decayed_rev"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Array higher-order-function battery: sequence/transform/filter/
+    * aggregate/zip_with/exists/slice/array_max/array_position — the
+    * collection surface a feature pipeline uses on token/embedding
+    * arrays, exercised here over integer arrays (exact cross-engine
+    * parity; every output column is scalar so the driver's hash compare
+    * is structural-type-free). DuckDB mirrors each HOF with its list_*
+    * lambda forms. Codegen note: all HOFs here are Catalyst
+    * higher-order functions — no UDFs, single projection over the scan.
+    */
+  def qArrayFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("arr", expr("sequence(cast(1 as bigint), cast(p_size % 8 + 3 as bigint))"))
+      .select(
+        col("p_partkey"),
+        expr("cast(size(arr) as int)").as("n_elems"),
+        expr("aggregate(arr, cast(0 as bigint), (a, x) -> a + x * x)").as("sum_sq"),
+        expr("array_join(filter(arr, x -> x % 2 = 0), ',')").as("evens"),
+        expr("aggregate(zip_with(arr, reverse(arr), (a, b) -> a * b), cast(0 as bigint), (a, x) -> a + x)").as("dot_rev"),
+        expr("array_max(arr)").as("mx"),
+        expr("array_join(slice(arr, 1, 3), ',')").as("head3"),
+        expr("array_join(reverse(arr), ',')").as("desc_join"),
+        expr("cast(exists(arr, x -> x > 5) as int)").as("has_gt5"),
+        expr("array_position(arr, cast(5 as bigint))").as("pos5"))
+      .orderBy("p_partkey")
+
+  /** Regex scalar-function battery: extract / extract-first-group /
+    * count / replace / backreference swap / anchored match / split —
+    * the text-wrangling surface of log and document pipelines. Patterns
+    * stay in the RE2 ∩ java.util.regex common subset (character
+    * classes, anchors, word chars, capture groups) so both engines
+    * match identically; the backreference syntax differs ($1 vs \1) but
+    * the semantics agree. Pure map fused into the scan.
+    */
+  def qRegexFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        expr("cast(regexp_count(p_name, '[aeiou]') as int)").as("n_vowels"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        expr("array_join(split(p_name, ' '), '|')").as("words"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_digits"),
+        expr("cast(p_type rlike 'BRASS$' as int)").as("is_brass"),
+        regexp_replace(col("p_type"), "^(\\w+) (\\w+)", "$2 $1").as("swapped"))
+      .orderBy("p_partkey")
+
+  /** Morton interleave as DuckDB SQL: the same 32 disjoint-bit terms,
+    * `+`-combined (equivalent to OR on disjoint bits).
+    */
+  private def zvalueSql(a: String, b: String): String =
+    (0 until 16).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH base AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |g AS (SELECT min(pk) AS pklo0, max(pk) AS pkhi0,
+        |             min(sk) AS sklo0, max(sk) AS skhi0 FROM base),
+        |nrm AS (SELECT pk, sk, pklo0, pkhi0, sklo0, skhi0,
+        |               CASE WHEN pkhi0 > pklo0
+        |                    THEN (pk - pklo0) * 65535 // (pkhi0 - pklo0) ELSE 0 END AS npk,
+        |               CASE WHEN skhi0 > sklo0
+        |                    THEN (sk - sklo0) * 65535 // (skhi0 - sklo0) ELSE 0 END AS nsk
+        |        FROM base, g),
+        |z AS (SELECT pk, sk, pklo0, pkhi0, sklo0, skhi0,
+        |             ${zvalueSql("npk", "nsk")} AS z
+        |      FROM nrm),
+        |b AS (SELECT z // 67108864 AS zbucket, pk, sk,
+        |             pklo0 + (((pkhi0 - pklo0) * 3) // 8) AS qlo,
+        |             pklo0 + (((pkhi0 - pklo0) * 4) // 8) AS qhi,
+        |             sklo0 + (((skhi0 - sklo0) * 3) // 8) AS slo,
+        |             sklo0 + (((skhi0 - sklo0) * 4) // 8) AS shi
+        |      FROM z)
+        |SELECT zbucket, count(*) AS n,
+        |       min(pk) AS pk_min, max(pk) AS pk_max,
+        |       min(sk) AS sk_min, max(sk) AS sk_max,
+        |       CAST(max(pk) < qlo OR min(pk) > qhi OR
+        |            max(sk) < slo OR min(sk) > shi AS INT) AS prunable
+        |FROM b GROUP BY zbucket, qlo, qhi, slo, shi
+        |ORDER BY zbucket""".stripMargin,
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
+    "q_decay" ->
+      """WITH g AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+        |t AS (SELECT o_orderpriority, o_totalprice,
+        |             date_diff('day', CAST(o_orderdate AS DATE), anchor) // 91 AS hl
+        |      FROM orders, g)
+        |SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS raw_rev,
+        |       round(CAST(sum(CAST(o_totalprice / (1::BIGINT << CAST(hl AS INT))
+        |                           AS DECIMAL(28,10))) AS DOUBLE), 4) AS decayed_rev
+        |FROM t GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_array_fns" ->
+      """WITH a AS (SELECT p_partkey, range(1, (p_size % 8 + 3) + 1) AS arr FROM part)
+        |SELECT p_partkey,
+        |       CAST(len(arr) AS INT) AS n_elems,
+        |       CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq,
+        |       array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
+        |       CAST(list_sum(list_transform(range(1, len(arr) + 1),
+        |            i -> arr[CAST(i AS INT)] * arr[CAST(len(arr) + 1 - i AS INT)]))
+        |            AS BIGINT) AS dot_rev,
+        |       list_max(arr) AS mx,
+        |       array_to_string(arr[1:3], ',') AS head3,
+        |       array_to_string(list_reverse(arr), ',') AS desc_join,
+        |       CAST(len(list_filter(arr, x -> x > 5)) > 0 AS INT) AS has_gt5,
+        |       CAST(COALESCE(list_position(arr, 5), 0) AS BIGINT) AS pos5
+        |FROM a ORDER BY p_partkey""".stripMargin,
+    "q_regex_fns" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+        |       regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |       array_to_string(string_split(p_name, ' '), '|') AS words,
+        |       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_digits,
+        |       CAST(regexp_matches(p_type, 'BRASS$') AS INT) AS is_brass,
+        |       regexp_replace(p_type, '^(\w+) (\w+)', '\2 \1') AS swapped
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_transitions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type FROM events),
         |m AS (SELECT event_type,
@@ -1507,6 +1755,11 @@ object Parity {
     "q_top_paths" -> (qTopPaths _),
     "q_drift_ks" -> (qDriftKs _),
     "q_merge_intervals" -> (qMergeIntervals _),
+    "q_zorder" -> (qZorder _),
+    "q_skyline" -> (qSkyline _),
+    "q_decay" -> (qDecay _),
+    "q_array_fns" -> (qArrayFns _),
+    "q_regex_fns" -> (qRegexFns _),
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
     "q_hll_union" -> (qHllUnion _),

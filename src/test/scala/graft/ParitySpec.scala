@@ -121,6 +121,61 @@ class ParitySpec extends SparkSuite {
     assert(merged(1).getLong(2) === 150L && merged(1).getLong(3) === 160L && merged(1).getLong(4) === 1L)
   }
 
+  test("q_zorder buckets tile BOTH dimensions and prune the 2-D box where a one-key sort cannot") {
+    import org.apache.spark.sql.functions._
+    val b = queries.Parity.qZorder(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir)
+    // partition of the table: bucket counts sum to the row count
+    assert(b.map(_.getLong(1)).sum === li.count())
+    val gPk = b.map(_.getLong(3)).max - b.map(_.getLong(2)).min
+    val gSk = b.map(_.getLong(5)).max - b.map(_.getLong(4)).min
+    val avgPk = b.map(r => r.getLong(3) - r.getLong(2)).sum.toDouble / b.length
+    val avgSk = b.map(r => r.getLong(5) - r.getLong(4)).sum.toDouble / b.length
+    // each bucket is ~a 1/8 x 1/8 tile; a layout sorted by partkey alone
+    // would leave avg suppkey span ~= the full global span, so the sk
+    // bound is the claim a one-key sort cannot meet
+    assert(avgPk <= gPk / 4.0, s"avg pk span $avgPk vs global $gPk")
+    assert(avgSk <= gSk / 4.0, s"avg sk span $avgSk vs global $gSk")
+    // min-max skipping: most tiles skip the middle-eighth 2-D box
+    val prunable = b.map(_.getInt(6)).sum
+    assert(prunable >= b.length * 6 / 10, s"$prunable/${b.length} prunable")
+  }
+
+  test("q_skyline result is exactly the non-dominated set") {
+    import org.apache.spark.sql.functions._
+    val sky = queries.Parity.qSkyline(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    // soundness: nothing in the table strictly dominates a skyline row
+    val dominated = sky.as("s").join(part.as("q"),
+        col("q.p_retailprice") <= col("s.p_retailprice") &&
+        col("q.p_size") >= col("s.p_size") &&
+        (col("q.p_retailprice") < col("s.p_retailprice") ||
+         col("q.p_size") > col("s.p_size")))
+      .count()
+    assert(dominated === 0L, s"$dominated dominating rows against skyline members")
+    // completeness: every non-skyline row IS dominated by some skyline row
+    val nonSky = part.as("p").join(sky.as("s2"),
+        col("p.p_partkey") === col("s2.p_partkey"), "left_anti")
+    val covered = nonSky.as("p").join(sky.as("s"),
+        col("s.p_retailprice") <= col("p.p_retailprice") &&
+        col("s.p_size") >= col("p.p_size") &&
+        (col("s.p_retailprice") < col("p.p_retailprice") ||
+         col("s.p_size") > col("p.p_size")), "left_semi").count()
+    assert(covered === nonSky.count(), "a non-skyline row has no skyline dominator")
+  }
+
+  test("q_decay weights fade monotonically and never exceed raw revenue") {
+    val rows = queries.Parity.qDecay(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val raw = r.getDouble(2); val dec = r.getDouble(3)
+      assert(dec > 0 && dec <= raw, s"decayed $dec vs raw $raw")
+      // a 91-day half-life over a multi-year order history must fade
+      // most of the mass: decayed is well under half of raw
+      assert(dec < raw * 0.5, s"decay too weak: $dec vs $raw")
+    }
+  }
+
   test("token entropy is bounded by ln(n_tokens) and zero for uniform repeats") {
     import org.apache.spark.sql.functions._
     val e = ext.Text.textEntropy(spark, sfDir)
