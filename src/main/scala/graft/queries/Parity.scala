@@ -1212,6 +1212,66 @@ object Parity {
         regexp_replace(col("p_type"), "^(\\w+) (\\w+)", "$2 $1").as("swapped"))
       .orderBy("p_partkey")
 
+  /** Market-basket association rules: co-occurrence support, confidence
+    * and lift for part pairs within an order — the classic affinity
+    * mining op (and, in a training-data pipeline, the co-occurrence
+    * statistic behind token/document association features). Pair
+    * generation is a SELF-JOIN ON THE BASKET KEY with p1 < p2, so the
+    * blowup is bounded by basket size (≤7 lines per order here), never
+    * corpus size; the join is co-partitioned on l_orderkey (one shuffle
+    * feeds both sides). Lift/confidence are single exactly-rounded
+    * double divisions of exact integer counts — engine-agnostic.
+    * Output: pairs seen ≥2 times, top 50 by lift.
+    */
+  def qMarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val singles = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 2)
+    pairs
+      .join(broadcast(singles.withColumnRenamed("pk", "p1")
+        .withColumnRenamed("n_item", "n1")), "p1")
+      .join(broadcast(singles.withColumnRenamed("pk", "p2")
+        .withColumnRenamed("n_item", "n2")), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("p1"), col("p2"), col("n_pair"), col("n1"), col("n2"),
+        round(col("n_pair").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("n_pair").cast("double") / col("n1"), 6).as("confidence"),
+        round((col("n_pair") * col("n_orders")).cast("double") /
+          (col("n1") * col("n2")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2"))
+      .limit(50)
+  }
+
+  /** Benford first-significant-digit audit — the fraud/data-quality
+    * screen run over money columns: observed first-digit frequencies
+    * vs the Benford expectation log10(1+1/d). The digit comes from
+    * floor-then-cast (DuckDB CAST(double AS BIGINT) ROUNDS, so the
+    * floor is load-bearing for parity). One scan, one 9-group agg.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("d", expr(
+        "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)"))
+    val tot = o.agg(count(lit(1)).as("n_total"))
+    o.groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("d"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("obs_frac"),
+        round(log10(lit(1.0) + lit(1.0) / col("d")), 6).as("benford_frac"))
+      .orderBy("d")
+  }
+
   /** Morton interleave as DuckDB SQL: the same 32 disjoint-bit terms,
     * `+`-combined (equivalent to OR on disjoint bits).
     */
@@ -1281,6 +1341,30 @@ object Parity {
         |       CAST(len(list_filter(arr, x -> x > 5)) > 0 AS INT) AS has_gt5,
         |       CAST(COALESCE(list_position(arr, 5), 0) AS BIGINT) AS pos5
         |FROM a ORDER BY p_partkey""".stripMargin,
+    "q_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |si AS (SELECT pk, count(*) AS n_item FROM li GROUP BY pk),
+        |pr AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_pair
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk HAVING count(*) >= 2)
+        |SELECT p1, p2, n_pair, s1.n_item AS n1, s2.n_item AS n2,
+        |       round(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+        |       round(CAST(n_pair AS DOUBLE) / s1.n_item, 6) AS confidence,
+        |       round(CAST(n_pair * n_orders AS DOUBLE) / (s1.n_item * s2.n_item), 6) AS lift
+        |FROM pr JOIN si s1 ON pr.p1 = s1.pk JOIN si s2 ON pr.p2 = s2.pk, no
+        |ORDER BY lift DESC, p1, p2
+        |LIMIT 50""".stripMargin,
+    "q_benford" ->
+      """WITH o AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |                                      AS VARCHAR), 1, 1) AS INT) AS d
+        |           FROM orders),
+        |t AS (SELECT count(*) AS n_total FROM o)
+        |SELECT d, count(*) AS n,
+        |       round(CAST(count(*) AS DOUBLE) / n_total, 6) AS obs_frac,
+        |       round(log10(1.0 + 1.0 / d), 6) AS benford_frac
+        |FROM o, t GROUP BY d, n_total
+        |ORDER BY d""".stripMargin,
     "q_regex_fns" ->
       """SELECT p_partkey,
         |       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
@@ -1760,6 +1844,8 @@ object Parity {
     "q_decay" -> (qDecay _),
     "q_array_fns" -> (qArrayFns _),
     "q_regex_fns" -> (qRegexFns _),
+    "q_market_basket" -> (qMarketBasket _),
+    "q_benford" -> (qBenford _),
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
     "q_hll_union" -> (qHllUnion _),

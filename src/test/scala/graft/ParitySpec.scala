@@ -176,6 +176,31 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("q_market_basket rules satisfy support <= confidence <= 1 and lift consistency") {
+    val rows = queries.Parity.qMarketBasket(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nPair, n1, n2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (sup, conf, lift) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(nPair >= 2 && nPair <= math.min(n1, n2), s"pair count $nPair vs $n1/$n2")
+      assert(sup > 0 && sup <= conf && conf <= 1.0, s"support $sup confidence $conf")
+      // lift = conf / P(p2): both > 0; rounded forms agree to tolerance
+      assert(lift > 0)
+    }
+    // descending-lift order
+    val lifts = rows.map(_.getDouble(7))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_benford observed fractions form a distribution over digits 1-9") {
+    val rows = queries.Parity.qBenford(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9), "digits 1..9 each present")
+    val obs = rows.map(_.getDouble(2)).sum
+    assert(math.abs(obs - 1.0) < 1e-4, s"observed fractions sum to $obs")
+    val exp = rows.map(_.getDouble(3)).sum
+    assert(math.abs(exp - 1.0) < 1e-4, s"benford fractions sum to $exp")
+  }
+
   test("token entropy is bounded by ln(n_tokens) and zero for uniform repeats") {
     import org.apache.spark.sql.functions._
     val e = ext.Text.textEntropy(spark, sfDir)
