@@ -1272,6 +1272,59 @@ object Parity {
       .orderBy("d")
   }
 
+  /** Chi-squared independence test between two categorical columns
+    * (order priority x order status) — the drift/association screen a
+    * curation pipeline runs on label-ish columns. Expected cell counts
+    * come from exact integer row/col totals (r*c then one exactly-
+    * rounded double divide), so per-cell contributions are engine-
+    * agnostic. Scale: one shuffle for the contingency groupBy; the
+    * row/col/total margins are tiny aggregates broadcast back.
+    */
+  def qChi2(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+    val cells = o.groupBy(col("pri"), col("st")).agg(count(lit(1)).as("n"))
+    val rowT = o.groupBy(col("pri")).agg(count(lit(1)).as("r"))
+    val colT = o.groupBy(col("st")).agg(count(lit(1)).as("c"))
+    val tot = o.agg(count(lit(1)).as("total"))
+    cells
+      .join(broadcast(rowT), "pri")
+      .join(broadcast(colT), "st")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", (col("r") * col("c")).cast("double") / col("total"))
+      .select(
+        col("pri"), col("st"), col("n"),
+        round(col("expected"), 6).as("expected"),
+        round((col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"), 6).as("chi2_contrib"))
+      .orderBy("pri", "st")
+  }
+
+  /** Robust outlier detection via median absolute deviation — the
+    * heavy-tail-safe alternative to z-scores (q_anomaly) for scoring a
+    * value column per group: median and MAD are insensitive to the
+    * outliers they flag. Two percentile passes (median, then median of
+    * absolute residuals) with the tiny per-group medians broadcast
+    * between them; flags |v - med| > 3 * MAD.
+    */
+  def qOutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+      .withColumn("resid", abs(col("value") - col("med")))
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(resid, 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("med"),
+        round(min(col("mad")), 6).as("mad"),
+        sum(when(col("resid") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Morton interleave as DuckDB SQL: the same 32 disjoint-bit terms,
     * `+`-combined (equivalent to OR on disjoint bits).
     */
@@ -1341,6 +1394,36 @@ object Parity {
         |       CAST(len(list_filter(arr, x -> x > 5)) > 0 AS INT) AS has_gt5,
         |       CAST(COALESCE(list_position(arr, 5), 0) AS BIGINT) AS pos5
         |FROM a ORDER BY p_partkey""".stripMargin,
+    "q_chi2" ->
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders),
+        |cells AS (SELECT pri, st, count(*) AS n FROM o GROUP BY pri, st),
+        |rt AS (SELECT pri, count(*) AS r FROM o GROUP BY pri),
+        |ct AS (SELECT st, count(*) AS c FROM o GROUP BY st),
+        |t AS (SELECT count(*) AS total FROM o)
+        |SELECT pri, st, n,
+        |       round(CAST(r * c AS DOUBLE) / total, 6) AS expected,
+        |       round((n - CAST(r * c AS DOUBLE) / total) *
+        |             (n - CAST(r * c AS DOUBLE) / total) /
+        |             (CAST(r * c AS DOUBLE) / total), 6) AS chi2_contrib
+        |FROM cells JOIN rt USING (pri) JOIN ct USING (st), t
+        |ORDER BY pri, st""".stripMargin,
+    "q_outlier_mad" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |        FROM ev GROUP BY event_type),
+        |wm AS (SELECT ev.event_type, value, med, abs(value - med) AS resid
+        |       FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(resid, 0.5) AS mad
+        |        FROM wm GROUP BY event_type)
+        |SELECT wm.event_type, count(*) AS n,
+        |       round(min(med), 6) AS med,
+        |       round(min(wm_mad), 6) AS mad,
+        |       CAST(sum(CASE WHEN resid > 3.0 * wm_mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM (SELECT wm.*, mad.mad AS wm_mad
+        |      FROM wm JOIN mad USING (event_type)) wm
+        |GROUP BY wm.event_type
+        |ORDER BY wm.event_type""".stripMargin,
     "q_market_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |no AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
@@ -1846,6 +1929,8 @@ object Parity {
     "q_regex_fns" -> (qRegexFns _),
     "q_market_basket" -> (qMarketBasket _),
     "q_benford" -> (qBenford _),
+    "q_chi2" -> (qChi2 _),
+    "q_outlier_mad" -> (qOutlierMad _),
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
     "q_hll_union" -> (qHllUnion _),

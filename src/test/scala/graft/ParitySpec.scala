@@ -201,6 +201,28 @@ class ParitySpec extends SparkSuite {
     assert(math.abs(exp - 1.0) < 1e-4, s"benford fractions sum to $exp")
   }
 
+  test("q_chi2 expected margins reproduce the observed totals") {
+    val rows = queries.Parity.qChi2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_.getLong(2)).sum
+    val eTotal = rows.map(_.getDouble(3)).sum
+    // sum of expected counts == N (margins are consistent)
+    assert(math.abs(eTotal - nTotal) < 1e-3, s"expected sums to $eTotal vs $nTotal")
+    rows.foreach(r => assert(r.getDouble(4) >= 0, "negative chi2 contribution"))
+  }
+
+  test("q_outlier_mad medians are robust: MAD >= 0 and outliers are a small tail") {
+    val rows = queries.Parity.qOutlierMad(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mad, out) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(mad >= 0)
+      // by construction at least half the residuals are <= MAD, so
+      // the 3-MAD tail can never reach half the group
+      assert(out < n / 2.0, s"outliers $out of $n")
+    }
+  }
+
   test("token entropy is bounded by ln(n_tokens) and zero for uniform repeats") {
     import org.apache.spark.sql.functions._
     val e = ext.Text.textEntropy(spark, sfDir)
