@@ -266,4 +266,42 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "domain weight table must broadcast:\n" + p)
     assert(p.contains("Generate"), "explode must appear as Generate:\n" + p)
   }
+
+  test("z-order layout: bounds broadcast, bucket agg is the only data shuffle") {
+    val p = planOf(Parity.qZorder(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "global bounds must broadcast, not shuffle:\n" + p)
+    // exactly one hashpartitioning exchange of the fact rows (the
+    // zbucket groupBy); the final orderBy adds one range exchange
+    val hashEx = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n" + p)
+  }
+
+  test("skyline: exact window runs after bucket-bound pruning, fact join broadcasts") {
+    val p = planOf(Parity.qSkyline(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "frontier must broadcast to the fact:\n" + p)
+    // the per-price aggregate is two-phase (partial before exchange)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("market basket: pair self-join is a co-partitioned equi join, dims broadcast") {
+    val p = planOf(Parity.qMarketBasket(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must join on the basket key:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "single-item counts must broadcast:\n" + p)
+  }
+
+  test("merge-intervals: one shuffle on user_id serves both windows and the groupBy") {
+    val p = planOf(Parity.qMergeIntervals(spark, dir))
+    val hashEx = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n" + p)
+  }
+
+  test("MAD outliers: per-group medians broadcast back, no fact-side re-shuffle join") {
+    val p = planOf(Parity.qOutlierMad(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "median tables must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "fact must not shuffle for the median join:\n" + p)
+  }
 }
