@@ -1325,6 +1325,59 @@ object Parity {
       .orderBy("event_type")
   }
 
+  /** Latest-record-per-key compaction — the last-writer-wins read of an
+    * upsert/CDC log, THE most common change-capture op. Implemented as
+    * max_by over a (ts, event_id) ordering struct: one shuffle with
+    * map-side partials and NO per-group sort, where the textbook
+    * row_number()=1 window would sort every partition (the oracle uses
+    * exactly that formulation, so the two agree). Ties are impossible
+    * by construction (event_id is unique), keeping both forms
+    * deterministic.
+    */
+  def qLatest(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(
+          unix_millis(col("ts")).as("t"), col("event_id"),
+          col("event_type"), col("value")),
+        struct(unix_millis(col("ts")), col("event_id"))).as("last"))
+      .select(
+        col("user_id"),
+        col("last.t").as("last_ts_ms"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id")
+
+  /** Day-of-week seasonality decomposition of daily revenue: each day's
+    * total vs the mean of its weekday peers, as an additive deviation
+    * and a multiplicative seasonal index — the detrending step before
+    * anomaly thresholds or forecasts are fit. Daily totals are exact
+    * decimal sums; the weekday means divide those exact sums as
+    * doubles, so both engines round identically. Scale: one shuffle to
+    * daily grain, a 7-row mean table broadcast back.
+    */
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    // the weekday mean divides a DECIMAL sum-of-sums: summing the
+    // daily totals as doubles would make the mean association-order-
+    // dependent and break cross-engine rounding at the 4th decimal
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(expr("sum(cast(o_totalprice as decimal(18,2)))").as("rev_dec"))
+      .withColumn("dow", dayofweek(col("d")))
+    val dowMean = daily.groupBy(col("dow"))
+      .agg((expr("cast(sum(rev_dec) as double)") / count(lit(1))).as("dow_mean"))
+    daily.join(broadcast(dowMean), "dow")
+      .withColumn("day_rev", col("rev_dec").cast("double"))
+      .select(
+        col("d"), col("dow"), col("day_rev"),
+        round(col("dow_mean"), 4).as("dow_mean"),
+        round(col("day_rev") - col("dow_mean"), 4).as("deviation"),
+        round(col("day_rev") / col("dow_mean"), 6).as("seasonal_index"))
+      .orderBy("d")
+  }
+
   /** Morton interleave as DuckDB SQL: the same 32 disjoint-bit terms,
     * `+`-combined (equivalent to OR on disjoint bits).
     */
@@ -1394,6 +1447,32 @@ object Parity {
         |       CAST(len(list_filter(arr, x -> x > 5)) > 0 AS INT) AS has_gt5,
         |       CAST(COALESCE(list_position(arr, 5), 0) AS BIGINT) AS pos5
         |FROM a ORDER BY p_partkey""".stripMargin,
+    // oracle uses the textbook row_number()=1 window; the Spark side is
+    // the sort-free max_by aggregate — agreement shows the rewrite is safe
+    "q_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, t AS last_ts_ms, event_id AS last_event_id,
+        |       event_type AS last_event_type, value AS last_value
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT d, rev_dec, CAST(dayofweek(d) + 1 AS INT) AS dow FROM daily),
+        |dm AS (SELECT dow, CAST(sum(rev_dec) AS DOUBLE) / count(*) AS dow_mean
+        |       FROM dd GROUP BY dow)
+        |SELECT d, dd.dow, CAST(rev_dec AS DOUBLE) AS day_rev,
+        |       round(dow_mean, 4) AS dow_mean,
+        |       round(CAST(rev_dec AS DOUBLE) - dow_mean, 4) AS deviation,
+        |       round(CAST(rev_dec AS DOUBLE) / dow_mean, 6) AS seasonal_index
+        |FROM dd JOIN dm USING (dow)
+        |ORDER BY d""".stripMargin,
     "q_chi2" ->
       """WITH o AS (SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders),
         |cells AS (SELECT pri, st, count(*) AS n FROM o GROUP BY pri, st),
@@ -1931,6 +2010,8 @@ object Parity {
     "q_benford" -> (qBenford _),
     "q_chi2" -> (qChi2 _),
     "q_outlier_mad" -> (qOutlierMad _),
+    "q_latest" -> (qLatest _),
+    "q_seasonality" -> (qSeasonality _),
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
     "q_hll_union" -> (qHllUnion _),

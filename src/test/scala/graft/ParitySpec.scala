@@ -223,6 +223,38 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("q_latest max_by compaction equals the row_number window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val fast = queries.Parity.qLatest(spark, sfDir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").desc, col("event_id").desc)
+    val windowed = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("t"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("t").as("last_ts_ms"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+    assert(fast.except(windowed).count() === 0L &&
+      windowed.except(fast).count() === 0L)
+  }
+
+  test("q_seasonality deviations cancel within each weekday") {
+    import org.apache.spark.sql.functions._
+    val s = queries.Parity.qSeasonality(spark, sfDir)
+    val resid = s.groupBy(col("dow"))
+      .agg(sum(col("deviation")).as("r"), count(lit(1)).as("n"))
+      .collect()
+    // mean deviation per weekday is ~0 (bounded by rounding of each term)
+    resid.foreach { r =>
+      assert(math.abs(r.getDouble(1)) <= r.getLong(2) * 1e-3,
+        s"dow ${r.getInt(0)}: residual ${r.getDouble(1)}")
+    }
+  }
+
   test("token entropy is bounded by ln(n_tokens) and zero for uniform repeats") {
     import org.apache.spark.sql.functions._
     val e = ext.Text.textEntropy(spark, sfDir)
