@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.LongType
 
 /** SQL-surface registration for the native expressions, so the engine's
   * custom operators are first-class from `spark.sql(...)` as well as the
@@ -58,6 +59,11 @@ object GraftFunctions {
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    ("morton_interleave",
+      new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
+      // normalize int-typed SQL keys to long (the expression evaluates raw longs)
+      (args: Seq[Expression]) => MortonInterleave(
+        Cast(args.head, LongType), Cast(args(1), LongType))),
     ("lang_id",
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),
       (args: Seq[Expression]) => LangId(args.head)),

@@ -1042,16 +1042,20 @@ object Parity {
       .orderBy("decile")
   }
 
-  /** Morton (Z-order) interleave of two 16-bit key columns — the bit
-    * terms occupy disjoint positions, so OR-combining the 32 shifted
-    * single-bit terms is exact and codegen-friendly (no loop at
-    * runtime; the expression tree is fixed at plan time).
+  /** Morton (Z-order) interleave of two 16-bit key columns — the
+    * composed-Column reference formulation: 32 disjoint-bit terms,
+    * OR-combined. Kept as the equivalence oracle for the native
+    * [[graft.functions.MortonInterleave]] expression (5 mask-shift
+    * rounds per operand in generated code), which [[qZorder]] uses.
     */
-  private def zvalue(a: Column, b: Column): Column =
+  private[graft] def zvalueComposed(a: Column, b: Column): Column =
     (0 until 16).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_ bitwiseOR _)
+
+  private def zvalue(a: Column, b: Column): Column =
+    graft.functions.MortonInterleave.morton(a, b)
 
   /** Z-order data layout + min-max skipping audit — the clustering step
     * a 100 TB table runs before writing so that per-file min/max stats

@@ -43,7 +43,7 @@ class SqlFunctionsSpec extends SparkSuite {
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ===
       Set("rolling_hash_fingerprint", "minhash_signature", "simhash",
-        "shingle_hash_set", "jaccard_sorted", "dot_product",
+        "shingle_hash_set", "jaccard_sorted", "dot_product", "morton_interleave",
         "lang_id", "word_shingles", "char_ngrams", "repetition_stats",
         "quantize_int8", "dequantize_int8", "char_bitmap", "srp_signature",
         "deflate_ratio", "anchored_spans", "text_stats"))
@@ -76,5 +76,31 @@ class SqlFunctionsSpec extends SparkSuite {
     val api = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
       .select(VectorFns.srpSignature(col("embedding"), 12)).first().getLong(0)
     assert(sig === api)
+  }
+
+  test("morton_interleave equals the composed 32-term formulation and a reference bit loop") {
+    GraftFunctions.registerAll(spark)
+    // exhaustive over the table's real keys: native == composed-Column
+    val mism = Tables.lineitem(spark, dir)
+      .select(
+        MortonInterleave.morton(col("l_partkey"), col("l_suppkey")).as("native"),
+        graft.queries.Parity.zvalueComposed(col("l_partkey"), col("l_suppkey")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mism === 0L)
+    // adversarial bit patterns against a per-bit reference loop
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i)))
+        .reduce(_ | _)
+    val rng = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (0xFFFFL, 0xFFFFL), (0xAAAAL, 0x5555L),
+      (1L, 0x8000L), (0xFFFFL, 0L)) ++
+      Seq.fill(200)((rng.nextLong() & 0xFFFFL, rng.nextLong() & 0xFFFFL))
+    cases.foreach { case (a, b) =>
+      assert(MortonInterleave.interleave(a, b) === ref(a, b), s"($a, $b)")
+    }
+    // SQL surface
+    val viaSql = spark.sql("SELECT morton_interleave(43690L, 21845L) AS z").first().getLong(0)
+    assert(viaSql === ref(0xAAAAL, 0x5555L))
   }
 }
