@@ -469,7 +469,38 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Corpus heavy hitters — every token whose frequency is at least
+    * phi of all tokens, computed EXACTLY in two passes with bounded
+    * state. Pass 1 folds the token stream into a fixed-size Count-Min
+    * sketch (partial sketches merge associatively; nothing key-shaped
+    * shuffles). Pass 2 re-scans, drops tokens whose sketch ESTIMATE is
+    * below the support count — the estimate never undercounts, so no
+    * true heavy hitter is dropped — and exact-counts only the
+    * survivors, with a final HAVING discarding sketch false positives.
+    * The group-by state in pass 2 is bounded by the sketch error
+    * (eps·N extra mass per counter), not by the vocabulary, which is
+    * the property that lets this run over a 100 TB corpus whose
+    * distinct-token domain dwarfs executor memory. Oracle: the plain
+    * one-pass GROUP BY ... HAVING, equal by the no-false-negative
+    * argument (see [[graft.functions.CmsEstimate]]).
+    */
+  def textHeavyHitters(docs: DataFrame, phi: Double = 0.002): DataFrame = {
+    val toks = docs.select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
+    val cms = toks.stat.countMinSketch(col("tok"), eps = 1e-4, confidence = 0.99, seed = 42)
+    val support = math.ceil(phi * cms.totalCount()).toLong
+    toks
+      .filter(graft.functions.CmsEstimate.estimate(col("tok"), cms) >= lit(support))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(support))
+      .orderBy(desc("cnt"), asc("tok"))
+  }
+
+  def qTextHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    textHeavyHitters(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (qTextHeavyHitters _),
     "q_source_report" -> (qSourceReport _),
     "text_entropy" -> (textEntropy _),
     "text_pmi" -> (qTextPmi _),
@@ -490,6 +521,17 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    // the sketch screen provably drops nothing above support, and the
+    // final HAVING drops its false positives — so the plain GROUP BY
+    // HAVING is the exact answer textHeavyHitters must reproduce
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |           FROM documents),
+        |n AS (SELECT CAST(ceil(0.002 * count(*)) AS BIGINT) AS support FROM t)
+        |SELECT tok, count(*) AS cnt FROM t
+        |GROUP BY tok
+        |HAVING count(*) >= (SELECT support FROM n)
+        |ORDER BY cnt DESC, tok""".stripMargin,
     // c·ln(c) quantized to DECIMAL(18,9) pre-sum, mirroring textEntropy
     "text_entropy" ->
       """WITH t AS (SELECT doc_id,

@@ -693,6 +693,47 @@ object Parity {
       .orderBy("n_name")
   }
 
+  /** Bloom-pruned fact⋈dim join — the runtime-filter pattern for
+    * joining a 100 TB fact against a selective dimension without
+    * carrying non-matching fact rows into the exchange: the dim's join
+    * keys aggregate into a fixed-size Bloom filter (Spark's native
+    * `BloomFilterAggregate`, one tiny job), the fact scan drops
+    * non-members with a codegen'd `might_contain` BEFORE the join, and
+    * the exact join confirms survivors — false positives never reach
+    * the result, false negatives are impossible, so the answer equals
+    * the plain join the oracle runs. Spark's own InjectRuntimeFilter
+    * applies this only when its selectivity heuristics fire; building
+    * it explicitly pins the plan shape (ref: the selective-dim joins in
+    * nrg_sql_queries.py, here TPC-H-shaped: revenue per brand over the
+    * p_size >= 45 slice of `part`).
+    */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64, Literal => CatLiteral}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val d = DecimalType(18, 2)
+    val dim = Tables.part(spark, dir)
+      .filter(col("p_size") >= 45)
+      .select(col("p_partkey"), col("p_brand"))
+    val bf = dim.select(Bridge.toColumn(
+        new BloomFilterAggregate(new XxHash64(Seq(Bridge.toExpression(col("p_partkey")))))
+          .toAggregateExpression()).as("bf"))
+      .first().getAs[Array[Byte]](0)
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(Bridge.toColumn(BloomFilterMightContain(
+        CatLiteral.create(bf, BinaryType),
+        new XxHash64(Seq(Bridge.toExpression(col("l_partkey")))))))
+    fact.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_extendedprice").cast(d) * (lit(1).cast(d) - col("l_discount").cast(d)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
   /** Time-series gap fill — the regularization step before any
     * training-window or forecasting job: per-user hourly activity on a
     * dense hour spine, zero-filled counts and last-observation-carried-
@@ -1382,6 +1423,36 @@ object Parity {
       .orderBy("d")
   }
 
+  /** Autocorrelation of daily revenue at calendar lags 1..10 — the
+    * seasonality/persistence diagnostic run before picking forecast
+    * windows or drift alert horizons (complements [[qSeasonality]],
+    * which fixes the period at 7; ACF measures ALL short lags). Lagged
+    * pairs come from an equi-join of the series against itself shifted
+    * by k days (a 10-row lag spine cross-joined into the join key), so
+    * gaps in the calendar drop out naturally and no session-wide sort
+    * or single-partition window is needed. Daily totals are exact
+    * decimal sums cast to double, so both engines correlate identical
+    * inputs; corr rounds to 6 (the [[qCorr]] convention). Scale: one
+    * shuffle to daily grain; everything after operates on the
+    * calendar-sized series (~365 rows/year no matter the corpus).
+    */
+  def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val s = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("v"))
+    val lags = spark.range(1, 11).select(col("id").cast("int").as("k"))
+    val shifted = s.select(col("d").as("bd"), col("v").as("bv"))
+      .crossJoin(broadcast(lags))
+      .select(date_add(col("bd"), col("k")).as("d"), col("bv"), col("k"))
+    s.join(shifted, "d")
+      .groupBy(col("k"))
+      .agg(
+        round(corr(col("v"), col("bv")), 6).as("acf"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("k")
+  }
+
   /** Morton interleave as DuckDB SQL: the same 32 disjoint-bit terms,
     * `+`-combined (equivalent to OR on disjoint bits).
     */
@@ -1747,6 +1818,23 @@ object Parity {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 45
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_acf" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |           FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS k)
+        |SELECT k, round(corr(a.v, b.v), 6) AS acf, count(*) AS n_pairs
+        |FROM l, s a, s b
+        |WHERE a.d = b.d + to_days(l.k)
+        |GROUP BY k ORDER BY k""".stripMargin,
     "q_skew_join" ->
       """SELECT s_nationkey,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -2000,6 +2088,8 @@ object Parity {
     "q_corr" -> (qCorr _),
     "q_scd2" -> (qScd2 _),
     "q_star_join" -> (qStarJoin _),
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_acf" -> (qAcf _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_transitions" -> (qTransitions _),
     "q_top_paths" -> (qTopPaths _),

@@ -304,4 +304,36 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "median tables must broadcast:\n" + p)
     assert(!p.contains("SortMergeJoin"), "fact must not shuffle for the median join:\n" + p)
   }
+
+  test("bloom join: might_contain screens the fact scan before a broadcast confirm join") {
+    val p = planOf(Parity.qBloomJoin(spark, dir))
+    assert(p.contains("might_contain"), "bloom screen must be in the fact-side filter:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "confirm join must broadcast the dim:\n" + p)
+    // the screen must sit in the lineitem branch (scan side), not above
+    // the join: in formatted explain the join's left input subtree is
+    // printed before the join's own details, and the only Filter there
+    // carries the might_contain
+    val tree = p.substring(0, p.indexOf("(1) Scan"))
+    val joinLine = tree.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    val filterLine = tree.linesIterator.indexWhere(_.contains("Filter"))
+    assert(joinLine >= 0 && filterLine > joinLine,
+      "screen filter should be below the join in the tree:\n" + p)
+  }
+
+  test("acf: lag spine broadcasts; the self-join on shifted dates is a hash equi join") {
+    val p = planOf(Parity.qAcf(spark, dir))
+    val tree = p.substring(0, p.indexOf("(1) Scan"))
+    val nested = tree.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nested <= 1, s"only the 10-row lag spine may nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), "series self-join must stay an equi join:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "shifted-date join must be key-based:\n" + p)
+  }
+
+  test("heavy hitters: cms screen inside codegen, exact confirm aggregates two-phase") {
+    val p = planOf(graft.ext.Text.qTextHeavyHitters(spark, dir))
+    assert(p.contains("cms_estimate"), "sketch screen must be in the plan:\n" + p)
+    val partials = p.linesIterator.count(l => l.contains("HashAggregate"))
+    assert(partials >= 2, "confirm count must be partial+final:\n" + p)
+  }
 }

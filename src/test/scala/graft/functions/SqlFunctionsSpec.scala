@@ -103,4 +103,27 @@ class SqlFunctionsSpec extends SparkSuite {
     val viaSql = spark.sql("SELECT morton_interleave(43690L, 21845L) AS z").first().getLong(0)
     assert(viaSql === ref(0xAAAAL, 0x5555L))
   }
+
+  test("cms_estimate never undercounts and screens exactly the heavy-hitter domain") {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val cms = toks.stat.countMinSketch(col("tok"), eps = 1e-4, confidence = 0.99, seed = 42)
+    // overcount property over EVERY distinct token: estimate >= exact
+    val under = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .withColumn("est", CmsEstimate.estimate(col("tok"), cms))
+      .filter(col("est") < col("exact"))
+      .count()
+    assert(under === 0L, "count-min must never undercount")
+    // totalCount equals the token stream length (threshold denominator)
+    assert(cms.totalCount() === toks.count())
+    // the two-pass query therefore equals the one-pass exact HAVING
+    val twoPass = graft.ext.Text.textHeavyHitters(
+      Tables.documents(spark, dir), phi = 0.002).collect().map(r => (r.getString(0), r.getLong(1)))
+    val support = math.ceil(0.002 * cms.totalCount()).toLong
+    val onePass = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= support)
+      .orderBy(desc("cnt"), asc("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(twoPass.toSeq === onePass.toSeq)
+  }
 }
