@@ -499,8 +499,42 @@ object Text {
   def qTextHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     textHeavyHitters(Tables.documents(spark, dir))
 
+  /** Per-language heavy hitters — tokens above phi of each language's
+    * token mass, exactly, with per-group aggregate state bounded by the
+    * Misra-Gries capacity instead of the language's vocabulary (the
+    * GROUPED companion to [[textHeavyHitters]]; a 100 TB corpus has
+    * billions of distinct (lang, token) pairs, but each group's summary
+    * here is ≤127 entries at every point of the aggregation). The
+    * summary's undercount is at most n/(capacity+1) < phi·n, so every
+    * true heavy hitter survives into the candidate array; the confirm
+    * pass joins the token stream against the broadcast candidate set
+    * and exact-counts only those, with the final HAVING removing
+    * candidate false positives. See [[graft.functions.MisraGriesAgg]]
+    * for the mergeability argument.
+    */
+  def textHeavyHittersByLang(docs: DataFrame, phi: Double = 0.02,
+      capacity: Int = 127): DataFrame = {
+    require(phi > 1.0 / (capacity + 1), "support must exceed the summary error bound")
+    val toks = docs.select(col("lang"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+    val cand = toks.groupBy(col("lang"))
+      .agg(
+        graft.functions.MisraGriesAgg.candidates(col("tok"), capacity).as("cands"),
+        count(lit(1)).as("lang_total"))
+      .select(col("lang"), col("lang_total"), explode(col("cands")).as("tok"))
+    toks.join(broadcast(cand), Seq("lang", "tok"))
+      .groupBy(col("lang"), col("tok"), col("lang_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= ceil(lit(phi) * col("lang_total")).cast("long"))
+      .select(col("lang"), col("tok"), col("cnt"))
+      .orderBy(col("lang"), desc("cnt"), col("tok"))
+  }
+
+  def qTextHeavyHittersByLang(spark: SparkSession, dir: String): DataFrame =
+    textHeavyHittersByLang(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_heavy_hitters" -> (qTextHeavyHitters _),
+    "text_heavy_hitters_lang" -> (qTextHeavyHittersByLang _),
     "q_source_report" -> (qSourceReport _),
     "text_entropy" -> (textEntropy _),
     "text_pmi" -> (qTextPmi _),
@@ -532,6 +566,18 @@ object Text {
         |GROUP BY tok
         |HAVING count(*) >= (SELECT support FROM n)
         |ORDER BY cnt DESC, tok""".stripMargin,
+    // the Misra-Gries candidate screen is a provable superset of the
+    // >= ceil(phi·n_lang) tokens, so the grouped exact HAVING is the
+    // answer the bounded-state two-pass must reproduce
+    "text_heavy_hitters_lang" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |           FROM documents),
+        |g AS (SELECT lang, count(*) AS lang_total FROM t GROUP BY 1)
+        |SELECT t.lang, tok, count(*) AS cnt
+        |FROM t JOIN g USING (lang)
+        |GROUP BY t.lang, tok, g.lang_total
+        |HAVING count(*) >= CAST(ceil(0.02 * lang_total) AS BIGINT)
+        |ORDER BY lang, cnt DESC, tok""".stripMargin,
     // c·ln(c) quantized to DECIMAL(18,9) pre-sum, mirroring textEntropy
     "text_entropy" ->
       """WITH t AS (SELECT doc_id,

@@ -330,6 +330,17 @@ class PlanSpec extends SparkSuite {
       "shifted-date join must be key-based:\n" + p)
   }
 
+  test("grouped heavy hitters: MG summaries aggregate partial+final, candidates broadcast") {
+    val p = planOf(graft.ext.Text.qTextHeavyHittersByLang(spark, dir))
+    assert(p.contains("misra_gries"), "MG summary must be in the aggregate:\n" + p)
+    // TypedImperativeAggregate lowers to ObjectHashAggregate with a
+    // map-side partial — the bounded-state property depends on it
+    val objAggs = p.substring(0, p.indexOf("(1) Scan"))
+      .linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(objAggs >= 2, "MG must aggregate partial+final:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "candidate set must broadcast for the confirm:\n" + p)
+  }
+
   test("heavy hitters: cms screen inside codegen, exact confirm aggregates two-phase") {
     val p = planOf(graft.ext.Text.qTextHeavyHitters(spark, dir))
     assert(p.contains("cms_estimate"), "sketch screen must be in the plan:\n" + p)

@@ -124,4 +124,38 @@ class SketchPropertiesSpec extends AnyFunSuite {
     }
     assert(DeflateRatio.ratio(Array.emptyByteArray) === 1.0)
   }
+
+  test("MisraGries: bounded size, merge keeps every > n/(k+1) item, serde roundtrip") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 15
+    val agg = MisraGriesAgg(BoundReference(0, StringType, nullable = true), k)
+    // harmonic-skewed stream: item i appears 600/i times, order shuffled
+    val stream = (1 to 60).flatMap(i => Seq.fill(600 / i)(s"w$i"))
+    val shuffled = new scala.util.Random(7).shuffle(stream)
+    // simulate partial aggregation: 8 partitions, then a merge tree
+    val bufs = shuffled.grouped((shuffled.size + 7) / 8).map { chunk =>
+      val b = agg.createAggregationBuffer()
+      chunk.foreach(s => agg.update(b, InternalRow(UTF8String.fromString(s))))
+      assert(b.size <= k, "partial summary must stay bounded")
+      b
+    }.toSeq
+    val roundTripped = agg.deserialize(agg.serialize(bufs.head))
+    assert(roundTripped === bufs.head)
+    val merged = bufs.reduce((a, b) => agg.merge(a, agg.deserialize(agg.serialize(b))))
+    assert(merged.size <= k, "merged summary must stay bounded")
+    val keys = agg.eval(merged).asInstanceOf[GenericArrayData]
+      .toObjectArray(StringType).map(_.toString).toSet
+    val exact = shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val thresh = shuffled.size.toDouble / (k + 1)
+    exact.foreach { case (w, c) =>
+      if (c > thresh) assert(keys.contains(w), s"$w freq $c > $thresh must survive")
+    }
+    // and nulls are ignored
+    val nb = agg.createAggregationBuffer()
+    agg.update(nb, InternalRow(null))
+    assert(nb.isEmpty)
+  }
 }
