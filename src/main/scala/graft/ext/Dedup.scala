@@ -646,7 +646,44 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("span_hash"))
 
+  /** Asymmetric containment detection — the quote/near-subset
+    * complement to the SYMMETRIC jaccard dedups: a short document can
+    * be wholly contained in a long one while their jaccard stays tiny
+    * (|A∩B|/|A∪B| is diluted by the long side), so a jaccard threshold
+    * never finds it. Containment C(a,b) = |S(a)∩S(b)|/|S(a)| over
+    * distinct word-3-shingles is the standard training-data check for
+    * verbatim quotes / excerpt duplication. The source side is scoped
+    * by a predicate (here n_chars < maxChars — excerpt-sized docs);
+    * candidates come from the same shingle-keyed equi join every other
+    * dedup uses, so pairwise work is bounded by per-shingle document
+    * frequency, never corpus². One shuffle on the shingle, one on the
+    * (src,dst) pair; the per-source size table joins back without a
+    * hint (AQE broadcasts it while it fits).
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentDf(Tables.documents(spark, dir))
+
+  def dedupContainmentDf(docs: DataFrame, threshold: Double = 0.5,
+      maxChars: Int = 400): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
+    val aGrams = docs.filter(col("n_chars") < maxChars)
+      .select(col("doc_id").as("src_id"),
+        explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
+    val aSize = aGrams.groupBy(col("src_id")).agg(count(lit(1)).as("n_src"))
+    aGrams.join(grams.withColumnRenamed("doc_id", "dst_id"), "s")
+      .filter(col("src_id") =!= col("dst_id"))
+      .groupBy(col("src_id"), col("dst_id"))
+      .agg(count(lit(1)).as("i"))
+      .join(aSize, "src_id")
+      .filter(col("i").cast("double") / col("n_src") >= threshold)
+      .select(col("src_id"), col("dst_id"),
+        round(col("i").cast("double") / col("n_src"), 4).as("containment"))
+      .orderBy(col("src_id"), col("dst_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
@@ -686,6 +723,22 @@ object Dedup {
       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // asymmetric containment over the same distinct word-3-shingle
+    // construction as the jaccard CTEs; source side scoped to
+    // excerpt-sized docs, denominator is the SOURCE's shingle count
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, n_chars, unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |        ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
+        |       FROM t),
+        |a AS (SELECT doc_id, s FROM sh WHERE n_chars < 400),
+        |asize AS (SELECT doc_id, count(*) AS n_src FROM a GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS i
+        |          FROM a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT src_id, dst_id, round(CAST(i AS DOUBLE) / n_src, 4) AS containment
+        |FROM inter JOIN asize ON asize.doc_id = src_id
+        |WHERE CAST(i AS DOUBLE) / n_src >= 0.5
+        |ORDER BY src_id, dst_id""".stripMargin,
     // content-anchored 48-char window hashes (window starts where the
     // char code ≡ 0 mod 16) — copies collide regardless of offset
     "dedup_spans" ->

@@ -897,4 +897,25 @@ class ExtSpec extends SparkSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(again === out.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("containment finds a planted excerpt that jaccard misses, with exact score") {
+    import spark.implicits._
+    val host = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val excerpt = (41 to 60).map(i => s"tok$i").mkString(" ") // verbatim slice
+    val docs = Seq(
+      (1L, host, host.length.toLong),
+      (2L, excerpt, excerpt.length.toLong),
+      (3L, (200 to 240).map(i => s"w$i").mkString(" "), 300L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.dedupContainmentDf(docs, threshold = 0.5, maxChars = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 20 tokens -> 18 distinct 3-shingles, every one present in the host
+    assert(out.toSeq === Seq((2L, 1L, 1.0)))
+    // while symmetric jaccard on the same pair is far below any dedup cut
+    val j = graft.functions.TextFns.jaccard(
+      graft.functions.TextFns.wordShingles(lit(host), 3),
+      graft.functions.TextFns.wordShingles(lit(excerpt), 3))
+    val jv = docs.limit(1).select(j).first().getDouble(0)
+    assert(jv < 0.2, s"jaccard $jv should be diluted by the host length")
+  }
 }
