@@ -532,9 +532,50 @@ object Text {
   def qTextHeavyHittersByLang(spark: SparkSession, dir: String): DataFrame =
     textHeavyHittersByLang(Tables.documents(spark, dir))
 
+  /** Learned BPE subword tokenization — the real tokenizer-fitting
+    * step of an LLM data pipeline (the `text_tokens` BPE-ish regex
+    * only approximates one). Training follows the engine's
+    * driver-trains/cluster-applies pattern: ONE distributed top-k
+    * supplies the word-frequency sample (TakeOrderedAndProject — the
+    * corpus is never collected), the sequential merge loop runs on the
+    * driver (it is inherently iterative: each merge changes the pair
+    * statistics), and the learned ranks broadcast into a native
+    * `bpe_encode` expression that encodes every document inside
+    * whole-stage codegen. Output is the per-doc tokenization profile
+    * (fertility = subwords per word — THE metric tokenizer work
+    * optimizes). Declared no-oracle: the greedy rank-ordered merge
+    * recursion is not ANSI-expressible; semantics are pinned by
+    * SketchPropertiesSpec (roundtrip, full application, frequent-word
+    * compression) and a determinism check.
+    */
+  def textBpe(docs: DataFrame, numMerges: Int = 40, sampleWords: Int = 2048): DataFrame = {
+    val freq = docs
+      .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok"))
+      .limit(sampleWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.functions.Bpe.train(freq, numMerges)
+    docs
+      .withColumn("sub", graft.functions.BpeEncode.encode(col("text"), merges))
+      .select(
+        col("doc_id"),
+        size(TextFns.tokens(lower(col("text")))).as("n_ws_tokens"),
+        size(col("sub")).as("n_bpe_tokens"),
+        size(array_distinct(col("sub"))).as("n_subword_types"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  def qTextBpe(spark: SparkSession, dir: String): DataFrame =
+    textBpe(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_heavy_hitters" -> (qTextHeavyHitters _),
     "text_heavy_hitters_lang" -> (qTextHeavyHittersByLang _),
+    "text_bpe" -> (qTextBpe _),
     "q_source_report" -> (qSourceReport _),
     "text_entropy" -> (textEntropy _),
     "text_pmi" -> (qTextPmi _),

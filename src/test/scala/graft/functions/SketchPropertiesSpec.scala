@@ -158,4 +158,33 @@ class SketchPropertiesSpec extends AnyFunSuite {
     agg.update(nb, InternalRow(null))
     assert(nb.isEmpty)
   }
+
+  test("BPE: roundtrip, full application, frequent-word compression, determinism") {
+    val corpus = Seq("low" -> 50L, "lower" -> 20L, "newest" -> 60L,
+      "widest" -> 30L, "the" -> 500L, "them" -> 40L, "these" -> 25L)
+    val merges = Bpe.train(corpus, numMerges = 60)
+    assert(merges.nonEmpty && merges.distinct === merges, "merges are unique")
+    assert(merges === Bpe.train(corpus, 60), "training is deterministic")
+    val ranks = Bpe.ranksOf(merges)
+    // roundtrip: concatenated subwords reproduce the word + end marker
+    val words = corpus.map(_._1) ++ Seq("lowest", "newer", "unseen", "a")
+    words.foreach { w =>
+      val subs = Bpe.encodeWord(w, ranks)
+      assert(subs.mkString === w + Bpe.EndMark, s"roundtrip failed for $w")
+      // full application: no adjacent pair in the output is still mergeable
+      subs.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(ranks.get(x + " " + y) == null, s"unapplied merge ($x,$y) in $w")
+        case _ =>
+      }
+    }
+    // the dominant training word compresses to a single symbol
+    assert(Bpe.encodeWord("the", ranks).length === 1)
+    // texts encode word-by-word: whitespace never crosses a merge
+    val enc = Bpe.encodeText(
+      org.apache.spark.unsafe.types.UTF8String.fromString("  The  newest THE "), ranks)
+    val toks = enc.toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+    assert(toks.count(_ == "the" + Bpe.EndMark) === 2)
+    assert(toks.mkString === "the</w>newest</w>the</w>")
+  }
 }
