@@ -29,6 +29,7 @@ object SparkEntry {
       (ext.Curation.queries, ext.Curation.oracles),
       (ext.Packing.queries, ext.Packing.oracles),
       (ext.Pca.queries, ext.Pca.oracles),
+      (ext.Centroid.queries, ext.Centroid.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (ops.Asof.queries, ops.Asof.oracles),

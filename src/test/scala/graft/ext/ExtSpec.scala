@@ -918,4 +918,29 @@ class ExtSpec extends SparkSuite {
     val jv = docs.limit(1).select(j).first().getDouble(0)
     assert(jv < 0.2, s"jaccard $jv should be diluted by the host length")
   }
+
+  test("typed centroid aggregator: exact integer sums, partition-invariant, matches driver reference") {
+    val emb = Tables.embeddings(spark, dir)
+    val c1 = Centroid.centroids(emb)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // bit-identical under a different partitioning (integer sums are
+    // associative — no FP order sensitivity)
+    val c2 = Centroid.centroids(emb.repartition(13))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 === c2)
+    // driver-side reference on one label
+    val label = c1.keys.min
+    val vecs = emb.filter(col("label") === label)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val dim = vecs.head.length
+    val ref = (0 until dim).map { i =>
+      vecs.map(v => math.floor(v(i).toDouble * 1e9).toLong).sum.toDouble / 1e9 / vecs.length
+    }
+    assert(c1(label) === ref)
+    // outliers: one row per (label, rank), scores within [-1, 1]
+    val out = Centroid.embedOutliers(emb).collect()
+    val perLabel = out.groupBy(_.getInt(0)).view.mapValues(_.length)
+    assert(perLabel.values.forall(_ === 5))
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
 }
