@@ -1034,6 +1034,46 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming maintenance of the corpus heavy-hitter candidate summary
+    * — the frequency companion to the HLL distinct view: as document
+    * files arrive, a Complete-mode global aggregate folds every token
+    * into ONE bounded Misra-Gries summary
+    * ([[graft.functions.MisraGriesAgg]] running as streaming state —
+    * the state store persists the serialized summary between
+    * micro-batches) plus the exact token total. The summary's
+    * candidates are a provable superset of every token above
+    * n/(capacity+1) REGARDLESS of arrival order or batch boundaries, so
+    * a downstream confirm pass over the candidates reproduces the batch
+    * [[graft.ext.Text.textHeavyHitters]] answer exactly
+    * (StreamingSpec asserts superset + bounded state + confirm
+    * equality). Capacity 1023 keeps the summary error n/1024 below the
+    * 0.002 support the batch query screens at.
+    */
+  def runHeavyHitterStream(spark: SparkSession, inputGlob: String, queryName: String,
+      capacity: Int = 1023): Unit = {
+    import graft.functions.{MisraGriesAgg, TextFns}
+    val docsRawSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream
+      .schema(docsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputGlob)
+    val agg = stream
+      .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .agg(
+        MisraGriesAgg.candidates(col("tok"), capacity).as("cands"),
+        count(lit(1)).as("n_total"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
     // rows-only: HLL internals are engine-specific; StreamingSpec pins

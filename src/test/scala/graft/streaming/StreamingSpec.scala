@@ -471,4 +471,43 @@ class StreamingSpec extends SparkSuite {
         s"window $ws: est $est vs exact $ex")
     }
   }
+
+  test("streaming Misra-Gries summary confirms to the same heavy hitters as batch") {
+    import graft.functions.TextFns
+    val streamDir = java.nio.file.Files.createTempDirectory("docs_mg_stream")
+    val docs = Tables.documents(spark, dir)
+    // three arrival batches split by doc_id — batch boundaries are the
+    // thing the merge path must be invariant to
+    Seq((0, 170), (170, 340), (340, Int.MaxValue)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+          .write.parquet(streamDir.resolve(s"b$i").toString)
+    }
+    Streaming.runHeavyHitterStream(spark, s"$streamDir/*", "mg_stream_out")
+    val row = spark.table("mg_stream_out").first()
+    val cands = row.getSeq[String](0).toSet
+    val nTotal = row.getLong(1)
+    val toks = docs.select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
+    assert(nTotal === toks.count(), "exact token total rides with the summary")
+    assert(cands.size <= 1023, "streaming state stays bounded")
+    // superset guarantee: every token above the support threshold is a
+    // candidate no matter how the stream was batched
+    val support = math.ceil(0.002 * nTotal).toLong
+    val heavy = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= support)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(heavy.nonEmpty)
+    heavy.foreach { case (t, c) =>
+      assert(cands.contains(t), s"true heavy hitter $t ($c) missing from stream summary")
+    }
+    // confirming the streamed candidates reproduces the batch two-pass
+    val confirmed = toks.filter(col("tok").isin(cands.toSeq: _*))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= support)
+      .orderBy(desc("cnt"), asc("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val batch = graft.ext.Text.textHeavyHitters(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(confirmed.toSeq === batch.toSeq)
+  }
 }
