@@ -347,4 +347,26 @@ class PlanSpec extends SparkSuite {
     val partials = p.linesIterator.count(l => l.contains("HashAggregate"))
     assert(partials >= 2, "confirm count must be partial+final:\n" + p)
   }
+
+  test("containment: candidates come from a shingle equi join, never a cartesian") {
+    val p = planOf(graft.ext.Dedup.dedupContainment(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must be key-based:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bpe encode is a pure map: only the output sort exchanges") {
+    val p = planOf(graft.ext.Text.qTextBpe(spark, dir))
+    assert(p.contains("bpe_encode"), "native encoder must be in the plan:\n" + p)
+    val tree = p.substring(0, p.indexOf("(1) Scan"))
+    val exchanges = tree.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"apply pass must not shuffle (output sort only):\n$p")
+  }
+
+  test("embed outliers: centroids broadcast back; scoring joins without a fact shuffle") {
+    val p = planOf(graft.ext.Centroid.embedOutliers(
+      graft.Tables.embeddings(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), "centroid table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the centroid join:\n" + p)
+  }
 }
