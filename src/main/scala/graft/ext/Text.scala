@@ -572,7 +572,59 @@ object Text {
   def qTextBpe(spark: SparkSession, dir: String): DataFrame =
     textBpe(Tables.documents(spark, dir))
 
+  /** Zipf rank-frequency diagnostic — the corpus-health check run
+    * before trusting token statistics: natural text follows
+    * freq ∝ rank^(-s) with s ≈ 1, so the least-squares slope of
+    * ln(freq) on ln(rank) (and its r²) flags synthetic, truncated, or
+    * boilerplate-dominated corpora whose curve bends away from a power
+    * law. The least-squares moments (Σx, Σy, Σxy, Σx², Σy²) are
+    * quantized to DECIMAL(18,9) BEFORE summing — the [[textEntropy]]
+    * discipline — because the built-in `regr_slope` family merges
+    * double partials in task-completion order and is therefore not
+    * bit-stable across runs; integer-decimal sums are associative, so
+    * any partitioning yields the same fit. Ranks tie-break on the
+    * token so both engines rank identically, and the fit rounds at
+    * the [[graft.queries.Parity]] corr convention (6 decimals).
+    * Scale: one shuffle to token counts, then the top-k truncation is
+    * a distributed TakeOrderedAndProject — the global rank window only
+    * ever sees the topK surviving rows, never the unbounded vocab.
+    */
+  def textZipf(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    val counts = docs
+      .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .orderBy(desc("c"), asc("tok")).limit(topK)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("c"), asc("tok"))))
+      .select(log(col("r")).as("lnr"), log(col("c")).as("lnf"))
+    val dec = "decimal(18,9)"
+    val s = ranked
+      .select(
+        col("lnr").cast(dec).as("x"), col("lnf").cast(dec).as("y"),
+        (col("lnr") * col("lnf")).cast(dec).as("xy"),
+        (col("lnr") * col("lnr")).cast(dec).as("xx"),
+        (col("lnf") * col("lnf")).cast(dec).as("yy"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+        sum("xy").cast("double").as("sxy"), sum("xx").cast("double").as("sxx"),
+        sum("yy").cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    s.select(
+      col("n").cast("long").as("n_ranks"),
+      round(num / denX, 6).as("zipf_slope"),
+      round((col("sy") - (num / denX) * col("sx")) / col("n"), 6).as("zipf_intercept"),
+      round((num * num) / (denX * denY), 6).as("fit_r2"))
+  }
+
+  def qTextZipf(spark: SparkSession, dir: String): DataFrame =
+    textZipf(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> (qTextZipf _),
     "text_heavy_hitters" -> (qTextHeavyHitters _),
     "text_heavy_hitters_lang" -> (qTextHeavyHittersByLang _),
     "text_bpe" -> (qTextBpe _),
@@ -596,6 +648,27 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors textZipf exactly: DECIMAL(18,9) moment quantization
+    // before summing, double arithmetic in the same expression shape
+    "text_zipf" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM c),
+        |p AS (SELECT ln(r) AS lnr, ln(c) AS lnf FROM rk WHERE r <= 1000),
+        |q AS (SELECT CAST(lnr AS DECIMAL(18,9)) AS x, CAST(lnf AS DECIMAL(18,9)) AS y,
+        |             CAST(lnr*lnf AS DECIMAL(18,9)) AS xy,
+        |             CAST(lnr*lnr AS DECIMAL(18,9)) AS xx,
+        |             CAST(lnf*lnf AS DECIMAL(18,9)) AS yy FROM p),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |             CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx,
+        |             CAST(sum(yy) AS DOUBLE) AS syy FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+        |       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS zipf_intercept,
+        |       round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS fit_r2
+        |FROM s""".stripMargin,
     // the sketch screen provably drops nothing above support, and the
     // final HAVING drops its false positives — so the plain GROUP BY
     // HAVING is the exact answer textHeavyHitters must reproduce

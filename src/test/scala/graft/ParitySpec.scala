@@ -276,6 +276,21 @@ class ParitySpec extends SparkSuite {
     assert(math.abs(got - h) < 1e-4, s"$got vs $h")
   }
 
+  test("text_zipf recovers an exact power law: slope -1, r2 1, intercept ln K") {
+    import spark.implicits._
+    // counts 12, 6, 4, 3 at ranks 1..4 satisfy c = 12/r exactly, so
+    // ln c = ln 12 - 1*ln r is a perfect line through the fit
+    val text = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val r = ext.Text.textZipf(docs).first()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === -1.0, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-6,
+      s"intercept ${r.getDouble(2)}")
+    assert(r.getDouble(3) === 1.0, s"r2 ${r.getDouble(3)}")
+  }
+
   test("results are invariant to the shuffle partition count") {
     // partition-count sensitivity is how nondeterminism sneaks into a
     // distributed pipeline (per-partition rand/accumulation order/limit

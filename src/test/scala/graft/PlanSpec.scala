@@ -348,6 +348,19 @@ class PlanSpec extends SparkSuite {
     assert(partials >= 2, "confirm count must be partial+final:\n" + p)
   }
 
+  test("zipf fit: vocab truncation is a distributed top-k, not a global window") {
+    val p = planOf(graft.ext.Text.qTextZipf(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "topK truncation must lower to TakeOrderedAndProject:\n" + p)
+    // the rank window runs after the limit, over at most topK rows —
+    // the unbounded vocab table must never reach a single-task window
+    val tree = p.substring(0, p.indexOf("(1) Scan"))
+    val winAt = tree.linesIterator.indexWhere(_.contains("Window"))
+    val takeAt = tree.linesIterator.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winAt >= 0 && takeAt > winAt,
+      "window must consume the bounded top-k output:\n" + p)
+  }
+
   test("containment: candidates come from a shingle equi join, never a cartesian") {
     val p = planOf(graft.ext.Dedup.dedupContainment(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
