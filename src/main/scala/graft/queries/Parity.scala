@@ -1453,6 +1453,44 @@ object Parity {
       .orderBy("k")
   }
 
+  /** CUSUM changepoint detection on daily revenue — the classic
+    * sequential shift detector (Page 1954) completing the time-series
+    * battery ([[qAnomaly]] flags single-day spikes; CUSUM accumulates
+    * small sustained drifts a per-day z-score never sees). The
+    * textbook recurrence `S+_t = max(0, S+_{t-1} + (x_t - mu - k))` is
+    * not a window function, but its closed form is:
+    * `S+_t = C_t - min(0, min_{j<=t} C_j)` over the plain cumulative
+    * sum C of the drift-adjusted series, so two stock window
+    * aggregates (running sum, running min/max) compute it with no
+    * recursion or driver loop. Everything runs in integer cents
+    * (DECIMAL(18,2)·100 → BIGINT): reference mean, allowance (mu/20)
+    * and threshold (mu/2) use floor division, so every value is
+    * hash-exact under any partitioning and both engines agree bit for
+    * bit. Scale: one shuffle to daily grain; the windows order a
+    * calendar-bounded series (one row per day regardless of corpus
+    * size), the [[qAcf]]/[[qSeasonality]] posture.
+    */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"))
+    val stats = daily.agg(expr("sum(x) div count(*)").as("mu"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("cp", sum(col("x") - col("mu") - expr("mu div 20")).over(w))
+      .withColumn("cn", sum(col("x") - col("mu") + expr("mu div 20")).over(w))
+      .withColumn("cusum_pos", col("cp") - least(lit(0L), min(col("cp")).over(w)))
+      .withColumn("cusum_neg", greatest(lit(0L), max(col("cn")).over(w)) - col("cn"))
+      .select(col("d"), col("x").as("revenue_cents"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > expr("mu div 2") ||
+          col("cusum_neg") > expr("mu div 2")).as("flag"))
+      .orderBy("d")
+  }
+
   /** Morton interleave as DuckDB SQL: the same 32 disjoint-bit terms,
     * `+`-combined (equivalent to OR on disjoint bits).
     */
@@ -1826,6 +1864,25 @@ object Parity {
         |JOIN part ON l_partkey = p_partkey
         |WHERE p_size >= 45
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // mirrors qCusum: integer cents, floor-division mu/allowance/
+    // threshold, prefix-extremum closed form of the CUSUM recurrence
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(sum(x) AS BIGINT) // count(*) AS mu FROM daily),
+        |c AS (SELECT d, x, mu,
+        |             CAST(sum(x - mu - mu // 20) OVER (ORDER BY d) AS BIGINT) AS cp,
+        |             CAST(sum(x - mu + mu // 20) OVER (ORDER BY d) AS BIGINT) AS cn
+        |      FROM daily, s),
+        |r AS (SELECT d, x, mu, cp, cn,
+        |             CAST(cp - LEAST(0, min(cp) OVER (ORDER BY d)) AS BIGINT) AS cusum_pos,
+        |             CAST(GREATEST(0, max(cn) OVER (ORDER BY d)) - cn AS BIGINT) AS cusum_neg
+        |      FROM c)
+        |SELECT d, x AS revenue_cents, cusum_pos, cusum_neg,
+        |       (cusum_pos > mu // 2 OR cusum_neg > mu // 2) AS flag
+        |FROM r ORDER BY d""".stripMargin,
     "q_acf" ->
       """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
@@ -2090,6 +2147,7 @@ object Parity {
     "q_star_join" -> (qStarJoin _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_acf" -> (qAcf _),
+    "q_cusum" -> (qCusum _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_transitions" -> (qTransitions _),
     "q_top_paths" -> (qTopPaths _),

@@ -276,6 +276,23 @@ class ParitySpec extends SparkSuite {
     assert(math.abs(got - h) < 1e-4, s"$got vs $h")
   }
 
+  test("q_cusum prefix-extremum closed form equals the textbook recurrence") {
+    val rows = queries.Parity.qCusum(spark, sfDir).collect()
+    val xs = rows.map(_.getLong(1))
+    val mu = xs.sum / xs.length
+    val kap = mu / 20
+    var sp = 0L
+    var sn = 0L
+    rows.foreach { r =>
+      val x = r.getLong(1)
+      sp = math.max(0L, sp + (x - mu - kap))
+      sn = math.max(0L, sn + (mu - kap - x))
+      assert(r.getLong(2) === sp, s"S+ at ${r.get(0)}")
+      assert(r.getLong(3) === sn, s"S- at ${r.get(0)}")
+      assert(r.getBoolean(4) === (sp > mu / 2 || sn > mu / 2))
+    }
+  }
+
   test("text_zipf recovers an exact power law: slope -1, r2 1, intercept ln K") {
     import spark.implicits._
     // counts 12, 6, 4, 3 at ranks 1..4 satisfy c = 12/r exactly, so
