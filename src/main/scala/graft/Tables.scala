@@ -2,16 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the shared test tables (`/root/testdata/sf&#42;/name.parquet`).
   *
   * All readers are plain parquet scans so Catalyst keeps pushdown/pruning;
-  * the only normalization is `events.ts`: the generator writes
-  * TIMESTAMP(NANOS) which Spark has no native type for, so the session reads
-  * it as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`) and we
-  * convert to a microsecond timestamp here with integer arithmetic (`div`,
-  * not `/` — a double round-trip would lose precision above 2^53 ns).
+  * the only normalization is `events.ts`, which the generator has stored two
+  * ways across testdata revisions:
+  *   - TIMESTAMP(NANOS): no native Spark type; the session reads it as a
+  *     nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`) and we
+  *     convert with integer arithmetic (`div`, not `/` — a double
+  *     round-trip would lose precision above 2^53 ns);
+  *   - timestamp[us] without zone: Spark 4 reads it as TIMESTAMP_NTZ, which
+  *     time functions like `unix_millis` reject; the session timezone is
+  *     pinned UTC, so a cast to TIMESTAMP is wall-clock-preserving.
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -45,8 +49,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
     }
   }
 }

@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) stored,
-    * surfaced as a nanosecond long under the session's nanosAsLong flag).
+  /** events.parquet physical schema. The generator stores `ts` as
+    * timestamp[us] without zone (physical parquet INT64); declaring it
+    * LongType here reads the raw microsecond count directly, which keeps
+    * every spec's watermark/heartbeat arithmetic in exact integer micros
+    * and makes staged feeds re-readable with this same schema.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -26,7 +29,7 @@ object Streaming {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.withColumn("ts", timestamp_micros(col("ts")))
 
   /** Shared transform: per-hour, per-type event counts + exact money sum.
     * Used identically by the batch query (q_stream_window) and the file

@@ -90,10 +90,10 @@ class IncrAggSpec extends SparkSuite {
     // a genuinely new file under the ORIGINAL checkpoint continues the
     // batch sequence and merges in
     // noon UTC keeps the calendar date stable in any session timezone
-    val extraNs = java.time.LocalDate.of(2031, 1, 1).atTime(12, 0)
-      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+    val extraUs = java.time.LocalDate.of(2031, 1, 1).atTime(12, 0)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
     import spark.implicits._
-    Seq((900001L, extraNs, 7L, "view", 5.0, "{}"))
+    Seq((900001L, extraUs, 7L, "view", 5.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(streamDir.resolve("b3").toString)
     IncrAgg.maintainStream(spark, s"$streamDir/b*", mv, ckpt)

@@ -105,7 +105,7 @@ class StreamingSpec extends SparkSuite {
     // every real view's match deadline; the rollup below drops the
     // sentinel users. Without them the last hour of views stays in state.
     val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
-    val hbTs = maxTs + 2L * 3600L * 1000000000L
+    val hbTs = maxTs + 2L * 3600L * 1000000L
     Seq((-2L, hbTs, -1L, "view", 0.0, "{}"), (-3L, hbTs, -2L, "purchase", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(streamDir.resolve("b2").toString)
@@ -148,7 +148,7 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.toSeq === batch.toSeq)
     // milestones really span both halves (state carried across batches)
     val firstHalfOnly = Streaming.milestonesBatch(
-      graft.Tables.events(spark, dir).filter(col("ts") <= expr(s"timestamp_micros(${midTs / 1000})")))
+      graft.Tables.events(spark, dir).filter(col("ts") <= expr(s"timestamp_micros($midTs)")))
       .count()
     assert(firstHalfOnly < batch.length)
   }
@@ -165,7 +165,7 @@ class StreamingSpec extends SparkSuite {
     // heartbeat 3h past the end: advances the watermark past every
     // user's last_ts + 2h deadline so the trailing timers fire
     val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
-    Seq((-20L, maxTs + 3L * 3600L * 1000000000L, -1L, "flush", 0.0, "{}"))
+    Seq((-20L, maxTs + 3L * 3600L * 1000000L, -1L, "flush", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(streamDir.resolve("b3").toString)
     Streaming.runInactivityStream(spark, s"$streamDir/*", "inactivity_out")
@@ -211,8 +211,8 @@ class StreamingSpec extends SparkSuite {
     // gives ALL of them n_in_window=3, so all three clear the threshold —
     // including the first in (ts, event_id) order, which a sequential
     // count would under-report (n=1)
-    val h = 3600L * 1000000000L // one hour of raw nanos
-    val t0 = 1700000000L * 1000000000L
+    val h = 3600L * 1000000L // one hour of raw micros
+    val t0 = 1700000000L * 1000000L
     val raw = Seq(
       (1L, t0, 99L, "error", 0.0, "{}"),
       (2L, t0, 99L, "error", 0.0, "{}"),
@@ -312,7 +312,7 @@ class StreamingSpec extends SparkSuite {
     // heartbeat on a sentinel user 2h past the end closes every real
     // session; its own session never closes so it never emits
     val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
-    Seq((-10L, maxTs + 2L * 3600L * 1000000000L, -1L, "view", 0.0, "{}"))
+    Seq((-10L, maxTs + 2L * 3600L * 1000000L, -1L, "view", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(streamDir.resolve("b2").toString)
     Streaming.runSessionWindowStream(spark, s"$streamDir/*", "sesswin_out")
@@ -446,7 +446,7 @@ class StreamingSpec extends SparkSuite {
     // heartbeat 4h past the end pushes the watermark beyond every real
     // window's close so append mode emits the tail
     val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
-    Seq((-30L, maxTs + 4L * 3600L * 1000000000L, -1L, "flush", 0.0, "{}"))
+    Seq((-30L, maxTs + 4L * 3600L * 1000000L, -1L, "flush", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(streamDir.resolve("b3").toString)
     Streaming.runDistinctUsersStream(spark, s"$streamDir/*", "distinct_users_out")
