@@ -33,7 +33,8 @@ object Bench {
     // Dev loop: SPARK_GRAFT_ONLY=q1,q2 times a subset (driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
-    val results = selected.map { case (name, fn) =>
+    val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val results = selected.flatMap { case (name, fn) =>
       // GC outside the timer: broadcast/shuffle cleanup is GC-triggered in
       // Spark, so without this a heavy query's garbage is collected inside
       // some later query's timing window.
@@ -42,9 +43,16 @@ object Bench {
       // noop sink, not count(): count() lets Catalyst prune projections and
       // drop sorts, so scan-shaped queries would time less work than the
       // declared query. The noop writer materializes every output row.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failing query must NOT read as a fast query: it is excluded from
+      // the timing map, lands in "errors", and fails the process exit code.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          errors += name -> e.toString.replaceAll("[\"\\\\\\n\\r]", " ").take(160)
+          None
+      }
     }
     // The driver keeps only the LAST ~2000 chars of stdout (every round so
     // far shows the tail truncated mid-JSON once the surface outgrew it), so
@@ -55,23 +63,29 @@ object Bench {
     // precision always lands in BENCH_FULL.json next to the build, which the
     // end-of-round snapshot commits.
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => f"""\"$k\":$v%.2f""" }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"queries":$fullQs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${results.size}}"""
+      f"""{"queries":$fullQs,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${results.size},"nerr":${errors.size}}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
     val lineBudget = 1750 // 2000-char tail minus sbt epilogue, with margin
-    val wrapper = s""","sf":"$sfDir","metric":"total","unit":"sec","value":00000.000,"qdropped":00}""".length + 13
+    // Error names always make the stdout line (ahead of any timing): a
+    // broken query must be visible even in the truncated tail.
+    val errNames = errors.toSeq.map(_._1).sorted
+      .map(n => s""""$n"""").mkString("[", ",", "]")
+    val wrapper = s""","errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":00000.000,"qdropped":00}""".length + 13
     var used = 0
     val kept = results.toSeq.sortBy(-_._2).iterator
       .map { case (k, v) => f"""\"$k\":$v%.2f""" }
       .takeWhile { e => used += e.length + 1; used + wrapper <= lineBudget }
       .toSeq
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"qdropped":${results.size - kept.size}}""")
+    println(f"""{"queries":$qs,"errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"qdropped":${results.size - kept.size}}""")
     spark.stop()
   }
 }
