@@ -608,23 +608,27 @@ object Dedup {
     * collide on its windows.
     *
     * Window starts are CONTENT-DEFINED (winnowing-style anchoring): a
-    * window begins wherever the character's codepoint ≡ 0 (mod 16), so a
-    * copied passage anchors at the same passage-relative offsets in every
-    * document that contains it — detection is offset-alignment-free,
-    * which a fixed-stride grid is not (copies at offsets differing mod
-    * stride would sample disjoint windows and never collide). Expected
-    * anchor density is 1/16 of positions (higher on space-heavy text:
-    * ' ' = 32 anchors), so per-document work stays O(n) cheap checks +
-    * O(n/16) hashes: the compiled [[graft.functions.AnchoredSpans]]
-    * expression emits only the surviving windows in one byte-walk (the
-    * composed explode(sequence)+filter form generates a row per CHAR and
+    * window begins wherever the multiplicative hash of the leading
+    * codepoint trigram lands in the low 1/16 of the 32-bit range (see
+    * [[graft.functions.AnchoredSpans]] for why the hash must use its
+    * HIGH bits and why any single-codepoint mod rule over-anchors on
+    * prose — ' ' ≡ 0 (mod 16) fires at nearly every word boundary). A
+    * copied passage therefore anchors at the same passage-relative
+    * offsets in every document that contains it — detection is
+    * offset-alignment-free, which a fixed-stride grid is not (copies at
+    * offsets differing mod stride would sample disjoint windows and
+    * never collide). Anchor density is ~1/16 of positions (measured
+    * 6.2% on the test corpus), so per-document work stays O(n) cheap
+    * checks + O(n/16) hashes: the compiled AnchoredSpans expression
+    * emits only the surviving windows in one byte-walk (the composed
+    * explode(sequence)+filter form generates a row per CHAR and
     * re-seeks UTF-8 per substring — ExtSpec pins equality), the generate
     * collapses into the partial aggregate — no row explosion crosses
     * the exchange — and the only shuffle is the groupBy on the 128-bit
     * hash, with output bounded by the number of duplicated spans. A
     * shared passage of L ≥ 63 chars is missed only if its first L-47
-    * chars contain no anchor: probability ≈ (15/16)^(L-47) on
-    * alphabet-uniform text, and ≈ 0 on real prose (any space anchors).
+    * chars contain no anchor: probability ≈ (15/16)^(L-47), under 4%
+    * by L = 97 chars.
     *
     * md5 rather than [[graft.functions.RollingHashFingerprint]] so the
     * oracle reproduces the values verbatim; the rolling hash is the
@@ -655,21 +659,48 @@ object Dedup {
     * verbatim quotes / excerpt duplication. The source side is scoped
     * by a predicate (here n_chars < maxChars — excerpt-sized docs);
     * candidates come from the same shingle-keyed equi join every other
-    * dedup uses, so pairwise work is bounded by per-shingle document
-    * frequency, never corpus². One shuffle on the shingle, one on the
-    * (src,dst) pair; the per-source size table joins back without a
-    * hint (AQE broadcasts it while it fits).
+    * dedup uses.
+    *
+    * STOP-SHINGLE CAP: the candidate join's per-shingle work is
+    * df_src(s) × df_dst(s), so corpus-scale stop-shingles ("one of
+    * the") make the join quadratic in their document frequency while
+    * carrying no containment signal — a shingle shared with half the
+    * corpus identifies nothing at a 0.5 threshold. Shingles with df >
+    * maxDf are dropped from BOTH the candidate join and the source
+    * size (containment is measured over the informative-shingle
+    * subset, the standard text-reuse practice). That bounds per-shingle
+    * join work by maxDf² and total candidate pairs by
+    * |kept shingles|·maxDf — corpus-size-independent, which is what
+    * lets the same plan run at 100 TB. With the cap, pairwise work is
+    * bounded by capped per-shingle document frequency, never corpus².
+    * One shuffle on the shingle (the df aggregate reuses the same
+    * exchange), one on the (src,dst) pair; the per-source size table
+    * joins back without a hint (AQE broadcasts it while it fits).
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     dedupContainmentDf(Tables.documents(spark, dir))
 
+  /** Default stop-shingle document-frequency cap: far above any real
+    * duplicate-cluster size, far below stop-phrase df at corpus scale.
+    */
+  val ContainmentMaxDf = 256
+
   def dedupContainmentDf(docs: DataFrame, threshold: Double = 0.5,
-      maxChars: Int = 400): DataFrame = {
+      maxChars: Int = 400, maxDf: Int = ContainmentMaxDf): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
+    // informative = shingles in at most maxDf docs (WordShingles emits
+    // distinct shingles per doc, so count(*) IS document frequency)
+    val informative = grams.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("s"))
+    // filtering the SOURCE side alone caps both sides: the candidate
+    // join is an equi join on s, so a dst row only survives when it
+    // shares an informative shingle with some source row
     val aGrams = docs.filter(col("n_chars") < maxChars)
       .select(col("doc_id").as("src_id"),
         explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
+      .join(informative, "s")
     val aSize = aGrams.groupBy(col("src_id")).agg(count(lit(1)).as("n_src"))
     aGrams.join(grams.withColumnRenamed("doc_id", "dst_id"), "s")
       .filter(col("src_id") =!= col("dst_id"))
@@ -731,7 +762,8 @@ object Dedup {
         |sh AS (SELECT doc_id, n_chars, unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
         |        ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
         |       FROM t),
-        |a AS (SELECT doc_id, s FROM sh WHERE n_chars < 400),
+        |informative AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 256),
+        |a AS (SELECT doc_id, sh.s FROM sh JOIN informative USING (s) WHERE n_chars < 400),
         |asize AS (SELECT doc_id, count(*) AS n_src FROM a GROUP BY 1),
         |inter AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS i
         |          FROM a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id GROUP BY 1, 2)
@@ -740,7 +772,8 @@ object Dedup {
         |WHERE CAST(i AS DOUBLE) / n_src >= 0.5
         |ORDER BY src_id, dst_id""".stripMargin,
     // content-anchored 48-char window hashes (window starts where the
-    // char code ≡ 0 mod 16) — copies collide regardless of offset
+    // leading-trigram multiplicative hash lands in the low 1/16 of the
+    // 32-bit range) — copies collide regardless of offset
     "dedup_spans" ->
       """WITH spans AS (
         |  SELECT doc_id,
@@ -749,7 +782,11 @@ object Dedup {
         |  FROM documents WHERE n_chars >= 48),
         |anchored AS (
         |  SELECT doc_id, md5(substr(text, CAST(p AS INT), 48)) AS span_hash
-        |  FROM spans WHERE ascii(substr(text, CAST(p AS INT), 1)) % 16 = 0)
+        |  FROM spans
+        |  WHERE ((961 * ascii(substr(text, CAST(p AS INT), 1))
+        |        + 31 * ascii(substr(text, CAST(p AS INT) + 1, 1))
+        |        + ascii(substr(text, CAST(p AS INT) + 2, 1))) * 2654435761)
+        |        % 4294967296 < 268435456)
         |SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
         |       min(doc_id) AS first_doc
         |FROM anchored GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2

@@ -335,18 +335,28 @@ object RepetitionStats {
 }
 
 /** Content-anchored span windows in one compiled pass: every
-  * `window`-codepoint substring whose first codepoint ≡ 0 (mod
-  * `modulus`), for span-level dedup ([[graft.ext.Dedup.dedupSpans]]).
+  * `window`-codepoint substring starting where the multiplicative hash
+  * of the leading codepoint TRIGRAM lands in the low 1/`modulus` of the
+  * 32-bit range, for span-level dedup ([[graft.ext.Dedup.dedupSpans]]).
+  *
+  * Anchor rule: `((961·a + 31·b + c) · 2654435761) mod 2^32 <
+  * 2^32/modulus` over codepoints (a,b,c) at the start (out-of-range
+  * positions read as 0). A single-codepoint mod rule is a trap on prose
+  * — ' ' = 32 ≡ 0 (mod 16) anchors nearly every word boundary (~6×
+  * the intended density, measured 19.7% on the test corpus) — and the
+  * LOW bits of a multiplicative hash are equally bad (for odd K,
+  * `(x·K) mod 16` is a bijection of `x mod 16`). Hashing the trigram
+  * and comparing the full 32-bit product against a threshold uses the
+  * high bits, measuring 6.2% ≈ 1/16 on the same corpus.
   *
   * Semantics exactly mirror the SQL formulation the oracle runs —
-  * positions are CODEPOINTS (not bytes), the anchor test is the full
-  * codepoint value, and only starts with `window` codepoints remaining
-  * qualify — but in ONE byte-walk per document. The composed
-  * explode(sequence(1, n))-then-filter form materializes an int array
-  * the size of the text and pays an O(position) UTF-8 re-seek per
-  * substring call (quadratic per document); this expression emits only
-  * the ~n/modulus surviving windows, each sliced by precomputed byte
-  * offsets.
+  * positions are CODEPOINTS (not bytes), and only starts with `window`
+  * codepoints remaining qualify — but in ONE byte-walk per document.
+  * The composed explode(sequence(1, n))-then-filter form materializes
+  * an int array the size of the text and pays an O(position) UTF-8
+  * re-seek per substring call (quadratic per document); this expression
+  * emits only the ~n/modulus surviving windows, each sliced by
+  * precomputed byte offsets.
   */
 case class AnchoredSpans(child: Expression, window: Int, modulus: Int)
     extends UnaryExpression {
@@ -396,8 +406,12 @@ object AnchoredSpans {
     val out = new scala.collection.mutable.ArrayBuffer[Any](nChars / modulus + 1)
     var s = 0
     val lastStart = nChars - window
+    val thresh = 0x100000000L / modulus
     while (s <= lastStart) {
-      if (cps(s) % modulus == 0) {
+      val a = cps(s)
+      val b = if (s + 1 < nChars) cps(s + 1) else 0
+      val c = if (s + 2 < nChars) cps(s + 2) else 0
+      if ((((961L * a + 31L * b + c) * 2654435761L) & 0xffffffffL) < thresh) {
         val from = offs(s)
         val until = if (s + window < nChars) offs(s + window) else len
         out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until))

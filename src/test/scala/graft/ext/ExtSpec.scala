@@ -700,7 +700,11 @@ class ExtSpec extends SparkSuite {
       .select(col("doc_id"),
         explode(sequence(lit(1), (col("n_chars") - 47).cast("int"))).as("p"),
         col("text"))
-      .filter(pmod(ascii(substring(col("text"), col("p"), lit(1))), lit(16)) === 0)
+      .filter(pmod(
+        (lit(961L) * ascii(substring(col("text"), col("p"), lit(1)))
+          + lit(31L) * ascii(substring(col("text"), col("p") + 1, lit(1)))
+          + ascii(substring(col("text"), col("p") + 2, lit(1)))) * lit(2654435761L),
+        lit(4294967296L)) < lit(268435456L))
       .select(col("doc_id"), substring(col("text"), col("p"), lit(48)).as("span"))
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     val native = docs
@@ -711,13 +715,14 @@ class ExtSpec extends SparkSuite {
     assert(native === composed)
     // multi-byte text: codepoint positions and anchor values, not bytes
     import spark.implicits._
-    val uni = Seq((1L, "é" * 60), (2L, ("ـ" * 50) + "abc")) // U+0640 % 16 == 0
+    val uni = Seq((1L, "é" * 60), (2L, ("«" * 50) + "abc"))
       .toDF("doc_id", "text")
     val got = uni.select(col("doc_id"),
         explode(graft.functions.AnchoredSpans(col("text"), 48, 16)).as("span"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    // 'é' = 0xE9, 233 % 16 = 9 -> no anchors; U+0640 = 1600 % 16 = 0 ->
-    // anchors at every arabic-tatweel position with 48 codepoints left
+    // trigram hash of (é,é,é) lands above the 1/16 threshold -> no
+    // anchors; («,«,«) (U+00AB, 2-byte UTF-8) lands below -> anchors at
+    // every guillemet position with 48 codepoints left
     assert(!got.exists(_._1 == 1L))
     val doc2 = got.filter(_._1 == 2L)
     assert(doc2.length === 6, "53 codepoints, window 48: starts 1..6 all anchored")

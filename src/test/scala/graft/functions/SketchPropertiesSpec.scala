@@ -89,8 +89,8 @@ class SketchPropertiesSpec extends AnyFunSuite {
     }
   }
 
-  // unicode text: ascii + latin-1 + CJK + an anchor-class codepoint
-  // (U+0640, 1600 % 16 == 0) so multi-byte anchors are exercised
+  // unicode text: ascii + latin-1 + CJK so multi-byte decode paths and
+  // the trigram-hash anchor rule are both exercised across byte widths
   val uniChar: Gen[Char] = Gen.frequency(
     8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('é'),
     1 -> Gen.const('日'), 1 -> Gen.const('ـ'))
@@ -100,8 +100,10 @@ class SketchPropertiesSpec extends AnyFunSuite {
   test("AnchoredSpans equals a naive codepoint-based reference on unicode text") {
     def reference(s: String, window: Int, mod: Int): Seq[String] = {
       val cps = s.codePoints().toArray // all test chars are BMP
+      def cp(i: Int): Long = if (i < cps.length) cps(i).toLong else 0L
       (0 to cps.length - window)
-        .filter(i => cps(i) % mod == 0)
+        .filter(i => (((961L * cp(i) + 31L * cp(i + 1) + cp(i + 2)) * 2654435761L)
+          & 0xffffffffL) < 0x100000000L / mod)
         .map(i => new String(cps, i, window))
     }
     samples(uniText, 200).foreach { s =>
