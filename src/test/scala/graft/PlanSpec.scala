@@ -366,6 +366,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "pair generation must be key-based:\n" + p)
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    // the stop-shingle df cap must restrict the join INPUT, not the
+    // output: the df <= maxDf filter has to sit below the candidate
+    // join (per-shingle work is df² — unbounded df is quadratic on
+    // corpus-scale stop-shingles). Conditions live in the details
+    // section, so find the Filter node carrying the cap there, then
+    // check its position in the tree: descendants print after their
+    // ancestor join.
+    val dfFilterId = raw"\((\d+)\) Filter".r.findAllMatchIn(p).collectFirst {
+      case m if p.substring(m.start, math.min(p.length, m.end + 200)).contains("<= 256") =>
+        m.group(1)
+    }
+    assert(dfFilterId.nonEmpty, "no Filter node with the df <= 256 cap in the plan:\n" + p)
+    val tree = p.substring(0, p.indexOf("(1) Scan"))
+    val lines = tree.linesIterator.toSeq
+    val joinAt = lines.indexWhere(l => l.contains("Join"))
+    val dfFilterAt = lines.indexWhere(_.contains(s"Filter (${dfFilterId.get})"))
+    assert(joinAt >= 0 && dfFilterAt > joinAt,
+      s"df cap must be below the candidate join (join@$joinAt, df@$dfFilterAt):\n" + p)
   }
 
   test("bpe encode is a pure map: only the output sort exchanges") {

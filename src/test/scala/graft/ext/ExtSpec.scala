@@ -924,6 +924,39 @@ class ExtSpec extends SparkSuite {
     assert(jv < 0.2, s"jaccard $jv should be diluted by the host length")
   }
 
+  test("containment df cap drops stop-shingles from both the join and the source size") {
+    import spark.implicits._
+    // every doc shares one stop-phrase; docs 1 and 2 additionally share
+    // their informative content verbatim. With maxDf = 3 < 6 docs, the
+    // stop-phrase shingles must not generate candidates or count toward
+    // n_src: docs 3-6 pair with NOTHING (their only overlap is the
+    // stop-phrase), and doc 2's containment in doc 1 is exactly 1.0
+    // (informative shingles only), not diluted or inflated by the cap.
+    val stop = "as a matter of fact"
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq(
+      (1L, s"$stop $body extra trailing content here"),
+      (2L, s"$stop $body")) ++
+      (3L to 6L).map(id => (id, s"$stop unique${id}a unique${id}b unique${id}c")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = Dedup.dedupContainmentDf(docs, threshold = 0.5, maxChars = 400, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(p => Set(p._1, p._2) == Set(1L, 2L)),
+      s"stop-phrase-only overlaps must not pair: ${out.toSeq}")
+    val d2 = out.find(p => p._1 == 2L && p._2 == 1L)
+    assert(d2.exists(_._3 === 1.0),
+      s"doc 2's informative shingles are all in doc 1: ${out.toSeq}")
+    // uncapped, the same corpus pairs the stop-phrase-only docs too
+    // (every doc shares 5+ shingles with every other via the stop
+    // phrase, and the short docs' n_src is small enough to cross 0.5)
+    val uncapped = Dedup.dedupContainmentDf(docs, threshold = 0.5, maxChars = 400,
+        maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.exists(p => p._1 >= 3L || p._2 >= 3L),
+      "without the cap the stop phrase alone creates pairs — the thing the cap removes")
+  }
+
   test("typed centroid aggregator: exact integer sums, partition-invariant, matches driver reference") {
     val emb = Tables.embeddings(spark, dir)
     val c1 = Centroid.centroids(emb)
