@@ -26,6 +26,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // top-k above this falls back to a GLOBAL sort; the default
+      // (10000) silently turns orderBy+limit(65536) — the nbClassify
+      // vocab cap — into a full-vocabulary sort. Per-partition top-k
+      // heaps of ~1M entries are still executor-cheap.
+      .config("spark.sql.execution.topKSortFallbackThreshold", "1048576")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

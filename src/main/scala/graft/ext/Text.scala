@@ -376,12 +376,14 @@ object Text {
   /** Self-trained multinomial Naive Bayes classifier — the fastText-style
     * "train a cheap classifier on weak labels, score the corpus" pass of
     * a curation pipeline (CCNet/GPT-3 quality filtering), here labeled by
-    * the declared `lang`. Training is one explode→partial-agg pass:
-    * per-(class, token) counts densified over the full vocab×class grid
-    * (add-one smoothing needs the ZERO cells — a sparse join would
-    * silently drop the unseen-token penalty), plus class priors. Scoring
-    * joins each token occurrence against the BROADCAST model and sums
-    * log-likelihoods per (doc, class); argmax by window rank.
+    * the declared `lang`. Training is one explode→partial-agg pass into
+    * the BOUNDED per-(class, token) count table (materialized once —
+    * see the localCheckpoint note in the body), densified over the full
+    * vocab×class grid (add-one smoothing needs the ZERO cells — a
+    * sparse join would silently drop the unseen-token penalty), plus
+    * class priors. Scoring joins each token occurrence against the
+    * BROADCAST model and sums log-likelihoods per (doc, class); argmax
+    * by window rank.
     *
     * Determinism: per-token log-probs are quantized to DECIMAL(18,9)
     * BEFORE summing (the embedStats pattern) — double sums associate
@@ -395,9 +397,19 @@ object Text {
     */
   def nbClassify(docs: DataFrame, labelCol: String, vocabCap: Int = 65536): DataFrame = {
     val d9 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 9)
+    // The corpus tokenizes exactly TWICE — once for the training
+    // aggregate, once for scoring. Everything between (vocab top-k,
+    // class totals, vocab size, the smoothing grid) derives from
+    // allCounts, a BOUNDED aggregate (distinct (class, token) pairs),
+    // which localCheckpoint materializes once on the executors: without
+    // it each of those branches is an independent lineage replay and the
+    // explode runs per branch (measured: 7 Generate nodes in the
+    // physical plan, ~5 full corpus passes to build a 65536-row model).
     val toks = docs.select(col("doc_id"), col(labelCol).as("label"),
       explode(TextFns.tokens(lower(col("text")))).as("tok"))
-    val allCounts = toks.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c"))
+    val allCounts = toks.groupBy(col("label"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // BOUNDED model vocabulary: top-K tokens by corpus frequency (the
     // fastText discipline — the model artifact must stay broadcastable
     // at ANY corpus size; an uncapped web-corpus vocabulary is not).
@@ -424,15 +436,15 @@ object Text {
         log(col("n_class").cast("double") / col("n_docs")).cast(d9).as("prior"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("label"))
-    docs.select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+    toks.withColumnRenamed("label", "label_declared")
       .join(broadcast(model), "tok")
-      .groupBy(col("doc_id"), col("label"))
+      .groupBy(col("doc_id"), col("label_declared"), col("label"))
       .agg(sum(col("lp")).as("ll"))
       .join(broadcast(priors), "label")
-      .select(col("doc_id"), col("label"), (col("prior") + col("ll")).as("score"))
+      .select(col("doc_id"), col("label"), col("label_declared"),
+        (col("prior") + col("ll")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
-      .join(docs.select(col("doc_id"), col(labelCol).as("label_declared")), "doc_id")
       .select(col("doc_id"), col("label").as("label_pred"),
         round(col("score").cast("double"), 4).as("nb_score"), col("label_declared"))
       .orderBy("doc_id")
