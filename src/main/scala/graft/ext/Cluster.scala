@@ -298,8 +298,6 @@ object Cluster {
     "q_pagerank" -> (qPageRank _),
     "split_cluster_safe" -> (splitClusterSafe _),
     "q_triangles" -> (qTriangles _),
-    // no ANSI oracle: peeling/h-index fixpoints are not monotone-CTE
-    // expressible — ClusterSpec checks against driver-side peeling
     "q_kcore" -> (qKcore _),
   )
 
@@ -322,8 +320,38 @@ object Cluster {
        |SELECT id AS doc_id, round(rank, 6) AS pagerank FROM r3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Unrolled h-index refinement — the SAME fixpoint [[coreness]] runs,
+    * as a CTE chain (the peeling formulation is inherently sequential;
+    * the refinement rounds are plain joins+windows, so they unroll like
+    * [[pagerankSql]]). 16 rounds is comfortably past convergence on the
+    * sf0.01 graph (verified: round 15 == round 16 == the Spark
+    * fixpoint); estimates only decrease, so extra rounds are no-ops
+    * once converged. Every rN is MATERIALIZED: each round references
+    * its predecessor twice (neighbor estimates + own previous value),
+    * and an inlining engine would otherwise expand the chain
+    * exponentially.
+    */
+  private lazy val kcoreSql: String = {
+    val rounds = (1 to 16).map { i =>
+      s"""nbr$i AS (SELECT e.u AS id, r${i - 1}.c AS c,
+         |  row_number() OVER (PARTITION BY e.u ORDER BY r${i - 1}.c DESC) AS rn
+         |  FROM edges e JOIN r${i - 1} ON e.v = r${i - 1}.id),
+         |h$i AS (SELECT id, count(*) FILTER (WHERE c >= rn) AS h FROM nbr$i GROUP BY id),
+         |r$i AS MATERIALIZED (SELECT r${i - 1}.id, least(r${i - 1}.c, coalesce(h$i.h, 0)) AS c
+         |  FROM r${i - 1} LEFT JOIN h$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.minhashPairsCte},
+       |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |r0 AS MATERIALIZED (SELECT u AS id, count(*) AS c FROM edges GROUP BY 1),
+       |$rounds
+       |SELECT r16.id AS doc_id, r0.c AS deg, r16.c AS coreness
+       |FROM r16 JOIN r0 ON r16.id = r0.id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_kcore" -> kcoreSql,
     // transitive closure over the exact near-dup pair truth (the same
     // pair CTE the dedup_minhash oracle checks against)
     "dedup_cluster" ->
