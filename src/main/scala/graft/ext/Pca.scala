@@ -140,9 +140,14 @@ object Pca {
   def qPcaTop(spark: SparkSession, dir: String): DataFrame = {
     val (comps, _, trace) = topComponents(Tables.embeddings(spark, dir), 3)
     import spark.implicits._
+    // outputs round (HALF_UP, matching SQL ROUND) so the driver's
+    // DuckDB eigensolve oracle hash-matches: both engines converge the
+    // same fixpoint to ~1e-13, far inside the rounding granularity
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
     comps.zipWithIndex.flatMap { case ((v, lambda), c) =>
       v.zipWithIndex.map { case (x, j) =>
-        (c + 1, j, x, lambda, math.rint(lambda / trace * 10000) / 10000)
+        (c + 1, j, r(x, 6), r(lambda, 6), r(lambda / trace, 4))
       }
     }.toDF("component", "dim", "loading", "eigenvalue", "var_ratio")
       .orderBy("component", "dim")
@@ -212,8 +217,131 @@ object Pca {
     "ann_topk_whitened" -> (qAnnWhitened _),
   )
 
-  // no ANSI oracle: eigenvectors of an iterative solver are not
-  // SQL-expressible — PcaSpec checks the eigenpair property (C·v ≈ λ·v)
-  // against driver-side exact arithmetic instead
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB eigensolve by REPEATED MATRIX SQUARING — the trick that
+    * makes an iterative eigenvector SQL-expressible: normalize(C^(2^K)
+    * · v0) with K = 20 drives the subdominant ratio to (λ2/λ1)^(2^20)
+    * ≈ 0 (the corpus eigengap λ2/λ1 ≈ 0.9874 would need ~1600 unrolled
+    * power-iteration rounds for 1e-9; 20 squarings of a d×d matrix get
+    * exactly 0), so the oracle's vector IS the fixpoint the Spark side
+    * converges to — both to ~1e-13, far inside every rounded output's
+    * granularity. Each squaring renormalizes by its max |entry| to keep
+    * λ1^(2^k) in double range; the same deterministic tilted init
+    * (1 + 0.001·j) picks the same SIGN (the limit is v̂·sign(v0ᵀv̂) for
+    * both methods since covariance eigenvalues are ≥ 0). Components 2-3
+    * repeat the squaring on the DEFLATED matrix C − λvvᵀ, exactly
+    * mirroring [[topComponents]]. Every CTE that is referenced twice is
+    * MATERIALIZED (an inlining engine would expand the squaring chain
+    * exponentially).
+    */
+  private val SqRounds = 20
+
+  /** Squaring chain `${tag}m1..${tag}m$SqRounds` from matrix CTE `$from`,
+    * ending in eigvector `${tag}v(j, v)` and eigvalue `${tag}lam(l)`.
+    */
+  private def eigCtes(tag: String, from: String): String = {
+    val chain = (1 to SqRounds).map { k =>
+      val prev = if (k == 1) from else s"${tag}m${k - 1}"
+      s"""${tag}m$k AS MATERIALIZED (
+         |  WITH p AS MATERIALIZED (SELECT a.i AS i, b.j AS j, sum(a.v * b.v) AS v
+         |    FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY 1, 2)
+         |  SELECT i, j, v / (SELECT max(abs(v)) FROM p) AS v FROM p)""".stripMargin
+    }.mkString(",\n")
+    s"""$chain,
+       |${tag}w AS (SELECT m.i AS j, sum(m.v * (1 + 0.001 * m.j)) AS w
+       |  FROM ${tag}m$SqRounds m GROUP BY 1),
+       |${tag}v AS MATERIALIZED (SELECT j, w / sqrt((SELECT sum(w * w) FROM ${tag}w)) AS v
+       |  FROM ${tag}w),
+       |${tag}lam AS MATERIALIZED (SELECT sum(va.v * c.v * vb.v) AS l
+       |  FROM $from c JOIN ${tag}v va ON va.j = c.i JOIN ${tag}v vb ON vb.j = c.j)""".stripMargin
+  }
+
+  private def deflateCte(out: String, from: String, tag: String): String =
+    s"""$out AS MATERIALIZED (SELECT c.i, c.j,
+       |  c.v - (SELECT l FROM ${tag}lam) * va.v * vb.v AS v
+       |  FROM $from c JOIN ${tag}v va ON va.j = c.i JOIN ${tag}v vb ON vb.j = c.j)""".stripMargin
+
+  /** Moments + centered covariance `c0(i, j, v)` over the embeddings
+    * table, plus `mu(j, m)` and the total-variance scalar `tr(t)`.
+    */
+  private val covCte: String =
+    s"""ee AS MATERIALIZED (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |mu AS MATERIALIZED (SELECT j, sum(x) / (SELECT n FROM nn) AS m FROM ee GROUP BY j),
+       |gram AS (SELECT a.j AS i, b.j AS j, sum(a.x * b.x) AS g
+       |  FROM ee a JOIN ee b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |c0 AS MATERIALIZED (
+       |  SELECT g.i, g.j, g.g / (SELECT n FROM nn) - mi.m * mj.m AS v
+       |  FROM gram g JOIN mu mi ON mi.j = g.i JOIN mu mj ON mj.j = g.j),
+       |tr AS (SELECT sum(v) AS t FROM c0 WHERE i = j)""".stripMargin
+
+  private lazy val pcaScoresSql: String =
+    s"""WITH $covCte,
+       |${eigCtes("a", "c0")}
+       |SELECT ee.vec_id,
+       |       round(sum(ee.x * av.v)
+       |             - (SELECT sum(mu.m * av.v) FROM mu JOIN av ON mu.j = av.j), 4)
+       |         AS pc1_score
+       |FROM ee JOIN av ON ee.j = av.j
+       |GROUP BY ee.vec_id ORDER BY ee.vec_id""".stripMargin
+
+  private def topCompSelect(comp: Int, tag: String): String =
+    s"""SELECT $comp AS component, ${tag}v.j AS dim, round(${tag}v.v, 6) AS loading,
+       |       round((SELECT l FROM ${tag}lam), 6) AS eigenvalue,
+       |       round((SELECT l FROM ${tag}lam) / (SELECT t FROM tr), 4) AS var_ratio
+       |FROM ${tag}v""".stripMargin
+
+  private lazy val pcaTopSql: String =
+    s"""WITH $covCte,
+       |${eigCtes("a", "c0")},
+       |${deflateCte("c1", "c0", "a")},
+       |${eigCtes("b", "c1")},
+       |${deflateCte("c2", "c1", "b")},
+       |${eigCtes("d", "c2")}
+       |${topCompSelect(1, "a")}
+       |UNION ALL
+       |${topCompSelect(2, "b")}
+       |UNION ALL
+       |${topCompSelect(3, "d")}
+       |ORDER BY component, dim""".stripMargin
+
+  /** Whitened-cosine oracle: the same closed-form per-row algebra as
+    * [[whitenedTopk]], with v and μ from the squaring eigensolve and
+    * the query-side scalars (s_q, r_q, ‖r_q‖) as scalar CTEs.
+    */
+  private lazy val annWhitenedSql: String =
+    s"""WITH $covCte,
+       |${eigCtes("a", "c0")},
+       |q AS MATERIALIZED (
+       |  SELECT ee.j, ee.x - mu.m AS qc FROM ee JOIN mu ON ee.j = mu.j
+       |  WHERE ee.vec_id = 0),
+       |sq AS (SELECT sum(q.qc * av.v) AS s FROM q JOIN av ON av.j = q.j),
+       |rq AS MATERIALIZED (
+       |  SELECT q.j, q.qc - (SELECT s FROM sq) * av.v AS r
+       |  FROM q JOIN av ON av.j = q.j),
+       |rqn AS (SELECT sqrt(sum(r * r)) AS nrm FROM rq),
+       |mudots AS (SELECT (SELECT sum(mu.m * av.v) FROM mu JOIN av ON mu.j = av.j) AS mv,
+       |                  (SELECT sum(mu.m * rq.r) FROM mu JOIN rq ON mu.j = rq.j) AS mr,
+       |                  (SELECT sum(m * m) FROM mu) AS mm),
+       |rows_ AS (
+       |  SELECT ee.vec_id,
+       |         sum(ee.x * av.v) - (SELECT mv FROM mudots) AS s,
+       |         sum(ee.x * rq.r) - (SELECT mr FROM mudots) AS num,
+       |         -2 * sum(ee.x * mu.m) + sum(ee.x * ee.x) + (SELECT mm FROM mudots) AS rn2p
+       |  FROM ee JOIN av ON ee.j = av.j JOIN rq ON ee.j = rq.j JOIN mu ON ee.j = mu.j
+       |  WHERE ee.vec_id <> 0
+       |  GROUP BY ee.vec_id)
+       |SELECT vec_id, round(num / (sqrt(rn2p - s * s) * (SELECT nrm FROM rqn)), 4) AS wcos
+       |FROM rows_
+       |WHERE rn2p - s * s > 0
+       |ORDER BY wcos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "embed_pca_scores" -> pcaScoresSql,
+    "embed_pca_top" -> pcaTopSql,
+    "ann_topk_whitened" -> annWhitenedSql,
+  )
 }
