@@ -59,8 +59,9 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** Document fingerprinting with the native rolling-hash expression
-    * (rows-only check: the custom hash has no DuckDB equivalent).
+  /** Document fingerprinting with the native rolling-hash expression.
+    * Oracle-checked: the 64-bit-wraparound polynomial is reproduced in
+    * DuckDB with HUGEINT arithmetic (see [[fingerprintOracleCte]]).
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -659,7 +660,56 @@ object Text {
     "text_alphabet" -> (textAlphabet _),
   )
 
+  /** One window size of the [[graft.functions.RollingHashFingerprint]]
+    * semantics in DuckDB: min over all `w`-byte windows of the UTF-8
+    * text of the base-257 polynomial with 64-bit WRAPAROUND. DuckDB's
+    * BIGINT errors on overflow instead of wrapping, so the hash runs in
+    * HUGEINT with the powers 257^k precomputed mod 2^64 (mod is a ring
+    * homomorphism, so one final `% 2^64` over the exact HUGEINT window
+    * sum equals the per-step-wrapped JVM result), then maps the
+    * unsigned residue back to the signed BIGINT the JVM long holds.
+    * Bytes come from hex(encode(text)) — DuckDB 1.0 has no blob
+    * indexing — extracted ONCE per doc into a list (the windowed form
+    * would re-substr per (position, offset): measured 63 s vs 0.8 s at
+    * sf0.01 for w=64). Short docs hash whole (the power slice keeps the
+    * tail of the w-sized table = the powers for the shorter window);
+    * empty docs fingerprint 0 like the JVM kernel.
+    */
+  private def fingerprintOracleCte(tag: String, w: Int): String = {
+    val m = BigInt(1) << 64
+    val powers = (0 until w)
+      .map(k => s"CAST('${BigInt(257).modPow(BigInt(w - 1 - k), m)}' AS HUGEINT)")
+      .mkString("[", ",", "]")
+    s"""${tag}sel AS MATERIALIZED (
+       |  SELECT doc_id, octet_length(encode(text)) AS n,
+       |         least($w, octet_length(encode(text))) AS we,
+       |         list_transform(range(octet_length(encode(text))),
+       |           i -> CAST(CAST('0x' || substr(hex(encode(text)), CAST(2 * i + 1 AS INT), 2) AS UBIGINT) AS HUGEINT)) AS bl,
+       |         ($powers)[$w - least($w, octet_length(encode(text))) + 1 :] AS pws
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |${tag}win AS (
+       |  SELECT doc_id, unnest(range(1, n - we + 2)) AS p, bl, pws, we FROM ${tag}sel),
+       |${tag}hsh AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(we), k -> pws[k + 1] * bl[p + k]))
+       |      % CAST('$m' AS HUGEINT) AS hu
+       |  FROM ${tag}win),
+       |${tag}fp AS (
+       |  SELECT d.doc_id, coalesce(min(CAST(CASE WHEN hu >= CAST('${BigInt(1) << 63}' AS HUGEINT)
+       |    THEN hu - CAST('$m' AS HUGEINT) ELSE hu END AS BIGINT)), 0) AS fp
+       |  FROM documents d LEFT JOIN ${tag}hsh h ON d.doc_id = h.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+  }
+
+  private lazy val fingerprintSql: String =
+    s"""WITH ${fingerprintOracleCte("a", 16)},
+       |${fingerprintOracleCte("b", 64)}
+       |SELECT a.doc_id, a.fp AS fingerprint, b.fp AS fingerprint_w64
+       |FROM afp a JOIN bfp b ON a.doc_id = b.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_fingerprint" -> fingerprintSql,
     // mirrors textZipf exactly: DECIMAL(18,9) moment quantization
     // before summing, double arithmetic in the same expression shape
     "text_zipf" ->
