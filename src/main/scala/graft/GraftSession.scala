@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   *     replaces hand-tuned `spark.sql.shuffle.partitions` on a real cluster.
   *   - Shuffle partitions default to the local core count here; on a cluster
   *     this is overridden to ~2-3x total cores and AQE coalesces down.
-  *   - Parquet nanos-as-long: the shared test tables store `events.ts` as
-  *     TIMESTAMP(NANOS) which vanilla Spark rejects; we read the raw long and
-  *     convert explicitly (see [[Tables.events]]).
+  *   - Parquet nanos-as-long: kept for testdata revisions that stored
+  *     `events.ts` as TIMESTAMP(NANOS) (vanilla Spark rejects it; the flag
+  *     reads the raw long instead). The current testdata stores zoneless
+  *     micros, which [[Tables.events]] normalizes via an NTZ cast — both
+  *     encodings funnel through that one loader.
   */
 object GraftSession {
   def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
