@@ -833,5 +833,18 @@ object Dedup {
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin,
+    // multi-probe candidate semantics closed-form: (a, b) is a candidate
+    // iff their SRP signatures differ in at most one bit (own bucket +
+    // every Hamming-1 probe) — signatures recomputed in SQL from the
+    // data-independent hyperplane table (see Similarity.srpSigCte)
+    "dedup_embedding_lsh" ->
+      s"""WITH ${Similarity.srpSigCte()}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+         |FROM sig a JOIN sig b
+         |  ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+         |JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin,
   )
 }

@@ -359,7 +359,62 @@ object Similarity {
     "ann_lsh_search" -> (annLshSearchQuery _),
   )
 
+  /** The SRP hyperplane table is DATA-INDEPENDENT (a splitmix64 hash of
+    * (bit, dim) — [[graft.functions.SrpSignature]]), so the oracle can
+    * embed it as literals and recompute every signature in SQL: CTE
+    * `sig(vec_id, bucket)`. Doubles are emitted at %.17g, which DuckDB
+    * parses back to the identical bits. The per-bit dot is a 64-term
+    * double sum whose addition order differs across engines; a sign
+    * flip would need |dot| at float-noise scale (~1e-13) — never
+    * observed on the corpus, and any such vector is equidistant from
+    * both buckets semantically anyway.
+    */
+  private def srpMix(x0: Long): Long = {
+    var x = x0 * 0x9e3779b97f4a7c15L
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def srpSigCte(d: Int = 64): String = {
+    val rows = for (bit <- 0 until LshBits; j <- 0 until d) yield {
+      val h = srpMix(bit.toLong << 32 | j.toLong).toDouble / Long.MaxValue
+      f"($bit,$j,$h%.17g)"
+    }
+    s"""hp(bit, j, h) AS (VALUES ${rows.mkString(",")}),
+       |srpee AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |dots AS (SELECT e.vec_id, hp.bit, sum(e.x * hp.h) AS dt
+       |  FROM srpee e JOIN hp ON e.j = hp.j GROUP BY 1, 2),
+       |sig AS MATERIALIZED (SELECT vec_id,
+       |  CAST(sum(CASE WHEN dt >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // SRP signatures recomputed from the embedded hyperplane table
+    "ann_lsh_buckets" ->
+      s"""WITH ${srpSigCte()}
+         |SELECT bucket, count(*) AS bucket_size, min(vec_id) AS min_vec_id
+         |FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // multi-probe = own bucket + every Hamming-1 neighbor, i.e. a
+    // corpus row is a candidate iff bit_count(xor(sig_q, sig_c)) <= 1;
+    // exact cosine re-rank and per-query top-k mirror the Spark window
+    "ann_lsh_search" ->
+      s"""WITH ${srpSigCte()},
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM sig q JOIN sig c
+         |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+         |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+         |  WHERE q.vec_id < 5),
+         |rk AS (SELECT query_id, vec_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+         |  FROM cand)
+         |SELECT query_id, vec_id, cosine, rn FROM rk
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // DECIMAL(12,10)-quantized sums mirror embedStats exactly (see its
     // scaladoc); generate_subscripts-1 matches posexplode's 0-based dim
     "q_embed_stats" ->
