@@ -386,6 +386,22 @@ class PlanSpec extends SparkSuite {
       s"df cap must be below the candidate join (join@$joinAt, df@$dfFilterAt):\n" + p)
   }
 
+  test("nb classifier scores in ONE tokenize pass with a top-k vocab") {
+    val p = planOf(graft.ext.Text.qTextNbLang(spark, dir))
+    val tree = p.substring(0, p.indexOf("(1) Scan"))
+    // the model branches read the materialized count aggregate, so the
+    // corpus explode appears exactly once (the scoring join); before
+    // round 9 this plan carried SEVEN Generate nodes — every vocab /
+    // class-total / smoothing branch replayed the tokenize lineage
+    val generates = tree.linesIterator.count(_.contains("Generate"))
+    assert(generates === 1, s"expected 1 Generate (scoring pass), got $generates:\n$p")
+    // the 65536-row vocab cap must lower to per-partition top-k heaps,
+    // not a full global sort (topKSortFallbackThreshold is raised for
+    // this — the default silently falls back past 10000 rows)
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab cap must be TakeOrderedAndProject:\n" + p)
+  }
+
   test("bpe encode is a pure map: only the output sort exchanges") {
     val p = planOf(graft.ext.Text.qTextBpe(spark, dir))
     assert(p.contains("bpe_encode"), "native encoder must be in the plan:\n" + p)
