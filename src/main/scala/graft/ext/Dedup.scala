@@ -833,6 +833,21 @@ object Dedup {
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin,
+    // the IVF assignment recomputed by the unrolled-Lloyd's oracle
+    // (Ivf.kmeansCte — bit-identical centroids, see its scaladoc);
+    // within-list pairs at cosine >= tau, higher id dropped
+    "dedup_semantic" ->
+      s"""WITH ${Ivf.kmeansCte()},
+         |drops AS (
+         |  SELECT DISTINCT a.list_id, b.vec_id
+         |  FROM lists a JOIN lists b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.92),
+         |nd AS (SELECT list_id, count(*) AS n_dropped FROM drops GROUP BY list_id)
+         |SELECT l.list_id, count(*) AS n_vecs, coalesce(min(nd.n_dropped), 0) AS n_dropped
+         |FROM lists l LEFT JOIN nd ON l.list_id = nd.list_id
+         |GROUP BY l.list_id ORDER BY l.list_id""".stripMargin,
     // multi-probe candidate semantics closed-form: (a, b) is a candidate
     // iff their SRP signatures differ in at most one bit (own bucket +
     // every Hamming-1 probe) — signatures recomputed in SQL from the

@@ -139,9 +139,9 @@ object Ivf {
       .orderBy("query_id", "rn")
   }
 
-  /** Driver-contract entry: IVF top-5 for the first 5 vectors (rows-only;
-    * learned centroids have no SQL oracle — recall and exact-scoring
-    * properties are asserted in ExtSpec).
+  /** Driver-contract entry: IVF top-5 for the first 5 vectors. Oracle-
+    * checked via the unrolled-Lloyd's SQL ([[kmeansCte]]); recall and
+    * exact-scoring properties are additionally asserted in ExtSpec.
     */
   def annIvfSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -151,8 +151,8 @@ object Ivf {
     search(emb, queries, centroids, k = 5)
   }
 
-  /** Inverted-list occupancy (rows-only): how balanced the learned
-    * partition is — the quantity that determines probe cost.
+  /** Inverted-list occupancy: how balanced the learned partition is —
+    * the quantity that determines probe cost.
     */
   def annIvfLists(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -167,5 +167,91 @@ object Ivf {
     "ann_ivf_lists" -> (annIvfLists _),
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** The LEARNED quantizer is oracle-checkable after all: Lloyd's is
+    * deterministic here (lowest-id sample, evenly-spaced init, fixed
+    * rounds), and the one cross-engine hazard — double-sum ORDER in the
+    * centroid means — is absorbed by the trainer's own float truncation
+    * (`(sums/count).toFloat`): a 1e-16-relative double difference
+    * almost never moves a value across a 2^-24-granular float rounding
+    * boundary. So the oracle unrolls the same [[Iters]] rounds in SQL —
+    * normalize centroids (double), argmax dot with tie→lowest-index
+    * (the [[graft.functions.NearestCentroids]] rule), per-cluster
+    * avg CAST to REAL, empty cluster keeps its centroid — and lands on
+    * bit-identical centroids. CTE ends in `lists(vec_id, list_id)` (the
+    * full-corpus assignment) and `fcn(c, j, v)` (normalized finals, for
+    * probe ranking). Verified equal to the Spark assignment at sf0.01.
+    */
+  def kmeansCte(k: Int = K, iters: Int = Iters, sampleN: Int = SampleN): String = {
+    val rounds = (1 to iters).map { r =>
+      val p = s"c${r - 1}"
+      s"""nrm$r AS (SELECT c, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+         |  FROM $p GROUP BY c),
+         |cn$r AS MATERIALIZED (
+         |  SELECT $p.c, $p.j, CASE WHEN nrm > 0 THEN CAST(v AS DOUBLE) / nrm ELSE 0.0 END AS v
+         |  FROM $p JOIN nrm$r USING (c)),
+         |sc$r AS (SELECT kee.vec_id, cn.c, sum(kee.x * cn.v) AS s
+         |  FROM kee JOIN cn$r cn ON kee.j = cn.j GROUP BY 1, 2),
+         |asg$r AS MATERIALIZED (
+         |  SELECT vec_id, c AS cl FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+         |    FROM sc$r) WHERE rn = 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.c, p.j, coalesce(CAST(m.mv AS REAL), p.v) AS v
+         |  FROM $p p LEFT JOIN (
+         |    SELECT a.cl AS c, kee.j, avg(kee.x) AS mv
+         |    FROM asg$r a JOIN kee ON kee.vec_id = a.vec_id GROUP BY 1, 2) m
+         |  ON m.c = p.c AND m.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""samp AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk
+       |  FROM embeddings ORDER BY vec_id LIMIT $sampleN),
+       |keeall AS MATERIALIZED (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+       |         CAST(CAST(unnest(embedding) AS REAL) AS DOUBLE) AS x FROM embeddings),
+       |kee AS MATERIALIZED (SELECT k.* FROM keeall k JOIN samp USING (vec_id)),
+       |nsamp AS (SELECT count(*) AS n FROM samp),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(t.c AS INT) AS c, kee.j, CAST(kee.x AS REAL) AS v
+       |  FROM (SELECT unnest(range($k)) AS c) t
+       |  JOIN samp ON samp.rk = (t.c * (SELECT n FROM nsamp)) // $k
+       |  JOIN kee ON kee.vec_id = samp.vec_id),
+       |$rounds,
+       |fnrm AS (SELECT c, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm FROM c$iters GROUP BY c),
+       |fcn AS MATERIALIZED (
+       |  SELECT c$iters.c, c$iters.j, CASE WHEN nrm > 0 THEN CAST(v AS DOUBLE) / nrm ELSE 0.0 END AS v
+       |  FROM c$iters JOIN fnrm USING (c)),
+       |fsc AS (SELECT e.vec_id, cn.c, sum(e.x * cn.v) AS s
+       |  FROM keeall e JOIN fcn cn ON e.j = cn.j GROUP BY 1, 2),
+       |lists AS MATERIALIZED (
+       |  SELECT vec_id, CAST(c AS INT) AS list_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+       |    FROM fsc) WHERE rn = 1)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ann_ivf_lists" ->
+      s"""WITH ${kmeansCte()}
+         |SELECT list_id, count(*) AS list_size FROM lists
+         |GROUP BY list_id ORDER BY list_id""".stripMargin,
+    // probes = the NProbe best centroids per query by the same ranked
+    // score table the assignment uses; exact-cosine re-rank mirrors the
+    // Spark window
+    "ann_ivf_search" ->
+      s"""WITH ${kmeansCte()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, CAST(c AS INT) AS list_id FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+         |    FROM fsc WHERE vec_id < 5) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.query_id, l.vec_id,
+         |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM probes p JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+         |  JOIN embeddings eq ON eq.vec_id = p.query_id
+         |  JOIN embeddings ec ON ec.vec_id = l.vec_id),
+         |rk AS (SELECT query_id, vec_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+         |  FROM cand)
+         |SELECT query_id, vec_id, cosine, rn FROM rk
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+  )
 }

@@ -138,9 +138,10 @@ object Pq {
       .orderBy("query_id", "rn")
   }
 
-  /** Driver-contract entry: PQ-compressed top-5 for the first 5 vectors
-    * (rows-only; learned codebooks have no SQL oracle — code shape,
-    * planted-pair recall, and ADC faithfulness are asserted in ExtSpec).
+  /** Driver-contract entry: PQ-compressed top-5 for the first 5
+    * vectors. Oracle-checked via the unrolled per-subspace Lloyd's SQL
+    * ([[pqCte]]); code shape, planted-pair recall, and ADC faithfulness
+    * are additionally asserted in ExtSpec.
     */
   def annPqSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -209,9 +210,10 @@ object Pq {
       .orderBy("query_id", "rn")
   }
 
-  /** Driver-contract entry: IVFADC top-5 for the first 5 vectors
-    * (rows-only; ExtSpec asserts equality with the flat ADC search
-    * restricted to the probed lists, and planted-neighbor recall).
+  /** Driver-contract entry: IVFADC top-5 for the first 5 vectors.
+    * Oracle-checked ([[pqCte]] + [[Ivf.kmeansCte]]); ExtSpec asserts
+    * equality with the flat ADC search restricted to the probed lists,
+    * and planted-neighbor recall.
     */
   def annIvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -225,9 +227,9 @@ object Pq {
     ivfPqSearch(corpus, queries, cents, codebooks, k = 5)
   }
 
-  /** Code-space occupancy (rows-only): distinct codes used per subspace —
-    * the quantity that says whether the codebook is actually spreading
-    * the corpus (a collapsed subspace means wasted bits).
+  /** Code-space occupancy: distinct codes used per subspace — the
+    * quantity that says whether the codebook is actually spreading the
+    * corpus (a collapsed subspace means wasted bits).
     */
   def annPqOccupancy(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -244,5 +246,112 @@ object Pq {
     "ann_ivfpq_search" -> (annIvfPqSearch _),
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** Per-subspace Lloyd's unrolled in SQL, the PQ twin of
+    * [[Ivf.kmeansCte]] (see its scaladoc for why the float truncation
+    * makes the learned model cross-engine bit-stable). One subtlety:
+    * the TRAINER accumulates float-precision squared differences
+    * (`t = v(j) - cents(k)(j)` is a Float subtract and Float multiply
+    * before the double add), while serve-time [[PqEncode.Evaluator]]
+    * computes in double throughout — the oracle mirrors EACH faithfully,
+    * forcing the float steps with CAST(... AS REAL) (innocuous double
+    * rounding: double's 53 bits ≥ 2·24+2, so rounding the double result
+    * to float equals direct float arithmetic). CTE ends in
+    * `codes(vec_id, s, code)`, the full-corpus PQ code table, plus
+    * `qtab(query_id, s, k, t)` (per-query ADC tables for vec_id < 5)
+    * and `adc(query_id, vec_id, adc_score)`. Verified bit-equal to the
+    * Spark encode at sf0.01.
+    */
+  def pqCte(m: Int = M, ksub: Int = Ksub, iters: Int = Iters,
+      sampleN: Int = SampleN, subDim: Int = 8): String = {
+    val rounds = (1 to iters).map { r =>
+      val p = s"cb${r - 1}"
+      s"""pd$r AS (
+         |  SELECT ps.vec_id, cb.s, cb.k,
+         |    sum(CAST(CAST(CAST(ps.x - cb.v AS REAL) * CAST(ps.x - cb.v AS REAL) AS REAL) AS DOUBLE)) AS dist
+         |  FROM psub ps JOIN $p cb ON ps.s = cb.s AND ps.sj = cb.sj
+         |  GROUP BY 1, 2, 3),
+         |pa$r AS MATERIALIZED (
+         |  SELECT vec_id, s, k AS cl FROM (
+         |    SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, k ASC) AS rn
+         |    FROM pd$r) WHERE rn = 1),
+         |cb$r AS MATERIALIZED (
+         |  SELECT p.s, p.k, p.sj, coalesce(CAST(m.mv AS REAL), p.v) AS v
+         |  FROM $p p LEFT JOIN (
+         |    SELECT a.s, a.cl AS k, ps.sj, avg(CAST(ps.x AS DOUBLE)) AS mv
+         |    FROM pa$r a JOIN psub ps ON ps.vec_id = a.vec_id AND ps.s = a.s
+         |    GROUP BY 1, 2, 3) m
+         |  ON m.s = p.s AND m.k = p.k AND m.sj = p.sj)""".stripMargin
+    }.mkString(",\n")
+    s"""pea AS MATERIALIZED (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+       |         CAST(CAST(unnest(embedding) AS REAL) AS DOUBLE) AS x FROM embeddings),
+       |pnrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pea GROUP BY vec_id),
+       |pn AS MATERIALIZED (
+       |  SELECT pea.vec_id, pea.j,
+       |         CASE WHEN nrm > 0 THEN CAST(pea.x / nrm AS REAL) ELSE CAST(pea.x AS REAL) END AS x
+       |  FROM pea JOIN pnrm USING (vec_id)),
+       |pallsub AS MATERIALIZED (
+       |  SELECT vec_id, j // $subDim AS s, j % $subDim AS sj, x FROM pn),
+       |psamp AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk
+       |  FROM embeddings ORDER BY vec_id LIMIT $sampleN),
+       |pns AS (SELECT count(*) AS n FROM psamp),
+       |psub AS MATERIALIZED (
+       |  SELECT p.vec_id, p.s, p.sj, p.x FROM pallsub p JOIN psamp USING (vec_id)),
+       |cb0 AS MATERIALIZED (
+       |  SELECT t.s, t.k, ps.sj, ps.x AS v
+       |  FROM (SELECT a.s, b.k FROM (SELECT unnest(range($m)) AS s) a, (SELECT unnest(range($ksub)) AS k) b) t
+       |  JOIN psamp ON psamp.rk = (t.k * (SELECT n FROM pns)) // $ksub
+       |  JOIN psub ps ON ps.vec_id = psamp.vec_id AND ps.s = t.s),
+       |$rounds,
+       |enc_d AS (
+       |  SELECT p.vec_id, cb.s, cb.k,
+       |    sum((CAST(p.x AS DOUBLE) - CAST(cb.v AS DOUBLE)) * (CAST(p.x AS DOUBLE) - CAST(cb.v AS DOUBLE))) AS dist
+       |  FROM pallsub p JOIN cb$iters cb ON p.s = cb.s AND p.sj = cb.sj
+       |  GROUP BY 1, 2, 3),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, s, k AS code FROM (
+       |    SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, k ASC) AS rn
+       |    FROM enc_d) WHERE rn = 1),
+       |qtab AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, cb.s, cb.k,
+       |         sum(CAST(q.x AS DOUBLE) * CAST(cb.v AS DOUBLE)) AS t
+       |  FROM pallsub q JOIN cb$iters cb ON q.s = cb.s AND q.sj = cb.sj
+       |  WHERE q.vec_id < 5 GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT qt.query_id, c.vec_id, round(sum(qt.t), 4) AS adc_score
+       |  FROM codes c JOIN qtab qt ON qt.s = c.s AND qt.k = c.code
+       |  WHERE c.vec_id <> qt.query_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ann_pq_occupancy" ->
+      s"""WITH ${pqCte()}
+         |SELECT CAST(s AS INT) AS subspace, count(DISTINCT code) AS codes_used, count(*) AS n
+         |FROM codes GROUP BY s ORDER BY subspace""".stripMargin,
+    "ann_pq_search" ->
+      s"""WITH ${pqCte()}
+         |SELECT query_id, vec_id, adc_score, rn FROM (
+         |  SELECT query_id, vec_id, adc_score,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS INT) AS rn
+         |  FROM adc) WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // IVFADC: same learned lists (Ivf.kmeansCte) restrict the ADC
+    // ranking to each query's nProbe probed lists
+    "ann_ivfpq_search" ->
+      s"""WITH ${Ivf.kmeansCte()},
+         |${pqCte()},
+         |iprobes AS (
+         |  SELECT vec_id AS query_id, CAST(c AS INT) AS list_id FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+         |    FROM fsc WHERE vec_id < 5) WHERE rn <= ${Ivf.NProbe}),
+         |probed AS (
+         |  SELECT a.query_id, a.vec_id, l.list_id, a.adc_score
+         |  FROM adc a JOIN lists l ON l.vec_id = a.vec_id
+         |  JOIN iprobes p ON p.query_id = a.query_id AND p.list_id = l.list_id)
+         |SELECT query_id, vec_id, list_id, adc_score, rn FROM (
+         |  SELECT query_id, vec_id, list_id, adc_score,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS INT) AS rn
+         |  FROM probed) WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+  )
 }
