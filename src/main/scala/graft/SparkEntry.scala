@@ -21,6 +21,7 @@ object SparkEntry {
       (Parity.queries, Parity.oracles),
       (ext.Text.queries, ext.Text.oracles),
       (ext.Dedup.queries, ext.Dedup.oracles),
+      (ext.SuffixDedup.queries, ext.SuffixDedup.oracles),
       (ext.Cluster.queries, ext.Cluster.oracles),
       (ext.Retrieval.queries, ext.Retrieval.oracles),
       (ext.Similarity.queries, ext.Similarity.oracles),

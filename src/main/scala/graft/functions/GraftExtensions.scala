@@ -95,6 +95,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[AnchoredSpans].getName, "anchored_spans"),
       (args: Seq[Expression]) =>
         AnchoredSpans(args.head, intArg(args(1), "window"), intArg(args(2), "modulus"))),
+    ("common_prefix_length",
+      new ExpressionInfo(classOf[CommonPrefixLength].getName, "common_prefix_length"),
+      (args: Seq[Expression]) => CommonPrefixLength(args.head, args(1))),
     // the standard quality-gate stopword set (same list every caller uses)
     ("text_stats",
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),

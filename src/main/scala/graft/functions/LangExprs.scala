@@ -375,6 +375,121 @@ case class AnchoredSpans(child: Expression, window: Int, modulus: Int)
       s"${ev.value} = graft.functions.AnchoredSpans.compute($c.getBytes(), $window, $modulus);")
 }
 
+/** Word-aligned suffix windows in one compiled byte-walk: for every
+  * position that starts the text or follows a space codepoint, emit
+  * (char offset, leading `cap`-codepoint window), for
+  * [[graft.ext.SuffixDedup]]. The composed
+  * explode(sequence)+substring(text, off, 1) form pays an O(off) UTF-8
+  * re-seek PER POSITION — quadratic per document, the same trap
+  * [[AnchoredSpans]] exists to avoid (measured 7.1 s → 1.4 s at sf0.1
+  * for dedup_suffix); this walk slices each window by precomputed byte
+  * offsets. Semantics mirror the oracle's
+  * `off = 0 OR substr(text, off, 1) = ' '` exactly (the PRECEDING char
+  * decides; consecutive spaces emit consecutive starts).
+  */
+case class WordSuffixWindows(child: Expression, cap: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("off", IntegerType, nullable = false),
+      StructField("win", StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_suffix_windows"
+  override protected def withNewChildInternal(newChild: Expression): WordSuffixWindows =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    WordSuffixWindows.compute(input.asInstanceOf[UTF8String].getBytes, cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordSuffixWindows.compute($c.getBytes(), $cap);")
+}
+
+object WordSuffixWindows {
+  def compute(bytes: Array[Byte], cap: Int): GenericArrayData = {
+    val len = bytes.length
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    // one pass: byte offset per char (same layout as AnchoredSpans)
+    var offs = new Array[Int](math.max(len / 2, 8))
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      if (nChars == offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+      offs(nChars) = i
+      nChars += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nChars / 6 + 1)
+    var s = 0
+    while (s < nChars) {
+      if (s == 0 || bytes(offs(s - 1)) == ' ') {
+        val from = offs(s)
+        val until = if (s + cap < nChars) offs(s + cap) else len
+        out += InternalRow(s,
+          UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until)))
+      }
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(text: Column, cap: Int): Column =
+    Bridge.toColumn(WordSuffixWindows(Bridge.toExpression(text), cap))
+}
+
+/** Common prefix length of two strings in CODEPOINTS, as one compiled
+  * byte-walk: UTF-8 byte order equals codepoint order, so the shared
+  * prefix is found by comparing whole codepoint blocks until the first
+  * mismatch — no decoding, no per-character substring calls. Used by
+  * [[graft.ext.SuffixDedup]] for adjacent-suffix LCP; mirrors the
+  * oracle's per-character substr comparison exactly (char granularity —
+  * a mismatch inside a multi-byte codepoint does not count the partial
+  * codepoint).
+  */
+case class CommonPrefixLength(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "common_prefix_length"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonPrefixLength =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CommonPrefixLength.compute(
+      a.asInstanceOf[UTF8String].getBytes, b.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CommonPrefixLength.compute($a.getBytes(), $b.getBytes());")
+}
+
+object CommonPrefixLength {
+  def compute(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var chars = 0
+    while (i < n) {
+      val nb = UTF8String.numBytesForFirstByte(a(i))
+      if (i + nb > a.length || i + nb > b.length) return chars
+      var j = 0
+      while (j < nb) {
+        if (a(i + j) != b(i + j)) return chars
+        j += 1
+      }
+      i += nb
+      chars += 1
+    }
+    chars
+  }
+
+  def apply(a: Column, b: Column): Column =
+    Bridge.toColumn(CommonPrefixLength(Bridge.toExpression(a), Bridge.toExpression(b)))
+}
+
 object AnchoredSpans {
 
   def compute(bytes: Array[Byte], window: Int, modulus: Int): GenericArrayData = {

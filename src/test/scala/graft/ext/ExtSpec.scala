@@ -754,6 +754,45 @@ class ExtSpec extends SparkSuite {
     assert(unique.count() === 0)
   }
 
+  test("suffix-adjacency dedup ranks the planted doc pair first with the capped LCP") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "auditors review quarterly filings beside the riverbank pavilion" // > 64 chars
+    val docs = Seq(
+      (1L, s"alpha preamble $passage trailing one"),
+      (2L, s"completely different opening words here $passage"),
+      (3L, "unrelated mountain weather turned suddenly cold overnight"),
+      (4L, "quarterly revenue exceeded expectations despite narrowed margins"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = SuffixDedup.suffixDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // the planted pair wins with the full cap: the shared passage is
+    // longer than LcpCap, so its word-aligned suffixes meet the cap
+    val top = out.head
+    assert((top._1, top._2) === (1L, 2L), s"top pair: $out")
+    assert(top._3 === SuffixDedup.LcpCap)
+    // several word-aligned starts inside the passage collide adjacently
+    assert(top._4 > 3)
+    // docs 3 and 4 share no span: any pair involving them stays far
+    // below the planted score
+    out.tail.foreach { p => assert(p._3 < 30, s"unexpected long span: $p") }
+  }
+
+  test("common_prefix_length counts codepoints and stops at multi-byte mismatches") {
+    import graft.functions.CommonPrefixLength
+    val cpl = CommonPrefixLength.compute _
+    def f(a: String, b: String) = cpl(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    assert(f("abcdef", "abcxyz") === 3)
+    assert(f("same", "same") === 4)
+    assert(f("", "anything") === 0)
+    assert(f("héllo wörld", "héllo wqrld") === 7, "multi-byte é counts as ONE codepoint")
+    assert(f("日本語テキスト", "日本語テスト") === 4)
+    // mismatch INSIDE a codepoint's bytes must not count the partial char
+    assert(f("aé", "aè") === 1)
+  }
+
   test("deflate ratio separates repetitive text from prose and is deterministic") {
     import spark.implicits._
     val rep = "spam spam spam spam " * 50
