@@ -780,6 +780,31 @@ class ExtSpec extends SparkSuite {
     out.tail.foreach { p => assert(p._3 < 30, s"unexpected long span: $p") }
   }
 
+  test("native WordSuffixWindows matches the composed explode+filter formulation") {
+    val docs = Tables.documents(spark, dir).filter(col("n_chars") > 0)
+    val composed = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (col("n_chars") - 1).cast("int"))).as("off"),
+        col("text"))
+      .filter(col("off") === 0 || expr("substring(text, off, 1)") === " ")
+      .select(col("doc_id"), col("off"), expr("substring(text, off + 1, 64)").as("win"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val native = docs
+      .select(col("doc_id"),
+        explode(graft.functions.WordSuffixWindows(col("text"), 64)).as("sw"))
+      .select(col("doc_id"), col("sw.off"), col("sw.win"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(native.nonEmpty)
+    assert(native === composed)
+    // multi-byte text: offsets are codepoints, windows slice by chars
+    import spark.implicits._
+    val uni = Seq((1L, "héllo wörld däta")).toDF("doc_id", "text")
+    val got = uni.select(explode(graft.functions.WordSuffixWindows(col("text"), 5)).as("sw"))
+      .select(col("sw.off"), col("sw.win"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((0, "héllo"), (6, "wörld"), (12, "däta")))
+  }
+
   test("common_prefix_length counts codepoints and stops at multi-byte mismatches") {
     import graft.functions.CommonPrefixLength
     val cpl = CommonPrefixLength.compute _
