@@ -50,7 +50,9 @@ object Bench {
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          errors += name -> e.toString.replaceAll("[\"\\\\\\n\\r]", " ").take(160)
+          // strip everything that would need JSON escaping (quotes,
+          // backslashes, ALL control chars — stack traces carry tabs)
+          errors += name -> e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
           None
       }
     }
