@@ -46,17 +46,26 @@ object SuffixDedup {
   def qSuffixDups(spark: SparkSession, dir: String): DataFrame =
     suffixDups(Tables.documents(spark, dir))
 
-  def suffixDups(docs: DataFrame, topK: Int = TopK): DataFrame = {
-    val pos = docs.filter(col("n_chars") > 0)
+  /** The pre-materialization stage: word-aligned windows exploded by
+    * the compiled byte-walk, range-partitioned into the suffix order
+    * (disjoint ordered partitions — the basis for exact global ranks).
+    * Exposed so PlanSpec can assert this stage's shape; suffixDups
+    * checkpoints it (two downstream passes: partition counts + ranked
+    * adjacency).
+    */
+  def rankedInput(docs: DataFrame): DataFrame =
+    docs.filter(col("n_chars") > 0)
       .select(col("doc_id"),
         explode(graft.functions.WordSuffixWindows(col("text"), LcpCap)).as("sw"))
       .select(col("doc_id"), col("sw.off").as("off"), col("sw.win").as("win"))
+      .repartitionByRange(col("win"), col("doc_id"), col("off"))
+      .withColumn("pid", spark_partition_id())
+
+  def suffixDups(docs: DataFrame, topK: Int = TopK): DataFrame = {
     // global suffix rank: range partitions are disjoint and ordered, so
     // partition-local row numbers plus cumulative partition offsets are
     // the exact global sort position (the qNtile technique)
-    val parts = pos.repartitionByRange(col("win"), col("doc_id"), col("off"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+    val parts = rankedInput(docs).localCheckpoint()
     val counts = parts.groupBy(col("pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nParts = if (counts.isEmpty) 1 else counts.keys.max + 1

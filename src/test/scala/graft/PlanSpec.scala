@@ -386,6 +386,23 @@ class PlanSpec extends SparkSuite {
       s"df cap must be below the candidate join (join@$joinAt, df@$dfFilterAt):\n" + p)
   }
 
+  test("suffix dedup: range-sorted windows, keyed adjacency join, native byte-walks") {
+    // stage 1 (pre-checkpoint): the compiled window walk feeds ONE
+    // range partition on the capped windows (the capped-LCP equivalence
+    // that replaces prefix-doubling rounds)
+    val stage = planOf(graft.ext.SuffixDedup.rankedInput(
+      Tables.documents(spark, dir)))
+    assert(stage.toLowerCase.contains("rangepartitioning"),
+      "window sort must be a range partition:\n" + stage)
+    assert(stage.contains("word_suffix_windows"), "native window walk missing:\n" + stage)
+    // stage 2: adjacency joins on rank — never all-pairs — and the LCP
+    // is the compiled byte-walk
+    val p = planOf(graft.ext.SuffixDedup.qSuffixDups(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "adjacency must join on rank, never all-pairs:\n" + p)
+    assert(p.contains("common_prefix_length"), "native LCP missing:\n" + p)
+  }
+
   test("nb classifier scores in ONE tokenize pass with a top-k vocab") {
     val p = planOf(graft.ext.Text.qTextNbLang(spark, dir))
     val tree = p.substring(0, p.indexOf("(1) Scan"))

@@ -113,6 +113,42 @@ class SketchPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("CommonPrefixLength equals a naive codepoint reference on unicode text") {
+    def reference(a: String, b: String): Int = {
+      val ca = a.codePoints().toArray
+      val cb = b.codePoints().toArray
+      var i = 0
+      while (i < math.min(ca.length, cb.length) && ca(i) == cb(i)) i += 1
+      i
+    }
+    val pairs = samples(uniText, 200)
+    pairs.sliding(2).foreach { case Seq(a, b) =>
+      val got = CommonPrefixLength.compute(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      assert(got === reference(a, b), s"a=${a.take(30)} b=${b.take(30)}")
+      // and against a shifted copy of itself: long guaranteed prefixes
+      val self = a + "X"
+      assert(CommonPrefixLength.compute(
+        a.getBytes("UTF-8"), self.getBytes("UTF-8")) === a.codePointCount(0, a.length))
+    }
+  }
+
+  test("WordSuffixWindows equals a naive codepoint reference on unicode text") {
+    def reference(s: String, cap: Int): Seq[(Int, String)] = {
+      val cps = s.codePoints().toArray
+      (0 until cps.length)
+        .filter(i => i == 0 || cps(i - 1) == ' ')
+        .map(i => (i, new String(cps, i, math.min(cap, cps.length - i))))
+    }
+    samples(uniText, 200).filter(_.nonEmpty).foreach { s =>
+      val got = WordSuffixWindows.compute(s.getBytes("UTF-8"), 8)
+        .array.map { r =>
+          val row = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          (row.getInt(0), row.getUTF8String(1).toString)
+        }.toSeq
+      assert(got === reference(s, 8), s"text=${s.take(40)}")
+    }
+  }
+
   test("DeflateRatio: monotone under repetition, deterministic, defined on empty") {
     samples(uniText, 100).foreach { s =>
       val r1 = DeflateRatio.ratio(s.getBytes("UTF-8"))
