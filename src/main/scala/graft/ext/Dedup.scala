@@ -673,9 +673,12 @@ object Dedup {
     * |kept shingles|·maxDf — corpus-size-independent, which is what
     * lets the same plan run at 100 TB. With the cap, pairwise work is
     * bounded by capped per-shingle document frequency, never corpus².
-    * One shuffle on the shingle (the df aggregate reuses the same
-    * exchange), one on the (src,dst) pair; the per-source size table
-    * joins back without a hint (AQE broadcasts it while it fits).
+    * The STOP set (df > maxDf) is the bounded artifact — at most
+    * occurrences/maxDf rows — so it materializes once and the source
+    * side drops it via broadcast anti join; one shuffle on the shingle
+    * for the candidate join, one on the (src,dst) pair; the per-source
+    * size table joins back without a hint (AQE broadcasts it while it
+    * fits).
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     dedupContainmentDf(Tables.documents(spark, dir))
@@ -689,18 +692,24 @@ object Dedup {
       maxChars: Int = 400, maxDf: Int = ContainmentMaxDf): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
-    // informative = shingles in at most maxDf docs (WordShingles emits
-    // distinct shingles per doc, so count(*) IS document frequency)
-    val informative = grams.groupBy(col("s"))
-      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    // stop = shingles in MORE than maxDf docs (WordShingles emits
+    // distinct shingles per doc, so count(*) IS document frequency).
+    // The stop set — not its informative complement — is the bounded
+    // artifact: |stop| ≤ total shingle occurrences / maxDf, tiny at any
+    // corpus size, so it materializes once (localCheckpoint) and the
+    // source side drops it with a broadcast ANTI join instead of
+    // shuffling a corpus-sized informative table.
+    val stop = grams.groupBy(col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
       .select(col("s"))
+      .localCheckpoint()
     // filtering the SOURCE side alone caps both sides: the candidate
     // join is an equi join on s, so a dst row only survives when it
     // shares an informative shingle with some source row
     val aGrams = docs.filter(col("n_chars") < maxChars)
       .select(col("doc_id").as("src_id"),
         explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
-      .join(informative, "s")
+      .join(stop, Seq("s"), "left_anti")
     val aSize = aGrams.groupBy(col("src_id")).agg(count(lit(1)).as("n_src"))
     aGrams.join(grams.withColumnRenamed("doc_id", "dst_id"), "s")
       .filter(col("src_id") =!= col("dst_id"))

@@ -367,23 +367,18 @@ class PlanSpec extends SparkSuite {
       "pair generation must be key-based:\n" + p)
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
     // the stop-shingle df cap must restrict the join INPUT, not the
-    // output: the df <= maxDf filter has to sit below the candidate
-    // join (per-shingle work is df² — unbounded df is quadratic on
-    // corpus-scale stop-shingles). Conditions live in the details
-    // section, so find the Filter node carrying the cap there, then
-    // check its position in the tree: descendants print after their
-    // ancestor join.
-    val dfFilterId = raw"\((\d+)\) Filter".r.findAllMatchIn(p).collectFirst {
-      case m if p.substring(m.start, math.min(p.length, m.end + 200)).contains("<= 256") =>
-        m.group(1)
-    }
-    assert(dfFilterId.nonEmpty, "no Filter node with the df <= 256 cap in the plan:\n" + p)
+    // output: the anti join against the (bounded, checkpointed) stop
+    // set has to sit below the candidate join — per-shingle work is
+    // df², unbounded df is quadratic on corpus-scale stop-shingles.
+    // (The df > maxDf filter itself runs in the checkpoint job, which
+    // this plan sees as a leaf.)
     val tree = p.substring(0, p.indexOf("(1) Scan"))
     val lines = tree.linesIterator.toSeq
-    val joinAt = lines.indexWhere(l => l.contains("Join"))
-    val dfFilterAt = lines.indexWhere(_.contains(s"Filter (${dfFilterId.get})"))
-    assert(joinAt >= 0 && dfFilterAt > joinAt,
-      s"df cap must be below the candidate join (join@$joinAt, df@$dfFilterAt):\n" + p)
+    val joinAt = lines.indexWhere(l => l.contains("Join") && !l.contains("LeftAnti"))
+    val antiAt = lines.indexWhere(_.contains("LeftAnti"))
+    assert(antiAt >= 0, "stop-shingle anti join missing:\n" + p)
+    assert(joinAt >= 0 && antiAt > joinAt,
+      s"df cap must be below the candidate join (join@$joinAt, anti@$antiAt):\n" + p)
   }
 
   test("suffix dedup: range-sorted windows, keyed adjacency join, native byte-walks") {
