@@ -227,8 +227,14 @@ object Cluster {
   }
 
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    // the pair table is the BOUNDED near-dup output — materialize it
+    // once: triangleStats references its edges ~20 times (sym, deg,
+    // orientation, both wedge legs, the closing join), and without the
+    // checkpoint each reference replays the whole MinHash candidate
+    // pipeline (measured: 41 Generate nodes in the final plan)
     triangleStats(Dedup.dedupMinhash(spark, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint())
 
   /** Per-node CORENESS (the largest k such that the node survives in the
     * k-core) via iterative h-index refinement (Montresor et al., the
@@ -287,8 +293,11 @@ object Cluster {
   }
 
   def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    // one materialization of the bounded pair table serves both the
+    // degree view and the coreness iteration's symmetric edge set
     val edges = Dedup.dedupMinhash(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint()
     val deg = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("deg"))
     coreness(edges)
