@@ -267,6 +267,11 @@ object Dedup {
     val prefix = ranked
       .select(col("doc_id"), explode(slice(col("toks"), lit(1), col("plen"))).as("p"))
       .select(col("doc_id"), col("p.s").as("s"))
+      // both sides of the candidate self-join consume this — without
+      // the materialization each side replays the whole rank pipeline
+      // (explode, df join, per-doc sort); the prefix table is ~(1-t) of
+      // the shingle table, the smallest thing worth keeping
+      .localCheckpoint()
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
