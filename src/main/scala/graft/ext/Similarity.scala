@@ -348,6 +348,35 @@ object Similarity {
   def qEmbedStats(spark: SparkSession, dir: String): DataFrame =
     embedStats(Tables.embeddings(spark, dir))
 
+  /** Hard-negative mining (the DPR/contrastive-training data op): for
+    * each query vector, the k most SIMILAR vectors with a DIFFERENT
+    * label — the negatives that actually teach a retriever, sitting
+    * just across the decision boundary (random negatives are trivially
+    * separable). The label plays the relevance proxy; the per-query
+    * label inequality makes this the anti-filtered twin of
+    * [[annTopkFiltered]]'s pre-filter shape: queries broadcast (they
+    * are training batch metadata), the corpus is scanned once, the
+    * inequality prunes before ranking, and the per-query window ranks
+    * survivors. The exact scan is the baseline; the LSH/IVF serving
+    * layouts are the corpus-scale path for the same ranking.
+    */
+  def qHardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("query_emb")), 4).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_stats" -> (qEmbedStats _),
     "ann_topk" -> ((s: SparkSession, d: String) => annTopk(s, d)),
@@ -357,6 +386,7 @@ object Similarity {
     "ann_topk_batch" -> ((s: SparkSession, d: String) => annTopkBatch(s, d)),
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_search" -> (annLshSearchQuery _),
+    "ann_hard_negatives" -> ((s: SparkSession, d: String) => qHardNegatives(s, d)),
   )
 
   /** The SRP hyperplane table is DATA-INDEPENDENT (a splitmix64 hash of
@@ -392,6 +422,18 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb, label AS qlabel
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, e.label,
+        |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) AS cosine
+        |  FROM embeddings e, q WHERE e.label <> q.qlabel),
+        |rk AS (SELECT query_id, vec_id, label, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id, label, cosine, rn FROM rk
+        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // SRP signatures recomputed from the embedded hyperplane table
     "ann_lsh_buckets" ->
       s"""WITH ${srpSigCte()}

