@@ -742,6 +742,68 @@ object Dedup {
     "dedup_spans" -> (dedupSpans _),
   )
 
+  /** `(x * k) mod 2^64` over a UBIGINT SQL expression with the multiply
+    * split into 32-bit halves of k — the direct HUGEINT product of two
+    * 64-bit values overflows INT128.
+    */
+  private def mulMod64(x: String, k: BigInt): String = {
+    val m = BigInt(1) << 64
+    val (kh, kl) = (k >> 32, k & 0xffffffffL)
+    s"""CAST(CAST(((CAST($x AS HUGEINT) * $kl) +
+       |  ((((CAST($x AS HUGEINT) % 4294967296) * $kh) % 4294967296) * 4294967296))
+       |  % CAST('$m' AS HUGEINT) AS HUGEINT) AS UBIGINT)""".stripMargin
+  }
+
+  /** See the `dedup_simhash` entry in [[oracles]]. Mirrors
+    * [[graft.functions.Sketches.shingleBaseHashes]] byte-for-byte:
+    * 3-token shingles each serialized as `tok1 tok2 tok3 ` (separator
+    * AFTER every token), FNV-1a (offset 0xcbf29ce484222325, prime
+    * 0x100000001b3) over the UTF-8 bytes, then the splitmix avalanche;
+    * [[graft.functions.Sketches.simhash]]'s distinct-hash bit votes
+    * build the signed 64-bit simhash.
+    */
+  private lazy val simhashOracleSql: String = {
+    val m = BigInt(1) << 64
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ') || ' ']
+       |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ') END) AS s
+       |  FROM t),
+       |us AS (SELECT DISTINCT s FROM sh),
+       |sb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS olen FROM us),
+       |fnv AS (
+       |  SELECT s, hx, olen, 1 AS pos, CAST(${BigInt("cbf29ce484222325", 16)} AS UBIGINT) AS h FROM sb
+       |  UNION ALL
+       |  SELECT s, hx, olen, pos + 1,
+       |    ${mulMod64("xor(h, CAST('0x' || substr(hx, 2 * pos - 1, 2) AS UBIGINT))", BigInt("100000001b3", 16))}
+       |  FROM fnv WHERE pos <= olen),
+       |base AS (SELECT s, h FROM fnv WHERE pos = olen + 1),
+       |av1 AS (SELECT s, ${mulMod64("xor(h, h >> 30)", BigInt("bf58476d1ce4e5b9", 16))} AS h FROM base),
+       |av2 AS (SELECT s, ${mulMod64("xor(h, h >> 27)", BigInt("94d049bb133111eb", 16))} AS h FROM av1),
+       |av AS (SELECT s, xor(h, h >> 31) AS h FROM av2),
+       |dh AS (SELECT DISTINCT sh.doc_id, av.h FROM sh JOIN av USING (s)),
+       |bits AS (SELECT CAST(unnest(range(64)) AS INT) AS bit),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM dh CROSS JOIN bits GROUP BY 1, 2),
+       |sim_u AS (
+       |  SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS hu
+       |  FROM votes GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN hu >= CAST('${BigInt(1) << 63}' AS HUGEINT)
+       |      THEN hu - CAST('$m' AS HUGEINT) ELSE hu END AS BIGINT) AS simhash
+       |  FROM sim_u)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
     * exact all-pairs word-3-gram jaccard >= 0.8 truth. Shared by the
     * `dedup_minhash` oracle and the `dedup_cluster` transitive closure
@@ -847,6 +909,15 @@ object Dedup {
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin,
+    // the full SimHash pipeline reproduced in SQL: FNV-1a per shingle
+    // via a recursive CTE over byte positions (wraparound multiply in
+    // split 32-bit halves — a 64x64 product overflows INT128), the
+    // splitmix-style avalanche as UBIGINT shift/xor + the same split
+    // multiplies, distinct-hash bit votes, and the signed-long simhash.
+    // The oracle then takes ALL pairs at hamming <= 3 directly: the
+    // 4-chunk pigeonhole the Spark side uses for candidate generation
+    // has recall exactly 1 at this radius, so the outputs coincide.
+    "dedup_simhash" -> simhashOracleSql,
     // the IVF assignment recomputed by the unrolled-Lloyd's oracle
     // (Ivf.kmeansCte — bit-identical centroids, see its scaladoc);
     // within-list pairs at cosine >= tau, higher id dropped
