@@ -211,7 +211,10 @@ object Text {
     // one row per document. The explode runs once per branch, but
     // re-running a pure map over a columnar scan is far cheaper than
     // exchanging the un-aggregated pairs.
+    // bounded (alphabet³) model aggregate, consumed by both the context
+    // rollup and the model join — materialize once
     val triCounts = tris.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val biCounts = triCounts.groupBy(substring(col("g"), 1, 2).as("b"))
       .agg(sum(col("cnt")).as("ctx"))
     val model = triCounts
@@ -349,13 +352,19 @@ object Text {
 
   def pmiBigrams(docs: DataFrame, minCount: Int, k: Int): DataFrame = {
     import graft.functions.WordShingles
+    // both count tables are BOUNDED (vocab-sized) aggregates consumed
+    // by multiple branches (totals + the lookup joins) — materialize
+    // each once so the corpus tokenizes exactly twice (unigram pass +
+    // bigram pass) instead of once per consuming branch
     val uni = docs
       .select(explode(TextFns.tokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .localCheckpoint()
     val uniTotal = uni.agg(sum(col("c_w")).as("n_uni"))
     val bigAll = docs
       .select(explode(WordShingles(lower(col("text")), 2, distinct = false)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
     val bigTotal = bigAll.agg(sum(col("c_xy")).as("n_big"))
     bigAll.filter(col("c_xy") >= minCount)
       .withColumn("w1", split(col("bg"), " ").getItem(0))
