@@ -98,6 +98,9 @@ object GraftFunctions {
     ("common_prefix_length",
       new ExpressionInfo(classOf[CommonPrefixLength].getName, "common_prefix_length"),
       (args: Seq[Expression]) => CommonPrefixLength(args.head, args(1))),
+    ("word_suffix_windows",
+      new ExpressionInfo(classOf[WordSuffixWindows].getName, "word_suffix_windows"),
+      (args: Seq[Expression]) => WordSuffixWindows(args.head, intArg(args(1), "cap"))),
     // the standard quality-gate stopword set (same list every caller uses)
     ("text_stats",
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),

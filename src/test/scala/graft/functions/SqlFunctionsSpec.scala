@@ -46,7 +46,8 @@ class SqlFunctionsSpec extends SparkSuite {
         "shingle_hash_set", "jaccard_sorted", "dot_product", "morton_interleave",
         "lang_id", "word_shingles", "char_ngrams", "repetition_stats",
         "quantize_int8", "dequantize_int8", "char_bitmap", "srp_signature",
-        "deflate_ratio", "anchored_spans", "common_prefix_length", "text_stats"))
+        "deflate_ratio", "anchored_spans", "common_prefix_length",
+        "word_suffix_windows", "text_stats"))
     assert(ext != null)
   }
 
