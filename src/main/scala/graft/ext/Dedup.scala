@@ -756,8 +756,13 @@ object Dedup {
 
   /** See the `dedup_simhash` entry in [[oracles]]. Mirrors
     * [[graft.functions.Sketches.shingleBaseHashes]] byte-for-byte:
-    * 3-token shingles each serialized as `tok1 tok2 tok3 ` (separator
-    * AFTER every token), FNV-1a (offset 0xcbf29ce484222325, prime
+    * tokens are the non-empty `\s+` splits (list_filter drops the empty
+    * splits, matching the JVM byte-walk on leading/trailing whitespace of
+    * ANY kind, not just ' '), 3-token shingles each serialized as
+    * `tok1 tok2 tok3 ` (separator AFTER every token), a ZERO-token text
+    * serialized as the empty byte string (so its hash is the avalanche of
+    * the bare FNV offset, exactly the JVM no-token branch), FNV-1a
+    * (offset 0xcbf29ce484222325, prime
     * 0x100000001b3) over the UTF-8 bytes, then the splitmix avalanche;
     * [[graft.functions.Sketches.simhash]]'s distinct-hash bit votes
     * build the signed 64-bit simhash.
@@ -765,10 +770,11 @@ object Dedup {
   private lazy val simhashOracleSql: String = {
     val m = BigInt(1) << 64
     s"""WITH RECURSIVE t AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id,
-       |    unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ') || ' ']
+       |    unnest(CASE WHEN len(w) = 0 THEN ['']
+       |      WHEN len(w) < 3 THEN [array_to_string(w, ' ') || ' ']
        |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ') END) AS s
        |  FROM t),
        |us AS (SELECT DISTINCT s FROM sh),

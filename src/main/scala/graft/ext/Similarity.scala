@@ -409,7 +409,10 @@ object Similarity {
   def srpSigCte(d: Int = 64): String = {
     val rows = for (bit <- 0 until LshBits; j <- 0 until d) yield {
       val h = srpMix(bit.toLong << 32 | j.toLong).toDouble / Long.MaxValue
-      f"($bit,$j,$h%.17g)"
+      // Locale.ROOT: the default-locale f"" interpolator would emit comma
+      // decimal separators on e.g. a de_DE JVM, breaking the VALUES literal.
+      String.format(java.util.Locale.ROOT, "(%d,%d,%.17g)",
+        Int.box(bit), Int.box(j), Double.box(h))
     }
     s"""hp(bit, j, h) AS (VALUES ${rows.mkString(",")}),
        |srpee AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,

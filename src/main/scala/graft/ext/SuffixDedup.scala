@@ -61,11 +61,31 @@ object SuffixDedup {
       .repartitionByRange(col("win"), col("doc_id"), col("off"))
       .withColumn("pid", spark_partition_id())
 
+  /** Materializes the exploded window stage to a parquet scratch path and
+    * reads it back. The exploded windows amplify the corpus ~10× (one
+    * ~64-byte window per ~6-char word of prose), so the materialization
+    * discipline matters at scale: parquet scratch is spill-safe (columnar,
+    * compressed — the windows are highly redundant), fault-tolerant (an
+    * executor loss re-reads files instead of killing the job, which a
+    * `localCheckpoint` of a ~10× blow-up would at 100 TB), and resumable.
+    * Production points `spark.graft.scratchDir` at durable shared storage
+    * (HDFS/S3); the default is a JVM temp dir, right for local runs.
+    */
+  private def stageRanked(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val scratch = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(root), "suffix_sa").toString
+    rankedInput(docs).write.mode("overwrite").parquet(scratch)
+    spark.read.parquet(scratch)
+  }
+
   def suffixDups(docs: DataFrame, topK: Int = TopK): DataFrame = {
     // global suffix rank: range partitions are disjoint and ordered, so
     // partition-local row numbers plus cumulative partition offsets are
     // the exact global sort position (the qNtile technique)
-    val parts = rankedInput(docs).localCheckpoint()
+    val parts = stageRanked(docs)
     val counts = parts.groupBy(col("pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nParts = if (counts.isEmpty) 1 else counts.keys.max + 1

@@ -565,8 +565,9 @@ object Text {
     * `bpe_encode` expression that encodes every document inside
     * whole-stage codegen. Output is the per-doc tokenization profile
     * (fertility = subwords per word — THE metric tokenizer work
-    * optimizes). Declared no-oracle: the greedy rank-ordered merge
-    * recursion is not ANSI-expressible; semantics are pinned by
+    * optimizes). Oracle-checked end to end (training AND encoding) by
+    * [[bpeOracleSql]] — 40 unrolled merge-round CTEs plus a recursive
+    * greedy-encode CTE; semantics are additionally pinned by
     * SketchPropertiesSpec (roundtrip, full application, frequent-word
     * compression) and a determinism check.
     */
@@ -717,7 +718,97 @@ object Text {
        |FROM afp a JOIN bfp b ON a.doc_id = b.doc_id
        |ORDER BY a.doc_id""".stripMargin
 
+  /** Full-pipeline DuckDB oracle for `text_bpe`: the 40-round training
+    * loop is UNROLLED as chained CTEs (the Lloyd's/matrix-squaring
+    * technique), and the greedy rank-ordered encode is a recursive CTE
+    * over the distinct vocabulary. Key representation trick: a word's
+    * symbol sequence is ONE chr(31)-delimited string (US-separator
+    * sentinels around every symbol), so the Scala kernel's non-overlapping
+    * left-to-right `mergeAll` is exactly SQL `replace()` — both consume
+    * the match and continue after the replacement (verified on the
+    * `.e.e.e.` overlap case), and a freshly merged symbol `a||b` can
+    * never re-match as the left operand `a` within the round (b is
+    * non-empty), so one `replace` per round IS the kernel's pass.
+    * Per training round k: count adjacent weighted pairs from the
+    * delimited strings (pure list ops), pick the best by
+    * (count DESC, a, b) with the count>=2 stop mirrored as an empty
+    * 1-row table (LEFT JOIN makes later rounds no-ops, which is stable:
+    * unchanged words keep producing no eligible pair). Encoding: each
+    * recursion step applies `replace` for the LOWEST-rank present pair
+    * (list_position against the rank-ordered pattern list; absent -> 0,
+    * filtered), terminating when no pair applies — at most |word|
+    * iterations. Character split `string_split(tok,'')` yields code
+    * points vs the kernel's UTF-16 units — identical for ASCII+BMP
+    * corpora (non-BMP text would diverge; the testdata is ASCII).
+    */
+  private lazy val bpeOracleSql: String = {
+    val numMerges = 40
+    val sampleWords = 2048
+    val U = "chr(31)"
+    val train = (0 until numMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT sy[i] AS a, sy[i+1] AS b, sum(c) AS cnt
+         |  FROM (SELECT c, list_filter(string_split(s, $U), x -> x <> '') AS sy FROM w$k),
+         |       unnest(range(1, len(sy))) AS r(i)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, $U||a||$U||b||$U AS pat, $U||a||b||$U AS rep
+         |  FROM p$k WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |w${k + 1} AS MATERIALIZED (
+         |  SELECT w.c, CASE WHEN b.pat IS NULL THEN w.s ELSE replace(w.s, b.pat, b.rep) END AS s
+         |  FROM w$k w LEFT JOIN b$k b ON true)""".stripMargin
+    }.mkString(",\n")
+    val mrgUnion = (0 until numMerges)
+      .map(k => s"SELECT $k AS rank, pat, rep FROM b$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, t.tok FROM documents,
+       |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)),
+       |freq AS MATERIALIZED (
+       |  SELECT tok, count(*) AS c FROM tok WHERE len(tok) > 0
+       |  GROUP BY tok ORDER BY c DESC, tok LIMIT $sampleWords),
+       |w0 AS MATERIALIZED (
+       |  SELECT c, $U || array_to_string(string_split(tok, ''), $U) || $U || '</w>' || $U AS s
+       |  FROM freq),
+       |$train,
+       |mrg AS ($mrgUnion),
+       |marr AS (SELECT list(pat ORDER BY rank) AS pats, list(rep ORDER BY rank) AS reps FROM mrg),
+       |vocab AS MATERIALIZED (SELECT DISTINCT tok FROM tok WHERE len(tok) > 0),
+       |enc AS (
+       |  SELECT tok,
+       |    $U || array_to_string(string_split(tok, ''), $U) || $U || '</w>' || $U AS s,
+       |    0 AS it
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT e.tok, replace(e.s, m.pats[e.bi], m.reps[e.bi]), e.it + 1
+       |  FROM (
+       |    SELECT tok, s, it,
+       |      list_min(list_filter(list_transform(
+       |        (SELECT list_transform(range(1, len(sy)), i -> $U||sy[i]||$U||sy[i+1]||$U)
+       |         FROM (SELECT list_filter(string_split(s, $U), x -> x <> '') AS sy)),
+       |        p -> list_position(m0.pats, p)), x -> x > 0)) AS bi
+       |    FROM enc, marr m0) e, marr m
+       |  WHERE e.bi IS NOT NULL AND e.it < 100),
+       |encf AS MATERIALIZED (
+       |  SELECT tok, list_filter(string_split(s, $U), x -> x <> '') AS subs
+       |  FROM (SELECT tok, s, row_number() OVER (PARTITION BY tok ORDER BY it DESC) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |occ AS (SELECT t.doc_id, e.subs FROM tok t JOIN encf e USING (tok)),
+       |agg AS (SELECT doc_id, CAST(sum(len(subs)) AS INTEGER) AS n_bpe_tokens FROM occ GROUP BY doc_id),
+       |typ AS (SELECT doc_id, CAST(count(DISTINCT sub) AS INTEGER) AS n_subword_types
+       |  FROM occ, unnest(subs) AS u(sub) GROUP BY doc_id),
+       |nws AS (SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_ws_tokens
+       |  FROM documents)
+       |SELECT n.doc_id, n.n_ws_tokens,
+       |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  coalesce(t.n_subword_types, 0) AS n_subword_types,
+       |  round(CAST(coalesce(a.n_bpe_tokens, 0) AS DOUBLE) / n.n_ws_tokens, 4) AS fertility
+       |FROM nws n LEFT JOIN agg a USING (doc_id) LEFT JOIN typ t USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe" -> bpeOracleSql,
     "text_fingerprint" -> fingerprintSql,
     // mirrors textZipf exactly: DECIMAL(18,9) moment quantization
     // before summing, double arithmetic in the same expression shape

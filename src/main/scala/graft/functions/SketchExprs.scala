@@ -73,11 +73,9 @@ object Sketches {
 
   // Mirrors Java \s (the tokenizer the DuckDB '\s+' oracles use):
   // space, tab, newline, vertical tab (0x0b), form feed, carriage return.
-  // Known edge (documented, not mirrored): split(trim(x), '\s+') yields an
-  // empty first token when text starts with a non-space whitespace char
-  // (trim strips only ' '); the byte-walk skips that empty token. Shingles
-  // differ only on such texts, and both sides of every pairwise comparison
-  // use the same tokenizer, so dedup semantics are unaffected.
+  // The simhash DuckDB oracle mirrors this walk exactly: tokens are the
+  // non-empty '\s+' splits (list_filter drops the empty edge splits), and a
+  // zero-token text hashes zero bytes (avalanche of the bare FNV offset).
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\r' || b == '\f'
 

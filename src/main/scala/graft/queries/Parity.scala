@@ -1281,11 +1281,16 @@ object Parity {
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= 2)
+    // NO broadcast hint on `singles`: it scales with the part catalog
+    // (millions of rows at a 100x catalog) — a forced hint would override
+    // AQE and OOM the driver. AQE still picks broadcast when it fits; at
+    // catalog scale it falls back to a sort-merge join keyed on the part
+    // id, which is the right plan. The 1-row nOrders broadcast is safe.
     pairs
-      .join(broadcast(singles.withColumnRenamed("pk", "p1")
-        .withColumnRenamed("n_item", "n1")), "p1")
-      .join(broadcast(singles.withColumnRenamed("pk", "p2")
-        .withColumnRenamed("n_item", "n2")), "p2")
+      .join(singles.withColumnRenamed("pk", "p1")
+        .withColumnRenamed("n_item", "n1"), "p1")
+      .join(singles.withColumnRenamed("pk", "p2")
+        .withColumnRenamed("n_item", "n2"), "p2")
       .crossJoin(broadcast(nOrders))
       .select(
         col("p1"), col("p2"), col("n_pair"), col("n1"), col("n2"),

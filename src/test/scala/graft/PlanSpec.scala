@@ -285,11 +285,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("market basket: pair self-join is a co-partitioned equi join, dims broadcast") {
+  test("market basket: pair self-join is a co-partitioned equi join, no forced dim broadcast") {
     val p = planOf(Parity.qMarketBasket(spark, dir))
     assert(!p.contains("CartesianProduct"),
       "pair generation must join on the basket key:\n" + p)
-    assert(p.contains("BroadcastHashJoin"), "single-item counts must broadcast:\n" + p)
+    // `singles` scales with the part catalog, so the query must NOT force
+    // a broadcast HINT on it (statistics-driven broadcasts are fine — they
+    // adapt with data size; a hint overrides AQE at any size). Only the
+    // 1-row nOrders aggregate carries a hint.
+    val df = Parity.qMarketBasket(spark, dir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size <= 1, s"only nOrders may be hinted, got ${hints.size}:\n" + p)
+    assert(p.contains("AdaptiveSparkPlan"),
+      "AQE must be on so the singles join can become broadcast at runtime:\n" + p)
   }
 
   test("merge-intervals: one shuffle on user_id serves both windows and the groupBy") {
