@@ -29,11 +29,12 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Int,
       n_frames: Int, features: Array[Float])
 
-  /** Media decode. Three REAL decoders — 24-bit uncompressed BMP and
+  /** Media decode. Four REAL decoders — 24-bit uncompressed BMP and
     * mono 16-bit PCM WAV (header + sample walk, no libraries) plus PNG
-    * via the JDK's `javax.imageio` — with a deterministic byte-histogram
+    * and JPEG via the JDK's `javax.imageio` (JPEG features quantized,
+    * see [[decodeJpeg]]) — with a deterministic byte-histogram
     * fallback for formats that need native codecs the sandbox lacks
-    * (JPEG, MP3, H.264). A production build
+    * (MP3, H.264). A production build
     * extends ONLY this object; the surrounding Spark plumbing (binary
     * column, partition-batched mapPartitions, feature schema) is format-
     * agnostic and unchanged.
@@ -136,9 +137,8 @@ object Multimodal {
 
     /** PNG decode via `javax.imageio` — pure JDK, no native libraries,
       * and PNG is lossless so decoded pixels are bit-identical to the
-      * encoded source on every compliant JVM (JPEG stays on the stub:
-      * its IDCT output may differ across JDK builds, which would break
-      * the deterministic-features contract). Dispatch is by the 8-byte
+      * encoded source on every compliant JVM (JPEG gets quantized
+      * features instead — see [[decodeJpeg]]). Dispatch is by the 8-byte
       * PNG signature; any parse failure returns None so the caller
       * falls back rather than throwing mid-partition.
       */
@@ -164,6 +164,72 @@ object Multimodal {
         val n = w.toDouble * h * 255.0
         Some(BmpImage(w, h, sr / n, sg / n, sb / n))
       } catch { case _: Exception => None }
+    }
+
+    /** JPEG decode via `javax.imageio` — pure JDK. Unlike PNG, JPEG
+      * decoding is NOT bit-reproducible across JDK builds (the IDCT
+      * implementation may differ by ±1 intensity level per pixel), so
+      * the channel means are quantized to 2 decimals: the averaged
+      * cross-build divergence (≲1/255 ≈ 0.004) almost never moves a
+      * 0.01-grid value, and MultimodalSpec pins the fixture with
+      * explicit tolerance bounds rather than byte equality. Dispatch is
+      * by the JPEG SOI marker (FF D8 FF); parse failures return None so
+      * the caller falls back to the histogram stub.
+      */
+    def decodeJpeg(b: Array[Byte]): Option[BmpImage] = {
+      if (b.length < 3 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8 ||
+        (b(2) & 0xff) != 0xff) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) return None
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return None
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h * 255.0
+        def q2(v: Double) = math.rint(v * 100.0) / 100.0
+        Some(BmpImage(w, h, q2(sr / n), q2(sg / n), q2(sb / n)))
+      } catch { case _: Exception => None }
+    }
+
+    /** JPEG encode of row-major RGB bytes (fixture/ingest helper);
+      * quality 0.9 via the JDK writer.
+      */
+    def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val i = (y * width + x) * 3
+          img.setRGB(x, y,
+            ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.9f)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
     }
 
     /** PNG encode of row-major RGB bytes (fixture/ingest helper). */
@@ -367,7 +433,8 @@ object Multimodal {
       * 1024 samples.
       */
     def decode(row: MediaRow): MediaFeatures =
-      decodeBmp(row.payload).orElse(decodePng(row.payload)).map { img =>
+      decodeBmp(row.payload).orElse(decodePng(row.payload))
+        .orElse(decodeJpeg(row.payload)).map { img =>
         val f = new Array[Float](FeatureDim)
         f(0) = img.width.toFloat; f(1) = img.height.toFloat
         f(2) = img.meanR.toFloat; f(3) = img.meanG.toFloat; f(4) = img.meanB.toFloat
@@ -470,11 +537,12 @@ object Multimodal {
   }
 
   /** Real-format decode query: payloads synthesized deterministically as
-    * ACTUAL WAV (even doc_id: pure tone, pitch keyed to the id) and BMP
-    * (odd doc_id: gradient image) blobs — standing in for an ingest
-    * source the sandbox lacks — then parsed by the real decoders above.
-    * Feature positions: images get (width, height) in (f0, f1); audio
-    * gets (sampleRate, nSamples).
+    * ACTUAL WAV (pure tone, pitch keyed to the id), BMP / PNG (gradient
+    * images), and JPEG (id % 6 == 4 — the dominant real-corpus image
+    * format, exercised through the same dispatch) blobs — standing in
+    * for an ingest source the sandbox lacks — then parsed by the real
+    * decoders above. Feature positions: images get (width, height) in
+    * (f0, f1); audio gets (sampleRate, nSamples).
     */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -484,6 +552,9 @@ object Multimodal {
           val samples = Array.tabulate(512)(i =>
             (math.sin(2 * math.Pi * i * (1 + id % 32) / 64.0) * 16384).toShort)
           MediaRow(id, "audio", MediaCodec.encodeWav(samples, 16000))
+        } else if (id % 6 == 4) {
+          val rgb = Array.tabulate(16 * 16 * 3)(i => ((i + id) % 256).toByte)
+          MediaRow(id, "image", MediaCodec.encodeJpeg(16, 16, rgb))
         } else if (id % 3 == 1) {
           val rgb = Array.tabulate(16 * 16 * 3)(i => ((i + id) % 256).toByte)
           MediaRow(id, "image", MediaCodec.encodeBmp(16, 16, rgb))

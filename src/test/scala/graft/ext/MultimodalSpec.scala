@@ -114,6 +114,45 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaCodec.decodePng(png.take(10)).isEmpty)
   }
 
+  test("JPEG golden fixture decodes within tolerance bounds via ImageIO") {
+    import Multimodal.{MediaCodec, MediaRow}
+    // JPEG is lossy AND its IDCT varies across JDK builds, so this
+    // fixture pins TOLERANCES, not bytes: a flat mid-gray 16x16 image
+    // (a single DC coefficient — the best-conditioned JPEG case) must
+    // decode to channel means within 2/255 of the source, and a
+    // gradient image within 0.02 (quality-0.9 quantization noise).
+    val gray = Array.fill(16 * 16 * 3)(128.toByte)
+    val jpg = MediaCodec.encodeJpeg(16, 16, gray)
+    // container magic: SOI + marker
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8 && (jpg(2) & 0xff) === 0xff)
+    val img = MediaCodec.decodeJpeg(jpg).get
+    assert(img.width === 16 && img.height === 16)
+    val want = 128.0 / 255.0
+    for (m <- Seq(img.meanR, img.meanG, img.meanB))
+      assert(math.abs(m - want) <= 2.0 / 255.0, s"mean $m vs $want")
+    // quantized to the 0.01 grid (the cross-build determinism contract)
+    for (m <- Seq(img.meanR, img.meanG, img.meanB))
+      assert(m === math.rint(m * 100) / 100)
+
+    val grad = Array.tabulate(16 * 16 * 3)(i => (i % 256).toByte)
+    val srcMean = Array(0, 1, 2).map { ch =>
+      (0 until 16 * 16).map(p => grad(p * 3 + ch) & 0xff).sum / (256 * 255.0)
+    }
+    val gimg = MediaCodec.decodeJpeg(MediaCodec.encodeJpeg(16, 16, grad)).get
+    assert(math.abs(gimg.meanR - srcMean(0)) <= 0.02, s"${gimg.meanR} vs ${srcMean(0)}")
+    assert(math.abs(gimg.meanG - srcMean(1)) <= 0.02, s"${gimg.meanG} vs ${srcMean(1)}")
+    assert(math.abs(gimg.meanB - srcMean(2)) <= 0.02, s"${gimg.meanB} vs ${srcMean(2)}")
+
+    // same-JVM determinism: two decodes agree bit-for-bit
+    assert(MediaCodec.decodeJpeg(jpg).get === img)
+    // dispatch: a JPEG payload takes the ImageIO path, not the stub
+    val feats = MediaCodec.decode(MediaRow(11L, "image", jpg))
+    assert(feats.features(0) === 16f && feats.features(1) === 16f && feats.n_frames === 1)
+    // non-JPEG magic and truncated payloads fall through cleanly
+    assert(MediaCodec.decodeJpeg("not a jpeg".getBytes).isEmpty)
+    assert(MediaCodec.decodeJpeg(jpg.take(2)).isEmpty)
+  }
+
   test("BMP resize samples nearest pixels and round-trips through the codec") {
     import Multimodal.MediaCodec
     // 4x4 quadrant image: TL red, TR green, BL blue, BR white
