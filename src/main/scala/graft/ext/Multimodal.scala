@@ -146,7 +146,7 @@ object Multimodal {
       if (b.length < 8 || (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
         return None
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        val img = readImage(pngReader, b)
         if (img == null) return None
         val w = img.getWidth; val h = img.getHeight
         if (w <= 0 || h <= 0) return None
@@ -180,7 +180,7 @@ object Multimodal {
       if (b.length < 3 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8 ||
         (b(2) & 0xff) != 0xff) return None
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        val img = readImage(jpegReader, b)
         if (img == null) return None
         val w = img.getWidth; val h = img.getHeight
         if (w <= 0 || h <= 0) return None
@@ -202,8 +202,42 @@ object Multimodal {
     }
 
     /** JPEG encode of row-major RGB bytes (fixture/ingest helper);
-      * quality 0.9 via the JDK writer.
+      * quality 0.9 via the JDK writer. The writer is ThreadLocal-cached:
+      * `getImageWritersByFormatName` does an SPI registry walk per call
+      * (~ms), which dominated the encode when synthesizing one payload
+      * per row; ImageWriters are not thread-safe but are reusable on one
+      * thread via setOutput/write cycles.
       */
+    private val jpegWriter =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
+
+    /** Reader twin of [[jpegWriter]]: `ImageIO.read` walks the SPI
+      * registry AND spools through a disk-backed stream cache on every
+      * call; a ThreadLocal reader over a memory-cached stream decodes
+      * from the byte array directly.
+      */
+    private def cachedReader(format: String) =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName(format).next())
+    private val jpegReader = cachedReader("jpeg")
+    private val pngReader = cachedReader("png")
+    private val pngWriter =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+
+    private def readImage(
+        rd: ThreadLocal[javax.imageio.ImageReader],
+        b: Array[Byte]): java.awt.image.BufferedImage = {
+      val reader = rd.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } finally { reader.setInput(null); iis.close() }
+    }
+
     def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
       require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
       val img = new java.awt.image.BufferedImage(
@@ -219,16 +253,18 @@ object Multimodal {
         }
         y += 1
       }
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val writer = jpegWriter.get()
       val params = writer.getDefaultWriteParam
       params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       params.setCompressionQuality(0.9f)
       val out = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      // memory-cached stream: ImageIO.createImageOutputStream defaults to
+      // a DISK-backed cache (one temp file per encode)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
       try {
         writer.setOutput(ios)
         writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-      } finally { writer.dispose(); ios.close() }
+      } finally { writer.setOutput(null); ios.close() }
       out.toByteArray
     }
 
@@ -249,7 +285,12 @@ object Multimodal {
         y += 1
       }
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
+      val writer = pngWriter.get()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally { writer.setOutput(null); ios.close() }
       out.toByteArray
     }
 
