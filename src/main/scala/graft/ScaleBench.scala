@@ -75,6 +75,10 @@ object ScaleBench {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
+    // Dev loop: restrict to a query subset (e.g. the steepest curves at
+    // a larger factor without paying for the flat ones)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val heavy = only.fold(HeavyQueries)(s => HeavyQueries.filter(s))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
     val spark = GraftSession.builder("graft-scale")
@@ -85,7 +89,7 @@ object ScaleBench {
 
     // warmup (classloading + codegen) on the smallest SF, untimed
     val warm = new java.io.File("/root/testdata/sf0.001")
-    if (warm.isDirectory) HeavyQueries.foreach { q =>
+    if (warm.isDirectory) heavy.foreach { q =>
       try SparkEntry.queries(q)(spark, warm.toString)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -94,7 +98,7 @@ object ScaleBench {
     val results = factors.map { f =>
       val dir = s"$root/x$f"
       stage(spark, srcDir, dir, f)
-      val times = HeavyQueries.flatMap { q =>
+      val times = heavy.flatMap { q =>
         System.gc()
         val t0 = System.nanoTime()
         try {

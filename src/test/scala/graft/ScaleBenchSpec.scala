@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The scale-rehearsal expansion must be deterministic and
+  * workload-preserving — BENCH_SCALE.md's curves are only meaningful if
+  * replicas keep the intra-replica duplicate topology without
+  * introducing cross-replica near-dups.
+  */
+class ScaleBenchSpec extends SparkSuite {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("document expansion: factor-fold rows, unique ids, replica 0 verbatim") {
+    val src = Tables.documents(spark, dir)
+    val x3 = ScaleBench.expandDocuments(spark, dir, 3)
+    assert(x3.count() === src.count() * 3)
+    assert(x3.select("doc_id").distinct().count() === src.count() * 3)
+    // replica 0 is the identity rotation — byte-identical to the source
+    val r0 = x3.filter(col("doc_id") < 10000000L)
+    assert(r0.exceptAll(src).count() === 0 && src.exceptAll(r0).count() === 0)
+    // deterministic across invocations
+    val again = ScaleBench.expandDocuments(spark, dir, 3)
+    assert(x3.exceptAll(again).count() === 0)
+  }
+
+  test("document expansion preserves length and whitespace, rotates letters") {
+    val x2 = ScaleBench.expandDocuments(spark, dir, 2)
+    val pairs = x2.filter(col("doc_id") % 10000000L === 7)
+      .select(pmod(col("doc_id"), lit(10000000L)).as("base"),
+        (col("doc_id") >= 10000000L).as("rot"), col("text"), col("n_chars"))
+      .collect().groupBy(_.getLong(0)).values.head.sortBy(_.getBoolean(1))
+    val (orig, rot) = (pairs(0).getString(2), pairs(1).getString(2))
+    assert(orig.length === rot.length)
+    assert(orig.zip(rot).forall { case (a, b) =>
+      if (a.isLetter && a.isLower) b === (((a - 'a' + 1) % 26) + 'a').toChar
+      else b === a // whitespace, digits, punctuation untouched
+    })
+  }
+
+  test("embedding expansion: distinct perturbed points, same dimensionality") {
+    val src = Tables.embeddings(spark, dir)
+    val x2 = ScaleBench.expandEmbeddings(spark, dir, 2)
+    assert(x2.count() === src.count() * 2)
+    val dims = x2.select(size(col("embedding")).as("d")).distinct().collect()
+    assert(dims.map(_.getInt(0)).toSeq ===
+      src.select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq)
+    // replica 1 vectors differ from their replica-0 source (no exact dups)
+    val joined = x2.filter(col("vec_id") >= 10000000L)
+      .select((col("vec_id") - 10000000L).as("vec_id"), col("embedding").as("e1"))
+      .join(src.select(col("vec_id"), col("embedding").as("e0")), "vec_id")
+    assert(joined.filter(col("e0") === col("e1")).count() === 0)
+  }
+}
