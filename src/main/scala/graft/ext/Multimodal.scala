@@ -829,8 +829,10 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // rows-only: binary decode + perceptual hash has no SQL oracle;
-    // MultimodalSpec checks == brute-force Hamming over the hash table
+    // rows-only (image/audio dedup, decode): perceptual hashes and the
+    // JPEG IDCT have no SQL closed form; MultimodalSpec checks them
+    // against brute-force Hamming / golden fixtures. audio, frames,
+    // gvid_scan, features and meta ARE oracle-checked — see [[oracles]].
     "multimodal_image_dedup" -> ((s: SparkSession, d: String) => imageDedup(s, d)),
     "multimodal_audio_dedup" -> ((s: SparkSession, d: String) => audioDedup(s, d)),
     "multimodal_gvid_scan" -> (multimodalGvidScan _),
@@ -848,5 +850,109 @@ object Multimodal {
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       source AS origin
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The whole tone->PCM->stats pipeline is a closed form of doc_id, so
+    // the "binary decoder" is oracle-able after all: samples regenerate as
+    // CAST(trunc(sin(2*pi()*i*c/64)*amp) AS INT) — same left-associated
+    // multiply order as the Scala expression, Math.PI == pi() bitwise,
+    // and Math.sin agrees with libm on every (i,c) this corpus produces
+    // (verified bit-exact over all 124 (cycles, amp) combos; .toShort is
+    // trunc-toward-zero, never wrapping at amp <= 16384). Zero crossings
+    // mirror the decoder's sign-transition walk via lag(); round_even
+    // mirrors math.rint (half-to-even). The rms sum is a list_reduce
+    // left fold in sample order — the decoder's sequential accumulation
+    // exactly, independent of DuckDB's aggregation parallelism.
+    "multimodal_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + (doc_id % 31) AS c, 4096 * (1 + (doc_id % 4)) AS amp
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, i, CAST(trunc(sin(2*pi()*i*c/64)*amp) AS INTEGER) AS raw
+        |  FROM d, unnest(range(512)) AS r(i)),
+        |w AS (
+        |  SELECT doc_id, raw, i, lag(raw) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM s),
+        |a AS (
+        |  SELECT doc_id,
+        |    sqrt(list_reduce(list(pow(raw/32768.0, 2) ORDER BY i), (x, y) -> x + y)/512) AS rms,
+        |    max(abs(raw/32768.0)) AS peak,
+        |    sum(CASE WHEN i > 0 AND ((prev >= 0 AND raw < 0) OR (prev < 0 AND raw >= 0))
+        |        THEN 1 ELSE 0 END) AS crossings
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate, CAST(512 AS INTEGER) AS n_samples,
+        |  round_even(512.0/16000*10000, 0)/10000 AS duration_s,
+        |  round_even(rms*10000, 0)/10000 AS rms,
+        |  round_even(crossings/511.0*10000, 0)/10000 AS zcr,
+        |  round_even(peak*10000, 0)/10000 AS peak
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // Frame sampling: the BMP roundtrip is lossless, so per-frame channel
+    // sums regenerate as modular arithmetic over the gradient generator
+    // (byte i of frame f is (i*3 + id + 11f) % 256, i.e. channel ch of
+    // pixel p is (9p + 3ch + id + 11f) % 256); luma mirrors the Rec.601
+    // left-associated combination and rint -> round_even.
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, 4 + (doc_id % 13) AS nf FROM documents),
+        |fr AS (SELECT doc_id, nf, f FROM d, unnest(range(nf)) AS t(f) WHERE f % 4 = 0),
+        |px AS (SELECT doc_id, nf, f, p FROM fr, unnest(range(64)) AS t(p)),
+        |ch AS (SELECT doc_id, nf, f,
+        |        sum((9*p + 0 + doc_id + 11*f) % 256) AS sr,
+        |        sum((9*p + 3 + doc_id + 11*f) % 256) AS sg,
+        |        sum((9*p + 6 + doc_id + 11*f) % 256) AS sb
+        |       FROM px GROUP BY 1,2,3)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  round_even((0.299*(sr/16320.0) + 0.587*(sg/16320.0) + 0.114*(sb/16320.0))*10000, 0)/10000 AS mean_lum
+        |FROM ch ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same generator through the DSv2 source's per-file rollup. The
+    // per-file average is a list_reduce left fold in frame order — the
+    // reader emits frames in order into a single partition per file, so
+    // Spark's partial-sum order IS frame order; a plain avg() here was
+    // observed flipping a .5-boundary file (doc030) with DuckDB's
+    // aggregation parallelism. Spark round (HALF_UP) == DuckDB round for
+    // positive values.
+    "multimodal_gvid_scan" ->
+      """WITH ids AS (SELECT unnest(range(50)) AS id),
+        |fr AS (SELECT id, 4 + (id % 13) AS nf, f
+        |       FROM ids, unnest(range(4 + (id % 13))) AS t(f)),
+        |px AS (SELECT id, nf, f, p FROM fr, unnest(range(64)) AS t(p)),
+        |ch AS (SELECT id, nf, f,
+        |        sum((9*p + 0 + id + 11*f) % 256) AS sr,
+        |        sum((9*p + 3 + id + 11*f) % 256) AS sg,
+        |        sum((9*p + 6 + id + 11*f) % 256) AS sb
+        |       FROM px GROUP BY 1,2,3),
+        |perfr AS (SELECT id, nf, f,
+        |        round_even((0.299*(sr/16320.0) + 0.587*(sg/16320.0) + 0.114*(sb/16320.0))*10000, 0)/10000 AS lum4
+        |       FROM ch),
+        |agg AS (SELECT id, max(nf) AS nf, count(*) AS n_rows,
+        |        list_reduce(list(lum4 ORDER BY f), (x, y) -> x + y) AS s
+        |        FROM perfr GROUP BY id)
+        |SELECT printf('doc%03d.gvid', CAST(id AS INTEGER)) AS file,
+        |  CAST(nf AS INTEGER) AS n_frames, n_rows,
+        |  round(s / n_rows, 4) AS avg_lum
+        |FROM agg ORDER BY file""".stripMargin,
+    // The histogram stub over text-byte payloads is pure byte counting:
+    // f0 = fraction of UTF-8 bytes with low nibble 0 (bucket 0 of the
+    // mod-16 histogram), computed in FLOAT like the stub's float
+    // division before the double widening. Low nibbles are the 2nd hex
+    // digit of each byte pair.
+    "multimodal_features" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, media_type, n,
+        |    regexp_replace(hx, '(.)(.)', '\2', 'g') AS lows
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, media_type, n,
+        |    CAST(len(lows) - len(replace(lows, '0', '')) AS INTEGER) AS cnt
+        |  FROM c)
+        |SELECT doc_id, media_type, CAST(n AS INTEGER) AS n_bytes,
+        |  CAST(CASE media_type WHEN 'video' THEN greatest(n // 64, 1)
+        |       WHEN 'audio' THEN greatest(n // 256, 1) ELSE 1 END AS INTEGER) AS n_frames,
+        |  round(CAST(CAST(cnt AS FLOAT) / CAST(greatest(n, 1) AS FLOAT) AS DOUBLE), 4) AS f0
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }
