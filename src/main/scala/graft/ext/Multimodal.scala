@@ -829,10 +829,10 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // rows-only (image/audio dedup, decode): perceptual hashes and the
-    // JPEG IDCT have no SQL closed form; MultimodalSpec checks them
-    // against brute-force Hamming / golden fixtures. audio, frames,
-    // gvid_scan, features and meta ARE oracle-checked — see [[oracles]].
+    // Every entry except multimodal_decode is oracle-checked (see
+    // [[oracles]] — closed-form regeneration incl. Java-wrap mirroring
+    // for the perceptual hashes); decode stays rows-only because its
+    // JPEG branch goes through the ImageIO IDCT, which has no SQL form.
     "multimodal_image_dedup" -> ((s: SparkSession, d: String) => imageDedup(s, d)),
     "multimodal_audio_dedup" -> ((s: SparkSession, d: String) => audioDedup(s, d)),
     "multimodal_gvid_scan" -> (multimodalGvidScan _),
@@ -843,7 +843,114 @@ object Multimodal {
     "multimodal_frames" -> ((s: SparkSession, d: String) => multimodalFrames(s, d)),
   )
 
+  /** 2^64 as a DuckDB HUGEINT literal — the modulus for mirroring Java's
+    * 64-bit wrap in the perceptual-hash oracles.
+    */
+  private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+  /** Shared tail of the perceptual-dedup oracles: all-pairs Hamming over
+    * the 64-bit fingerprints (exact — the engine's 16-bit-chunk
+    * pigeonhole is complete for distance <= 3, ExtSpec-style, so the
+    * brute-force truth equals the bucketed output).
+    */
+  private val hammingTail =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Java int32/int64 wrap mirrored with %-arithmetic (the HUGEINT
+    // technique): pattern*73856093 wraps int32 (sign via the +2^31
+    // mod-2^32 shift); the XOR runs in unsigned-32 space; the *2654435761
+    // product of the sign-extended value wraps int64 via HUGEINT mod; the
+    // >>> 24 is floor-division of the unsigned-64 view. After the sample
+    // truncation everything is INTEGER (energy compares are integer-sum
+    // compares), so no fp sensitivity; Math.sin/libm agreement at the
+    // trunc boundary verified bit-exact against the Spark dump.
+    "multimodal_audio_dedup" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id % 83 AS pattern, doc_id // 83 AS jitter
+         |  FROM documents),
+         |pw AS (
+         |  SELECT DISTINCT pattern, w FROM (SELECT DISTINCT pattern FROM ids), unnest(range(65)) AS t(w)),
+         |h1 AS (
+         |  SELECT pattern, w,
+         |    ((pattern * 73856093 + 2147483648) % 4294967296) - 2147483648 AS p1,
+         |    w * 19349663 AS p2
+         |  FROM pw),
+         |h2 AS (
+         |  SELECT pattern, w,
+         |    xor(p1 + CASE WHEN p1 < 0 THEN 4294967296 ELSE 0 END, p2) AS hu
+         |  FROM h1),
+         |h3 AS (
+         |  SELECT pattern, w,
+         |    hu - CASE WHEN hu >= 2147483648 THEN 4294967296 ELSE 0 END AS hs
+         |  FROM h2),
+         |envt AS (
+         |  SELECT pattern, w,
+         |    0.2 + 0.8 * CAST((((CAST(hs * 2654435761 AS HUGEINT) % $M64) + $M64) % $M64)
+         |      // 16777216 % 256 AS BIGINT) / 255.0 AS env
+         |  FROM h3),
+         |sm AS (
+         |  SELECT d.doc_id, t.i // 16 AS w,
+         |    abs(CAST(trunc(
+         |      (e.env * sin(2*pi()*t.i/16.0)
+         |        + CASE WHEN (t.i*31 + d.jitter) % 997 = 0 THEN 0.02 * (d.jitter % 5) ELSE 0.0 END)
+         |      * 8192 * (1.0 + 0.3 * (d.jitter % 4))
+         |    ) AS INTEGER)) AS a
+         |  FROM ids d, unnest(range(1040)) AS t(i)
+         |  JOIN envt e ON e.pattern = d.pattern AND e.w = t.i // 16),
+         |en AS (SELECT doc_id, w, sum(a) AS s FROM sm GROUP BY doc_id, w),
+         |hv AS (
+         |  SELECT e1.doc_id,
+         |    CAST(sum(CASE WHEN e1.s < e2.s THEN CAST(CAST(1 AS UBIGINT) << CAST(e1.w AS INTEGER) AS HUGEINT) ELSE 0 END) AS UBIGINT) AS h
+         |  FROM en e1 JOIN en e2 ON e1.doc_id = e2.doc_id AND e2.w = e1.w + 1
+         |  WHERE e1.w < 64
+         |  GROUP BY e1.doc_id)
+         |$hammingTail""".stripMargin,
+    // Same wrap-mirroring; the texture hash keys each pixel (all three
+    // channels equal, so the image is grayscale before the one-channel
+    // perturbation), the nearest-neighbor 9x8 resize is pure index
+    // arithmetic (sx = rx*16//9, sy = 2*ry), and every dHash bit is an
+    // integer luma comparison — the whole oracle is integer-exact.
+    "multimodal_image_dedup" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id % 83 AS pattern, doc_id // 83 AS jitter
+         |  FROM documents),
+         |spx AS (
+         |  SELECT pattern, px,
+         |    hu - CASE WHEN hu >= 2147483648 THEN 4294967296 ELSE 0 END AS hs
+         |  FROM (
+         |    SELECT pattern, px,
+         |      xor(xor((pattern * 73856093) % 4294967296, (px % 16) * 19349663),
+         |          (px // 16) * 83492791) AS hu
+         |    FROM (SELECT DISTINCT pattern FROM ids), unnest(range(256)) AS t(px))),
+         |pv AS (
+         |  SELECT pattern, px,
+         |    CAST((((CAST(hs * 2654435761 AS HUGEINT) % $M64) + $M64) % $M64)
+         |      // 16777216 % 256 AS BIGINT) AS v
+         |  FROM spx),
+         |grid AS (
+         |  SELECT d.doc_id, g.rx, g.ry, (2*g.ry)*16 + (g.rx*16)//9 AS px
+         |  FROM ids d, (SELECT rx, ry FROM unnest(range(9)) AS a(rx), unnest(range(8)) AS b(ry)) g),
+         |lum AS (
+         |  SELECT g.doc_id, g.rx, g.ry,
+         |    (xor(p.v, CASE WHEN g.px = (d.jitter*37) % 256 THEN d.jitter % 4 ELSE 0 END)) * 299
+         |      + p.v * 587 + p.v * 114 AS l
+         |  FROM grid g
+         |  JOIN ids d ON d.doc_id = g.doc_id
+         |  JOIN pv p ON p.pattern = d.pattern AND p.px = g.px),
+         |hv AS (
+         |  SELECT a.doc_id,
+         |    CAST(sum(CASE WHEN a.l < b.l
+         |      THEN CAST(CAST(1 AS UBIGINT) << CAST(a.ry*8 + a.rx AS INTEGER) AS HUGEINT)
+         |      ELSE 0 END) AS UBIGINT) AS h
+         |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND b.ry = a.ry AND b.rx = a.rx + 1
+         |  WHERE a.rx < 8
+         |  GROUP BY a.doc_id)
+         |$hammingTail""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
