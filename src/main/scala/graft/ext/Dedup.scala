@@ -104,6 +104,37 @@ object Dedup {
     verifyPairs(candidates, shingleTable(docs), threshold)
   }
 
+  /** Pairwise SOURCE-level shingle overlap, estimated by MinHash — the
+    * corpus-composition diagnostic a mixture designer reads before
+    * setting weights (two crawls with high estimated Jaccard are
+    * near-redundant; down-weight one). A source's signature component i
+    * is min over its documents' component i (min distributes over set
+    * union, so the doc-level sketches COMPOSE into the source-level
+    * sketch of the unioned shingle set — no second corpus pass). Scale
+    * shape: the expensive part is the same one-pass compiled sketch as
+    * [[minhashSignatures]]; everything after operates on n_sources x k
+    * rows — posexplode feeds a (source, i) groupBy with map-side
+    * partial mins, and the pairwise comparison is a tiny self-join on
+    * the component index. The estimate is an integer fraction of k, so
+    * the double is bit-identical across engines.
+    */
+  def corpusOverlap(spark: SparkSession, dir: String, k: Int = OverlapHashes): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("source"),
+        graft.functions.SketchFns.minhashSignature(col("text"), 3, k).as("sig"))
+      .select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
+      .groupBy(col("source"), col("i")).agg(min(col("v")).as("v"))
+    val a = sigs.select(col("source").as("src_a"), col("i"), col("v").as("va"))
+    val b = sigs.select(col("source").as("src_b"), col("i").as("ib"), col("v").as("vb"))
+    a.join(b, col("i") === col("ib") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg((sum(when(col("va") === col("vb"), 1).otherwise(0)).cast("double") / k)
+        .as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val OverlapHashes = 32
+
   // --- incremental MinHash index --------------------------------------------
 
   /** Initializes a persistent near-dup index from a document batch: the
@@ -740,7 +771,56 @@ object Dedup {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "dedup_spans" -> (dedupSpans _),
+    "q_corpus_overlap" -> ((s: SparkSession, d: String) => corpusOverlap(s, d)),
   )
+
+  /** Full mirror of [[corpusOverlap]]: the simhash oracle's FNV-1a +
+    * avalanche shingle hashes, then each of the [[OverlapHashes]] hash
+    * families re-mixed per [[graft.functions.Sketches.mix]]
+    * (avalanche(h xor i*phi), phi the splitmix64 increment), signed-min
+    * per (source, family) over the source's DISTINCT shingle set, and
+    * component-agreement fractions per source pair. Every 64-bit step
+    * runs in UBIGINT with the multiplies split via [[mulMod64]].
+    */
+  private lazy val corpusOverlapOracleSql: String = {
+    val m = BigInt(1) << 64
+    val phi = BigInt("9e3779b97f4a7c15", 16)
+    val k = OverlapHashes
+    s"""WITH RECURSIVE t AS (
+       |  SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source,
+       |    unnest(CASE WHEN len(w) = 0 THEN ['']
+       |      WHEN len(w) < 3 THEN [array_to_string(w, ' ') || ' ']
+       |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ') END) AS s
+       |  FROM t),
+       |us AS (SELECT DISTINCT s FROM sh),
+       |sb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS olen FROM us),
+       |fnv AS (
+       |  SELECT s, hx, olen, 1 AS pos, CAST(${BigInt("cbf29ce484222325", 16)} AS UBIGINT) AS h FROM sb
+       |  UNION ALL
+       |  SELECT s, hx, olen, pos + 1,
+       |    ${mulMod64("xor(h, CAST('0x' || substr(hx, 2 * pos - 1, 2) AS UBIGINT))", BigInt("100000001b3", 16))}
+       |  FROM fnv WHERE pos <= olen),
+       |base AS (SELECT s, h FROM fnv WHERE pos = olen + 1),
+       |av1 AS (SELECT s, ${mulMod64("xor(h, h >> 30)", BigInt("bf58476d1ce4e5b9", 16))} AS h FROM base),
+       |av2 AS (SELECT s, ${mulMod64("xor(h, h >> 27)", BigInt("94d049bb133111eb", 16))} AS h FROM av1),
+       |av AS MATERIALIZED (SELECT s, xor(h, h >> 31) AS h FROM av2),
+       |fam AS (SELECT CAST(unnest(range($k)) AS INT) AS i),
+       |mx0 AS (SELECT s, i,
+       |    xor(h, CAST((CAST(i AS HUGEINT) * $phi) % CAST('$m' AS HUGEINT) AS UBIGINT)) AS h
+       |  FROM av CROSS JOIN fam),
+       |mx1 AS (SELECT s, i, ${mulMod64("xor(h, h >> 30)", BigInt("bf58476d1ce4e5b9", 16))} AS h FROM mx0),
+       |mx2 AS (SELECT s, i, ${mulMod64("xor(h, h >> 27)", BigInt("94d049bb133111eb", 16))} AS h FROM mx1),
+       |mx AS (SELECT s, i, xor(h, h >> 31) AS hu FROM mx2),
+       |sv AS (SELECT s, i, CAST(CASE WHEN hu >= CAST('${BigInt(1) << 63}' AS HUGEINT)
+       |    THEN hu - CAST('$m' AS HUGEINT) ELSE hu END AS BIGINT) AS v FROM mx),
+       |sig AS (SELECT sh.source, sv.i, min(sv.v) AS v FROM sh JOIN sv USING (s) GROUP BY 1, 2)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE) / $k AS est_jaccard
+       |FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** `(x * k) mod 2^64` over a UBIGINT SQL expression with the multiply
     * split into 32-bit halves of k — the direct HUGEINT product of two
@@ -836,6 +916,7 @@ object Dedup {
       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_overlap" -> corpusOverlapOracleSql,
     // asymmetric containment over the same distinct word-3-shingle
     // construction as the jaccard CTEs; source side scoped to
     // excerpt-sized docs, denominator is the SOURCE's shingle count

@@ -268,6 +268,44 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** k-NN GRAPH construction over the whole corpus — the batch primitive
+    * behind SemDeDup-style semantic clustering and graph-based diversity
+    * sampling: every vector gets its top-k nearest bucket-mates. Each
+    * vector probes its own SRP bucket plus the [[LshBits]] Hamming-1
+    * neighbors (the same multi-probe discipline as [[annLshSearch]]), so
+    * every ordered pair within signature Hamming distance 1 is generated
+    * EXACTLY once by an equi-join on the bucket key — no all-pairs stage
+    * anywhere. Unlike the serving path the probe side IS the corpus
+    * (13 rows per vector), so there is no broadcast hint: both sides
+    * shuffle on the bucket key and AQE handles any hot bucket. Expected
+    * candidate volume is N^2*(bits+1)/2^bits; at larger corpora bits
+    * scales as log2(N / target bucket occupancy), keeping per-bucket
+    * work constant — the knob a production run sets per corpus size.
+    * Vectors whose probe buckets hold no neighbor simply have no rows
+    * (an ANN graph, not an exact one); recall on planted near-dup pairs
+    * is asserted in ExtSpec.
+    */
+  def annKnnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(spark, dir)
+    val bucketed = e.select(
+      col("vec_id"), col("embedding"),
+      VectorFns.l2norm(col("embedding")).as("nrm"),
+      lshSignature(col("embedding")).as("bucket"))
+    val probes = lshProbes(
+      e.select(col("vec_id").as("query_id"), col("embedding").as("query_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    bucketed.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
   /** Driver-contract entry: multi-probe LSH top-5 for the first 5 vectors
     * (rows-only; recall properties are asserted in ExtSpec on planted
     * near-neighbors).
@@ -386,6 +424,7 @@ object Similarity {
     "ann_topk_batch" -> ((s: SparkSession, d: String) => annTopkBatch(s, d)),
     "ann_lsh_buckets" -> (annLshBuckets _),
     "ann_lsh_search" -> (annLshSearchQuery _),
+    "ann_knn_graph" -> ((s: SparkSession, d: String) => annKnnGraph(s, d)),
     "ann_hard_negatives" -> ((s: SparkSession, d: String) => qHardNegatives(s, d)),
   )
 
@@ -460,6 +499,23 @@ object Similarity {
          |  FROM cand)
          |SELECT query_id, vec_id, cosine, rn FROM rk
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // whole-corpus variant of the ann_lsh_search oracle: every vector is
+    // a query, candidates = signature Hamming <= 1 (exactly the
+    // own-bucket + 1-bit multi-probe set), top-3 per vector
+    "ann_knn_graph" ->
+      s"""WITH ${srpSigCte()},
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM sig q JOIN sig c
+         |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+         |  JOIN embeddings ec ON ec.vec_id = c.vec_id),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, cosine, rn FROM rk
+         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
     // DECIMAL(12,10)-quantized sums mirror embedStats exactly (see its
     // scaladoc); generate_subscripts-1 matches posexplode's 0-based dim
     "q_embed_stats" ->

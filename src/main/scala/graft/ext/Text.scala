@@ -646,7 +646,125 @@ object Text {
   def qTextZipf(spark: SparkSession, dir: String): DataFrame =
     textZipf(Tables.documents(spark, dir))
 
+  /** Corpus-frequency boilerplate detection (the CCNet/C4 line-dedup
+    * shape re-expressed for segment granularity): each document is cut
+    * into non-overlapping `segTokens`-token segments (tail included), a
+    * segment is boilerplate when its EXACT text recurs in `dfThreshold`+
+    * distinct documents, and the per-document report carries the kept
+    * token volume and boilerplate ratio a curation gate filters on.
+    * Scale shape: the segment table carries (doc_id, md5) — fixed-width
+    * keys, never the text — through two shuffles (document-frequency
+    * aggregation with map-side partials, then the df re-join keyed on
+    * the same hash); both are corpus-linear and skew-free because a
+    * segment's df is bounded by the corpus and the JOIN fan-out equals
+    * segment multiplicity, not df². All ratios are exact small-integer
+    * rationals, so the doubles are bit-identical across engines.
+    */
+  def textBoilerplate(
+      spark: SparkSession, dir: String,
+      segTokens: Int = 5, dfThreshold: Int = 2): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"), size(toks).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("w"),
+        explode(sequence(lit(0),
+          ceil(col("n_tok").cast("double") / segTokens).cast("int") - 1)).as("seg_id"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("w"), col("seg_id") * segTokens + 1, lit(segTokens)))
+          .cast("binary")).as("seg_hash"),
+        least(col("n_tok") - col("seg_id") * segTokens, lit(segTokens)).as("seg_tokens"))
+    val segDf = segs.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("dfreq"))
+    segs.join(segDf, Seq("seg_hash"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("dfreq") >= dfThreshold, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("dfreq") < dfThreshold, col("seg_tokens").cast("long"))
+          .otherwise(0L)).as("clean_tokens"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_segments"))
+      .orderBy("doc_id")
+  }
+
+  def qTextBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    textBoilerplate(spark, dir)
+
+  /** DSIR-style hashed-n-gram importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * token unigrams feature-hash into `buckets` buckets (md5-derived, so
+    * the oracle reproduces the bucketing exactly), the target
+    * distribution is the `targetLang` slice of the corpus, and each
+    * document scores the mean log-likelihood ratio
+    * ln(p_target/p_raw) of its hashed features (add-one smoothing both
+    * sides). The top `topK` documents by score are the importance-
+    * resampled selection a pretraining mix would up-weight. Scale
+    * shape: the bucket vocabulary is FIXED (64 entries), so the weight
+    * table is a broadcast join onto per-doc bucket counts — the token
+    * stream shuffles once into (doc_id, bucket) counts with map-side
+    * partials, and the global top-k is a TakeOrderedAndProject, never a
+    * full sort. Determinism: each bucket weight quantizes to
+    * DECIMAL(18,9) (the [[textEntropy]]/[[nbClassify]] discipline), so
+    * per-document sums add exact decimals in an association-free type
+    * and the final double is bit-identical across engines and
+    * partitionings.
+    */
+  def textDsir(
+      spark: SparkSession, dir: String, buckets: Int = 64,
+      targetLang: String = "en", topK: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    // ONE tokenize+md5 pass: every downstream branch (totals, target and
+    // raw marginals, per-doc scores) derives from this BOUNDED aggregate
+    // (docs x <=buckets rows), materialized once — the nbClassify
+    // discipline; without it each of the four branches replays the
+    // explode+md5 lineage as an independent corpus pass.
+    val bucketCounts = toks.select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = bucketCounts.agg(
+      sum(col("cnt")).as("rt"),
+      sum(when(col("lang") === targetLang, col("cnt")).otherwise(0L)).as("tt"))
+    val tgt = bucketCounts.filter(col("lang") === targetLang)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("tcnt"))
+    val raw = bucketCounts.groupBy(col("bucket")).agg(sum(col("cnt")).as("rcnt"))
+    val weights = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      // ONE ln of an exactly-representable integer ratio: the two-ln
+      // form ln(p_t) - ln(p_r) cancels catastrophically (results ~0.02
+      // from operands ~4), amplifying a 1-ulp libm divergence between
+      // the JVM and DuckDB to ~1e-15 — observed crossing a DECIMAL(18,9)
+      // rounding boundary. The single-ln form's absolute error is the
+      // ulp of the RESULT (~1e-18), comfortably inside the quantum.
+      .select(col("bucket"),
+        log(((coalesce(col("tcnt"), lit(0L)) + lit(1.0)) * (col("rt") + lit(buckets)))
+          / ((col("rcnt") + lit(1.0)) * (col("tt") + lit(buckets))))
+          .cast("decimal(18,9)").as("w"))
+    bucketCounts
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        // cnt at DECIMAL(10,0): a LONG operand (decimal(20,0)) would push
+        // the product past precision 38 and Spark silently drops the
+        // scale to 8, rounding away the 9th weight decimal
+        sum(col("cnt").cast("decimal(10,0)") * col("w")).as("swc"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("swc").cast("double") / col("n_tokens")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  def qTextDsir(spark: SparkSession, dir: String): DataFrame =
+    textDsir(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (qTextBoilerplate _),
+    "text_dsir" -> (qTextDsir _),
     "text_zipf" -> (qTextZipf _),
     "text_heavy_hitters" -> (qTextHeavyHitters _),
     "text_heavy_hitters_lang" -> (qTextHeavyHittersByLang _),
@@ -808,6 +926,49 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // same tokenizer discipline as text_chunks (split of trim, no
+    // filter — corpus texts are non-empty); segment slice upper bound
+    // clamps at the list end exactly like Spark's slice
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |seg AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(w[CAST(i*5+1 AS INT):CAST(i*5+5 AS INT)], ' ')) AS seg_hash,
+        |         least(len(w) - i*5, 5) AS seg_tokens
+        |  FROM t, unnest(range(CAST(ceil(len(w)/5.0) AS BIGINT))) r(i)),
+        |sdf AS (SELECT seg_hash, count(DISTINCT doc_id) AS dfreq FROM seg GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(sum(CASE WHEN dfreq < 2 THEN seg_tokens ELSE 0 END) AS BIGINT) AS clean_tokens,
+        |  CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS boiler_ratio
+        |FROM seg JOIN sdf USING (seg_hash)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // md5-derived feature hashing reproduced bit-for-bit (first 8 hex
+    // chars as an unsigned int, mod 64); the per-doc score folds
+    // bucket-ordered contributions exactly like the Spark
+    // sort_array+aggregate, with ln applied to the same double ratios
+    "text_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |           FROM documents),
+        |bk AS (SELECT doc_id, lang,
+        |         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 64 AS BIGINT) AS bucket
+        |       FROM t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS rt,
+        |               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        |        FROM bk),
+        |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tcnt FROM bk WHERE lang = 'en' GROUP BY 1),
+        |rw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rcnt FROM bk GROUP BY 1),
+        |wt AS (SELECT rw.bucket,
+        |         CAST(ln(((coalesce(tcnt, 0) + 1.0) * (rt + 64)) / ((rcnt + 1.0) * (tt + 64)))
+        |              AS DECIMAL(18,9)) AS w
+        |       FROM rw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+        |pd AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |         sum(CAST(cnt AS DECIMAL(10,0)) * w) AS swc
+        |       FROM pd JOIN wt USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, CAST(swc AS DOUBLE) / n_tokens AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
     "text_bpe" -> bpeOracleSql,
     "text_fingerprint" -> fingerprintSql,
     // mirrors textZipf exactly: DECIMAL(18,9) moment quantization

@@ -438,4 +438,43 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "centroid table must broadcast:\n" + p)
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the centroid join:\n" + p)
   }
+
+  test("dsir: one tokenize pass (checkpointed counts), weights broadcast, top-k lowered") {
+    val df = graft.ext.Text.textDsir(spark, dir)
+    val p = planOf(df)
+    // the bounded (doc, lang, bucket) count table is materialized before
+    // this plan, so the token explode must NOT appear in any branch
+    assert(nodeCount(p, "Generate") === 0,
+      "token stream must come from the checkpointed aggregate:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must not be a full sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row weight model must broadcast onto the counts:\n" + p)
+  }
+
+  test("knn graph: bucket equi join is unhinted (AQE chooses), never cartesian") {
+    val df = graft.ext.Similarity.annKnnGraph(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the bucket equi join:\n" + p)
+    // the probe side IS the corpus (13 rows per vector) — a broadcast
+    // hint would pin corpus-scaling data to the driver at 100x
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"probe side must stay unhinted, got ${hints.size}")
+    assert(p.contains("AdaptiveSparkPlan"), p)
+  }
+
+  test("boilerplate: two segment passes by design, df agg and rejoin keyed on the hash") {
+    val p = planOf(graft.ext.Text.textBoilerplate(spark, dir))
+    // two-pass shape (textVocabOov discipline): build the segment-df
+    // table, then rescan to join it back — the Generate appears once per
+    // pass and never more
+    assert(nodeCount(p, "Generate") === 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both shuffles carry the fixed-width hash, never the segment text
+    val segEx = p.linesIterator.filter(_.contains("hashpartitioning(seg_hash")).size
+    assert(segEx >= 1, "df aggregation must shuffle on seg_hash:\n" + p)
+  }
 }

@@ -1045,4 +1045,120 @@ class ExtSpec extends SparkSuite {
     assert(perLabel.values.forall(_ === 5))
     assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
+
+  test("text_boilerplate matches an in-memory segment-df reference exactly") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val segs = docs.toSeq.flatMap { case (id, w) =>
+      (0 until math.ceil(w.size / 5.0).toInt).map { i =>
+        (id, w.slice(i * 5, i * 5 + 5).mkString(" "), math.min(5, w.size - i * 5))
+      }
+    }
+    val dfreq = segs.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).distinct.size }
+    val expected = segs.groupBy(_._1).map { case (id, xs) =>
+      val nb = xs.count(x => dfreq(x._2) >= 2).toLong
+      val clean = xs.filter(x => dfreq(x._2) < 2).map(_._3).sum.toLong
+      id -> ((xs.size.toLong, nb, clean))
+    }
+    val got = Text.textBoilerplate(spark, dir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (ns, nb, ct) = expected(r.getLong(0))
+      assert(r.getLong(1) === ns)
+      assert(r.getLong(2) === nb)
+      assert(r.getLong(3) === ct)
+      assert(r.getDouble(4) === nb.toDouble / ns)
+    }
+    // the corpus plants near-dup passages, so boilerplate must trigger
+    assert(got.exists(_.getLong(2) > 0))
+    assert(got.exists(_.getLong(2) === 0L))
+  }
+
+  test("text_dsir matches an importance-weight reference (md5 buckets, decimal lls)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def bucket(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      val hex = h.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val toks = Tables.documents(spark, dir).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").toSeq.map(bucket)))
+    val rt = toks.map(_._3.size.toLong).sum
+    val tt = toks.filter(_._2 == "en").map(_._3.size.toLong).sum
+    val tcnt = toks.filter(_._2 == "en").flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val rcnt = toks.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    // same HALF_UP DECIMAL(18,9) quantization as the Spark cast
+    val w = rcnt.keys.map { b =>
+      val raw = math.log(((tcnt.getOrElse(b, 0) + 1.0) * (rt + 64))
+        / ((rcnt(b) + 1.0) * (tt + 64)))
+      b -> new JBD(raw).setScale(9, RoundingMode.HALF_UP)
+    }.toMap
+    val scored = toks.map { case (id, _, bs) =>
+      val swc = bs.groupBy(identity)
+        .map { case (b, xs) => w(b).multiply(new JBD(xs.size)) }
+        .reduce(_.add(_))
+      (id, swc.doubleValue / bs.size)
+    }
+    val top = scored.sortBy { case (id, s) => (-s, id) }.take(100).toSeq
+    val got = Text.textDsir(spark, dir).select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === top)
+    // the target slice must separate: english docs should dominate the top
+    val langOf = toks.map(t => t._1 -> t._2).toMap
+    val topLangs = got.take(20).map(t => langOf(t._1))
+    assert(topLangs.count(_ == "en") > 10)
+  }
+
+  test("corpus overlap composes doc-level minhash kernels exactly and stays in [0,1]") {
+    import graft.functions.Sketches
+    val rows = Tables.documents(spark, dir).select("source", "text").collect()
+    val k = Dedup.OverlapHashes
+    val sigs = rows.groupBy(_.getString(0)).map { case (src, rs) =>
+      val mins = Array.fill(k)(Long.MaxValue)
+      rs.foreach { r =>
+        val sig = Sketches.minhash(r.getString(1).getBytes("UTF-8"), 3, k)
+        var i = 0
+        while (i < k) { if (sig(i) < mins(i)) mins(i) = sig(i); i += 1 }
+      }
+      src -> mins
+    }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+    } yield (a, b, (0 until k).count(i => sa(i) == sb(i)).toDouble / k)).toSet
+    val got = Dedup.corpusOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.forall { case (_, _, j) => j >= 0.0 && j <= 1.0 })
+    val nSrc = sigs.size
+    assert(got.size === nSrc * (nSrc - 1) / 2)
+  }
+
+  test("knn graph: candidates are exactly the Hamming<=1 bucket mates, ranked by cosine") {
+    val sigRows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.lshSignature(col("embedding")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sigMap = sigRows.toMap
+    // unbounded k = the full ranked candidate table
+    val all = Similarity.annKnnGraph(spark, dir, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val expectedPairs = (for {
+      (q, sq) <- sigRows; (c, sc) <- sigRows
+      if c != q && java.lang.Long.bitCount(sq ^ sc) <= 1
+    } yield (q, c)).toSet
+    assert(all.map(t => (t._1, t._2)).toSet === expectedPairs)
+    // per query: rn consecutive from 1, ordered by (cosine desc, neighbor)
+    all.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to rows.length))
+      val resorted = rows.sortBy(t => (-t._3, t._2))
+      assert(resorted.map(_._2).toSeq === sorted.map(_._2).toSeq)
+    }
+    // default k truncates the same ranking
+    val top = Similarity.annKnnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(top === all.filter(_._4 <= 3).toSet)
+    assert(top.nonEmpty)
+  }
 }
