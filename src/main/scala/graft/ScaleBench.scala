@@ -68,7 +68,8 @@ object ScaleBench {
 
   val HeavyQueries = Seq(
     "dedup_minhash", "dedup_suffix", "dedup_containment",
-    "split_cluster_safe", "ann_ivfpq_search", "q_pack_sequences")
+    "split_cluster_safe", "ann_ivfpq_search", "q_pack_sequences",
+    "text_boilerplate", "ann_knn_graph")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
