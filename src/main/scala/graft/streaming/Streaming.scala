@@ -1077,6 +1077,44 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming NEAR-DUPLICATE detection — the ingest-time face of the
+    * persistent MinHash index ([[graft.ext.Dedup.indexIncremental]]):
+    * documents arrive as a file stream, each micro-batch sketches ONLY
+    * its own rows, probes the accumulated index (and itself, for
+    * intra-batch pairs), appends verified pairs to `outDir`, and appends
+    * its sketches to the index — same band/shingle tables, same
+    * compaction hygiene as the daily-batch path, so batch and streaming
+    * ingestion share one index format. Every near-dup pair is emitted
+    * exactly when its LATER endpoint arrives, so the union over
+    * micro-batches equals the full-corpus [[graft.ext.Dedup.dedupMinhash]]
+    * REGARDLESS of arrival order or batch boundaries (StreamingSpec
+    * asserts the equivalence on a 4-batch replay). At 100 TB this is the
+    * freshness story: per-arrival cost is proportional to the batch and
+    * its candidates, never the corpus.
+    */
+  def runNearDupStream(
+      spark: SparkSession, inputGlob: String, indexPath: String,
+      outDir: String): Unit = {
+    val docsRawSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream
+      .schema(docsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.indexIncremental(batch.toDF(), indexPath)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
     // rows-only: HLL internals are engine-specific; StreamingSpec pins

@@ -510,4 +510,37 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(confirmed.toSeq === batch.toSeq)
   }
+
+  test("streaming near-dup ingestion: union over micro-batches equals batch dedup_minhash") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, dir)
+    // four arrival files (one micro-batch each under maxFilesPerTrigger=1)
+    val inDir = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    Seq(0L -> 125L, 125L -> 250L, 250L -> 375L, 375L -> 10000L).foreach {
+      case (lo, hi) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    // empty persistent index: the stream builds it up batch by batch
+    val idx = java.nio.file.Files.createTempDirectory("stream_minhash_idx").toString
+    Dedup.indexInit(docs.limit(0), idx)
+    val outDir = java.nio.file.Files.createTempDirectory("neardup_out").toString + "/pairs"
+
+    Streaming.runNearDupStream(spark, s"$inDir/*.parquet", idx, outDir)
+
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch,
+      "union of per-batch probe results must equal the full-corpus pair set")
+    // no pair is emitted twice across batches (each pair has exactly one
+    // later endpoint)
+    val streamedRows = spark.read.parquet(outDir).count()
+    assert(streamedRows === streamed.size.toLong)
+    // the accumulated index equals a from-scratch bulk build
+    assert(spark.read.parquet(s"$idx/bands").count() ===
+      Dedup.bandTable(docs).count())
+  }
 }
