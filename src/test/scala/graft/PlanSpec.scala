@@ -391,8 +391,8 @@ class PlanSpec extends SparkSuite {
       s"df cap must be below the candidate join (join@$joinAt, anti@$antiAt):\n" + p)
   }
 
-  test("suffix dedup: range-sorted windows, keyed adjacency join, native byte-walks") {
-    // stage 1 (pre-checkpoint): the compiled window walk feeds ONE
+  test("suffix dedup: range-sorted windows, in-partition lead adjacency, native byte-walks") {
+    // stage 1 (pre-materialization): the compiled window walk feeds ONE
     // range partition on the capped windows (the capped-LCP equivalence
     // that replaces prefix-doubling rounds)
     val stage = planOf(graft.ext.SuffixDedup.rankedInput(
@@ -400,11 +400,15 @@ class PlanSpec extends SparkSuite {
     assert(stage.toLowerCase.contains("rangepartitioning"),
       "window sort must be a range partition:\n" + stage)
     assert(stage.contains("word_suffix_windows"), "native window walk missing:\n" + stage)
-    // stage 2: adjacency joins on rank — never all-pairs — and the LCP
-    // is the compiled byte-walk
+    // stage 2: adjacency is lead() inside the staged range partitioning —
+    // no join of the amplified window table at all (the only join-shaped
+    // node is the tiny driver-built boundary union), and the LCP is the
+    // compiled byte-walk
     val p = planOf(graft.ext.SuffixDedup.qSuffixDups(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "adjacency must join on rank, never all-pairs:\n" + p)
+      "adjacency must stay in-partition, never all-pairs:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the amplified window table must not be re-shuffled for a join:\n" + p)
     assert(p.contains("common_prefix_length"), "native LCP missing:\n" + p)
   }
 
