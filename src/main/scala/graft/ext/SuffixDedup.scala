@@ -94,30 +94,33 @@ object SuffixDedup {
     val parts = stageRanked(docs)
     val wOrd = Window.partitionBy(col("pid"))
       .orderBy(col("win"), col("doc_id"), col("off"))
-    val ann = parts
-      .withColumn("rn", row_number().over(wOrd))
+    val inner = parts
       .withColumn("nb_doc", lead(col("doc_id"), 1).over(wOrd))
       .withColumn("nb_win", lead(col("win"), 1).over(wOrd))
-    val inner = ann.filter(col("nb_doc").isNotNull)
+      .filter(col("nb_doc").isNotNull)
       .select(col("doc_id").as("da"), col("win").as("wa"),
         col("nb_doc").as("db"), col("nb_win").as("wb"))
     // Partition-boundary adjacency: the last row of each NONEMPTY range
     // partition is globally adjacent to the first row of the next
     // nonempty one (chaining consecutive nonempty pids also covers empty
     // range partitions, which the rank join used to absorb via
-    // contiguous global ranks). Both row sets are bounded by the
-    // partition count — driver metadata, the same collect discipline the
-    // rank offsets used.
-    val lastRows = ann.filter(col("nb_doc").isNull)
-      .select(col("pid"), col("doc_id"), col("win")).collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getString(2)))).toMap
-    val firstRows = ann.filter(col("rn") === 1)
-      .select(col("pid"), col("doc_id"), col("win")).collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getString(2)))).toMap
-    val pids = lastRows.keys.toSeq.sorted
+    // contiguous global ranks). min_by/max_by under the suffix order
+    // finds both rows with ONE partially-aggregated pass — no sort; the
+    // result is bounded by the partition count (driver metadata, the
+    // same collect discipline the rank offsets used).
+    val ord = struct(col("win"), col("doc_id"), col("off"))
+    val bounds = parts.groupBy(col("pid")).agg(
+        min_by(struct(col("doc_id"), col("win")), ord).as("first"),
+        max_by(struct(col("doc_id"), col("win")), ord).as("last"))
+      .collect()
+      .map { r =>
+        val f = r.getStruct(1); val l = r.getStruct(2)
+        r.getInt(0) -> ((f.getLong(0), f.getString(1), l.getLong(0), l.getString(1)))
+      }.toMap
+    val pids = bounds.keys.toSeq.sorted
     val boundary = pids.zip(pids.drop(1)).map { case (p, q) =>
-      val (da, wa) = lastRows(p)
-      val (db, wb) = firstRows(q)
+      val (_, _, da, wa) = bounds(p)
+      val (db, wb, _, _) = bounds(q)
       (da, wa, db, wb)
     }
     val spark = docs.sparkSession
