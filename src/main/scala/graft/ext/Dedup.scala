@@ -774,22 +774,27 @@ object Dedup {
     "q_corpus_overlap" -> ((s: SparkSession, d: String) => corpusOverlap(s, d)),
   )
 
-  /** Full mirror of [[corpusOverlap]]: the simhash oracle's FNV-1a +
-    * avalanche shingle hashes, then each of the [[OverlapHashes]] hash
-    * families re-mixed per [[graft.functions.Sketches.mix]]
-    * (avalanche(h xor i*phi), phi the splitmix64 increment), signed-min
-    * per (source, family) over the source's DISTINCT shingle set, and
-    * component-agreement fractions per source pair. Every 64-bit step
-    * runs in UBIGINT with the multiplies split via [[mulMod64]].
+  /** Shared FNV-1a + splitmix-avalanche shingle-hash CTE chain,
+    * mirroring [[graft.functions.Sketches.shingleBaseHashes]]
+    * byte-for-byte over an arbitrary key column: tokens are the
+    * non-empty `\s+` splits (matching the JVM byte-walk on edge
+    * whitespace), 3-token shingles serialize as `tok1 tok2 tok3 `
+    * (separator AFTER every token), a ZERO-token text serializes as the
+    * empty byte string (so its hash is the avalanche of the bare FNV
+    * offset, exactly the JVM no-token branch), FNV-1a (offset
+    * 0xcbf29ce484222325, prime 0x100000001b3) over the UTF-8 bytes,
+    * then the splitmix avalanche. Ends in `sh(<key>, s)` (distinct
+    * shingles per key) and `av(s, h)` (avalanched UBIGINT base hash per
+    * distinct shingle). ONE definition shared by the simhash and
+    * corpus-overlap oracles so the tokenizer/serializer mirroring — the
+    * exact class of bug these oracles exist to catch — cannot drift
+    * between them.
     */
-  private lazy val corpusOverlapOracleSql: String = {
-    val m = BigInt(1) << 64
-    val phi = BigInt("9e3779b97f4a7c15", 16)
-    val k = OverlapHashes
-    s"""WITH RECURSIVE t AS (
-       |  SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+  private def shingleHashCtes(key: String): String =
+    s"""t AS (
+       |  SELECT $key, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
        |sh AS (
-       |  SELECT DISTINCT source,
+       |  SELECT DISTINCT $key,
        |    unnest(CASE WHEN len(w) = 0 THEN ['']
        |      WHEN len(w) < 3 THEN [array_to_string(w, ' ') || ' ']
        |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ') END) AS s
@@ -805,7 +810,21 @@ object Dedup {
        |base AS (SELECT s, h FROM fnv WHERE pos = olen + 1),
        |av1 AS (SELECT s, ${mulMod64("xor(h, h >> 30)", BigInt("bf58476d1ce4e5b9", 16))} AS h FROM base),
        |av2 AS (SELECT s, ${mulMod64("xor(h, h >> 27)", BigInt("94d049bb133111eb", 16))} AS h FROM av1),
-       |av AS MATERIALIZED (SELECT s, xor(h, h >> 31) AS h FROM av2),
+       |av AS MATERIALIZED (SELECT s, xor(h, h >> 31) AS h FROM av2)""".stripMargin
+
+  /** Full mirror of [[corpusOverlap]]: the shared [[shingleHashCtes]]
+    * chain keyed by source, then each of the [[OverlapHashes]] hash
+    * families re-mixed per [[graft.functions.Sketches.mix]]
+    * (avalanche(h xor i*phi), phi the splitmix64 increment), signed-min
+    * per (source, family) over the source's DISTINCT shingle set, and
+    * component-agreement fractions per source pair. Every 64-bit step
+    * runs in UBIGINT with the multiplies split via [[mulMod64]].
+    */
+  private lazy val corpusOverlapOracleSql: String = {
+    val m = BigInt(1) << 64
+    val phi = BigInt("9e3779b97f4a7c15", 16)
+    val k = OverlapHashes
+    s"""WITH RECURSIVE ${shingleHashCtes("source")},
        |fam AS (SELECT CAST(unnest(range($k)) AS INT) AS i),
        |mx0 AS (SELECT s, i,
        |    xor(h, CAST((CAST(i AS HUGEINT) * $phi) % CAST('$m' AS HUGEINT) AS UBIGINT)) AS h
@@ -834,41 +853,16 @@ object Dedup {
        |  % CAST('$m' AS HUGEINT) AS HUGEINT) AS UBIGINT)""".stripMargin
   }
 
-  /** See the `dedup_simhash` entry in [[oracles]]. Mirrors
-    * [[graft.functions.Sketches.shingleBaseHashes]] byte-for-byte:
-    * tokens are the non-empty `\s+` splits (list_filter drops the empty
-    * splits, matching the JVM byte-walk on leading/trailing whitespace of
-    * ANY kind, not just ' '), 3-token shingles each serialized as
-    * `tok1 tok2 tok3 ` (separator AFTER every token), a ZERO-token text
-    * serialized as the empty byte string (so its hash is the avalanche of
-    * the bare FNV offset, exactly the JVM no-token branch), FNV-1a
-    * (offset 0xcbf29ce484222325, prime
-    * 0x100000001b3) over the UTF-8 bytes, then the splitmix avalanche;
+  /** See the `dedup_simhash` entry in [[oracles]]. The shared
+    * [[shingleHashCtes]] chain keyed by doc_id (byte-for-byte mirror of
+    * [[graft.functions.Sketches.shingleBaseHashes]] — serialization and
+    * edge cases documented there), then
     * [[graft.functions.Sketches.simhash]]'s distinct-hash bit votes
     * build the signed 64-bit simhash.
     */
   private lazy val simhashOracleSql: String = {
     val m = BigInt(1) << 64
-    s"""WITH RECURSIVE t AS (
-       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id,
-       |    unnest(CASE WHEN len(w) = 0 THEN ['']
-       |      WHEN len(w) < 3 THEN [array_to_string(w, ' ') || ' ']
-       |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ') END) AS s
-       |  FROM t),
-       |us AS (SELECT DISTINCT s FROM sh),
-       |sb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS olen FROM us),
-       |fnv AS (
-       |  SELECT s, hx, olen, 1 AS pos, CAST(${BigInt("cbf29ce484222325", 16)} AS UBIGINT) AS h FROM sb
-       |  UNION ALL
-       |  SELECT s, hx, olen, pos + 1,
-       |    ${mulMod64("xor(h, CAST('0x' || substr(hx, 2 * pos - 1, 2) AS UBIGINT))", BigInt("100000001b3", 16))}
-       |  FROM fnv WHERE pos <= olen),
-       |base AS (SELECT s, h FROM fnv WHERE pos = olen + 1),
-       |av1 AS (SELECT s, ${mulMod64("xor(h, h >> 30)", BigInt("bf58476d1ce4e5b9", 16))} AS h FROM base),
-       |av2 AS (SELECT s, ${mulMod64("xor(h, h >> 27)", BigInt("94d049bb133111eb", 16))} AS h FROM av1),
-       |av AS (SELECT s, xor(h, h >> 31) AS h FROM av2),
+    s"""WITH RECURSIVE ${shingleHashCtes("doc_id")},
        |dh AS (SELECT DISTINCT sh.doc_id, av.h FROM sh JOIN av USING (s)),
        |bits AS (SELECT CAST(unnest(range(64)) AS INT) AS bit),
        |votes AS (

@@ -213,16 +213,30 @@ object Similarity {
       col("vec_id"), col("embedding"),
       VectorFns.l2norm(col("embedding")).as("nrm"),
       lshSignature(col("embedding")).as("bucket"))
-    val probes = lshProbes(queryVecs)
+    scoreBucketJoin(bucketed, broadcast(lshProbes(queryVecs)), k)
+  }
+
+  /** Shared candidate-score-rank tail of every multi-probe pipeline:
+    * bucket equi-join of the (vec_id, embedding, nrm, bucket) corpus
+    * against (query_id, query_emb, qnrm, bucket) probes, self filter,
+    * exact rounded cosine from the precomputed norms, per-query rank,
+    * top-k. No dedup stage: probe buckets are distinct and each corpus
+    * vector has exactly one bucket, so a (query, vec) pair appears at
+    * most once. The probe-side join strategy is the CALLER's choice —
+    * serving paths broadcast the bounded probe set, graph construction
+    * passes the corpus-sized probe side unhinted so AQE decides.
+    */
+  private def scoreBucketJoin(
+      bucketed: DataFrame, probes: DataFrame, k: Int,
+      neighborCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorFns
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    bucketed.join(broadcast(probes), Seq("bucket"))
+      .orderBy(col("cosine").desc, col(neighborCol))
+    bucketed.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
+      .select(col("query_id"), col("vec_id").as(neighborCol),
         round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)
           .as("cosine"))
-      // no dedup needed: probe buckets are distinct and each corpus vector
-      // has exactly one bucket, so (query, vec) appears at most once
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .orderBy("query_id", "rn")
@@ -252,20 +266,10 @@ object Similarity {
     */
   def annLshSearchPartitioned(
       spark: SparkSession, path: String, queryVecs: DataFrame, k: Int): DataFrame = {
-    import graft.functions.VectorFns
     val probes = lshProbes(queryVecs)
     val probeKeys = probes.select("bucket").distinct().collect().map(_.getLong(0)).toSeq
     val corpus = spark.read.parquet(path).filter(col("bucket").isin(probeKeys: _*))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    corpus.join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)
-          .as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .orderBy("query_id", "rn")
+    scoreBucketJoin(corpus, broadcast(probes), k)
   }
 
   /** k-NN GRAPH construction over the whole corpus — the batch primitive
@@ -294,16 +298,7 @@ object Similarity {
       lshSignature(col("embedding")).as("bucket"))
     val probes = lshProbes(
       e.select(col("vec_id").as("query_id"), col("embedding").as("query_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    bucketed.join(probes, Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)
-          .as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .orderBy("query_id", "rn")
+    scoreBucketJoin(bucketed, probes, k, neighborCol = "neighbor_id")
   }
 
   /** Driver-contract entry: multi-probe LSH top-5 for the first 5 vectors

@@ -1052,17 +1052,27 @@ object Streaming {
     * equality). Capacity 1023 keeps the summary error n/1024 below the
     * 0.002 support the batch query screens at.
     */
-  def runHeavyHitterStream(spark: SparkSession, inputGlob: String, queryName: String,
-      capacity: Int = 1023): Unit = {
-    import graft.functions.{MisraGriesAgg, TextFns}
-    val docsRawSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val stream = spark.readStream
+  /** documents.parquet physical schema, shared by every document file
+    * stream so the two readers cannot drift.
+    */
+  val docsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** One-file-per-trigger stream over a documents glob — the arrival
+    * shape both document streams share.
+    */
+  private def docsFileStream(spark: SparkSession, inputGlob: String): DataFrame =
+    spark.readStream
       .schema(docsRawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inputGlob)
+
+  def runHeavyHitterStream(spark: SparkSession, inputGlob: String, queryName: String,
+      capacity: Int = 1023): Unit = {
+    import graft.functions.{MisraGriesAgg, TextFns}
+    val stream = docsFileStream(spark, inputGlob)
     val agg = stream
       .select(explode(TextFns.tokens(lower(col("text")))).as("tok"))
       .agg(
@@ -1095,19 +1105,28 @@ object Streaming {
   def runNearDupStream(
       spark: SparkSession, inputGlob: String, indexPath: String,
       outDir: String): Unit = {
-    val docsRawSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val stream = spark.readStream
-      .schema(docsRawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inputGlob)
-    val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+    // A DURABLE checkpoint is part of the contract: without one a
+    // restart forgets which files were processed, replays them, and the
+    // replayed batches double-append both pairs and index sketches —
+    // the exactly-once union becomes at-least-once. Living next to the
+    // index keeps the two halves of the state (processed-file log,
+    // accumulated sketches) on the same storage.
+    val q = docsFileStream(spark, inputGlob).writeStream
+      .option("checkpointLocation", s"$indexPath/_stream_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          // batch-keyed OVERWRITE makes the pair output idempotent under
+          // foreachBatch's retry-on-failure (a replayed batch rewrites
+          // its own directory instead of appending a duplicate). The
+          // index append is not retry-idempotent the same way — a crash
+          // BETWEEN the pair write and the sketch append can duplicate
+          // sketches on retry, which is benign for candidate generation
+          // (distinct() downstream) but inflates the index until the
+          // next compaction; strict once-only index appends would use
+          // the write-audit-publish discipline of ops.Scale.compact.
           graft.ext.Dedup.indexIncremental(batch.toDF(), indexPath)
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$batchId")
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -1139,7 +1139,6 @@ class ExtSpec extends SparkSuite {
     val sigRows = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Similarity.lshSignature(col("embedding")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
-    val sigMap = sigRows.toMap
     // unbounded k = the full ranked candidate table
     val all = Similarity.annKnnGraph(spark, dir, k = Int.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
