@@ -309,7 +309,139 @@ object Curation {
       .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
       .orderBy("split_lo", "split_hi")
 
+  /** Per-key cap-k by hash rank — the RefinedWeb-style per-domain
+    * frequency cap: no source may contribute more than k documents, the
+    * kept k chosen by md5 order so the selection is reproducible and
+    * unbiased (the hash is independent of content and position). This is
+    * the plain rank form — one window per key — and doubles as the
+    * exactness oracle for [[capPerKeyThreshold]].
+    */
+  def capPerKey(df: DataFrame, key: Column, id: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(hashBucketFull(id), id)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Hot-key scale path for [[capPerKey]], result-equal by construction
+    * (RetrievalSpec asserts it, same argument as
+    * [[stratifiedSampleThreshold]]): a web-scale corpus has a handful of
+    * giant domains, and ranking one of them in a single window task
+    * serializes the job. Instead, each key keeps only rows whose
+    * hash-uniform falls below ~slack·k/n (+32/n noise floor) — an
+    * expected slack·k rows — and ranks just that slice: if the slice has
+    * ≥min(k,n) rows it provably contains the true hash-order top-k
+    * (everything outside hashes strictly higher); the exponentially-rare
+    * short slice falls back to ranking the full key via the `deficient`
+    * flag, inside the same plan. The per-key count/flag tables are
+    * #domains-sized but NOT hint-broadcast — domain cardinality grows
+    * with the corpus (millions of hosts at web scale), so the equi-join
+    * strategy is left to AQE, which broadcasts exactly while it still
+    * fits (the q_market_basket lesson from round 10).
+    */
+  def capPerKeyThreshold(
+      df: DataFrame, key: Column, id: Column, k: Int,
+      slack: Double = 1.5): DataFrame = {
+    val withU = df
+      .withColumn("__h", hashBucketFull(id))
+      .withColumn("__u",
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("long").cast("double")
+          / lit(4294967296.0))
+    val counts = withU.groupBy(key.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__t", least(lit(1.0), (lit(slack * k) + lit(32.0)) / col("__n")))
+    val below = withU.join(counts, key === col("__s")).filter(col("__u") < col("__t"))
+    val belowCounts = below.groupBy(col("__s").as("__s2"))
+      .agg(count(lit(1)).as("__bn"))
+    val flags = counts.join(belowCounts, col("__s") === col("__s2"), "left")
+      .select(col("__s"), col("__t"),
+        (coalesce(col("__bn"), lit(0L)) < least(lit(k.toLong), col("__n"))).as("__deficient"))
+    val w = Window.partitionBy(key).orderBy(col("__h"), id)
+    withU.join(flags, key === col("__s"))
+      .filter(col("__u") < col("__t") || col("__deficient"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__h", "__u", "__s", "__t", "__deficient", "__rn")
+  }
+
+  /** Documents surviving an 18-per-source cap. */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame =
+    capPerKeyThreshold(Tables.documents(spark, dir), col("source"), col("doc_id"), 18)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** Per-key token-budget selection: spend a fixed character budget per
+    * source on its HIGHEST-quality documents — the final assembly step
+    * of a curated corpus, where the mixture prescribes how many tokens
+    * each domain may contribute and quality decides which ones. Docs are
+    * ranked per source by stopword-ratio (the [[TextStats]] quality
+    * signal; any score column drops in) and kept while the running char
+    * total stays within budget — a cumulative-sum window per source.
+    *
+    * Scale shape: quality is one compiled pass fused into the scan; the
+    * only exchange is the per-source window. A hot source serializes its
+    * window task; the fix mirrors [[capPerKeyThreshold]] with the hash
+    * replaced by the quality score — approx-quantile the score to the
+    * budget's expected cutoff, keep above it, rank only that slice.
+    */
+  def tokenBudgetSelect(
+      docs: DataFrame, budgetChars: Long,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    val st = TextStats(col("text"), stopwords)
+    val w = Window.partitionBy(col("source")).orderBy(col("__q").desc, col("doc_id"))
+    docs
+      .withColumn("st", st)
+      .withColumn("__q",
+        col("st.stopword_hits").cast("double") / col("st.n_tokens"))
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .filter(col("cum_chars") <= budgetChars)
+      .select(col("doc_id"), col("source"),
+        round(col("__q"), 4).as("quality"), col("cum_chars"))
+  }
+
+  /** 2000-char budget per source, best-stopword-ratio first. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSelect(Tables.documents(spark, dir), 2000L)
+      .orderBy("doc_id")
+
+  /** Deterministic training-shard export audit: every document lands in
+    * shard md5u32(doc_id) mod S with a within-shard order given by the
+    * full hash — a reproducible global shuffle of the corpus into S
+    * equal-sized sequential-read shards (what a training job consumes),
+    * with no global sort: the shard id is a pure map and the real write
+    * is `repartition(S, shard).sortWithinPartitions(hash)` — one
+    * hash-partition exchange, per-shard local sort, linear at any scale.
+    * This query emits the per-shard manifest a sharded export would be
+    * audited by: row/char totals plus the first/last doc in shard order
+    * (min_by/max_by over the hash — order-sensitive, so it pins the
+    * within-shard ordering cross-engine without materializing it).
+    * The string-ordered min_by buffer forces SortAggregate over
+    * HashAggregate (string agg buffers aren't UnsafeRow-mutable); the
+    * partials still combine MAP-SIDE, so the exchange moves S rows per
+    * task regardless of corpus size — PlanSpec asserts exactly that.
+    */
+  def shuffleShards(docs: DataFrame, shards: Int): DataFrame = {
+    val h = hashBucketFull(col("doc_id"))
+    docs
+      .withColumn("__h", h)
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % shards)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min_by(col("doc_id"), col("__h")).as("first_doc"),
+        max_by(col("doc_id"), col("__h")).as("last_doc"))
+      .orderBy("shard")
+  }
+
+  def qShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    shuffleShards(Tables.documents(spark, dir), 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_cap" -> (qDomainCap _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_shuffle_shards" -> (qShuffleShards _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_mix_weights" -> (qMixWeights _),
     "q_mix_expand" -> (qMixExpand _),
@@ -336,6 +468,34 @@ object Curation {
   }.mkString(",\n        ")
 
   val oracles: Map[String, String] = Map(
+    "q_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 18 ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |              x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |           / len(string_split_regex(trim(text), '\s+')) AS qs
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, qs,
+        |         sum(n_chars) OVER (PARTITION BY source ORDER BY qs DESC, doc_id) AS cum
+        |  FROM q)
+        |SELECT doc_id, source, round(qs, 4) AS quality, CAST(cum AS BIGINT) AS cum_chars
+        |FROM c WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
+    "q_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hh,
+        |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min_by(doc_id, hh) AS first_doc, max_by(doc_id, hh) AS last_doc
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
     // same pairs CTE as dedup_minhash/dedup_cluster (shared truth), with
     // the md5 split CASE applied to each endpoint
     "q_split_leakage" ->

@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Tables
 import graft.functions.{CharNgrams, RollingHashFingerprint, TextFns}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -762,7 +762,46 @@ object Text {
   def qTextDsir(spark: SparkSession, dir: String): DataFrame =
     textDsir(spark, dir)
 
+  /** Readability scoring (Flesch reading-ease + Flesch-Kincaid grade),
+    * the classic document-difficulty signal a curriculum or quality
+    * filter buckets on. Syllables are approximated as vowel-run counts
+    * (the standard hyphenation-free heuristic); the corpus has no
+    * sentence punctuation, so each document scores as one sentence —
+    * the formula constants are kept verbatim and the scaladoc records
+    * the convention rather than inventing a private variant. Pure
+    * per-row map over a 2-column pruned scan: both counts come from
+    * codegen'd regex/split expressions, no shuffle but the output sort.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(TextFns.tokens(col("text")))
+    val syl = size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+    // Grid round as floor(x·10^d + 0.5)/10^d instead of round(): the
+    // formula constants make values land EXACTLY on .xx5 in decimal
+    // (0.39·56 + 11.8·1.375 − 15.59 = 22.475), where Spark's
+    // BigDecimal HALF_UP and DuckDB's scaled-double rounding disagree;
+    // floor over identical IEEE ops is tie-free across engines.
+    def grid(c: Column, d: Int): Column = {
+      val s = math.pow(10, d)
+      floor(c * lit(s) + lit(0.5)).cast("double") / lit(s)
+    }
+    docs
+      .select(
+        col("doc_id"),
+        words.as("n_words"),
+        syl.as("n_syllables"),
+        grid(syl.cast("double") / words, 4).as("syl_per_word"),
+        grid(lit(206.835) - lit(1.015) * words
+          - lit(84.6) * (syl.cast("double") / words), 2).as("flesch"),
+        grid(lit(0.39) * words + lit(11.8) * (syl.cast("double") / words)
+          - lit(15.59), 2).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (textReadability _),
     "text_boilerplate" -> (qTextBoilerplate _),
     "text_dsir" -> (qTextDsir _),
     "text_zipf" -> (qTextZipf _),
@@ -1172,6 +1211,24 @@ object Text {
         |      FROM t)
         |SELECT ng AS ngram, count(*) AS df FROM g
         |GROUP BY ng ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    // formula literals forced to DOUBLE (DuckDB parses decimal literals
+    // as DECIMAL and would multiply exactly where the JVM rounds in
+    // binary); rounding is the same floor-grid the Spark side uses —
+    // identical IEEE ops, no round-half tie (see textReadability)
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_words,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS INTEGER) AS n_syl
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_syl AS n_syllables,
+        |       floor((CAST(n_syl AS DOUBLE) / n_words) * 10000.0 + 0.5) / 10000.0 AS syl_per_word,
+        |       floor((CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * n_words
+        |             - CAST(84.6 AS DOUBLE) * (CAST(n_syl AS DOUBLE) / n_words)) * 100.0 + 0.5) / 100.0 AS flesch,
+        |       floor((CAST(0.39 AS DOUBLE) * n_words
+        |             + CAST(11.8 AS DOUBLE) * (CAST(n_syl AS DOUBLE) / n_words)
+        |             - CAST(15.59 AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,

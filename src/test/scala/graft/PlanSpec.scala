@@ -302,6 +302,43 @@ class PlanSpec extends SparkSuite {
       "AQE must be on so the singles join can become broadcast at runtime:\n" + p)
   }
 
+  test("domain cap: count/flag joins unhinted (domain cardinality scales), never cartesian") {
+    val df = graft.ext.Curation.qDomainCap(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-key count and deficient-flag tables are #domains-sized —
+    // corpus-scaling at web scale — so no hint may pin them to broadcast
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"cap joins must stay unhinted, got ${hints.size}:\n" + p)
+    assert(p.contains("AdaptiveSparkPlan"), p)
+  }
+
+  test("shuffle shards: one hash exchange for the shard aggregate, partials map-side") {
+    val p = planOf(graft.ext.Curation.qShuffleShards(spark, dir))
+    val hashEx = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n" + p)
+    // min_by over the string hash forces SortAggregate (string buffers
+    // aren't UnsafeRow-mutable) — the load-bearing property is that the
+    // partial aggregate still runs MAP-SIDE, so the exchange carries 8
+    // rows per task, not the corpus
+    assert(p.contains("partial_min_by"), "shard partials must aggregate map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("readability: pure map over a pruned 2-column scan, no aggregate or join") {
+    val p = planOf(graft.ext.Text.textReadability(spark, dir))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("source"),
+      s"scan must read only doc_id/text: $read")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+    val hashEx = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning"))
+    assert(hashEx === 0, s"no shuffle but the output range sort:\n" + p)
+  }
+
   test("merge-intervals: one shuffle on user_id serves both windows and the groupBy") {
     val p = planOf(Parity.qMergeIntervals(spark, dir))
     val hashEx = p.linesIterator.count(l =>

@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
 class ExtSpec extends SparkSuite {
   val dir = "/root/testdata/sf0.001"
 
+  test("readability counts words and vowel-run syllables, grid-rounded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on a tree"), // 6 words, runs e/a/a/o/a/ee = 6
+      (2L, "aeiou xyz"),             // 2 words, one 5-vowel run
+      (3L, "rhythm BY sky"),         // 3 words, zero vowel runs
+    ).toDF("doc_id", "text")
+    val got = Text.readability(docs)
+      .as[(Long, Int, Int, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    def grid(x: Double, d: Int) = { val s = math.pow(10, d); math.floor(x * s + 0.5) / s }
+    def expect(w: Int, s: Int) = (
+      grid(s.toDouble / w, 4),
+      grid(206.835 - 1.015 * w - 84.6 * (s.toDouble / w), 2),
+      grid(0.39 * w + 11.8 * (s.toDouble / w) - 15.59, 2))
+    assert((got(1L)._2, got(1L)._3) === ((6, 6)))
+    assert((got(2L)._2, got(2L)._3) === ((2, 1)))
+    assert((got(3L)._2, got(3L)._3) === ((3, 0)))
+    got.values.foreach { case (id, w, s, spw, fl, fk) =>
+      assert((spw, fl, fk) === expect(w, s), s"doc $id")
+    }
+  }
+
   test("minhash LSH finds exactly the brute-force jaccard>=0.8 pairs") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextFns.wordShingles(col("text"), 3).as("sh"))

@@ -177,4 +177,93 @@ class RetrievalSpec extends SparkSuite {
     // canonical ordering: lo <= hi on every row
     report.foreach { case (lo, hi, _, _) => assert(lo <= hi) }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("threshold-based per-key cap equals the rank-based form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    for ((k, slack) <- Seq((18, 1.5), (5, 1.5), (100, 1.5))) {
+      val rank = Curation.capPerKey(docs, col("source"), col("doc_id"), k)
+        .select("doc_id").as[Long].collect().sorted
+      val thresh = Curation.capPerKeyThreshold(docs, col("source"), col("doc_id"), k, slack)
+        .select("doc_id").as[Long].collect().sorted
+      assert(thresh === rank, s"k=$k slack=$slack")
+    }
+  }
+
+  test("per-key cap deficient fallback still returns the exact hash-order top-k") {
+    // one hot key, slack tuned so the kept slice is provably short:
+    // t = (0.01*64 + 32)/1000 ≈ 0.033 ⇒ E[below] ≈ 33 < k=64 ⇒ the
+    // deficient flag must trip and rank the full key
+    val docs = (0L until 1000L).toDF("doc_id").withColumn("key", lit("hot"))
+    val got = Curation.capPerKeyThreshold(docs, col("key"), col("doc_id"), 64, slack = 0.01)
+      .select("doc_id").as[Long].collect().sorted
+    val expect = (0L until 1000L).sortBy(id => md5hex(id.toString)).take(64).sorted
+    assert(got === expect)
+    // and matches the rank form
+    val rank = Curation.capPerKey(docs, col("key"), col("doc_id"), 64)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === rank)
+  }
+
+  test("domain cap keeps at most k per source, a prefix of the hash order") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val kept = Curation.qDomainCap(spark, "/root/testdata/sf0.01")
+      .as[(Long, String)].collect()
+    val bySource = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val all = docs.select("doc_id", "source").as[(Long, String)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    all.foreach { case (src, ids) =>
+      val expect = ids.sortBy(id => (md5hex(id.toString), id)).take(18).toSet
+      assert(bySource(src) === expect, s"source $src")
+    }
+  }
+
+  test("token-budget selection spends each source's budget best-quality-first") {
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val sel = Curation.qTokenBudget(spark, "/root/testdata/sf0.01")
+      .as[(Long, String, Double, Long)].collect()
+    // in-JVM reference: per source, order by (stopword-ratio desc, id),
+    // keep while the running char total stays <= 2000
+    val ref = docs.select("doc_id", "source", "text", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val scored = rows.map { case (id, src, text, nc) =>
+          val toks = text.trim.split("\\s+")
+          (id, src, toks.count(t => stop(t.toLowerCase)).toDouble / toks.length, nc)
+        }.sortBy(t => (-t._3, t._1))
+        var cum = 0L
+        scored.takeWhile { t => cum += t._4; cum <= 2000L }.map(_._1).toSeq
+      }.toSet
+    assert(sel.map(_._1).toSet === ref)
+    sel.foreach { case (id, _, q, cum) =>
+      assert(cum <= 2000L, s"doc $id over budget")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("shuffle shards partition the corpus and pin the shard-order endpoints") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val res = Curation.qShuffleShards(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val all = docs.select("doc_id", "n_chars").as[(Long, Long)].collect()
+    assert(res.map(_._2).sum === all.length.toLong)
+    assert(res.map(_._3).sum === all.map(_._2).sum)
+    // in-JVM reference shard assignment + hash-order endpoints
+    val ref = all.map { case (id, nc) =>
+      val h = md5hex(id.toString)
+      (java.lang.Long.parseLong(h.substring(0, 8), 16) % 8, id, nc, h)
+    }.groupBy(_._1)
+    res.foreach { case (shard, n, sumChars, first, last) =>
+      val grp = ref(shard)
+      assert(n === grp.length.toLong, s"shard $shard")
+      assert(sumChars === grp.map(_._3).sum)
+      assert(first === grp.minBy(_._4)._2)
+      assert(last === grp.maxBy(_._4)._2)
+    }
+  }
 }
