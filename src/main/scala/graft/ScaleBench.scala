@@ -69,7 +69,10 @@ object ScaleBench {
   val HeavyQueries = Seq(
     "dedup_minhash", "dedup_suffix", "dedup_containment",
     "split_cluster_safe", "ann_ivfpq_search", "q_pack_sequences",
-    "text_boilerplate", "ann_knn_graph")
+    "text_boilerplate", "ann_knn_graph",
+    // per-key cap: expansion preserves the 20 sources, so each source
+    // grows factor-fold — the hot-key shape the threshold path targets
+    "q_domain_cap", "q_token_budget")
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
