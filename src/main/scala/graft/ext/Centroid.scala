@@ -62,28 +62,65 @@ object Centroid {
       .toDF("label", "centroid")
   }
 
-  /** Bottom-k vectors per label by cosine to their label centroid. */
-  def embedOutliers(emb: DataFrame, bottomK: Int = 5): DataFrame = {
+  /** Every vector scored by cosine against its label centroid (the
+    * shared head of [[embedOutliers]] and [[coverageSample]]): centroid
+    * table broadcast (bounded by cluster count), scoring a pure map.
+    */
+  private def scoredAgainstCentroid(emb: DataFrame): DataFrame = {
     val e = emb.withColumn("e", transform(col("embedding"), x => x.cast("double")))
-    val scored = e.join(broadcast(centroids(emb)), "label")
+    e.join(broadcast(centroids(emb)), "label")
       .withColumn("dot", aggregate(
         zip_with(col("e"), col("centroid"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
       .withColumn("ne", sqrt(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)))
       .withColumn("nc", sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x)))
       .withColumn("cos_centroid", round(col("dot") / (col("ne") * col("nc")), 4))
+  }
+
+  /** Bottom-k vectors per label by cosine to their label centroid. */
+  def embedOutliers(emb: DataFrame, bottomK: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("label"))
       .orderBy(col("cos_centroid").asc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
+    scoredAgainstCentroid(emb).withColumn("rn", row_number().over(w))
       .filter(col("rn") <= bottomK)
       .select(col("label"), col("vec_id"), col("cos_centroid"))
       .orderBy("label", "cos_centroid", "vec_id")
   }
+
+  /** Cluster-coverage (prototype) sampling — the diversity-preserving
+    * shrink step of an embedding-curated corpus (the allocation side of
+    * the SemDeDup/diversity-sampling recipe): keep exactly ceil(frac·n)
+    * vectors per cluster, most-central first, so every mode of the
+    * distribution stays represented at proportional mass instead of the
+    * head clusters swallowing a global top-k. Complements
+    * [[embedOutliers]] (which removes the least-representative tail).
+    *
+    * Scale shape: scoring is a pure map behind a broadcast centroid
+    * table; the per-cluster rank is one window keyed on the cluster id.
+    * A giant cluster serializes its window task — same hot-key shape as
+    * `Curation.capPerKey`, and the same fix applies (threshold-preselect
+    * on the score quantile, rank the slice).
+    */
+  def coverageSample(emb: DataFrame, frac: Double): DataFrame = {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").desc, col("vec_id").asc)
+    val n = Window.partitionBy(col("label"))
+    scoredAgainstCentroid(emb)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_cluster", count(lit(1)).over(n))
+      .filter(col("rn") <= ceil(lit(frac) * col("n_cluster")))
+      .select(col("label"), col("vec_id"), col("cos_centroid"))
+      .orderBy("label", "vec_id")
+  }
+
+  def qEmbedCoverage(spark: SparkSession, dir: String): DataFrame =
+    coverageSample(Tables.embeddings(spark, dir), 0.2)
 
   def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame =
     embedOutliers(Tables.embeddings(spark, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_outliers" -> (qEmbedOutliers _),
+    "embed_coverage" -> (qEmbedCoverage _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -103,5 +140,22 @@ object Centroid {
         |      FROM s)
         |SELECT label, vec_id, cos_centroid FROM r WHERE rn <= 5
         |ORDER BY label, cos_centroid, vec_id""".stripMargin,
+    // same centroid/cosine CTE, proportional per-cluster prototype keep
+    "embed_coverage" ->
+      """WITH q AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |u AS (SELECT label, vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM q),
+        |c AS (SELECT label, i, sum(CAST(floor(v * 1000000000) AS BIGINT)) AS sc, count(*) AS n
+        |      FROM u GROUP BY 1, 2),
+        |cent AS (SELECT label, list(CAST(sc AS DOUBLE) / 1000000000 / n ORDER BY i) AS centroid
+        |         FROM c GROUP BY label),
+        |s AS (SELECT q.label, q.vec_id,
+        |        round(list_cosine_similarity(q.e, cent.centroid), 4) AS cos_centroid
+        |      FROM q JOIN cent USING (label)),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY label ORDER BY cos_centroid DESC, vec_id) AS rn,
+        |        count(*) OVER (PARTITION BY label) AS n
+        |      FROM s)
+        |SELECT label, vec_id, cos_centroid FROM r WHERE rn <= ceil(0.2 * n)
+        |ORDER BY label, vec_id""".stripMargin,
   )
 }

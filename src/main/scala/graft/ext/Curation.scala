@@ -438,7 +438,49 @@ object Curation {
   def qShuffleShards(spark: SparkSession, dir: String): DataFrame =
     shuffleShards(Tables.documents(spark, dir), 8)
 
+  /** Filter-funnel report (Dolma-style pipeline observability): ordered
+    * quality gates, every document attributed to the FIRST gate it
+    * fails, one count row per gate plus the survivor row — the report a
+    * corpus build publishes so a threshold change can be audited before
+    * committing to a full rebuild. Gates reuse the engine's single-pass
+    * native signals ([[TextStats]], [[graft.functions.RepetitionStats]],
+    * [[LangId]]); every comparison runs on the RAW double ratios (no
+    * rounding), so the decision is the same IEEE arithmetic in both
+    * engines and the oracle needs no round-tie caveats.
+    *
+    * Scale shape: all four signals come from per-row compiled passes
+    * fused into the scan; the report is one map-side-combined aggregate
+    * of ≤5 groups — corpus-size-independent exchange.
+    */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val st = TextStats(col("text"), Seq("the", "a", "of", "and", "to", "in"))
+    val rep = graft.functions.RepetitionStats(col("text"))
+    val pred = LangId(col("text"))
+    docs
+      .withColumn("st", st)
+      .withColumn("rep", rep)
+      .withColumn("punct_ratio", col("st.n_punct").cast("double") / col("st.n_chars"))
+      .withColumn("mean_token_len",
+        col("st.sum_token_len").cast("double") / col("st.n_tokens"))
+      .withColumn("dup_word_frac",
+        lit(1.0) - col("rep.n_distinct").cast("double") / col("rep.n_tokens"))
+      .withColumn("first_fail",
+        when(col("n_chars") < 150, "1_too_short")
+          .when(col("punct_ratio") > 0.2 ||
+            !col("mean_token_len").between(2.0, 15.0), "2_quality")
+          .when(pred.getField("lang") =!= col("lang"), "3_lang_mismatch")
+          .when(col("dup_word_frac") > 0.6, "4_repetitive")
+          .otherwise("pass"))
+      .groupBy(col("first_fail"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("first_fail")
+  }
+
+  def qFilterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnel(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_funnel" -> (qFilterFunnel _),
     "q_domain_cap" -> (qDomainCap _),
     "q_token_budget" -> (qTokenBudget _),
     "q_shuffle_shards" -> (qShuffleShards _),
@@ -468,6 +510,35 @@ object Curation {
   }.mkString(",\n        ")
 
   val oracles: Map[String, String] = Map(
+    // gate comparisons run on RAW double ratios in both engines (same
+    // IEEE divisions), so no round-tie hazard; fragments mirror the
+    // text_quality / text_repetition / text_langid oracles exactly
+    "q_filter_funnel" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS w,
+         |         CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |           / length(text) AS punct_ratio,
+         |         CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+         |               x -> length(x))) AS DOUBLE)
+         |           / len(string_split_regex(trim(text), '\\s+')) AS mtl,
+         |         CAST(1.0 AS DOUBLE)
+         |           - CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+         |           / len(string_split_regex(trim(text), '\\s+')) AS dup_frac
+         |  FROM documents),
+         |l AS (SELECT doc_id AS l_doc_id, (list_sort([
+         |        $langStructs], 'DESC'))[1].lang AS lang_pred
+         |      FROM t),
+         |f AS (
+         |  SELECT t.n_chars,
+         |         CASE WHEN t.n_chars < 150 THEN '1_too_short'
+         |              WHEN t.punct_ratio > 0.2 OR t.mtl < 2.0 OR t.mtl > 15.0 THEN '2_quality'
+         |              WHEN l.lang_pred <> t.lang THEN '3_lang_mismatch'
+         |              WHEN t.dup_frac > 0.6 THEN '4_repetitive'
+         |              ELSE 'pass' END AS first_fail
+         |  FROM t JOIN l ON t.doc_id = l.l_doc_id)
+         |SELECT first_fail, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM f GROUP BY 1 ORDER BY first_fail""".stripMargin,
     "q_domain_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -1069,6 +1069,38 @@ class ExtSpec extends SparkSuite {
     assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("cluster-coverage sample keeps exactly ceil(frac*n) prototypes per label") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Centroid.centroids(emb)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val vecs = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    // driver reference: same left-fold order as the Spark aggregate()
+    // expressions, same BigDecimal HALF_UP round-4 as functions.round
+    def cos(v: Seq[Float], c: Seq[Double]): Double = {
+      val e = v.map(_.toDouble)
+      var dot = 0.0; var ne = 0.0; var nc = 0.0
+      e.zip(c).foreach { case (a, b) => dot += a * b }
+      e.foreach(a => ne += a * a); c.foreach(b => nc += b * b)
+      dot / (math.sqrt(ne) * math.sqrt(nc))
+    }
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val refSel = vecs.groupBy(_._2).toSeq.flatMap { case (label, rows) =>
+      val scored = rows.map { case (id, _, v) => (id, r4(cos(v, cents(label)))) }
+        .sortBy(t => (-t._2, t._1))
+      scored.take(math.ceil(0.2 * rows.length).toInt).map(t => (label, t._1)).toSeq
+    }.toSet
+    val got = Centroid.coverageSample(emb, 0.2).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSet === refSel)
+    // proportional allocation: per-label kept counts are ceil(0.2*n)
+    val totals = vecs.groupBy(_._2).view.mapValues(_.length).toMap
+    got.groupBy(_._1).foreach { case (label, rows) =>
+      assert(rows.length === math.ceil(0.2 * totals(label)).toInt, s"label $label")
+    }
+  }
+
   test("text_boilerplate matches an in-memory segment-df reference exactly") {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text").collect()

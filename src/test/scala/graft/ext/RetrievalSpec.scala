@@ -245,6 +245,35 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("filter funnel attributes each doc to its first failing gate") {
+    val docs = Seq(
+      // n_chars is the gate input (metadata column), text drives the rest
+      (1L, "whatever tiny", "en", "s0", 10L),                      // 1_too_short
+      (2L, "!!! ??? ...", "en", "s0", 200L),                       // 2_quality (punct)
+      (3L, "the a of and to in", "zh", "s0", 200L),                // 3_lang_mismatch
+      (4L, "the the the the the the the the", "en", "s0", 200L),   // 4_repetitive
+      (5L, "the quick brown fox and a dog of note to win in rain", "en", "s0", 200L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.filterFunnel(docs)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === Map(
+      "1_too_short" -> ((1L, 10L)),
+      "2_quality" -> ((1L, 200L)),
+      "3_lang_mismatch" -> ((1L, 200L)),
+      "4_repetitive" -> ((1L, 200L)),
+      "pass" -> ((1L, 200L))))
+    // on the shared corpus the report partitions the documents exactly
+    val full = Curation.qFilterFunnel(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long)].collect()
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(full.map(_._2).sum === corpus.count())
+    assert(full.map(_._3).sum === corpus.agg(sum("n_chars")).as[Long].head())
+    // thresholds must discriminate: survivors exist and at least two
+    // gates actually fire at sf0.01
+    assert(full.exists(_._1 == "pass"))
+    assert(full.count(_._1 != "pass") >= 2, full.mkString(", "))
+  }
+
   test("shuffle shards partition the corpus and pin the shard-order endpoints") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, dir)
