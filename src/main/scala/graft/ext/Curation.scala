@@ -399,9 +399,53 @@ object Curation {
         round(col("__q"), 4).as("quality"), col("cum_chars"))
   }
 
-  /** 2000-char budget per source, best-stopword-ratio first. */
+  /** Hot-source scale path for [[tokenBudgetSelect]], result-equal BY
+    * CONSTRUCTION (RetrievalSpec asserts it): the quality score is a
+    * ratio in [0,1], so bucket it onto a fixed 256-cell grid and build a
+    * per-(source, bucket) char histogram — ≤256 rows per source no
+    * matter how big the source is. Walking the histogram from the top
+    * finds the LOWEST bucket b_t whose strictly-above cumulative chars
+    * still falls short of the budget; every kept doc provably lies in
+    * buckets ≥ b_t (docs below are strictly lower-quality than the whole
+    * slice, and the slice's char mass ≥ budget — or the slice is the
+    * entire source), so only that slice is ranked exactly. Unlike an
+    * approx-quantile cutoff this is EXACT and partition-invariant — no
+    * deficiency fallback needed — and the slice overshoot is bounded by
+    * one bucket's char mass. The histogram/threshold tables scale with
+    * source cardinality and stay unhinted (AQE chooses the join
+    * strategy, same discipline as [[capPerKeyThreshold]]).
+    */
+  def tokenBudgetSelectThreshold(
+      docs: DataFrame, budgetChars: Long,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    val st = TextStats(col("text"), stopwords)
+    val base = docs
+      .withColumn("st", st)
+      .withColumn("__q",
+        col("st.stopword_hits").cast("double") / col("st.n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("__q"))
+      .withColumn("__b", floor(col("__q") * 255).cast("int"))
+    val whist = Window.partitionBy(col("__s")).orderBy(col("__hb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = base.groupBy(col("source").as("__s"), col("__b").as("__hb"))
+      .agg(sum(col("n_chars")).as("__bc"))
+      .withColumn("__above", coalesce(sum(col("__bc")).over(whist), lit(0L)))
+      .filter(col("__above") < budgetChars)
+      .groupBy(col("__s")).agg(min(col("__hb")).as("__bt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("__q").desc, col("doc_id"))
+    base.join(thr, col("source") === col("__s"))
+      .filter(col("__b") >= col("__bt"))
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .filter(col("cum_chars") <= budgetChars)
+      .select(col("doc_id"), col("source"),
+        round(col("__q"), 4).as("quality"), col("cum_chars"))
+  }
+
+  /** 2000-char budget per source, best-stopword-ratio first (histogram-
+    * cutoff scale path; [[tokenBudgetSelect]] is the exactness oracle).
+    */
   def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
-    tokenBudgetSelect(Tables.documents(spark, dir), 2000L)
+    tokenBudgetSelectThreshold(Tables.documents(spark, dir), 2000L)
       .orderBy("doc_id")
 
   /** Deterministic training-shard export audit: every document lands in

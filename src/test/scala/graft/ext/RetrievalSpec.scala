@@ -245,6 +245,29 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("histogram-cutoff token budget equals the full-rank form at any budget") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    for (budget <- Seq(500L, 2000L, 6000L)) {
+      val rank = Curation.tokenBudgetSelect(docs, budget)
+        .select("doc_id").as[Long].collect().sorted
+      val thresh = Curation.tokenBudgetSelectThreshold(docs, budget)
+        .select("doc_id").as[Long].collect().sorted
+      assert(thresh === rank, s"budget=$budget")
+    }
+    // hot-source shape: one source, quality spread across buckets
+    val hot = (0L until 500L).map { i =>
+      val stops = Seq.fill((i % 7).toInt)("the")
+      val noise = Seq.tabulate(6)(j => s"w${i}x$j")
+      (i, (stops ++ noise).mkString(" "), "en", "hot", 100L + i % 50)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Curation.tokenBudgetSelect(hot, 5000L)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Curation.tokenBudgetSelectThreshold(hot, 5000L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a === b)
+    assert(a.nonEmpty && a.length < 500)
+  }
+
   test("filter funnel attributes each doc to its first failing gate") {
     val docs = Seq(
       // n_chars is the gate input (metadata column), text drives the rest
