@@ -11,15 +11,16 @@ import org.apache.spark.sql.functions._
   * Expansion preserves the WORKLOAD character rather than photocopying
   * rows:
   *
-  *  - documents: replica k rotates the lowercase alphabet by k
-  *    (`translate`), so every token — and therefore every shingle,
+  *  - documents: replica k applies an affine letter permutation
+  *    ([[affinePerm]], 312 distinct maps; replicas 1..25 are plain
+  *    rotations), so every token — and therefore every shingle,
   *    minhash band, simhash vote, and suffix window — differs across
   *    replicas while the INTRA-replica near-duplicate structure is
   *    preserved exactly (length, whitespace, and duplicate topology are
   *    invariant under a letter substitution). Verbatim replication would
   *    instead give every document N-1 exact copies and blow candidate
   *    pair counts up quadratically — a different (and unrealistic)
-  *    workload. True pair count scales exactly N-fold.
+  *    workload. True pair count scales exactly N-fold up to x312.
   *  - embeddings: replica k perturbs each component by a small
   *    k-and-position-keyed factor, so replicas are distinct points with
   *    the same distribution (no artificial exact-duplicate neighbors),
@@ -33,23 +34,64 @@ object ScaleBench {
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
+  // The 12 residues coprime to 26 — the valid multipliers of an affine
+  // letter cipher i -> (a*i + b) mod 26.
+  private val Coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Replica k's letter permutation: affine cipher with a = Coprimes(k/26
+    * mod 12), b = k mod 26 — 312 PAIRWISE-DISTINCT permutations (distinct
+    * (a,b) ⇒ distinct map), so corpora up to x312 have no cross-replica
+    * shingle collisions. Plain rotation (the original design) has only
+    * 26 distinct transforms: beyond x26, same-rotation replicas are
+    * byte-identical, cross-replica EXACT duplicates appear, and the true
+    * near-dup pair count grows ~quadratically in factor/26 — the first
+    * x100 rehearsal measured exactly that artifact (dedup_containment
+    * 31.6 -> 358 s, exponent 2.0) before this fix. Replica 0 is the
+    * identity (a=1, b=0); replicas 1..25 are the original rotations.
+    */
+  def affinePerm(k: Int): String = {
+    val a = Coprimes((k / 26) % Coprimes.size)
+    val b = k % 26
+    (0 until 26).map(i => ('a' + ((a * i + b) % 26)).toChar).mkString
+  }
+
   def expandDocuments(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    require(factor <= 312, "affine letter permutations are distinct only up to x312")
     val src = Tables.documents(spark, srcDir)
     (0 until factor).map { k =>
-      val rot = Alpha.drop(k % 26) + Alpha.take(k % 26)
       src.select(
         (col("doc_id") + lit(k.toLong * 10_000_000L)).as("doc_id"),
-        translate(col("text"), Alpha, rot).as("text"),
+        translate(col("text"), Alpha, affinePerm(k)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_.unionAll(_))
   }
 
+  /** Replica k's embedding transform is an ISOMETRY — a dimension
+    * rotation (i → i+7k mod d) composed with hash-derived per-dimension
+    * sign flips — the embedding-space analog of [[affinePerm]]: every
+    * intra-replica dot product and norm is preserved as a multiset of
+    * products (exact up to FP summation order — sign flips and
+    * permutations are exact float ops), so the dedup/ANN structure
+    * inside each replica is faithful, while cross-replica points land
+    * in decorrelated SRP buckets. The first
+    * design (±3% component perturbation) kept replicas in the SAME
+    * signature buckets, so bucket occupancy — and therefore in-bucket
+    * candidate pairs — grew quadratically with factor: the x100 knn
+    * rehearsal measured exponent ~2 from that artifact alone, with no
+    * engine defect. Distinct transforms: d rotations × 2^d sign
+    * patterns, far past any factor this harness stages.
+    */
   def expandEmbeddings(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
     val src = Tables.embeddings(spark, srcDir)
+    val d = src.select(size(col("embedding"))).first().getInt(0)
     (0 until factor).map { k =>
+      val rot = (7 * k) % d
       src.select(
         (col("vec_id") + lit(k.toLong * 10_000_000L)).as("vec_id"),
-        expr(s"transform(embedding, (x, i) -> x * (1.0f + cast(($k * 31 + i) % 7 - 3 as float) * 0.01f))")
+        expr(
+          s"""transform(sequence(0, ${d - 1}), i ->
+             |  element_at(embedding, ((i + $rot) % $d) + 1) *
+             |  cast(1 - 2 * pmod(hash(i + ${k * 97}), 2) as float))""".stripMargin)
           .as("embedding"),
         col("label"))
     }.reduce(_.unionAll(_))
@@ -72,7 +114,54 @@ object ScaleBench {
     "text_boilerplate", "ann_knn_graph",
     // per-key cap: expansion preserves the 20 sources, so each source
     // grows factor-fold — the hot-key shape the threshold path targets
-    "q_domain_cap", "q_token_budget")
+    "q_domain_cap", "q_token_budget", "ann_knn_graph_autobits",
+    "containment_candidates", "knn_autobits_candidates")
+
+  /** The production bits knob from the annKnnGraph scaladoc, made
+    * runnable: bits grows as log2(N / target-occupancy-8), holding
+    * per-bucket candidate work roughly constant as the corpus scales
+    * (at sf0.1-x1 sizes it equals the fixed-bits query). The count scan
+    * that sizes the corpus is negligible against the graph build.
+    */
+  private def knnAutoBits(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val bits = math.max(ext.Similarity.LshBits,
+      math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
+    ext.Similarity.annKnnGraph(spark, dir, bits = bits)
+  }
+
+  /** Candidate-volume probes: count the bucket-join rows the heavy
+    * pipelines actually generate. At x100 on ONE box the timed curves
+    * conflate algorithmic growth with shuffle-spill saturation; these
+    * counts measure the work itself, which the df cap / bits knob bound
+    * linearly in corpus size.
+    */
+  private def containmentCandCount(spark: SparkSession, dir: String): DataFrame =
+    ext.Dedup.containmentCandidateRows(Tables.documents(spark, dir))
+      .groupBy().agg(count(lit(1)).as("n_candidates"))
+
+  private def knnCandCount(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val bits = math.max(ext.Similarity.LshBits,
+      math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
+    val bucketed = e.select(col("vec_id"),
+      ext.Similarity.lshSignature(col("embedding"), bits).as("bucket"))
+    ext.Similarity.lshProbes(
+        e.select(col("vec_id").as("query_id"), col("embedding").as("query_emb")), bits)
+      .select("query_id", "bucket")
+      .join(bucketed, "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy().agg(count(lit(1)).as("n_candidates"))
+  }
+
+  /** Scale-only entries not on the driver surface (knob demonstrations
+    * and candidate-volume probes).
+    */
+  val Extras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_graph_autobits" -> (knnAutoBits _),
+    "containment_candidates" -> (containmentCandCount _),
+    "knn_autobits_candidates" -> (knnCandCount _))
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
@@ -94,7 +183,7 @@ object ScaleBench {
     // warmup (classloading + codegen) on the smallest SF, untimed
     val warm = new java.io.File("/root/testdata/sf0.001")
     if (warm.isDirectory) heavy.foreach { q =>
-      try SparkEntry.queries(q)(spark, warm.toString)
+      try Extras.getOrElse(q, SparkEntry.queries(q))(spark, warm.toString)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -106,8 +195,14 @@ object ScaleBench {
         System.gc()
         val t0 = System.nanoTime()
         try {
-          SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
-          Some(q -> (System.nanoTime() - t0) / 1e9)
+          val df = Extras.getOrElse(q, SparkEntry.queries(q))(spark, dir)
+          if (df.columns.sameElements(Array("n_candidates"))) {
+            // candidate-volume probe: record the COUNT, not seconds
+            Some(q -> df.first().getLong(0).toDouble)
+          } else {
+            df.write.format("noop").mode("overwrite").save()
+            Some(q -> (System.nanoTime() - t0) / 1e9)
+          }
         } catch {
           case e: Throwable =>
             System.err.println(s"[scale x$f] $q FAILED: ${e.toString.take(200)}")

@@ -724,8 +724,15 @@ object Dedup {
     */
   val ContainmentMaxDf = 256
 
-  def dedupContainmentDf(docs: DataFrame, threshold: Double = 0.5,
-      maxChars: Int = 400, maxDf: Int = ContainmentMaxDf): DataFrame = {
+  /** Shared head of [[dedupContainmentDf]] and the scale rehearsal's
+    * candidate-volume probe: (source grams with the stop-shingle anti
+    * join applied, all grams). The candidate join volume — the thing
+    * the df cap provably bounds linearly in corpus size — is exactly
+    * `aGrams ⋈_s grams` below; counting it directly separates
+    * algorithmic growth from single-box spill saturation.
+    */
+  private def containmentGrams(docs: DataFrame,
+      maxChars: Int, maxDf: Int): (DataFrame, DataFrame) = {
     val grams = docs.select(col("doc_id"),
       explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
     // stop = shingles in MORE than maxDf docs (WordShingles emits
@@ -746,6 +753,22 @@ object Dedup {
       .select(col("doc_id").as("src_id"),
         explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
       .join(stop, Seq("s"), "left_anti")
+    (aGrams, grams)
+  }
+
+  /** Candidate-join rows of [[dedupContainmentDf]] before pair
+    * aggregation (scale-rehearsal probe).
+    */
+  private[graft] def containmentCandidateRows(docs: DataFrame,
+      maxChars: Int = 400, maxDf: Int = ContainmentMaxDf): DataFrame = {
+    val (aGrams, grams) = containmentGrams(docs, maxChars, maxDf)
+    aGrams.join(grams.withColumnRenamed("doc_id", "dst_id"), "s")
+      .filter(col("src_id") =!= col("dst_id"))
+  }
+
+  def dedupContainmentDf(docs: DataFrame, threshold: Double = 0.5,
+      maxChars: Int = 400, maxDf: Int = ContainmentMaxDf): DataFrame = {
+    val (aGrams, grams) = containmentGrams(docs, maxChars, maxDf)
     val aSize = aGrams.groupBy(col("src_id")).agg(count(lit(1)).as("n_src"))
     aGrams.join(grams.withColumnRenamed("doc_id", "dst_id"), "s")
       .filter(col("src_id") =!= col("dst_id"))

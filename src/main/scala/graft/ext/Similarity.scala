@@ -168,8 +168,8 @@ object Similarity {
     * probes its own bucket (plus multi-probe neighbors) instead of
     * scanning the corpus.
     */
-  def lshSignature(emb: Column): Column =
-    graft.functions.VectorFns.srpSignature(emb, LshBits)
+  def lshSignature(emb: Column, bits: Int = LshBits): Column =
+    graft.functions.VectorFns.srpSignature(emb, bits)
 
   /** Bucketed near-neighbor candidates: pairs sharing an LSH bucket,
     * verified with exact cosine. Returns bucket stats + verified top pairs
@@ -187,15 +187,15 @@ object Similarity {
     * own bucket plus the [[LshBits]] buckets at Hamming distance 1
     * (13 probes at 12 bits), with the query norm precomputed.
     */
-  def lshProbes(queryVecs: DataFrame): DataFrame = {
+  def lshProbes(queryVecs: DataFrame, bits: Int = LshBits): DataFrame = {
     import graft.functions.VectorFns
     queryVecs.select(
       col("query_id"), col("query_emb"),
       VectorFns.l2norm(col("query_emb")).as("qnrm"),
       explode(concat(
-        array(lshSignature(col("query_emb"))),
-        transform(sequence(lit(0), lit(LshBits - 1)),
-          i => lshSignature(col("query_emb"))
+        array(lshSignature(col("query_emb"), bits)),
+        transform(sequence(lit(0), lit(bits - 1)),
+          i => lshSignature(col("query_emb"), bits)
             .bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")).cast("long")))))
         .as("bucket"))
   }
@@ -289,15 +289,16 @@ object Similarity {
     * (an ANN graph, not an exact one); recall on planted near-dup pairs
     * is asserted in ExtSpec.
     */
-  def annKnnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def annKnnGraph(spark: SparkSession, dir: String, k: Int = 3,
+      bits: Int = LshBits): DataFrame = {
     import graft.functions.VectorFns
     val e = Tables.embeddings(spark, dir)
     val bucketed = e.select(
       col("vec_id"), col("embedding"),
       VectorFns.l2norm(col("embedding")).as("nrm"),
-      lshSignature(col("embedding")).as("bucket"))
+      lshSignature(col("embedding"), bits).as("bucket"))
     val probes = lshProbes(
-      e.select(col("vec_id").as("query_id"), col("embedding").as("query_emb")))
+      e.select(col("vec_id").as("query_id"), col("embedding").as("query_emb")), bits)
     scoreBucketJoin(bucketed, probes, k, neighborCol = "neighbor_id")
   }
 

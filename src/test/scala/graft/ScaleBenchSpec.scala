@@ -38,6 +38,26 @@ class ScaleBenchSpec extends SparkSuite {
     })
   }
 
+  test("affine permutations: 312 pairwise distinct, identity at 0, rotations below 26") {
+    val perms = (0 until 312).map(ScaleBench.affinePerm)
+    assert(perms.distinct.size === 312)
+    assert(perms(0) === "abcdefghijklmnopqrstuvwxyz")
+    assert(perms(1) === "bcdefghijklmnopqrstuvwxyza")
+    // every map is a true permutation of the alphabet
+    perms.foreach(p => assert(p.sorted === "abcdefghijklmnopqrstuvwxyz"))
+    // the first rotation-collision points of the old design now differ
+    assert(Seq(perms(0), perms(26), perms(52)).distinct.size === 3)
+  }
+
+  test("beyond x26 replicas carry no cross-replica exact duplicates") {
+    // replicas 0, 26, 52 collided under plain rotation; under the affine
+    // permutation each text maps to a distinct string
+    val x = ScaleBench.expandDocuments(spark, dir, 53)
+      .filter(col("doc_id").isin(7L, 26L * 10000000L + 7L, 52L * 10000000L + 7L))
+      .select("text").collect().map(_.getString(0))
+    assert(x.length === 3 && x.distinct.length === 3)
+  }
+
   test("embedding expansion: distinct perturbed points, same dimensionality") {
     val src = Tables.embeddings(spark, dir)
     val x2 = ScaleBench.expandEmbeddings(spark, dir, 2)
@@ -50,5 +70,13 @@ class ScaleBenchSpec extends SparkSuite {
       .select((col("vec_id") - 10000000L).as("vec_id"), col("embedding").as("e1"))
       .join(src.select(col("vec_id"), col("embedding").as("e0")), "vec_id")
     assert(joined.filter(col("e0") === col("e1")).count() === 0)
+    // the transform is an isometry: component magnitudes are the same
+    // multiset (dimension rotation + sign flips, no scaling)
+    val pair = joined.limit(5).collect()
+    pair.foreach { r =>
+      val e0 = r.getSeq[Float](2).map(math.abs).sorted
+      val e1 = r.getSeq[Float](1).map(math.abs).sorted
+      assert(e0 === e1)
+    }
   }
 }
