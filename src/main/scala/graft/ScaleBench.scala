@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   *    instead give every document N-1 exact copies and blow candidate
   *    pair counts up quadratically — a different (and unrealistic)
   *    workload. True pair count scales exactly N-fold up to x312.
-  *  - embeddings: replica k perturbs each component by a small
-  *    k-and-position-keyed factor, so replicas are distinct points with
-  *    the same distribution (no artificial exact-duplicate neighbors),
-  *    and vec_ids shift by k*10M.
+  *  - embeddings: replica k applies an isometry (dimension rotation +
+  *    hash-derived sign flips, see [[expandEmbeddings]]) — distinct
+  *    points with the same intra-replica geometry, decorrelated SRP
+  *    buckets across replicas; vec_ids shift by k*10M.
   *
   * Replicas are a UNION of per-k literal projections (translate needs a
   * literal mapping), which Spark plans as factor parallel scans of the
@@ -115,7 +115,7 @@ object ScaleBench {
     // per-key cap: expansion preserves the 20 sources, so each source
     // grows factor-fold — the hot-key shape the threshold path targets
     "q_domain_cap", "q_token_budget", "ann_knn_graph_autobits",
-    "containment_candidates", "knn_autobits_candidates")
+    "containment_candidates", "knn_autobits_candidates", "minhash_pairs")
 
   /** The production bits knob from the annKnnGraph scaladoc, made
     * runnable: bits grows as log2(N / target-occupancy-8), holding
@@ -161,7 +161,10 @@ object ScaleBench {
   val Extras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_knn_graph_autobits" -> (knnAutoBits _),
     "containment_candidates" -> (containmentCandCount _),
-    "knn_autobits_candidates" -> (knnCandCount _))
+    "knn_autobits_candidates" -> (knnCandCount _),
+    // the edge list split_cluster_safe's CC propagation iterates over
+    "minhash_pairs" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.dedupMinhash(s, d).groupBy().agg(count(lit(1)).as("n_candidates"))))
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -30,8 +30,14 @@ object Cluster {
     * (isolated docs are not in any duplicate cluster).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
-      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    // checkpoint BEFORE symmetrizing (the pageRank lesson): the union
+    // references the edge pipeline twice, and when the edges are the
+    // verified near-dup pairs that re-execution doubles the whole
+    // MinHash pipeline — measured 2x the x100 rehearsal cost of
+    // split_cluster_safe before this fix
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val sym = e
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint()
 
