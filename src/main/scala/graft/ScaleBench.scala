@@ -40,8 +40,12 @@ object ScaleBench {
 
   /** Replica k's letter permutation: affine cipher with a = Coprimes(k/26
     * mod 12), b = k mod 26 — 312 PAIRWISE-DISTINCT permutations (distinct
-    * (a,b) ⇒ distinct map), so corpora up to x312 have no cross-replica
-    * shingle collisions. Plain rotation (the original design) has only
+    * (a,b) ⇒ distinct map), so no replica pair up to x312 shares its
+    * full letter map. Two perms with equal b still agree on their
+    * fixed-point letters (e.g. every b=0 map fixes 'a'), so isolated
+    * cross-replica shingle matches over those letters remain possible —
+    * statistically negligible, unlike the BYTE-IDENTICAL replicas plain
+    * rotation produces past x26. Rotation (the original design) has only
     * 26 distinct transforms: beyond x26, same-rotation replicas are
     * byte-identical, cross-replica EXACT duplicates appear, and the true
     * near-dup pair count grows ~quadratically in factor/26 — the first
@@ -125,9 +129,7 @@ object ScaleBench {
     */
   private def knnAutoBits(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
-    val bits = math.max(ext.Similarity.LshBits,
-      math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
-    ext.Similarity.annKnnGraph(spark, dir, bits = bits)
+    ext.Similarity.annKnnGraph(spark, dir, bits = ext.Similarity.autoBits(n))
   }
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
@@ -141,17 +143,9 @@ object ScaleBench {
       .groupBy().agg(count(lit(1)).as("n_candidates"))
 
   private def knnCandCount(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val n = e.count()
-    val bits = math.max(ext.Similarity.LshBits,
-      math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
-    val bucketed = e.select(col("vec_id"),
-      ext.Similarity.lshSignature(col("embedding"), bits).as("bucket"))
-    ext.Similarity.lshProbes(
-        e.select(col("vec_id").as("query_id"), col("embedding").as("query_emb")), bits)
-      .select("query_id", "bucket")
-      .join(bucketed, "bucket")
-      .filter(col("query_id") =!= col("vec_id"))
+    val n = Tables.embeddings(spark, dir).count()
+    // exactly the rows annKnnGraph scores — shared definition, no drift
+    ext.Similarity.knnCandidateRows(spark, dir, ext.Similarity.autoBits(n))
       .groupBy().agg(count(lit(1)).as("n_candidates"))
   }
 
@@ -194,17 +188,18 @@ object ScaleBench {
     val results = factors.map { f =>
       val dir = s"$root/x$f"
       stage(spark, srcDir, dir, f)
-      val times = heavy.flatMap { q =>
+      val entries = heavy.flatMap { q =>
         System.gc()
         val t0 = System.nanoTime()
         try {
           val df = Extras.getOrElse(q, SparkEntry.queries(q))(spark, dir)
           if (df.columns.sameElements(Array("n_candidates"))) {
-            // candidate-volume probe: record the COUNT, not seconds
-            Some(q -> df.first().getLong(0).toDouble)
+            // candidate-volume probe: a ROW COUNT, reported under
+            // "counts" so the "sec"-unit timing map stays honest
+            Some((q, df.first().getLong(0).toDouble, true))
           } else {
             df.write.format("noop").mode("overwrite").save()
-            Some(q -> (System.nanoTime() - t0) / 1e9)
+            Some((q, (System.nanoTime() - t0) / 1e9, false))
           }
         } catch {
           case e: Throwable =>
@@ -212,13 +207,16 @@ object ScaleBench {
             None
         }
       }
-      f -> times
+      f -> entries
     }
-    val json = results.map { case (f, times) =>
-      val qs = times.map { case (q, t) => f""""$q":$t%.2f""" }.mkString("{", ",", "}")
-      s""""x$f":$qs"""
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale","unit":"sec","src":"$srcDir","factors":$json}""")
+    def obj(entries: Seq[(String, Double, Boolean)], fmt: String) =
+      entries.map { case (q, v, _) => s""""$q":${fmt.format(v)}""" }
+        .mkString("{", ",", "}")
+    val times = results.map { case (f, es) =>
+      s""""x$f":${obj(es.filterNot(_._3), "%.2f")}""" }.mkString("{", ",", "}")
+    val counts = results.map { case (f, es) =>
+      s""""x$f":${obj(es.filter(_._3), "%.0f")}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale","unit":"sec","src":"$srcDir","factors":$times,"counts":$counts}""")
     spark.stop()
   }
 }

@@ -337,7 +337,13 @@ object Curation {
     * #domains-sized but NOT hint-broadcast — domain cardinality grows
     * with the corpus (millions of hosts at web scale), so the equi-join
     * strategy is left to AQE, which broadcasts exactly while it still
-    * fits (the q_market_basket lesson from round 10).
+    * fits (the q_market_basket lesson from round 10). Key joins are
+    * null-safe (`<=>`), so a NULL key behaves like any other key — the
+    * same group the rank form's window gives it. Cost shape: `withU` is
+    * referenced by three branches, so the (pruned, id+key-only) scan
+    * runs up to three times — deliberate: the reused rows are too wide
+    * a fraction of the corpus to pin in executor memory, and the scan
+    * is two narrow columns plus an md5.
     */
   def capPerKeyThreshold(
       df: DataFrame, key: Column, id: Column, k: Int,
@@ -350,14 +356,14 @@ object Curation {
     val counts = withU.groupBy(key.as("__s"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__t", least(lit(1.0), (lit(slack * k) + lit(32.0)) / col("__n")))
-    val below = withU.join(counts, key === col("__s")).filter(col("__u") < col("__t"))
+    val below = withU.join(counts, key <=> col("__s")).filter(col("__u") < col("__t"))
     val belowCounts = below.groupBy(col("__s").as("__s2"))
       .agg(count(lit(1)).as("__bn"))
-    val flags = counts.join(belowCounts, col("__s") === col("__s2"), "left")
+    val flags = counts.join(belowCounts, col("__s") <=> col("__s2"), "left")
       .select(col("__s"), col("__t"),
         (coalesce(col("__bn"), lit(0L)) < least(lit(k.toLong), col("__n"))).as("__deficient"))
     val w = Window.partitionBy(key).orderBy(col("__h"), id)
-    withU.join(flags, key === col("__s"))
+    withU.join(flags, key <=> col("__s"))
       .filter(col("__u") < col("__t") || col("__deficient"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -413,7 +419,12 @@ object Curation {
     * deficiency fallback needed — and the slice overshoot is bounded by
     * one bucket's char mass. The histogram/threshold tables scale with
     * source cardinality and stay unhinted (AQE chooses the join
-    * strategy, same discipline as [[capPerKeyThreshold]]).
+    * strategy, same discipline as [[capPerKeyThreshold]]); the source
+    * join is null-safe. Cost shape: TWO quality passes by design (the
+    * textVocabOov two-pass discipline) — the histogram pass and the
+    * final-selection pass each run the compiled TextStats scan; at a
+    * scale where the double text read dominates, persist `base`'s
+    * four narrow columns between the passes.
     */
   def tokenBudgetSelectThreshold(
       docs: DataFrame, budgetChars: Long,
@@ -433,7 +444,7 @@ object Curation {
       .filter(col("__above") < budgetChars)
       .groupBy(col("__s")).agg(min(col("__hb")).as("__bt"))
     val w = Window.partitionBy(col("source")).orderBy(col("__q").desc, col("doc_id"))
-    base.join(thr, col("source") === col("__s"))
+    base.join(thr, col("source") <=> col("__s"))
       .filter(col("__b") >= col("__bt"))
       .withColumn("cum_chars", sum(col("n_chars")).over(w))
       .filter(col("cum_chars") <= budgetChars)

@@ -226,14 +226,22 @@ object Similarity {
     * serving paths broadcast the bounded probe set, graph construction
     * passes the corpus-sized probe side unhinted so AQE decides.
     */
+  /** The candidate rows every bucket-join pipeline scores: probes ⋈
+    * corpus on the bucket key, minus self-pairs. Factored so the scale
+    * rehearsal's candidate-volume probe counts EXACTLY the rows
+    * [[scoreBucketJoin]] scores — one definition, no drift.
+    */
+  private def bucketCandidates(bucketed: DataFrame, probes: DataFrame): DataFrame =
+    bucketed.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+
   private def scoreBucketJoin(
       bucketed: DataFrame, probes: DataFrame, k: Int,
       neighborCol: String = "vec_id"): DataFrame = {
     import graft.functions.VectorFns
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(neighborCol))
-    bucketed.join(probes, Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+    bucketCandidates(bucketed, probes)
       .select(col("query_id"), col("vec_id").as(neighborCol),
         round(VectorFns.dotProduct(col("embedding"), col("query_emb")) / (col("nrm") * col("qnrm")), 4)
           .as("cosine"))
@@ -289,17 +297,40 @@ object Similarity {
     * (an ANN graph, not an exact one); recall on planted near-dup pairs
     * is asserted in ExtSpec.
     */
-  def annKnnGraph(spark: SparkSession, dir: String, k: Int = 3,
-      bits: Int = LshBits): DataFrame = {
+  /** The auto-scaled bits knob from the scaladoc above, shared by the
+    * scale rehearsal's timing and candidate-probe entries: bits =
+    * log2(N / target occupancy 8), floored at [[LshBits]] so small
+    * corpora match the fixed-bits query exactly.
+    */
+  def autoBits(n: Long): Int =
+    math.max(LshBits, math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
+
+  /** Corpus and probe sides of the knn-graph bucket join. */
+  private def knnSides(e: DataFrame, bits: Int): (DataFrame, DataFrame) = {
     import graft.functions.VectorFns
-    val e = Tables.embeddings(spark, dir)
     val bucketed = e.select(
       col("vec_id"), col("embedding"),
       VectorFns.l2norm(col("embedding")).as("nrm"),
       lshSignature(col("embedding"), bits).as("bucket"))
     val probes = lshProbes(
       e.select(col("vec_id").as("query_id"), col("embedding").as("query_emb")), bits)
+    (bucketed, probes)
+  }
+
+  def annKnnGraph(spark: SparkSession, dir: String, k: Int = 3,
+      bits: Int = LshBits): DataFrame = {
+    val (bucketed, probes) = knnSides(Tables.embeddings(spark, dir), bits)
     scoreBucketJoin(bucketed, probes, k, neighborCol = "neighbor_id")
+  }
+
+  /** The exact candidate rows [[annKnnGraph]] scores at the given bits
+    * (scale-rehearsal probe; same [[knnSides]] + [[bucketCandidates]]
+    * definitions the query uses).
+    */
+  private[graft] def knnCandidateRows(spark: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    val (bucketed, probes) = knnSides(Tables.embeddings(spark, dir), bits)
+    bucketCandidates(bucketed, probes)
   }
 
   /** Driver-contract entry: multi-probe LSH top-5 for the first 5 vectors

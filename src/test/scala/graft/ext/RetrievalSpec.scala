@@ -208,6 +208,20 @@ class RetrievalSpec extends SparkSuite {
     assert(got === rank)
   }
 
+  test("per-key cap treats a NULL key as its own group (null-safe joins)") {
+    val docs = Seq[(Long, Option[String])](
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+      (4L, None), (5L, None), (6L, None), (7L, None),
+    ).toDF("doc_id", "key")
+    val rank = Curation.capPerKey(docs, col("key"), col("doc_id"), 2)
+      .select("doc_id").as[Long].collect().sorted
+    val thresh = Curation.capPerKeyThreshold(docs, col("key"), col("doc_id"), 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(thresh === rank)
+    // 2 kept from "a", 2 kept from the NULL group
+    assert(rank.length === 4)
+  }
+
   test("domain cap keeps at most k per source, a prefix of the hash order") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val kept = Curation.qDomainCap(spark, "/root/testdata/sf0.01")
