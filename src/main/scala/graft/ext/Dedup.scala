@@ -781,7 +781,99 @@ object Dedup {
       .orderBy(col("src_id"), col("dst_id"))
   }
 
+  // --- winnowing (MOSS) span-overlap dedup ---------------------------------
+
+  /** Per-fingerprint document-frequency cap for [[dedupWinnow]]: a
+    * fingerprint appearing in more than this many documents is
+    * boilerplate (a ≥31-byte substring shared corpus-wide), carries no
+    * pair-discriminating signal, and would make the candidate join
+    * quadratic in its df — the same guard as `dedup_containment`'s
+    * stop-shingle cap. Per-fingerprint join work is bounded by cap²,
+    * independent of corpus size.
+    */
+  val WinnowMaxDf = 64
+
+  /** Pair-report rule: strong ABSOLUTE span evidence ([[WinnowMinShared]]
+    * shared fingerprints — with k=24, w=8 accidental collisions on this
+    * corpus die out below 3) OR strong RELATIVE coverage
+    * ([[WinnowMinOverlap]] of the smaller document's fingerprint set,
+    * with ≥2 shared so a single tiny-doc collision can't qualify). The
+    * relative arm exists for short documents: a 55-char near-dup copy
+    * has only ~4 fingerprints total and can never reach the absolute
+    * bar, but covers its counterpart's set completely.
+    */
+  val WinnowMinShared = 5
+  val WinnowMinOverlap = 0.5
+
+  /** Exploded winnowing fingerprint table: (doc_id, fp), distinct per
+    * document by construction (the kernel emits a sorted set).
+    */
+  def winnowTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.WinnowFingerprints(
+        col("text"), Text.WinnowK, Text.WinnowW)).as("fp"))
+
+  /** Span-overlap near-dup pairs via winnowing fingerprints (the MOSS
+    * construction): documents sharing ≥ [[WinnowMinShared]] selected
+    * fingerprints, with the share of the smaller document's fingerprint
+    * set covered. Complements `dedup_minhash` (whole-document Jaccard)
+    * and `dedup_spans` (fixed 48-char window hashes): winnowing gives a
+    * DENSITY-GUARANTEED span signal — any shared run of ≥31 bytes
+    * leaves a fingerprint, and the shared-count approximates covered
+    * span length at ~2/(w+1) resolution.
+    *
+    * Scale shape: the fingerprint table is ~22% of k-gram positions
+    * (deduped further by selection repeats), carries only (doc_id, fp)
+    * through the shuffle, and the candidate equi-join is fp-bucketed
+    * with the [[WinnowMaxDf]] cap anti-joined out first — per-key work
+    * ≤ cap², never corpus². The three consumers of the fingerprint
+    * table (cap counts, pair join, per-doc sizes) are each one
+    * map-side-combined aggregate over the same compiled-kernel map
+    * stage; nothing materializes the corpus text past the scan.
+    */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val sel = winnowTable(Tables.documents(spark, dir))
+    val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowMaxDf).select("fp")
+    val kept = sel.join(hot, Seq("fp"), "left_anti")
+    val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nsel"))
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"))
+    a.join(b, col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= 2) // cheap pre-cut before the size joins
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsel").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsel").as("nb")), "doc_b")
+      .withColumn("ov", col("shared_fp").cast("double") / least(col("na"), col("nb")))
+      .filter(col("shared_fp") >= WinnowMinShared || col("ov") >= WinnowMinOverlap)
+      .select(col("doc_a"), col("doc_b"), col("shared_fp"),
+        round(col("ov"), 4).as("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Mirror of [[dedupWinnow]] over [[Text.winnowSelectedCte]] — same
+    * df-cap anti-join, same pair threshold, same min-set denominator.
+    */
+  private lazy val winnowPairsSql: String =
+    s"""WITH ${Text.winnowSelectedCte},
+       |hot AS (SELECT sel FROM wsel GROUP BY sel HAVING count(*) > $WinnowMaxDf),
+       |kept AS (SELECT doc_id, sel FROM wsel ANTI JOIN hot USING (sel)),
+       |sizes AS (SELECT doc_id, count(*) AS nsel FROM wsel GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |           FROM kept a JOIN kept b ON a.sel = b.sel AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_fp,
+       |  round(CAST(shared AS DOUBLE) / least(sa.nsel, sb.nsel), 4) AS overlap
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE shared >= $WinnowMinShared
+       |   OR (shared >= 2 AND CAST(shared AS DOUBLE) / least(sa.nsel, sb.nsel) >= $WinnowMinOverlap)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow" -> (dedupWinnow _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
@@ -933,6 +1025,7 @@ object Dedup {
       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_winnow" -> winnowPairsSql,
     "q_corpus_overlap" -> corpusOverlapOracleSql,
     // asymmetric containment over the same distinct word-3-shingle
     // construction as the jaccard CTEs; source side scoped to

@@ -71,6 +71,39 @@ object Text {
         RollingHashFingerprint(col("text"), 64).as("fingerprint_w64"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprint parameters (shared with [[Dedup.dedupWinnow]]):
+    * 24-byte k-grams winnowed over windows of 8 consecutive hashes — the
+    * guarantee threshold is t = k + w - 1 = 31 bytes (any shared
+    * substring of ≥31 bytes produces ≥1 shared fingerprint), and density
+    * is ~2/(w+1) ≈ 22% of k-gram positions before de-duplication. k=24
+    * was tuned on the corpus: at k=8 common-word 8-grams collide across
+    * unrelated documents (~100k accidental pairs at sf0.01); at k=24
+    * accidental collisions vanish while the planted near-dup pairs all
+    * share ≥5 fingerprints.
+    */
+  val WinnowK = 24
+  val WinnowW = 8
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    * MOSS): the sorted distinct set of window-min k-gram hashes per
+    * document, reported as count + order-insensitive digest + minimum.
+    * Unlike [[textFingerprint]]'s single global min, the winnowed SET
+    * supports span-level overlap counting (see `dedup_winnow`). Pure
+    * per-row map over a pruned 2-column scan — one compiled pass per
+    * document ([[graft.functions.WinnowFingerprints]]), no shuffle
+    * except the output order.
+    */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.WinnowFingerprints(col("text"), WinnowK, WinnowW).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_selected"),
+        md5(concat_ws(",", transform(col("fps"), x => x.cast("string")))).as("fp_digest"),
+        element_at(col("fps"), 1).as("fp_min"))
+      .orderBy("doc_id")
+
   /** Corpus-level n-gram document frequency: explode per-doc distinct
     * bigrams (the Generator/explode path) → groupBy count → top-20.
     * At scale: partial aggregation absorbs the explode fan-out before the
@@ -822,6 +855,7 @@ object Text {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_winnow" -> (textWinnow _),
     "text_repetition" -> (textRepetition _),
     "text_normalize" -> (textNormalize _),
     "text_alphabet" -> (textAlphabet _),
@@ -874,6 +908,64 @@ object Text {
        |SELECT a.doc_id, a.fp AS fingerprint, b.fp AS fingerprint_w64
        |FROM afp a JOIN bfp b ON a.doc_id = b.doc_id
        |ORDER BY a.doc_id""".stripMargin
+
+  /** DuckDB mirror of [[graft.functions.WinnowFingerprints]], ending in
+    * `wsel(doc_id, sel)` — the distinct selected (signed) hashes per
+    * document. Same byte-extraction discipline as
+    * [[fingerprintOracleCte]] (hex bytes pulled ONCE per doc; exact
+    * HUGEINT window sums, mod 2^64 at the end — ring homomorphism);
+    * the per-position hash maps to SIGNED BIGINT *before* the window
+    * min because the JVM kernel compares signed longs. The winnow
+    * window is `ROWS CURRENT..w-1 FOLLOWING` with starts clamped to
+    * `p <= m - least(w, m) + 1`: for m >= w that is exactly the m-w+1
+    * full windows; for 0 < m < w the single p=1 row's frame covers all
+    * m hashes (frames clamp at the partition edge) — both match the
+    * kernel's `ww = min(w, m)` clamp. Shared by the `text_winnow` and
+    * `dedup_winnow` oracles so the selection semantics cannot drift.
+    */
+  private[ext] lazy val winnowSelectedCte: String = {
+    val m = BigInt(1) << 64
+    val powers = (0 until WinnowK)
+      .map(j => s"CAST('${BigInt(257).modPow(BigInt(WinnowK - 1 - j), m)}' AS HUGEINT)")
+      .mkString("[", ",", "]")
+    s"""wsrc AS MATERIALIZED (
+       |  SELECT doc_id, octet_length(encode(text)) AS n,
+       |         least($WinnowK, octet_length(encode(text))) AS kw,
+       |         list_transform(range(octet_length(encode(text))),
+       |           i -> CAST(CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS UBIGINT) AS HUGEINT)) AS bl,
+       |         ($powers)[$WinnowK - least($WinnowK, octet_length(encode(text))) + 1 :] AS pws
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |wpos AS (
+       |  SELECT doc_id, n - kw + 1 AS m, kw,
+       |         CAST(unnest(range(1, n - kw + 2)) AS BIGINT) AS p, bl, pws
+       |  FROM wsrc),
+       |whash AS (
+       |  SELECT doc_id, m, p,
+       |         CAST(CAST(list_sum(list_transform(range(kw),
+       |             j -> bl[CAST(p + j AS INT)] * pws[CAST(j + 1 AS INT)]))
+       |           % CAST('$m' AS HUGEINT) AS UBIGINT) AS HUGEINT) AS hu
+       |  FROM wpos),
+       |whs AS (
+       |  SELECT doc_id, m, p,
+       |         CAST(CASE WHEN hu >= CAST('${BigInt(1) << 63}' AS HUGEINT)
+       |           THEN hu - CAST('$m' AS HUGEINT) ELSE hu END AS BIGINT) AS h
+       |  FROM whash),
+       |wmin AS (
+       |  SELECT doc_id, m, p,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS sel
+       |  FROM whs),
+       |wsel AS (
+       |  SELECT DISTINCT doc_id, sel FROM wmin WHERE p <= m - least($WinnowW, m) + 1)""".stripMargin
+  }
+
+  private lazy val winnowSql: String =
+    s"""WITH $winnowSelectedCte
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_selected,
+       |  md5(array_to_string(list_sort(list(sel)), ',')) AS fp_digest,
+       |  min(sel) AS fp_min
+       |FROM wsel GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Full-pipeline DuckDB oracle for `text_bpe`: the 40-round training
     * loop is UNROLLED as chained CTEs (the Lloyd's/matrix-squaring
@@ -1010,6 +1102,7 @@ object Text {
         |FROM sc ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
     "text_bpe" -> bpeOracleSql,
     "text_fingerprint" -> fingerprintSql,
+    "text_winnow" -> winnowSql,
     // mirrors textZipf exactly: DECIMAL(18,9) moment quantization
     // before summing, double arithmetic in the same expression shape
     "text_zipf" ->

@@ -43,6 +43,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RollingHashFingerprint].getName, "rolling_hash_fingerprint"),
       (args: Seq[Expression]) =>
         RollingHashFingerprint(args.head, intArg(args(1), "window"))),
+    ("winnow_fingerprints",
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) =>
+        WinnowFingerprints(args.head, intArg(args(1), "kgram"), intArg(args(2), "winnowWin"))),
     ("minhash_signature",
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (args: Seq[Expression]) =>

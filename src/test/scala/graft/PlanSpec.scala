@@ -428,6 +428,25 @@ class PlanSpec extends SparkSuite {
       s"df cap must be below the candidate join (join@$joinAt, anti@$antiAt):\n" + p)
   }
 
+  test("winnow dedup: fp-bucketed candidates, df cap below the pair join") {
+    val p = planOf(graft.ext.Dedup.dedupWinnow(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must be key-based:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    // the boilerplate-fingerprint cap must restrict the join INPUT (per-
+    // fingerprint work is df², so corpus-wide fingerprints have to be
+    // anti-joined out before candidates are generated)
+    val tree = p.substring(0, p.indexOf("(1) Scan"))
+    val lines = tree.linesIterator.toSeq
+    val joinAt = lines.indexWhere(l => l.contains("Join") && !l.contains("LeftAnti"))
+    val antiAt = lines.indexWhere(_.contains("LeftAnti"))
+    assert(antiAt >= 0, "hot-fingerprint anti join missing:\n" + p)
+    assert(joinAt >= 0 && antiAt > joinAt,
+      s"df cap must be below the candidate join (join@$joinAt, anti@$antiAt):\n" + p)
+    // the winnowing kernel itself stays inside whole-stage codegen
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("suffix dedup: range-sorted windows, in-partition lead adjacency, native byte-walks") {
     // stage 1 (pre-materialization): the compiled window walk feeds ONE
     // range partition on the capped windows (the capped-LCP equivalence

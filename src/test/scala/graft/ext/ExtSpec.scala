@@ -225,6 +225,69 @@ class ExtSpec extends SparkSuite {
     assert(containing <= contained) // superset of windows -> min can only drop
   }
 
+  test("winnowing: clamps, ordering, and the t = k + w - 1 guarantee") {
+    import graft.functions.WinnowFingerprints
+    def fps(s: String) =
+      WinnowFingerprints.winnow(s.getBytes("UTF-8"), Text.WinnowK, Text.WinnowW)
+    // sorted distinct output, deterministic
+    val base = fps("The quick brown fox jumps over the lazy dog, repeatedly and at length.")
+    assert(base.toSeq == base.toSeq.sorted && base.distinct.length == base.length)
+    assert(base.toSeq == fps("The quick brown fox jumps over the lazy dog, repeatedly and at length.").toSeq)
+    // shorter than the k-gram: whole-text hash, = the single-window fingerprint
+    assert(fps("ab").toSeq ==
+      Seq(RollingHashFingerprint.fingerprint("ab".getBytes("UTF-8"), Text.WinnowK)))
+    // fewer hashes than the winnow window: one global minimum
+    val short = "abcdefghijklmnopqrstuvwxyz" // 26 bytes -> 3 k-gram hashes < w=8
+    assert(fps(short).toSeq ==
+      Seq(RollingHashFingerprint.fingerprint(short.getBytes("UTF-8"), Text.WinnowK)))
+    // the MOSS guarantee: a shared substring of >= k + w - 1 bytes always
+    // yields a shared fingerprint (the w shared consecutive k-grams form a
+    // full winnowing window in both documents; its minimum is selected in
+    // both). 31 = 24 + 8 - 1.
+    val run = "abcdefghijklmnopqrstuvwxyz01234"
+    assert(run.length == Text.WinnowK + Text.WinnowW - 1)
+    val a = fps("ONE unrelated preamble text " + run + " then tail one")
+    val b = fps("a different opening entirely " + run + " closing words")
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
+    // empty input
+    assert(WinnowFingerprints.winnow(Array.emptyByteArray, Text.WinnowK, Text.WinnowW).isEmpty)
+  }
+
+  test("dedup_winnow matches a driver-side recomputation and covers the minhash pairs") {
+    import graft.functions.WinnowFingerprints
+    val sels = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        WinnowFingerprints.winnow(r.getString(1).getBytes("UTF-8"),
+          Text.WinnowK, Text.WinnowW).toSet).toMap
+    val dfc = sels.values.toSeq.flatten.groupBy(identity).map { case (h, v) => h -> v.size }
+    val hot = dfc.filter(_._2 > Dedup.WinnowMaxDf).keySet
+    // inverted index -> pair shared counts (only over capped fingerprints)
+    val pairShared = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    val inv = sels.toSeq.flatMap { case (d, s) => s.iterator.filterNot(hot).map(_ -> d) }
+      .groupBy(_._1)
+    inv.values.foreach { hits =>
+      val ds = hits.map(_._2).sorted
+      for (i <- ds.indices; j <- i + 1 until ds.length)
+        pairShared((ds(i), ds(j))) = pairShared.getOrElse((ds(i), ds(j)), 0) + 1
+    }
+    val expected = pairShared.collect {
+      case ((da, db), n)
+          if n >= Dedup.WinnowMinShared ||
+            (n >= 2 && n.toDouble / math.min(sels(da).size, sels(db).size)
+              >= Dedup.WinnowMinOverlap) =>
+        (da, db) -> (n.toLong,
+          math.rint(n.toDouble / math.min(sels(da).size, sels(db).size) * 1e4) / 1e4)
+    }.toMap
+    val got = Dedup.dedupWinnow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected)
+    // whole-document near-dups (verified jaccard >= 0.8) must all surface
+    // as span-overlap pairs: a j >= 0.8 copy shares long unedited runs
+    val mh = Dedup.dedupMinhash(spark, dir).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(got.keySet))
+  }
+
   test("ann_topk matches a driver-side exact computation") {
     val got = Similarity.annTopk(spark, dir, queryId = 0L, k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
