@@ -113,7 +113,7 @@ object ScaleBench {
   }
 
   val HeavyQueries = Seq(
-    "dedup_minhash", "dedup_suffix", "dedup_containment",
+    "dedup_minhash", "dedup_suffix", "dedup_containment", "dedup_winnow",
     "split_cluster_safe", "ann_ivfpq_search", "q_pack_sequences",
     "text_boilerplate", "ann_knn_graph",
     // per-key cap: expansion preserves the 20 sources, so each source
