@@ -96,6 +96,43 @@ object Retrieval {
   def qContamination(spark: SparkSession, dir: String): DataFrame =
     contamination(Tables.documents(spark, dir))
 
+  /** Distinct benchmark n-gram set — the static probe side shared by the
+    * batch [[quarantine]] and the streaming ingest guard
+    * ([[graft.streaming.Streaming.runQuarantineStream]]).
+    */
+  def benchGramSet(docs: DataFrame, n: Int = 5): DataFrame =
+    docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(WordShingles(col("text"), n)).as("g"))
+      .distinct()
+
+  /** Ingest-time decontamination quarantine — [[contamination]] turned
+    * around to the per-CORPUS-document view: each non-benchmark document
+    * that shares ≥1 word-5-gram with the benchmark suite, with its
+    * distinct shared-gram count. Where `q_contamination` is the audit a
+    * corpus build runs per benchmark document, this is the FILTER shape:
+    * the quarantined ids are exactly what an ingest pipeline subtracts
+    * (anti-join) before training. Stateless per document against a
+    * static benchmark side — which is why the streaming form needs no
+    * state store and the per-micro-batch union equals the batch result
+    * exactly (StreamingSpec).
+    *
+    * The gram join is UNHINTED: the benchmark gram set scales with the
+    * eval suite, not the corpus — AQE broadcasts a small suite and
+    * shuffles a giant one (the contaminationBloom rationale; compose
+    * with that bloom screen when the suite outgrows a broadcast).
+    */
+  def quarantine(docs: DataFrame, benchGrams: DataFrame, n: Int = 5): DataFrame =
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), explode(WordShingles(col("text"), n)).as("g"))
+      .join(benchGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
+
+  def qQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    quarantine(docs, benchGramSet(docs)).orderBy("doc_id")
+  }
+
   /** Bloom-screened contamination — same RESULT as [[contamination]],
     * different scale posture: instead of broadcasting the benchmark gram
     * SET into the join, the benchmark grams aggregate into a fixed-size
@@ -233,6 +270,7 @@ object Retrieval {
     "q_bm25" -> (qBm25 _),
     "q_contamination" -> (qContamination _),
     "q_contamination_bloom" -> (qContaminationBloom _),
+    "q_quarantine" -> (qQuarantine _),
     "q_tfidf" -> (qTfidf _),
     "q_rrf_fusion" -> (qRrfFusion _),
   )
@@ -306,6 +344,19 @@ object Retrieval {
     "q_contamination" -> contaminationSql,
     // bloom pre-screen changes the PLAN, not the result — same oracle
     "q_contamination_bloom" -> contaminationSql,
+    // same shingle construction as contaminationSql, per-corpus-doc view
+    "q_quarantine" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |             ELSE list_transform(range(1, len(w) - 3),
+        |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END)) AS g
+        |      FROM t),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0)
+        |SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams
+        |FROM g c JOIN bench USING (g)
+        |WHERE c.doc_id % 100 <> 0
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
   )
 
   private lazy val contaminationSql: String =

@@ -1134,6 +1134,41 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming ingest-time DECONTAMINATION guard — the filter face of
+    * `q_contamination`: arriving corpus documents probe the static
+    * benchmark word-5-gram set and every document sharing a gram lands
+    * in a quarantine output, batch-keyed for idempotent retries (same
+    * discipline as [[runNearDupStream]]). Because the benchmark side is
+    * STATIC and the check is stateless per document, this needs no
+    * state store, no watermark, and no cross-batch memory: the union of
+    * per-micro-batch quarantines equals the batch
+    * [[graft.ext.Retrieval.quarantine]] EXACTLY (StreamingSpec replays
+    * a 4-batch arrival and asserts it), which is the property that lets
+    * the same guard run at daily-batch or per-file cadence unchanged.
+    * The benchmark grams are computed ONCE outside the stream and
+    * localCheckpoint'd — bounded by the eval suite, re-read per batch,
+    * never recomputed from text.
+    */
+  def runQuarantineStream(
+      spark: SparkSession, inputGlob: String, staticDir: String,
+      outDir: String, checkpointDir: String): Unit = {
+    val benchGrams = graft.ext.Retrieval
+      .benchGramSet(graft.Tables.documents(spark, staticDir))
+      .localCheckpoint()
+    val q = docsFileStream(spark, inputGlob).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Retrieval.quarantine(batch.toDF(), benchGrams)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
     // rows-only: HLL internals are engine-specific; StreamingSpec pins

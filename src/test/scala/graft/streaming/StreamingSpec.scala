@@ -511,6 +511,31 @@ class StreamingSpec extends SparkSuite {
     assert(confirmed.toSeq === batch.toSeq)
   }
 
+  test("streaming quarantine: union over micro-batches equals the batch decontamination") {
+    val docs = Tables.documents(spark, dir)
+    val inDir = java.nio.file.Files.createTempDirectory("docs_qstream").toString
+    Seq(0L -> 125L, 125L -> 250L, 250L -> 375L, 375L -> 10000L).foreach {
+      case (lo, hi) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("quar_out").toString + "/q"
+    val ckpt = java.nio.file.Files.createTempDirectory("quar_ckpt").toString
+
+    Streaming.runQuarantineStream(spark, s"$inDir/*.parquet", dir, outDir, ckpt)
+
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_shared_grams")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ext.Retrieval.qQuarantine(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch,
+      "stateless-per-doc guard: batching must not change the quarantine set")
+    // each document quarantined at most once (it arrives in one batch)
+    assert(spark.read.parquet(outDir).count() === streamed.size.toLong)
+  }
+
   test("streaming near-dup ingestion: union over micro-batches equals batch dedup_minhash") {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, dir)
