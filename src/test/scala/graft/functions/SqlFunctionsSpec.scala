@@ -42,7 +42,7 @@ class SqlFunctionsSpec extends SparkSuite {
     // the extensions class is exercised through its injection list
     val ext = new GraftExtensions
     assert(GraftFunctions.all.map(_._1).toSet ===
-      Set("rolling_hash_fingerprint", "minhash_signature", "simhash",
+      Set("rolling_hash_fingerprint", "winnow_fingerprints", "minhash_signature", "simhash",
         "shingle_hash_set", "jaccard_sorted", "dot_product", "morton_interleave",
         "lang_id", "word_shingles", "char_ngrams", "repetition_stats",
         "quantize_int8", "dequantize_int8", "char_bitmap", "srp_signature",
