@@ -244,6 +244,62 @@ object Curation {
       .orderBy("doc_id", "copy_idx")
   }
 
+  /** Water-filling budget allocation under a repetition cap — the
+    * data-constrained mixture design (Muennighoff et al. 2023: repeating
+    * data beyond ~4 epochs stops helping, so a budget-constrained corpus
+    * assembly repeats the SCARCE slices up to the cap and subsamples the
+    * DOMINANT one): given a global character budget B = `budgetEpochs` ×
+    * total corpus chars and a per-slice capacity c_i = `epochCap` ×
+    * chars_i, allocate a_i = min(c_i, λ) where the water level λ makes
+    * Σ a_i = B. Distinct from [[mixtureWeights]] (α-temperature reshapes
+    * SHARES with no budget semantics); this solves the constrained
+    * allocation exactly.
+    *
+    * Closed form over slices SORTED by capacity ascending: with the k-1
+    * smallest slices capped, the candidate level is
+    * λ_k = (B − P_{k−1}) / (n − k + 1); the true level is the unique
+    * valid candidate (λ_k ≤ c_k), taken as the min over valid candidates
+    * (boundary ties all equal λ). If B ≥ Σc every slice caps (λ absent —
+    * coalesce to capacity).
+    *
+    * Scale shape: corpus-sized work ends at the per-slice aggregate;
+    * the sort + prefix-sum windows run on #slices rows (the
+    * mixtureWeights discipline). Cross-engine exactness: capacities and
+    * prefix sums are exact BIGINTs; λ is ONE division of exact-valued
+    * doubles and epochs one more — identical IEEE ops both engines, so
+    * the unrounded doubles hash-match without any rounding grid.
+    */
+  def mixtureWaterfill(
+      docs: DataFrame, epochCap: Int = 2, budgetEpochs: Double = 1.5): DataFrame = {
+    val byLang = docs.groupBy(col("lang")).agg(sum(col("n_chars")).as("chars"))
+    val all = Window.partitionBy()
+    val asc = Window.partitionBy().orderBy(col("capacity"), col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = byLang
+      .withColumn("capacity", col("chars") * epochCap)
+      .withColumn("budget", sum(col("chars")).over(all).cast("double") * budgetEpochs)
+      .withColumn("k", row_number().over(
+        Window.partitionBy().orderBy(col("capacity"), col("lang"))))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("p", sum(col("capacity")).over(asc))
+    val lam = (col("budget") - (col("p") - col("capacity")).cast("double")) /
+      (col("n") - col("k") + 1).cast("double")
+    t.withColumn("lam", lam)
+      .withColumn("level",
+        min(when(col("lam") <= col("capacity").cast("double"), col("lam"))).over(all))
+      .select(
+        col("lang"), col("chars").as("sum_chars"), col("capacity"),
+        least(col("capacity").cast("double"),
+          coalesce(col("level"), col("capacity").cast("double"))).as("alloc_chars"),
+        (least(col("capacity").cast("double"),
+          coalesce(col("level"), col("capacity").cast("double")))
+          / col("chars").cast("double")).as("epochs"))
+      .orderBy("lang")
+  }
+
+  def qMixWaterfill(spark: SparkSession, dir: String): DataFrame =
+    mixtureWaterfill(Tables.documents(spark, dir))
+
   def qMixExpand(spark: SparkSession, dir: String): DataFrame =
     mixtureExpand(Tables.documents(spark, dir))
 
@@ -542,6 +598,7 @@ object Curation {
     "q_split_leakage" -> (qSplitLeakage _),
     "q_mix_weights" -> (qMixWeights _),
     "q_mix_expand" -> (qMixExpand _),
+    "q_mix_waterfill" -> (qMixWaterfill _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_split_assign" -> (qSplitAssign _),
@@ -658,6 +715,30 @@ object Curation {
         |SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_idx
         |FROM n WHERE n_copies > 0
         |ORDER BY doc_id, copy_idx""".stripMargin,
+    // exact mirror of mixtureWaterfill: BIGINT capacities/prefix sums,
+    // one double division for the level candidates, min over the valid
+    // ones; unrounded doubles (identical IEEE ops) hash-match directly
+    "q_mix_waterfill" ->
+      """WITH s AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT lang, chars, chars * 2 AS capacity,
+        |         CAST((SELECT sum(chars) FROM s) AS DOUBLE) * 1.5 AS budget,
+        |         row_number() OVER (ORDER BY chars * 2, lang) AS k,
+        |         (SELECT count(*) FROM s) AS n,
+        |         CAST(sum(chars * 2) OVER (ORDER BY chars * 2, lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |  FROM s),
+        |c AS (SELECT *,
+        |        (budget - CAST(p - capacity AS DOUBLE)) / CAST(n - k + 1 AS DOUBLE) AS lam
+        |      FROM t),
+        |l AS (SELECT *,
+        |        min(CASE WHEN lam <= CAST(capacity AS DOUBLE) THEN lam END) OVER () AS level
+        |      FROM c)
+        |SELECT lang, chars AS sum_chars, capacity,
+        |  least(CAST(capacity AS DOUBLE), coalesce(level, CAST(capacity AS DOUBLE))) AS alloc_chars,
+        |  least(CAST(capacity AS DOUBLE), coalesce(level, CAST(capacity AS DOUBLE)))
+        |    / CAST(chars AS DOUBLE) AS epochs
+        |FROM l ORDER BY lang""".stripMargin,
     "q_mix_weights" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -282,6 +282,36 @@ class RetrievalSpec extends SparkSuite {
     assert(a.nonEmpty && a.length < 500)
   }
 
+  test("water-filling allocation: budget met exactly, caps respected, level shared") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val epochCap = 2
+    val budgetEpochs = 1.5
+    val rows = Curation.mixtureWaterfill(docs, epochCap, budgetEpochs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val totalChars = rows.map(_._2).sum
+    val budget = totalChars.toDouble * budgetEpochs
+    val sumCap = rows.map(_._3).sum.toDouble
+    // the allocation spends exactly min(budget, total capacity)
+    assert(math.abs(rows.map(_._4).sum - math.min(budget, sumCap)) < 1e-6)
+    rows.foreach { case (lang, chars, cap, alloc, epochs) =>
+      assert(cap === chars * epochCap)
+      assert(alloc <= cap.toDouble + 1e-9, s"$lang over capacity")
+      assert(epochs <= epochCap.toDouble + 1e-9)
+      assert(math.abs(epochs - alloc / chars.toDouble) < 1e-12)
+    }
+    // uncapped slices all sit AT the water level; capped ones below it
+    val level = rows.map(_._4).max // the largest allocation is uncapped here
+    val (capped, uncapped) = rows.partition(r => r._4 >= r._3.toDouble - 1e-9)
+    assert(uncapped.nonEmpty, "params must exercise the level (en subsampled)")
+    assert(capped.nonEmpty, "params must exercise the cap (scarce langs repeated)")
+    uncapped.foreach(r => assert(math.abs(r._4 - level) < 1e-6,
+      s"${r._1}: uncapped slices share one level"))
+    capped.foreach(r => assert(r._3.toDouble <= level + 1e-6))
+    // the dominant slice is subsampled below one epoch of repetition cap
+    val en = rows.find(_._1 == "en").get
+    assert(en._5 < epochCap, "en must be level-capped")
+  }
+
   test("filter funnel attributes each doc to its first failing gate") {
     val docs = Seq(
       // n_chars is the gate input (metadata column), text drives the rest
