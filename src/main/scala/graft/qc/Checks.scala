@@ -94,4 +94,36 @@ object Checks {
         nullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** [[observed]] surfaced on the driver contract: richer profile
+    * metrics (row count, conditional count, exact DECIMAL money sum,
+    * ts range) accumulated inside a REAL parquet write of the events
+    * table — one scan total — then emitted as a 1-row frame. The oracle
+    * is the plain dedicated-pass aggregate, so the hash check proves
+    * the piggy-backed counters equal what a second scan would have
+    * computed. Money discipline per Parity: DECIMAL(18,2) sum, cast to
+    * double only at the end.
+    */
+  def qObserve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = graft.Tables.events(spark, dir)
+    val obs = org.apache.spark.sql.Observation()
+    val out = java.nio.file.Files.createTempDirectory("graft_observe").toString
+    ev.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value_dec"),
+        min(unix_millis(col("ts"))).as("min_ts_ms"),
+        max(unix_millis(col("ts"))).as("max_ts_ms"))
+      .write.mode("overwrite").parquet(out)
+    val m = obs.get
+    import spark.implicits._
+    Seq((
+      m("n_rows").asInstanceOf[Long],
+      m("n_purchases").asInstanceOf[Long],
+      m("sum_value_dec").asInstanceOf[java.math.BigDecimal].doubleValue(),
+      m("min_ts_ms").asInstanceOf[Long],
+      m("max_ts_ms").asInstanceOf[Long],
+    )).toDF("n_rows", "n_purchases", "sum_value", "min_ts_ms", "max_ts_ms")
+  }
 }

@@ -1997,6 +1997,15 @@ object Parity {
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
+    // the dedicated-pass aggregate the observed (single-scan) metrics
+    // must equal — proving the piggy-backed counters are exact
+    "q_observe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(epoch_ms(ts)) AS min_ts_ms,
+        |  max(epoch_ms(ts)) AS max_ts_ms
+        |FROM events""".stripMargin,
     "q_proj_rename" ->
       """SELECT l_orderkey AS order_key, l_linenumber AS line_no, l_quantity AS qty,
         |       l_extendedprice AS price, l_returnflag AS flag
@@ -2110,6 +2119,7 @@ object Parity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_count" -> (qCount _),
+    "q_observe" -> (graft.qc.Checks.qObserve _),
     "q_proj_rename" -> (qProjRename _),
     "q_distinct_extract" -> (qDistinctExtract _),
     "q_time_dim" -> (qTimeDim _),

@@ -69,4 +69,23 @@ class QcSpec extends SparkSuite {
     assert(row("n_null_maybe_null") === expectedNulls && expectedNulls > 0)
     assert(row("n_null_doc_id") === 0L)
   }
+
+  test("q_observe metrics riding the write equal a dedicated aggregate pass") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val dir = "/root/testdata/sf0.001"
+    val got = Checks.qObserve(spark, dir).first()
+    val ev = graft.Tables.events(spark, dir)
+    val exp = ev.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+      sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+      min(unix_millis(col("ts"))).as("min_ts_ms"),
+      max(unix_millis(col("ts"))).as("max_ts_ms")).first()
+    assert(got.getLong(0) === exp.getLong(0) && got.getLong(0) > 0)
+    assert(got.getLong(1) === exp.getLong(1))
+    assert(got.getDouble(2) === exp.getDouble(2))
+    assert(got.getLong(3) === exp.getLong(3))
+    assert(got.getLong(4) === exp.getLong(4))
+  }
 }
