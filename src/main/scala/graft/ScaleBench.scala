@@ -119,7 +119,8 @@ object ScaleBench {
     // per-key cap: expansion preserves the 20 sources, so each source
     // grows factor-fold — the hot-key shape the threshold path targets
     "q_domain_cap", "q_token_budget", "ann_knn_graph_autobits",
-    "containment_candidates", "knn_autobits_candidates", "minhash_pairs")
+    "containment_candidates", "knn_autobits_candidates", "minhash_pairs",
+    "winnow_pairs")
 
   /** The production bits knob from the annKnnGraph scaladoc, made
     * runnable: bits grows as log2(N / target-occupancy-8), holding
@@ -158,7 +159,11 @@ object ScaleBench {
     "knn_autobits_candidates" -> (knnCandCount _),
     // the edge list split_cluster_safe's CC propagation iterates over
     "minhash_pairs" -> ((s: SparkSession, d: String) =>
-      ext.Dedup.dedupMinhash(s, d).groupBy().agg(count(lit(1)).as("n_candidates"))))
+      ext.Dedup.dedupMinhash(s, d).groupBy().agg(count(lit(1)).as("n_candidates"))),
+    // reported winnow pair volume: linear (N-fold) under the affine
+    // expansion because fingerprints never cross replicas
+    "winnow_pairs" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.dedupWinnow(s, d).groupBy().agg(count(lit(1)).as("n_candidates"))))
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -225,4 +225,36 @@ class SketchPropertiesSpec extends AnyFunSuite {
     assert(toks.count(_ == "the" + Bpe.EndMark) === 2)
     assert(toks.mkString === "the</w>newest</w>the</w>")
   }
+
+  test("winnowing: sorted-distinct output, density bound, substring guarantee (fuzzed)") {
+    val K = 24; val W = 8
+    def fps(s: String): Array[Long] =
+      WinnowFingerprints.winnow(s.getBytes("UTF-8"), K, W)
+    texts.foreach { t =>
+      val f = fps(t)
+      // sorted distinct, deterministic
+      assert(f.toSeq == f.toSeq.sorted && f.distinct.length == f.length)
+      assert(f.toSeq == fps(t).toSeq)
+      val n = t.getBytes("UTF-8").length
+      val m = math.max(n - K + 1, 1)
+      if (m >= W) {
+        // at most one NEW selection per window position; at least one per
+        // full guarantee stretch of w windows (each window contributes a
+        // min, and a value persists at most w consecutive windows)
+        assert(f.length <= m - W + 1)
+        assert(f.length >= (m - W + 1 + W - 1) / W,
+          s"density floor violated: ${f.length} of $m grams in: $t")
+      } else assert(f.length == 1)
+    }
+    // guarantee fuzz: any shared run of K + W - 1 bytes yields a shared
+    // fingerprint regardless of surrounding content
+    val run = samples(Gen.stringOfN(K + W - 1, Gen.alphaLowerChar), 50)
+    val ctx = samples(text, 100)
+    run.zip(ctx.grouped(2).toSeq).foreach { case (r, Seq(c1, c2)) =>
+      val a = fps(c1 + " " + r)
+      val b = fps(r + " " + c2)
+      assert(a.toSet.intersect(b.toSet).nonEmpty,
+        s"guarantee failed for run=$r between [$c1] and [$c2]")
+    }
+  }
 }
