@@ -257,9 +257,14 @@ object Curation {
     *
     * Closed form over slices SORTED by capacity ascending: with the k-1
     * smallest slices capped, the candidate level is
-    * λ_k = (B − P_{k−1}) / (n − k + 1); the true level is the unique
-    * valid candidate (λ_k ≤ c_k), taken as the min over valid candidates
-    * (boundary ties all equal λ). If B ≥ Σc every slice caps (λ absent —
+    * λ_k = (B − P_{k−1}) / (n − k + 1); the true level is the FIRST
+    * valid candidate (λ_k ≤ c_k) = the MAX over valid candidates:
+    * candidates before k* are invalid by construction, and for k > k*,
+    * B − P_{k−1} = (n−k*+1)λ* − Σ_{j=k*}^{k−1} c_j ≤ (n−k+1)λ* since
+    * every intervening capacity is ≥ λ*, so later valid candidates can
+    * only UNDERSHOOT (min would silently underspend the budget whenever
+    * ≥2 slices are uncapped — caught by review, spec now pins a
+    * 3-uncapped-slice case). If B ≥ Σc every slice caps (λ absent —
     * coalesce to capacity).
     *
     * Scale shape: corpus-sized work ends at the per-slice aggregate;
@@ -286,7 +291,7 @@ object Curation {
       (col("n") - col("k") + 1).cast("double")
     t.withColumn("lam", lam)
       .withColumn("level",
-        min(when(col("lam") <= col("capacity").cast("double"), col("lam"))).over(all))
+        max(when(col("lam") <= col("capacity").cast("double"), col("lam"))).over(all))
       .select(
         col("lang"), col("chars").as("sum_chars"), col("capacity"),
         least(col("capacity").cast("double"),
@@ -732,7 +737,7 @@ object Curation {
         |        (budget - CAST(p - capacity AS DOUBLE)) / CAST(n - k + 1 AS DOUBLE) AS lam
         |      FROM t),
         |l AS (SELECT *,
-        |        min(CASE WHEN lam <= CAST(capacity AS DOUBLE) THEN lam END) OVER () AS level
+        |        max(CASE WHEN lam <= CAST(capacity AS DOUBLE) THEN lam END) OVER () AS level
         |      FROM c)
         |SELECT lang, chars AS sum_chars, capacity,
         |  least(CAST(capacity AS DOUBLE), coalesce(level, CAST(capacity AS DOUBLE))) AS alloc_chars,

@@ -833,8 +833,14 @@ object Dedup {
     */
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
     val sel = winnowTable(Tables.documents(spark, dir))
+    // the hot set is the BOUNDED artifact (|hot| ≤ total fingerprints /
+    // maxDf): materialize it once so the anti join broadcasts a
+    // checkpointed leaf instead of replanning the corpus-wide df
+    // aggregate under both aliased sides of the pair join — the same
+    // discipline as dedupContainmentDf's stop set
     val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > WinnowMaxDf).select("fp")
+      .localCheckpoint()
     val kept = sel.join(hot, Seq("fp"), "left_anti")
     val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("nsel"))
     val a = kept.select(col("fp"), col("doc_id").as("doc_a"))

@@ -95,6 +95,11 @@ object Text {
     */
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // empty texts have no fingerprints and no row — mirrors the
+      // oracle's octet_length > 0 filter; also guarantees fps is
+      // non-empty below (n > 0 ⇒ m ≥ 1 ⇒ ≥1 selection), so the
+      // element_at(…, 1) can't hit ANSI INVALID_ARRAY_INDEX
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         graft.functions.WinnowFingerprints(col("text"), WinnowK, WinnowW).as("fps"))
       .select(

@@ -118,12 +118,15 @@ object Checks {
       .write.mode("overwrite").parquet(out)
     val m = obs.get
     import spark.implicits._
+    // sum/min/max aggregate to NULL over an empty table — carry the
+    // nulls through (the oracle's dedicated pass returns the same row
+    // of NULLs) instead of NPE-ing on the cast
     Seq((
       m("n_rows").asInstanceOf[Long],
-      m("n_purchases").asInstanceOf[Long],
-      m("sum_value_dec").asInstanceOf[java.math.BigDecimal].doubleValue(),
-      m("min_ts_ms").asInstanceOf[Long],
-      m("max_ts_ms").asInstanceOf[Long],
+      Option(m("n_purchases")).map(_.asInstanceOf[Long]),
+      Option(m("sum_value_dec")).map(_.asInstanceOf[java.math.BigDecimal].doubleValue()),
+      Option(m("min_ts_ms")).map(_.asInstanceOf[Long]),
+      Option(m("max_ts_ms")).map(_.asInstanceOf[Long]),
     )).toDF("n_rows", "n_purchases", "sum_value", "min_ts_ms", "max_ts_ms")
   }
 }

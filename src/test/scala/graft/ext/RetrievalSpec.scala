@@ -312,6 +312,28 @@ class RetrievalSpec extends SparkSuite {
     assert(en._5 < epochCap, "en must be level-capped")
   }
 
+  test("water-filling spends the budget with MULTIPLE uncapped slices (level = max valid)") {
+    import spark.implicits._
+    // capacities (x2 cap): [2, 8, 10, 10] with budget 1.5x total chars
+    // = 22.5 < 30 = Sigma(c): true level lambda solves 2 + 3*lambda =
+    // 22.5 -> 6.8333...; the k=3/k=4 candidates are valid but SMALLER,
+    // so a min-over-valid level (the reviewed bug) underspends
+    val docs = Seq(
+      (1L, "a", "s", "aa", 1L), (2L, "b", "de", "bb", 4L),
+      (3L, "c", "fr", "cc", 5L), (4L, "d", "es", "dd", 5L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Curation.mixtureWaterfill(docs, epochCap = 2, budgetEpochs = 1.5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val budget = rows.map(_._2).sum.toDouble * 1.5
+    assert(math.abs(rows.map(_._4).sum - budget) < 1e-9,
+      s"budget $budget must be spent exactly, got ${rows.map(_._4).sum}")
+    val level = (budget - 2.0) / 3.0
+    rows.foreach { case (lang, _, cap, alloc, _) =>
+      assert(math.abs(alloc - math.min(cap.toDouble, level)) < 1e-9,
+        s"$lang: alloc $alloc != min(cap=$cap, level=$level)")
+    }
+  }
+
   test("filter funnel attributes each doc to its first failing gate") {
     val docs = Seq(
       // n_chars is the gate input (metadata column), text drives the rest

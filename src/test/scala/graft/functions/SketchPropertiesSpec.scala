@@ -238,12 +238,13 @@ class SketchPropertiesSpec extends AnyFunSuite {
       val n = t.getBytes("UTF-8").length
       val m = math.max(n - K + 1, 1)
       if (m >= W) {
-        // at most one NEW selection per window position; at least one per
-        // full guarantee stretch of w windows (each window contributes a
-        // min, and a value persists at most w consecutive windows)
+        // at most one NEW selection per window position, at least one
+        // overall. (No ~m/w density FLOOR in general: on periodic text
+        // the same hash value recurs at many positions and one value can
+        // serve arbitrarily many windows — the 2/(w+1) expectation holds
+        // only for distinct hash sequences.)
         assert(f.length <= m - W + 1)
-        assert(f.length >= (m - W + 1 + W - 1) / W,
-          s"density floor violated: ${f.length} of $m grams in: $t")
+        assert(f.length >= 1)
       } else assert(f.length == 1)
     }
     // guarantee fuzz: any shared run of K + W - 1 bytes yields a shared
