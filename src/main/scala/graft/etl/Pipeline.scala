@@ -154,6 +154,71 @@ object Pipeline {
     results
   }
 
+  /** ETL + the reference's QC in ONE pass: the same partitioned writes
+    * as [[runEtl]], with every balancing_authorities / weather check
+    * accumulated via `Dataset.observe` INSIDE the write jobs — the
+    * row-count, null-count, and net-generation-consistency counters
+    * ride the scan that was happening anyway, where [[runQc]] re-reads
+    * the output once per check (8 scans). At 100 TB that is the
+    * difference between QC-for-free and re-scanning the day's output
+    * eight times; the post-hoc [[runQc]] remains the independent audit
+    * path (PipelineSpec asserts both produce identical CheckResults).
+    * Results carry the SAME names/sql/expectations as
+    * [[Checks.referenceChecks]], so downstream reporting is unchanged.
+    */
+  def runEtlObserved(
+      spark: SparkSession, inputDir: String, outputDir: String): Seq[Checks.CheckResult] = {
+    import org.apache.spark.sql.functions._
+    val eia = readEia(spark, s"$inputDir/bal_auth/*.gz")
+    val bal = BalAuth.balAuthTable(eia)
+    val sumParts = col("net_generation_coal") + col("net_generation_nat_gas") +
+      col("net_generation_nuclear") + col("net_generation_petro") +
+      col("net_generation_hydro") + col("net_generation_solar") +
+      col("net_generation_wind") + col("net_generation_other") +
+      col("net_generation_unknown")
+    val balObs = org.apache.spark.sql.Observation()
+    val balObserved = bal.observe(balObs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("bal_auth").isNull, 1L).otherwise(0L)).as("n_null_bal_auth"),
+      // null measures make the condition null -> otherwise(0): exactly
+      // the rows the SQL check's WHERE abs(...) > 1e-6 would keep
+      sum(when(abs(col("net_generation") - sumParts) > 1e-6, 1L).otherwise(0L))
+        .as("n_netgen_mismatch"))
+    writePartitioned(balObserved,
+      Seq("bal_auth", "year", "month"), s"$outputDir/bal_auth", dynamic = false)
+    writePartitioned(BalAuth.timeDim(eia),
+      Seq("year", "month"), s"$outputDir/time", dynamic = false)
+
+    val ghcn = readGhcn(spark, s"$inputDir/weather/*.gz")
+    val locations = readLocations(spark, s"$inputDir/weather/locations.csv")
+    val (wObserved, wObs) =
+      Checks.observed(Weather(ghcn, locations), Seq("station_id", "date", "TMIN", "TMAX"))
+    writePartitioned(wObserved,
+      Seq("bal_auth", "year", "month"), s"$outputDir/weather", dynamic = false)
+
+    val bm = balObs.get
+    val wm = wObs.get
+    def metric(m: Map[String, Any], key: String): Long =
+      Option(m(key)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val byName = Checks.referenceChecks.map(c => c.name -> c).toMap
+    def result(name: String, actual: Long): Checks.CheckResult = {
+      val c = byName(name)
+      Checks.CheckResult(c.name, c.sql, c.expectEqual, c.expected, actual,
+        if (c.expectEqual) actual == c.expected else actual != c.expected)
+    }
+    val results = Seq(
+      result("balancing_authorities_non_empty", metric(bm, "n_rows")),
+      result("balancing_authorities.bal_auth_not_null", metric(bm, "n_null_bal_auth")),
+      result("net_generation_sum_of_parts", metric(bm, "n_netgen_mismatch")),
+      result("weather_non_empty", metric(wm, "n_rows")),
+      result("weather.station_id_not_null", metric(wm, "n_null_station_id")),
+      result("weather.date_not_null", metric(wm, "n_null_date")),
+      result("weather.TMIN_not_null", metric(wm, "n_null_TMIN")),
+      result("weather.TMAX_not_null", metric(wm, "n_null_TMAX")))
+    Checks.writeErrorReport(spark, results, s"$outputDir/data_quality")
+    results
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inputDir, outputDir) = args.take(2)
     val spark = GraftSession.local("graft-pipeline")

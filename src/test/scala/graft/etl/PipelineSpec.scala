@@ -32,6 +32,24 @@ class PipelineSpec extends SparkSuite {
     assert(report.count() === 4)
   }
 
+  test("observed ETL run carries the full QC inside the writes, equal to post-hoc QC") {
+    val inputDir = fixture("")
+    val out = java.nio.file.Files.createTempDirectory("pipeline_obs").toString
+
+    val observed = Pipeline.runEtlObserved(spark, inputDir, out)
+    // the written output is byte-for-byte the plain ETL contract...
+    val bal = spark.read.parquet(s"$out/bal_auth")
+    assert(bal.filter("bal_auth = 'PJM' AND year = 2021 AND month = 1").count() === 2)
+    // ...and the ride-along counters equal what a post-hoc scan computes
+    val postHoc = Pipeline.runQc(spark, out)
+    assert(observed.length === 8)
+    assert(observed.sortBy(_.name) === postHoc.sortBy(_.name),
+      "observed counters must equal the 8-scan audit exactly")
+    assert(observed.count(!_.passed) === 4) // the seeded violations
+    val report = spark.read.json(s"$out/data_quality")
+    assert(report.count() === 4)
+  }
+
   test("incremental run replaces only the arriving batch's partitions") {
     import java.nio.file.{Files, Paths}
     val out = java.nio.file.Files.createTempDirectory("pipeline_inc").toString
