@@ -305,6 +305,41 @@ object Curation {
   def qMixWaterfill(spark: SparkSession, dir: String): DataFrame =
     mixtureWaterfill(Tables.documents(spark, dir))
 
+  /** Content-addressed corpus fingerprint — the provenance primitive a
+    * dataset-versioning workflow pins a training run to: per source,
+    * the doc count plus two ORDER-INSENSITIVE folds of the per-document
+    * content hash (60-bit md5 prefix — 15 hex chars so the value is
+    * always a positive BIGINT in both engines): a bit_xor fold and an
+    * exact integer sum. Insertion order, partitioning, and shard layout
+    * cannot change the fingerprint; any single changed/added/dropped
+    * document almost surely does (the two independent folds make a
+    * coincidental collision on both ~2⁻¹²⁰). Both folds are MERGEABLE:
+    * shard fingerprints combine by xor / addition into the corpus
+    * fingerprint without touching the documents again (CurationSpec
+    * asserts the fold of per-source rows equals the whole-corpus row),
+    * which is what makes this O(shards) to maintain incrementally at
+    * 100 TB. The sum rides DECIMAL(38,0) (exact to ~10³⁸, i.e. ~10²⁰
+    * docs) and is EMITTED AS ITS DECIMAL-DIGIT STRING: a fingerprint is
+    * an identifier, not arithmetic — and a DOUBLE emission is not even
+    * portable (DuckDB 1.0's HUGEINT→DOUBLE cast is off nearest-even by
+    * 1 ulp on ~2⁶⁷ sums where the JVM BigDecimal rounds correctly;
+    * measured on src8 at sf0.1).
+    */
+  def corpusFingerprint(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val h = conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long")
+    docs.select(col("source"), h.as("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("fp_xor"),
+        sum(col("h").cast(DecimalType(38, 0))).cast("string").as("fp_sum"))
+      .orderBy("source")
+  }
+
+  def qCorpusFingerprint(spark: SparkSession, dir: String): DataFrame =
+    corpusFingerprint(Tables.documents(spark, dir))
+
   def qMixExpand(spark: SparkSession, dir: String): DataFrame =
     mixtureExpand(Tables.documents(spark, dir))
 
@@ -604,6 +639,7 @@ object Curation {
     "q_mix_weights" -> (qMixWeights _),
     "q_mix_expand" -> (qMixExpand _),
     "q_mix_waterfill" -> (qMixWaterfill _),
+    "q_corpus_fingerprint" -> (qCorpusFingerprint _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_split_assign" -> (qSplitAssign _),
@@ -720,6 +756,18 @@ object Curation {
         |SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_idx
         |FROM n WHERE n_copies > 0
         |ORDER BY doc_id, copy_idx""".stripMargin,
+    // 15-hex-char md5 prefix (always positive BIGINT), xor + exact-sum
+    // folds; the exact HUGEINT sum is emitted as its digit string
+    // (HUGEINT->DOUBLE casts are not correctly rounded in DuckDB 1.0)
+    "q_corpus_fingerprint" ->
+      """WITH h AS (
+        |  SELECT source,
+        |         CAST(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  bit_xor(h) AS fp_xor,
+        |  CAST(sum(h) AS VARCHAR) AS fp_sum
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     // exact mirror of mixtureWaterfill: BIGINT capacities/prefix sums,
     // one double division for the level candidates, min over the valid
     // ones; unrounded doubles (identical IEEE ops) hash-match directly

@@ -334,6 +334,29 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("corpus fingerprint: order-insensitive, mergeable, change-sensitive") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    def bysource(df: org.apache.spark.sql.DataFrame) =
+      Curation.corpusFingerprint(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), BigInt(r.getString(3)))).toMap
+    val rows = bysource(docs)
+    // partitioning/order cannot change the fingerprint
+    val shuffled = bysource(docs.repartition(7).sortWithinPartitions(desc("doc_id")))
+    assert(shuffled === rows)
+    // shard fingerprints merge by xor/sum into the corpus fingerprint
+    val whole = bysource(docs.withColumn("source", lit("all")))("all")
+    assert(rows.values.map(_._2).reduce(_ ^ _) === whole._2)
+    assert(rows.values.map(_._3).sum === whole._3)
+    assert(rows.values.map(_._1).sum === whole._1)
+    // a single edited document changes (at least) its source's folds
+    val edited = bysource(docs.withColumn("text",
+      when(col("doc_id") === 1L, concat(col("text"), lit("!"))).otherwise(col("text"))))
+    val src = docs.filter(col("doc_id") === 1L).select("source").first().getString(0)
+    assert(edited(src) !== rows(src))
+    assert((edited - src) === (rows - src), "untouched sources keep their fingerprint")
+  }
+
   test("filter funnel attributes each doc to its first failing gate") {
     val docs = Seq(
       // n_chars is the gate input (metadata column), text drives the rest
