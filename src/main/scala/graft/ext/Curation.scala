@@ -315,7 +315,7 @@ object Curation {
     * document almost surely does (the two independent folds make a
     * coincidental collision on both ~2⁻¹²⁰). Both folds are MERGEABLE:
     * shard fingerprints combine by xor / addition into the corpus
-    * fingerprint without touching the documents again (CurationSpec
+    * fingerprint without touching the documents again (RetrievalSpec
     * asserts the fold of per-source rows equals the whole-corpus row),
     * which is what makes this O(shards) to maintain incrementally at
     * 100 TB. The sum rides DECIMAL(38,0) (exact to ~10³⁸, i.e. ~10²⁰

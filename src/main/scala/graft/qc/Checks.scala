@@ -20,7 +20,16 @@ object Checks {
     * the reference's equal_flag=False rows assert "row count must NOT be
     * 0").
     */
-  final case class Check(name: String, sql: String, expectEqual: Boolean, expected: Long)
+  final case class Check(name: String, sql: String, expectEqual: Boolean, expected: Long) {
+    /** Build the result from an already-known actual (shared by the
+      * SQL-scan path [[run]] and the observed-counter path
+      * [[graft.etl.Pipeline.runEtlObserved]] so pass/fail semantics
+      * cannot diverge).
+      */
+    def result(actual: Long): CheckResult =
+      CheckResult(name, sql, expectEqual, expected, actual,
+        if (expectEqual) actual == expected else actual != expected)
+  }
 
   final case class CheckResult(
       name: String, sql: String, expectEqual: Boolean,
@@ -35,17 +44,32 @@ object Checks {
     Check(s"${table}_non_empty", s"SELECT COUNT(*) FROM $table",
       expectEqual = false, expected = 0L)
 
+  /** The nine fuel-type components of net_generation — the ONE source of
+    * truth from which both languages of the consistency invariant are
+    * built (the SQL check below and the observed Column in
+    * [[graft.etl.Pipeline.runEtlObserved]]); adding or renaming a fuel
+    * column is a one-line change that reaches both paths.
+    */
+  val netGenParts: Seq[String] = Seq(
+    "net_generation_coal", "net_generation_nat_gas", "net_generation_nuclear",
+    "net_generation_petro", "net_generation_hydro", "net_generation_solar",
+    "net_generation_wind", "net_generation_other", "net_generation_unknown")
+
+  /** [[netGenParts]] as a Column sum, for the observed (single-pass)
+    * form of the invariant.
+    */
+  def netGenPartsSum: org.apache.spark.sql.Column =
+    netGenParts.map(col).reduce(_ + _)
+
   /** Cross-column invariant: total net generation equals the sum of its
     * nine fuel-type parts (ref net_gen_qc). Measures are typed double at
     * ingest, so the comparison is numeric, not string (SURVEY §4.3.5).
     */
   val netGenConsistency: Check = Check(
     "net_generation_sum_of_parts",
-    """SELECT COUNT(*) FROM (
+    s"""SELECT COUNT(*) FROM (
       |  SELECT net_generation,
-      |         net_generation_coal + net_generation_nat_gas + net_generation_nuclear +
-      |         net_generation_petro + net_generation_hydro + net_generation_solar +
-      |         net_generation_wind + net_generation_other + net_generation_unknown AS sum_of_parts
+      |         ${netGenParts.mkString(" + ")} AS sum_of_parts
       |  FROM balancing_authorities) main
       |WHERE abs(main.net_generation - main.sum_of_parts) > 1e-6""".stripMargin,
     expectEqual = true, expected = 0L)
@@ -62,11 +86,7 @@ object Checks {
     nullChecker("weather", "TMAX"))
 
   def run(spark: SparkSession, checks: Seq[Check]): Seq[CheckResult] =
-    checks.map { c =>
-      val actual = spark.sql(c.sql).first().getLong(0)
-      val passed = if (c.expectEqual) actual == c.expected else actual != c.expected
-      CheckResult(c.name, c.sql, c.expectEqual, c.expected, actual, passed)
-    }
+    checks.map(c => c.result(spark.sql(c.sql).first().getLong(0)))
 
   /** Error report: failures only, one JSON object per line, written via
     * the Spark writer (S6 intent-fixed — works on hdfs/s3a/local alike).
@@ -86,12 +106,14 @@ object Checks {
     * once per check. Call, run exactly one action on the returned frame,
     * then read the metrics row from the `Observation`.
     */
-  def observed(df: DataFrame, nullCols: Seq[String])
+  def observed(df: DataFrame, nullCols: Seq[String],
+      extra: org.apache.spark.sql.Column*)
       : (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation()
     val metrics =
       count(lit(1)).as("n_rows") +:
-        nullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+        (nullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c")) ++
+          extra)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 

@@ -40,14 +40,15 @@ class PipelineSpec extends SparkSuite {
     // the written output is byte-for-byte the plain ETL contract...
     val bal = spark.read.parquet(s"$out/bal_auth")
     assert(bal.filter("bal_auth = 'PJM' AND year = 2021 AND month = 1").count() === 2)
+    // the OBSERVED run's error report, read BEFORE runQc overwrites it
+    val observedReport = spark.read.json(s"$out/data_quality").collect()
+    assert(observedReport.length === 4)
     // ...and the ride-along counters equal what a post-hoc scan computes
     val postHoc = Pipeline.runQc(spark, out)
     assert(observed.length === 8)
     assert(observed.sortBy(_.name) === postHoc.sortBy(_.name),
       "observed counters must equal the 8-scan audit exactly")
     assert(observed.count(!_.passed) === 4) // the seeded violations
-    val report = spark.read.json(s"$out/data_quality")
-    assert(report.count() === 4)
   }
 
   test("incremental run replaces only the arriving batch's partitions") {
