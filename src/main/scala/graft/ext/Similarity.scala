@@ -344,6 +344,82 @@ object Similarity {
     annLshSearch(e, queries, 5)
   }
 
+  /** Margin-based bitext mining — the parallel-pair extraction step of a
+    * multilingual training-data pipeline (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER method): two embedding pools are aligned by the RATIO
+    * MARGIN cos(x,y) / mean(top-k neighbor cosines of x and y), which
+    * normalizes away hubness (a vector that is close to EVERYTHING scores
+    * near 1 against its own neighborhood average and stops winning every
+    * pair), and a pair is mined only when it is mutual-best by margin in
+    * both directions — the "intersection" criterion, threshold-free and
+    * deterministic.
+    *
+    * Candidates are SRP-LSH multi-probe bucket mates (the [[annLshSearch]]
+    * discipline: each source probes its own bucket plus all Hamming-1
+    * neighbors, so every cross-pool pair within signature Hamming distance
+    * 1 is generated exactly once by an equi-join on the bucket key — never
+    * all-pairs), and the k-NN means the margin needs are computed on those
+    * same candidate rows with window functions: per-side top-k by rounded
+    * cosine, sides with fewer than k candidates dropped (their mean would
+    * average a different support than the definition). The whole pipeline
+    * is 4 hash exchanges of the candidate set (src-keyed windows, tgt-keyed
+    * windows, then one margin-rank pass per direction) — no aggregate joins
+    * and no driver-side state; `bits` follows [[autoBits]] at larger pools
+    * to hold per-bucket candidate work constant.
+    *
+    * All ranking uses ROUNDED (4 dp) cosines/margins with id tie-breaks, so
+    * ordering is reproducible across engines and partitionings; the DuckDB
+    * oracle mirrors the signature table ([[srpSigCte]]), the Hamming-1
+    * candidate set, and every window exactly.
+    */
+  def bitextMine(emb: DataFrame, k: Int = 4, bits: Int = 6): DataFrame = {
+    import graft.functions.VectorFns
+    val src = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val tgt = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"), col("embedding"),
+        VectorFns.l2norm(col("embedding")).as("nrm"),
+        lshSignature(col("embedding"), bits).as("bucket"))
+    // probe side is pool-sized (13 rows per source vector at 12 bits,
+    // 7 at 6): no broadcast hint — both sides shuffle on the bucket key
+    val cand = tgt.join(lshProbes(src, bits), Seq("bucket"))
+      .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
+        round(VectorFns.dotProduct(col("embedding"), col("query_emb"))
+          / (col("nrm") * col("qnrm")), 4).as("cosine"))
+    val wS = Window.partitionBy(col("src_id"))
+    val wSo = wS.orderBy(col("cosine").desc, col("tgt_id"))
+    val wT = Window.partitionBy(col("tgt_id"))
+    val wTo = wT.orderBy(col("cosine").desc, col("src_id"))
+    cand
+      // src-keyed block, then tgt-keyed block: each block is one exchange
+      .withColumn("rn_s", row_number().over(wSo))
+      .withColumn("n_s", count(lit(1)).over(wS))
+      .withColumn("knn_src", sum(when(col("rn_s") <= k, col("cosine"))).over(wS) / k)
+      .withColumn("rn_t", row_number().over(wTo))
+      .withColumn("n_t", count(lit(1)).over(wT))
+      .withColumn("knn_tgt", sum(when(col("rn_t") <= k, col("cosine"))).over(wT) / k)
+      .filter(col("n_s") >= k && col("n_t") >= k
+        && (col("knn_src") + col("knn_tgt")) > 0)
+      .withColumn("margin",
+        round(col("cosine") * 2 / (col("knn_src") + col("knn_tgt")), 4))
+      .withColumn("rn_f", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id"))))
+      .withColumn("rn_b", row_number().over(
+        Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id"))))
+      .filter(col("rn_f") === 1 && col("rn_b") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+      .orderBy("src_id")
+  }
+
+  /** Driver entry: even vec_ids are the source pool, odd the target
+    * (simulating two language sides of one aligned embedding space);
+    * 6-bit signatures keep per-source candidate neighborhoods tens-wide
+    * at the test pool sizes — production sets bits by pool size
+    * ([[autoBits]]), which this corpus is far below.
+    */
+  def qBitextMine(spark: SparkSession, dir: String): DataFrame =
+    bitextMine(Tables.embeddings(spark, dir))
+
   /** Streaming index maintenance — the freshness half of the serving
     * story: newly-arrived embeddings append into the
     * [[writeBucketedCorpus]] layout as they land, so
@@ -453,6 +529,7 @@ object Similarity {
     "ann_lsh_search" -> (annLshSearchQuery _),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => annKnnGraph(s, d)),
     "ann_hard_negatives" -> ((s: SparkSession, d: String) => qHardNegatives(s, d)),
+    "ann_bitext_mine" -> (qBitextMine _),
   )
 
   /** The SRP hyperplane table is DATA-INDEPENDENT (a splitmix64 hash of
@@ -472,8 +549,8 @@ object Similarity {
     x ^ (x >>> 31)
   }
 
-  def srpSigCte(d: Int = 64): String = {
-    val rows = for (bit <- 0 until LshBits; j <- 0 until d) yield {
+  def srpSigCte(d: Int = 64, bits: Int = LshBits): String = {
+    val rows = for (bit <- 0 until bits; j <- 0 until d) yield {
       val h = srpMix(bit.toLong << 32 | j.toLong).toDouble / Long.MaxValue
       // Locale.ROOT: the default-locale f"" interpolator would emit comma
       // decimal separators on e.g. a de_DE JVM, breaking the VALUES literal.
@@ -491,6 +568,42 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // same 6-bit signature table, Hamming<=1 cross-pool candidate set,
+    // exactly-k top-k means, and rounded-margin mutual-best windows as
+    // bitextMine — every ranking on rounded values with id tie-breaks
+    "ann_bitext_mine" ->
+      s"""WITH ${srpSigCte(bits = 6)},
+         |cand AS (
+         |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         |         round(list_cosine_similarity(es.embedding::DOUBLE[], et.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM sig s JOIN sig t ON bit_count(xor(s.bucket, t.bucket)) <= 1
+         |  JOIN embeddings es ON es.vec_id = s.vec_id
+         |  JOIN embeddings et ON et.vec_id = t.vec_id
+         |  WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1),
+         |enr AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rn_s,
+         |    count(*) OVER (PARTITION BY src_id) AS n_s,
+         |    row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS rn_t,
+         |    count(*) OVER (PARTITION BY tgt_id) AS n_t
+         |  FROM cand),
+         |enr2 AS (
+         |  SELECT *,
+         |    sum(CASE WHEN rn_s <= 4 THEN cosine END) OVER (PARTITION BY src_id) / 4 AS knn_src,
+         |    sum(CASE WHEN rn_t <= 4 THEN cosine END) OVER (PARTITION BY tgt_id) / 4 AS knn_tgt
+         |  FROM enr),
+         |m AS (
+         |  SELECT src_id, tgt_id, cosine,
+         |         round(cosine * 2 / (knn_src + knn_tgt), 4) AS margin
+         |  FROM enr2
+         |  WHERE n_s >= 4 AND n_t >= 4 AND (knn_src + knn_tgt) > 0),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn_f,
+         |    row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rn_b
+         |  FROM m)
+         |SELECT src_id, tgt_id, cosine, margin FROM r
+         |WHERE rn_f = 1 AND rn_b = 1 ORDER BY src_id""".stripMargin,
     "ann_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS query_emb, label AS qlabel
         |           FROM embeddings WHERE vec_id < 5),

@@ -326,6 +326,35 @@ class ExtSpec extends SparkSuite {
     assert(found >= 9, s"only $found/10 planted neighbors found at rank 1")
   }
 
+  test("bitext mining recovers planted translation pairs as a partial matching") {
+    import spark.implicits._
+    // 40 source vectors (even ids); targets (odd ids) = near-copies of the
+    // first 15 sources (planted "translations") + 25 random distractors
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val sources = (0 until 40).map(i => (2L * i, vec()))
+    val planted = sources.take(15).map { case (id, v) =>
+      (id + 1, v.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat))
+    }
+    val distractors = (0 until 25).map(i => (31L + 2 * i, vec()))
+    val emb = (sources ++ planted ++ distractors).toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMine(emb, k = 4, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // mutual-best makes the result a partial matching: no src or tgt twice
+    assert(mined.map(_._1).distinct.size === mined.size, "src repeated")
+    assert(mined.map(_._2).distinct.size === mined.size, "tgt repeated")
+    // a planted pair loses only when its side has <4 LSH candidates (the
+    // exactly-k guard) — near-identical vectors share a bucket, margin ~2
+    val hits = mined.count { case (s, t) => t === s + 1 }
+    assert(hits >= 12, s"only $hits/15 planted translation pairs mined")
+    // margins of mined pairs exceed 1 when cosine beats the neighborhood
+    // mean — true for every planted pair by construction
+    val margins = Similarity.bitextMine(emb, k = 4, bits = 4)
+      .filter(col("tgt_id") === col("src_id") + 1)
+      .select("margin").as[Double].collect()
+    assert(margins.forall(_ > 1.0), "planted pair margin must exceed 1")
+  }
+
   test("lsh search results are a subset of brute-force ranking, exactly scored") {
     val got = Similarity.annLshSearchQuery(spark, dir).collect()
     assert(got.nonEmpty)
