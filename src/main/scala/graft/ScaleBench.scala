@@ -120,7 +120,7 @@ object ScaleBench {
     // grows factor-fold — the hot-key shape the threshold path targets
     "q_domain_cap", "q_token_budget", "ann_knn_graph_autobits",
     "containment_candidates", "knn_autobits_candidates", "minhash_pairs",
-    "winnow_pairs")
+    "winnow_pairs", "bitext_autobits", "bitext_candidates")
 
   /** The production bits knob from the annKnnGraph scaladoc, made
     * runnable: bits grows as log2(N / target-occupancy-8), holding
@@ -153,8 +153,28 @@ object ScaleBench {
   /** Scale-only entries not on the driver surface (knob demonstrations
     * and candidate-volume probes).
     */
+  /** Bitext mining with the production bits knob: bits tracks the pool
+    * size ([[ext.Similarity.bitextAutoBits]]) so per-source candidate
+    * neighborhoods stay tens-wide as the corpus scales (at x1 it equals
+    * the fixed-6-bit driver query). The count scan is negligible.
+    */
+  private def bitextAutoBits(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    ext.Similarity.bitextMine(Tables.embeddings(spark, dir),
+      bits = ext.Similarity.bitextAutoBits(n))
+  }
+
+  private def bitextCandCount(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    ext.Similarity.bitextCandidateRows(Tables.embeddings(spark, dir),
+        ext.Similarity.bitextAutoBits(n))
+      .groupBy().agg(count(lit(1)).as("n_candidates"))
+  }
+
   val Extras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_knn_graph_autobits" -> (knnAutoBits _),
+    "bitext_autobits" -> (bitextAutoBits _),
+    "bitext_candidates" -> (bitextCandCount _),
     "containment_candidates" -> (containmentCandCount _),
     "knn_autobits_candidates" -> (knnCandCount _),
     // the edge list split_cluster_safe's CC propagation iterates over

@@ -372,7 +372,12 @@ object Similarity {
     * oracle mirrors the signature table ([[srpSigCte]]), the Hamming-1
     * candidate set, and every window exactly.
     */
-  def bitextMine(emb: DataFrame, k: Int = 4, bits: Int = 6): DataFrame = {
+  /** The scored cross-pool candidate rows [[bitextMine]] ranks: every
+    * (even vec_id, odd vec_id) pair within signature Hamming distance 1
+    * at the given bits, with rounded exact cosine. Factored so the scale
+    * rehearsal's candidate probe counts exactly what the miner scores.
+    */
+  private[graft] def bitextCandidateRows(emb: DataFrame, bits: Int): DataFrame = {
     import graft.functions.VectorFns
     val src = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
@@ -382,10 +387,22 @@ object Similarity {
         lshSignature(col("embedding"), bits).as("bucket"))
     // probe side is pool-sized (13 rows per source vector at 12 bits,
     // 7 at 6): no broadcast hint — both sides shuffle on the bucket key
-    val cand = tgt.join(lshProbes(src, bits), Seq("bucket"))
+    tgt.join(lshProbes(src, bits), Seq("bucket"))
       .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
         round(VectorFns.dotProduct(col("embedding"), col("query_emb"))
           / (col("nrm") * col("qnrm")), 4).as("cosine"))
+  }
+
+  /** Bits knob for mining pools of size n: per-source candidate work is
+    * (pool/2^bits)·(bits+1), so 2^bits tracks n/32 to hold the candidate
+    * neighborhood tens-wide at any corpus size (equals the 6-bit driver
+    * query at the sf0.1 pool sizes).
+    */
+  def bitextAutoBits(n: Long): Int =
+    math.max(6, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
+
+  def bitextMine(emb: DataFrame, k: Int = 4, bits: Int = 6): DataFrame = {
+    val cand = bitextCandidateRows(emb, bits)
     val wS = Window.partitionBy(col("src_id"))
     val wSo = wS.orderBy(col("cosine").desc, col("tgt_id"))
     val wT = Window.partitionBy(col("tgt_id"))
