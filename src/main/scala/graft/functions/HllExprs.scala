@@ -1,0 +1,266 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Deterministic HyperLogLog with a cross-engine closed form — the
+  * approximate-distinct sketch the warehouse pattern stores as a column
+  * (per-day / per-source registers that union by elementwise max), built
+  * so a DuckDB oracle can recompute the registers AND the estimate
+  * bit-for-bit:
+  *
+  *  - hash = splitmix64 finalizer of the raw long key (the same mix as
+  *    [[SrpSignature]] — multiply by the golden-ratio increment, two
+  *    avalanche rounds), mirrored in SQL via split 32-bit multiplies;
+  *  - p = 12 (m = 4096 byte registers, ~1.6% standard error): register
+  *    index = top 12 hash bits, rho = leading-zero rank of the remaining
+  *    52-bit window + 1 (53 when the window is zero) — all integer, so
+  *    the register ARRAYS agree exactly across engines;
+  *  - estimate: E = alpha_m * m^2 / sum_j 2^(-M_j) with the standard
+  *    small-range linear-counting branch (E <= 2.5m and empty registers
+  *    present -> m * ln(m/V)). The harmonic sum is computed EXACTLY as
+  *    the integer K = sum_j 2^(64-M_j) (fits well inside 128 bits), and
+  *    K enters double arithmetic through the SAME high/low-32-bit split
+  *    on both engines — sidestepping DuckDB's HUGEINT->DOUBLE cast,
+  *    which is off nearest-even by 1 ulp near 2^67 (measured; see the
+  *    corpus-fingerprint scaladoc). The only libm call is the ln of the
+  *    linear-counting branch, rounded to a whole count.
+  *
+  * Unlike the engine-specific Datasketches HLL this replaces on the
+  * driver surface, the estimate is oracle-checkable end to end — and
+  * because the oracle aggregates the RAW table while the engine merges
+  * pre-sketched register columns, a hash-green result PROVES the
+  * merge algebra (union-of-sketches = sketch-of-union) rather than
+  * assuming it.
+  */
+object HllSketch {
+  val P = 12
+  val M: Int = 1 << P // 4096
+  val RhoMax = 53 // 64 - P + 1
+
+  /** alpha_m * m^2 * 2^64 — the raw-estimate numerator, one double. */
+  val C: Double =
+    0.7213 / (1.0 + 1.079 / M) * M.toDouble * M.toDouble * 1.8446744073709552e19
+
+  @inline def mix(x0: Long): Long = {
+    var x = x0 * 0x9e3779b97f4a7c15L
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Fold one raw key into the register array (mutates buf). */
+  def add(buf: Array[Byte], key: Long): Unit = {
+    val h = mix(key)
+    val j = (h >>> (64 - P)).toInt
+    val w = h & ((1L << (64 - P)) - 1)
+    val rho = if (w == 0L) RhoMax else java.lang.Long.numberOfLeadingZeros(w) - P + 1
+    if (rho > buf(j)) buf(j) = rho.toByte
+  }
+
+  /** Elementwise-max merge (mutates a). */
+  def merge(a: Array[Byte], b: Array[Byte]): Unit = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+  }
+
+  /** The closed-form estimate from a register array — see the object
+    * scaladoc for the cross-engine determinism argument.
+    */
+  def estimate(regs: Array[Byte]): Long = {
+    var v = 0
+    var k = BigInt(0)
+    var i = 0
+    while (i < regs.length) {
+      val mj = regs(i).toInt
+      if (mj == 0) v += 1
+      k += BigInt(1) << (64 - mj)
+      i += 1
+    }
+    val kd = (k >> 32).toDouble * 4294967296.0 + (k & 0xffffffffL).toDouble
+    val raw = C / kd
+    val e = if (raw <= 2.5 * M && v > 0) M * math.log(M.toDouble / v) else raw
+    math.round(e)
+  }
+
+  // ---- DuckDB oracle mirror ----------------------------------------
+
+  private def mulMod64(x: String, k: BigInt): String = {
+    val m = BigInt(1) << 64
+    val (kh, kl) = (k >> 32, k & 0xffffffffL)
+    s"""CAST(CAST(((CAST($x AS HUGEINT) * $kl) +
+       |  ((((CAST($x AS HUGEINT) % 4294967296) * $kh) % 4294967296) * 4294967296))
+       |  % CAST('$m' AS HUGEINT) AS HUGEINT) AS UBIGINT)""".stripMargin
+  }
+
+  /** splitmix64 of a UBIGINT SQL expression, as nested CTE-free SQL. */
+  private def mixSql(x: String): String = {
+    val s1 = mulMod64(x, BigInt("9e3779b97f4a7c15", 16))
+    val s2 = mulMod64(s"xor(($s1), ($s1) >> 30)", BigInt("bf58476d1ce4e5b9", 16))
+    val s3 = mulMod64(s"xor(($s2), ($s2) >> 27)", BigInt("94d049bb133111eb", 16))
+    s"xor(($s3), ($s3) >> 31)"
+  }
+
+  /** Two's-complement BIGINT -> UBIGINT (negative keys wrap, matching
+    * the JVM's untyped 64-bit lanes).
+    */
+  private def toU64(col: String): String =
+    s"""CAST(CASE WHEN $col >= 0 THEN CAST($col AS HUGEINT)
+       |  ELSE CAST($col AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+       |  END AS UBIGINT)""".stripMargin
+
+  /** Oracle CTE chain: expects a prior CTE `hin($grpCols, uid BIGINT
+    * NOT NULL)` (one row per raw key occurrence; duplicates fine) and
+    * ends in `hest($grpCols, est_users)`. Callers LEFT JOIN `hest`
+    * from their full group list and coalesce to 0 (a group whose keys
+    * are all NULL has empty registers -> estimate 0 on the JVM side).
+    */
+  def estimateCtes(grpCols: String): String = {
+    val rhoCase = (1 to 52)
+      .map(r => s"WHEN w >= ${BigInt(1) << (52 - r)} THEN $r").mkString(" ")
+    val p2rows = (1 to RhoMax)
+      .map(mj => s"($mj, CAST('${BigInt(1) << (64 - mj)}' AS HUGEINT))").mkString(",")
+    s"""hmix AS (SELECT $grpCols, ${mixSql(toU64("uid"))} AS h FROM hin),
+       |hjw AS (SELECT $grpCols, CAST(h >> 52 AS INT) AS j,
+       |        CAST(h % ${BigInt(1) << 52} AS UBIGINT) AS w FROM hmix),
+       |hreg AS (SELECT $grpCols, j, max(CASE $rhoCase ELSE 53 END) AS mj
+       |         FROM hjw GROUP BY $grpCols, j),
+       |hp2(mj, pv) AS (VALUES $p2rows),
+       |hk AS (SELECT $grpCols, $M - count(*) AS v,
+       |         sum(hp2.pv) + ($M - count(*)) * CAST('18446744073709551616' AS HUGEINT) AS k
+       |       FROM hreg JOIN hp2 ON hp2.mj = hreg.mj GROUP BY $grpCols),
+       |hkd AS (SELECT $grpCols, v,
+       |          CAST(k // 4294967296 AS DOUBLE) * 4294967296.0 +
+       |          CAST(k % 4294967296 AS DOUBLE) AS kd FROM hk),
+       |hest AS (SELECT $grpCols,
+       |  CAST(round(CASE WHEN ($C / kd) <= ${2.5 * M} AND v > 0
+       |    THEN $M.0 * ln($M.0 / v) ELSE $C / kd END, 0) AS BIGINT) AS est_users
+       |  FROM hkd)""".stripMargin
+  }
+}
+
+/** Per-group HLL register array over a LONG key column. */
+case class HllRegAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_regs"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll_regs needs a BIGINT key, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllSketch.M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HllSketch.add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    HllSketch.merge(buf, other); buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegAgg =
+    copy(child = newChild)
+}
+
+/** Union of pre-sketched register arrays (elementwise max) — the rollup
+  * aggregate of the sketch-warehouse pattern.
+  */
+case class HllRegMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_regs_merge"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll_regs_merge needs BINARY registers, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllSketch.M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == HllSketch.M,
+        s"register array of ${regs.length} bytes; expected ${HllSketch.M}")
+      HllSketch.merge(buf, regs)
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    HllSketch.merge(buf, other); buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegMergeAgg =
+    copy(child = newChild)
+}
+
+/** Closed-form estimate from a register array (see [[HllSketch]]). */
+case class HllEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hll_estimate"
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+  override def nullSafeEval(input: Any): Any =
+    HllSketch.estimate(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HllSketch.estimate($c);")
+}
+
+object Hll {
+  /** Column API: per-group registers over a BIGINT key. */
+  def regAgg(key: Column): Column =
+    Bridge.toColumn(HllRegAgg(Bridge.toExpression(key)).toAggregateExpression())
+
+  /** Column API: union of register columns. */
+  def mergeAgg(regs: Column): Column =
+    Bridge.toColumn(HllRegMergeAgg(Bridge.toExpression(regs)).toAggregateExpression())
+
+  /** Column API: distinct estimate of a register column. */
+  def estimate(regs: Column): Column =
+    Bridge.toColumn(HllEstimate(Bridge.toExpression(regs)))
+}

@@ -198,19 +198,21 @@ object IncrAgg {
 
   // --- mergeable-sketch view --------------------------------------------
 
-  /** Sketch-typed partial: per (day, event_type), a Datasketches HLL of
-    * the distinct users plus the exact event count. COUNT DISTINCT is
-    * the aggregate that normally CANNOT live in an incrementally
-    * maintained view (distinct is not additive across batches); the
-    * mergeable sketch is what restores the MV algebra at 100 TB — daily
-    * maintenance unions register arrays instead of re-scanning history.
+  /** Sketch-typed partial: per (day, event_type), an HLL register array
+    * ([[graft.functions.HllRegAgg]] — the deterministic cross-engine
+    * sketch) of the distinct users plus the exact event count. COUNT
+    * DISTINCT is the aggregate that normally CANNOT live in an
+    * incrementally maintained view (distinct is not additive across
+    * batches); the mergeable sketch is what restores the MV algebra at
+    * 100 TB — daily maintenance unions register arrays instead of
+    * re-scanning history.
     */
   def sketchPartial(events: DataFrame): DataFrame =
     events
       .withColumn("day", to_date(col("ts")))
       .groupBy(col("day"), col("event_type"))
       .agg(
-        expr("hll_sketch_agg(user_id)").as("users_sk"),
+        graft.functions.Hll.regAgg(col("user_id")).as("users_sk"),
         count(lit(1)).as("n_events"))
 
   def sketchInit(events: DataFrame, mvPath: String): Unit =
@@ -220,7 +222,7 @@ object IncrAgg {
   private def sketchMergeAgg(rows: DataFrame): DataFrame =
     rows.groupBy(col("day"), col("event_type"))
       .agg(
-        expr("hll_union_agg(users_sk)").as("users_sk"),
+        graft.functions.Hll.mergeAgg(col("users_sk")).as("users_sk"),
         sum(col("n_events")).as("n_events"))
 
   /** The sketch view after merging `batch`, unpublished (see
@@ -254,8 +256,11 @@ object IncrAgg {
     * sketch view after today's batch unions in. Estimates are
     * register-max merges, so union-of-sketches equals the
     * sketch-of-everything (IncrAggSpec asserts estimate equality with a
-    * full recompute); no DuckDB oracle — the sketch internals are
-    * engine-specific — so rows-only plus the spec.
+    * full recompute). The sketch is the deterministic cross-engine HLL
+    * of [[graft.functions.HllSketch]], so the DuckDB oracle recomputes
+    * the registers from a DIRECT scan of the full events table —
+    * hash-green therefore proves the MV maintenance (historical
+    * partials + today's batch, merged) exact, not just plausible.
     */
   def qHllView(spark: SparkSession, dir: String): DataFrame = {
     val (mv, splitDay) = ensureSketchMv(spark, dir)
@@ -263,7 +268,7 @@ object IncrAgg {
       .filter(to_date(col("ts")).cast("string") >= splitDay)
     sketchMergedView(spark, mv, batch)
       .select(col("day"), col("event_type"),
-        expr("CAST(hll_sketch_estimate(users_sk) AS BIGINT)").as("est_users"),
+        graft.functions.Hll.estimate(col("users_sk")).as("est_users"),
         col("n_events"))
       .orderBy("day", "event_type")
   }
@@ -277,5 +282,21 @@ object IncrAgg {
     "q_incr_agg" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // direct full-scan register mirror (functions.HllSketch) vs the
+    // engine's MV-merged sketches: equality proves the incremental
+    // maintenance exact
+    "q_hll_view" ->
+      s"""WITH hin AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type, user_id AS uid
+         |  FROM events WHERE user_id IS NOT NULL),
+         |${graft.functions.HllSketch.estimateCtes("day, event_type")},
+         |base AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+         |  FROM events GROUP BY 1, 2)
+         |SELECT b.day, b.event_type, coalesce(h.est_users, 0) AS est_users,
+         |       b.n_events
+         |FROM base b LEFT JOIN hest h
+         |  ON h.day = b.day AND h.event_type = b.event_type
+         |ORDER BY b.day, b.event_type""".stripMargin)
 }

@@ -292,23 +292,29 @@ object Parity {
     * up later WITHOUT rescanning raw data — the sketch-warehouse pattern
     * at 100 TB. Output: one row per event type (estimate vs exact) plus
     * the ALL row whose estimate comes from MERGING the per-type
-    * sketches, never from re-scanning. Rows-only (sketch internals are
-    * engine-specific); ParitySpec asserts merge == direct-global sketch
-    * bit-exactly and bounds the estimate error.
+    * sketches, never from re-scanning. The sketch is the deterministic
+    * cross-engine HLL of [[graft.functions.HllSketch]] (formerly the
+    * engine-specific Datasketches HLL, which had no oracle), so the
+    * DuckDB oracle recomputes registers and estimates exactly — and
+    * because the oracle aggregates RAW rows while this query merges
+    * pre-built sketches, hash-green PROVES union-of-sketches =
+    * sketch-of-union. ParitySpec additionally asserts merge ==
+    * direct-global sketch bit-exactly and bounds the estimate error.
     */
   def qHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
     val ev = Tables.events(spark, dir)
     val perType = ev.groupBy(col("event_type"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+      .agg(Hll.regAgg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("n_exact"))
       .localCheckpoint()
     val parts = perType.select(col("event_type").as("scope"),
-      expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est_users"), col("n_exact"))
+      Hll.estimate(col("sk")).as("est_users"), col("n_exact"))
     val exactAll = ev.agg(countDistinct(col("user_id")).as("n_exact"))
-    val merged = perType.agg(expr("hll_union_agg(sk)").as("sku"))
+    val merged = perType.agg(Hll.mergeAgg(col("sk")).as("sku"))
       .crossJoin(broadcast(exactAll))
       .select(lit("ALL").as("scope"),
-        expr("CAST(hll_sketch_estimate(sku) AS BIGINT)").as("est_users"), col("n_exact"))
+        Hll.estimate(col("sku")).as("est_users"), col("n_exact"))
     parts.unionByName(merged).orderBy("scope")
   }
 
@@ -1996,6 +2002,25 @@ object Parity {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // full register-level mirror of the deterministic HLL (see
+    // functions.HllSketch): the oracle sketches RAW rows per scope while
+    // the engine merges pre-built per-type sketches for ALL — equality
+    // proves the union algebra, not just the estimates
+    "q_hll_union" ->
+      s"""WITH hin AS (
+         |  SELECT event_type AS scope, user_id AS uid FROM events
+         |  WHERE user_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'ALL', user_id FROM events WHERE user_id IS NOT NULL),
+         |${graft.functions.HllSketch.estimateCtes("scope")},
+         |nex AS (
+         |  SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'ALL', count(DISTINCT user_id) FROM events)
+         |SELECT n.scope, coalesce(hest.est_users, 0) AS est_users, n.n_exact
+         |FROM nex n LEFT JOIN hest ON hest.scope = n.scope
+         |ORDER BY n.scope""".stripMargin,
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
     // the dedicated-pass aggregate the observed (single-scan) metrics
     // must equal — proving the piggy-backed counters are exact

@@ -1010,10 +1010,10 @@ object Streaming {
   def hourlyDistinctUsers(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(graft.functions.Hll.regAgg(col("user_id")).as("sk"))
       .select(
         unix_timestamp(col("w.start")).as("window_start"),
-        expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est_users"))
+        graft.functions.Hll.estimate(col("sk")).as("est_users"))
 
   def qStreamDistinct(spark: SparkSession, dir: String): DataFrame =
     hourlyDistinctUsers(graft.Tables.events(spark, dir))
@@ -1188,6 +1188,22 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // register-level mirror of the deterministic HLL
+    // (functions.HllSketch) per epoch-aligned hour window — the same
+    // sketch the streaming path maintains as state, so hash-green here
+    // plus StreamingSpec's stream==batch assertion pins the whole chain
+    "q_stream_distinct" ->
+      s"""WITH hin AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+         |         user_id AS uid
+         |  FROM events WHERE user_id IS NOT NULL),
+         |${graft.functions.HllSketch.estimateCtes("window_start")},
+         |base AS (
+         |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start
+         |  FROM events)
+         |SELECT b.window_start, coalesce(h.est_users, 0) AS est_users
+         |FROM base b LEFT JOIN hest h ON h.window_start = b.window_start
+         |ORDER BY b.window_start""".stripMargin,
     // dedup over duplicated delivery restores exactly-once: totals equal
     // the plain per-type totals over the original events
     "q_stream_dedup" ->

@@ -363,12 +363,14 @@ class ParitySpec extends SparkSuite {
           s"$k: HLL ${got(k)._1} outside 5% of exact $n")
       }
     }
-    // Datasketches HLL union at sf0.1: merging per-type sketches built
+    // deterministic HLL union at sf0.1: merging per-type sketches built
     // under different partitionings yields the identical ALL estimate
+    import graft.functions.Hll
     val ev = Tables.events(spark, dir01)
     def hllAll(df: org.apache.spark.sql.DataFrame) = df
-      .groupBy(col("event_type")).agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)"))
+      .groupBy(col("event_type")).agg(Hll.regAgg(col("user_id")).as("sk"))
+      .agg(Hll.mergeAgg(col("sk")).as("sku"))
+      .select(Hll.estimate(col("sku")))
       .first().getLong(0)
     val allBase = hllAll(ev)
     Seq(ev.repartition(5), ev.repartition(48, col("user_id"))).foreach { variant =>
@@ -383,7 +385,8 @@ class ParitySpec extends SparkSuite {
     // the ALL estimate, built by MERGING per-type sketches, must equal
     // the estimate of one sketch over the whole table (union exactness)
     val direct = Tables.events(spark, sfDir)
-      .agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT)"))
+      .agg(graft.functions.Hll.regAgg(col("user_id")).as("sk"))
+      .select(graft.functions.Hll.estimate(col("sk")))
       .first().getLong(0)
     assert(rows("ALL")._1 === direct)
     // every estimate tracks its exact count

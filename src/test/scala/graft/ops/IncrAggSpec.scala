@@ -136,13 +136,15 @@ class IncrAggSpec extends SparkSuite {
       ev.filter(col("d").cast("string") >= d2))
     def estimates(df: org.apache.spark.sql.DataFrame) = df
       .select(col("day"), col("event_type"),
-        expr("CAST(hll_sketch_estimate(users_sk) AS BIGINT)").as("est"),
+        graft.functions.Hll.estimate(col("users_sk")).as("est"),
         col("n_events"))
       .collect().map(_.toString).sorted.toSeq
     val full = IncrAgg.sketchPartial(graft.Tables.events(spark, dir))
     assert(estimates(afterB2) === estimates(full))
     // the estimate is actually close to truth on this data
-    val est = afterB2.select(expr("CAST(hll_sketch_estimate(hll_union_agg(users_sk)) AS BIGINT)"))
+    val est = afterB2
+      .agg(graft.functions.Hll.mergeAgg(col("users_sk")).as("sku"))
+      .select(graft.functions.Hll.estimate(col("sku")))
       .head().getLong(0)
     val exact = ev.select(countDistinct("user_id")).head().getLong(0)
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est $est vs exact $exact")
