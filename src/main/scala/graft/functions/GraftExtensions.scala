@@ -109,7 +109,18 @@ object GraftFunctions {
     ("text_stats",
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
       (args: Seq[Expression]) =>
-        TextStats(args.head, Seq("the", "a", "of", "and", "to", "in"))))
+        TextStats(args.head, Seq("the", "a", "of", "and", "to", "in"))),
+    // deterministic cross-engine HLL (see HllSketch): register aggregate,
+    // union aggregate, and closed-form estimate
+    ("hll_regs",
+      new ExpressionInfo(classOf[HllRegAgg].getName, "hll_regs"),
+      (args: Seq[Expression]) => HllRegAgg(args.head).toAggregateExpression()),
+    ("hll_regs_merge",
+      new ExpressionInfo(classOf[HllRegMergeAgg].getName, "hll_regs_merge"),
+      (args: Seq[Expression]) => HllRegMergeAgg(args.head).toAggregateExpression()),
+    ("hll_estimate",
+      new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
+      (args: Seq[Expression]) => HllEstimate(args.head)))
 
   /** Register on a live session (temp functions in the session registry). */
   def registerAll(spark: SparkSession): Unit =

@@ -47,8 +47,24 @@ class SqlFunctionsSpec extends SparkSuite {
         "lang_id", "word_shingles", "char_ngrams", "repetition_stats",
         "quantize_int8", "dequantize_int8", "char_bitmap", "srp_signature",
         "deflate_ratio", "anchored_spans", "common_prefix_length",
-        "word_suffix_windows", "text_stats"))
+        "word_suffix_windows", "text_stats",
+        "hll_regs", "hll_regs_merge", "hll_estimate"))
     assert(ext != null)
+  }
+
+  test("hll SQL registrations match the Column API and the exact count on small domains") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    (1 to 500).map(_.toLong).toDF("uid").createOrReplaceTempView("hll_in")
+    val viaSql = spark.sql(
+      "SELECT hll_estimate(hll_regs_merge(sk)) FROM " +
+        "(SELECT uid % 5 AS g, hll_regs(uid) AS sk FROM hll_in GROUP BY 1)")
+      .first().getLong(0)
+    val viaApi = (1 to 500).foldLeft(new Array[Byte](HllSketch.M)) { (b, i) =>
+      HllSketch.add(b, i.toLong); b
+    }
+    assert(viaSql === HllSketch.estimate(viaApi))
+    assert(math.abs(viaSql - 500) < 25, s"estimate $viaSql far from 500")
   }
 
   test("round-7 registrations match their Column API results") {
