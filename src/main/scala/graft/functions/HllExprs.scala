@@ -54,6 +54,57 @@ object HllSketch {
     x ^ (x >>> 31)
   }
 
+  /** Shuffle/storage encoding for partial register arrays: fine-grained
+    * groups (hourly windows, small sources) touch few registers, so a
+    * dense 4 KiB buffer per (group, partition) partial is mostly zeros.
+    * Sparse form = 0x01 marker + (index:2B, value:1B) per non-zero
+    * register, chosen whenever it is smaller; dense form = 0x00 + the
+    * raw array. The aggregation buffer itself stays dense (O(1)
+    * update/merge); only serialized bytes — what the exchange and the
+    * sketch-column parquet actually carry — shrink. The OUTPUT column
+    * (eval) stays dense so estimate expressions and the DuckDB mirror
+    * read a fixed layout.
+    */
+  def serializeRegs(buf: Array[Byte]): Array[Byte] = {
+    var nz = 0
+    var i = 0
+    while (i < buf.length) { if (buf(i) != 0) nz += 1; i += 1 }
+    if (1 + 3 * nz >= 1 + buf.length) {
+      val out = new Array[Byte](1 + buf.length)
+      out(0) = 0
+      System.arraycopy(buf, 0, out, 1, buf.length)
+      out
+    } else {
+      val out = new Array[Byte](1 + 3 * nz)
+      out(0) = 1
+      var o = 1
+      i = 0
+      while (i < buf.length) {
+        if (buf(i) != 0) {
+          out(o) = (i >>> 8).toByte; out(o + 1) = i.toByte; out(o + 2) = buf(i)
+          o += 3
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  def deserializeRegs(bytes: Array[Byte]): Array[Byte] = {
+    val buf = new Array[Byte](M)
+    if (bytes(0) == 0) {
+      System.arraycopy(bytes, 1, buf, 0, M)
+    } else {
+      var o = 1
+      while (o < bytes.length) {
+        val j = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+        buf(j) = bytes(o + 2)
+        o += 3
+      }
+    }
+    buf
+  }
+
   /** Fold one raw key into the register array (mutates buf). */
   def add(buf: Array[Byte], key: Long): Unit = {
     val h = mix(key)
@@ -174,8 +225,8 @@ case class HllRegAgg(
   }
 
   override def eval(buf: Array[Byte]): Any = buf
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def serialize(buf: Array[Byte]): Array[Byte] = HllSketch.serializeRegs(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = HllSketch.deserializeRegs(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllRegAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -222,8 +273,8 @@ case class HllRegMergeAgg(
   }
 
   override def eval(buf: Array[Byte]): Any = buf
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def serialize(buf: Array[Byte]): Array[Byte] = HllSketch.serializeRegs(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = HllSketch.deserializeRegs(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllRegMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

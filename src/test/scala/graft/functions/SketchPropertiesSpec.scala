@@ -191,6 +191,17 @@ class SketchPropertiesSpec extends AnyFunSuite {
     val neg = new Array[Byte](HllSketch.M)
     HllSketch.add(neg, -1L); HllSketch.add(neg, Long.MinValue)
     assert(HllSketch.estimate(neg) >= 1L)
+    // serde roundtrip, both encodings: sparse for few touched registers
+    // (and strictly smaller than dense), dense once the sketch fills
+    Seq(neg, direct).foreach { r =>
+      assert(HllSketch.deserializeRegs(HllSketch.serializeRegs(r)).toSeq === r.toSeq)
+    }
+    assert(HllSketch.serializeRegs(neg).length < 1 + HllSketch.M)
+    assert(HllSketch.serializeRegs(neg)(0) === 1.toByte)
+    val full = new Array[Byte](HllSketch.M)
+    java.util.Arrays.fill(full, 3.toByte)
+    assert(HllSketch.serializeRegs(full)(0) === 0.toByte)
+    assert(HllSketch.deserializeRegs(HllSketch.serializeRegs(full)).toSeq === full.toSeq)
   }
 
   test("MisraGries: bounded size, merge keeps every > n/(k+1) item, serde roundtrip") {
