@@ -526,6 +526,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("AdaptiveSparkPlan"), p)
   }
 
+  test("bitext mining: bucket equi join unhinted, rank filters lower to group limits") {
+    val df = graft.ext.Similarity.bitextMine(
+      graft.Tables.embeddings(spark, dir))
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the bucket equi join:\n" + p)
+    // the probe side scales with the source pool — no broadcast hint
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"probe side must stay unhinted, got ${hints.size}")
+    // the mutual-best rn=1 filters must lower to WindowGroupLimit so no
+    // per-key candidate list is ever fully ranked on one task
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("hll union: sketch partials aggregate two-phase; the ALL rollup reads the checkpoint") {
+    val p = planOf(Parity.qHllUnion(spark, dir))
+    // partial registers combine map-side before the exchange (the
+    // TypedImperativeAggregate pair supports partial aggregation)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // the 1-row exact-total side broadcasts; nothing cartesians
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("boilerplate: two segment passes by design, df agg and rejoin keyed on the hash") {
     val p = planOf(graft.ext.Text.textBoilerplate(spark, dir))
     // two-pass shape (textVocabOov discipline): build the segment-df

@@ -353,6 +353,15 @@ class ExtSpec extends SparkSuite {
       .filter(col("tgt_id") === col("src_id") + 1)
       .select("margin").as[Double].collect()
     assert(margins.forall(_ > 1.0), "planted pair margin must exceed 1")
+    // rounded-value ranking with id tie-breaks makes the mined set
+    // independent of physical layout — the reproducibility contract
+    val base = Similarity.bitextMine(emb, k = 4, bits = 4)
+      .collect().map(_.toString).sorted.toSeq
+    Seq(emb.repartition(1), emb.repartition(17, col("vec_id"))).foreach { variant =>
+      val got = Similarity.bitextMine(variant, k = 4, bits = 4)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === base, "mined pairs moved across partitionings")
+    }
   }
 
   test("lsh search results are a subset of brute-force ranking, exactly scored") {
