@@ -85,6 +85,83 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The full corpus-build FUNNEL — the integration query a real
+    * training-data pipeline runs end to end, composing the engine's
+    * stages in their production order and reporting the survival funnel
+    * (docs + chars per stage):
+    *
+    *   0_raw            the training corpus (benchmark docs held out)
+    *   1_exact_dedup    min-id representative per content hash
+    *   2_near_dedup     minus non-canonical members of MinHash near-dup
+    *                    clusters ([[Cluster.connectedComponents]] over
+    *                    the verified jaccard >= 0.8 pairs)
+    *   3_decontaminated minus documents sharing a word-5-gram with the
+    *                    benchmark suite ([[Retrieval.quarantine]])
+    *   4_quality        minus documents failing the [[qCurate]] gates
+    *                    (punctuation ratio, mean token length,
+    *                    predicted-language agreement)
+    *
+    * Each stage's predicate is computed INDEPENDENTLY as a per-doc flag
+    * (one corpus scan for the text-derived flags, plus the pair pipeline
+    * and the gram join — all existing scale-safe shapes), then a single
+    * conditional aggregate folds the conjunctions; the report is 5 rows
+    * at any corpus size. The DuckDB oracle recomposes every stage from
+    * the SAME shared fragments the stage oracles use
+    * ([[Dedup.minhashPairsCte]], the curate gates, the quarantine gram
+    * join), so hash-green here proves the COMPOSITION, not just the
+    * stages.
+    */
+  def qCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+    val st = TextStats(col("text"), Seq("the", "a", "of", "and", "to", "in"))
+    val wExact = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+    val flagged = corpus
+      .withColumn("st", st)
+      .withColumn("punct_ratio",
+        round(col("st.n_punct").cast("double") / col("st.n_chars"), 4))
+      .withColumn("mean_token_len",
+        round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4))
+      .withColumn("lang_pred", LangId(col("text")).getField("lang"))
+      .withColumn("rn", row_number().over(wExact))
+      .select(col("doc_id"), col("n_chars"),
+        (col("rn") === 1).as("e_ok"),
+        (col("punct_ratio") <= 0.2 &&
+          col("mean_token_len").between(2.0, 15.0) &&
+          col("lang_pred") === col("lang")).as("q_ok"))
+    val nearDropped = Cluster.connectedComponents(
+        Dedup.dedupMinhash(spark, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), lit(true).as("near_dup"))
+    val contaminated = Retrieval.quarantine(docs, Retrieval.benchGramSet(docs))
+      .select(col("doc_id"), lit(true).as("contam"))
+    // both flag sets scale with dup/contamination density, not the
+    // corpus — unhinted left joins, AQE picks broadcast vs shuffle
+    val f = flagged
+      .join(nearDropped, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("nd_ok", col("near_dup").isNull)
+      .withColumn("ct_ok", col("contam").isNull)
+    def stageAgg(cond: Column) = Seq(
+      sum(when(cond, 1L).otherwise(0L)),
+      coalesce(sum(when(cond, col("n_chars"))), lit(0L)))
+    val conds = Seq(
+      "0_raw" -> lit(true),
+      "1_exact_dedup" -> col("e_ok"),
+      "2_near_dedup" -> (col("e_ok") && col("nd_ok")),
+      "3_decontaminated" -> (col("e_ok") && col("nd_ok") && col("ct_ok")),
+      "4_quality" -> (col("e_ok") && col("nd_ok") && col("ct_ok") && col("q_ok")))
+    val aggs = conds.flatMap { case (_, c) => stageAgg(c) }
+      .zipWithIndex.map { case (a, i) => a.as(s"a$i") }
+    val wide = f.agg(aggs.head, aggs.tail: _*)
+    val rows = conds.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("stage"),
+        col(s"a${2 * i}").as("n_docs"), col(s"a${2 * i + 1}").as("n_chars"))
+    }
+    wide.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+      .orderBy("stage")
+  }
+
   /** Stratified sampling: exactly ceil(frac·n) documents per stratum,
     * chosen by hash rank — reproducible (the same documents every run,
     * every engine) and exactly proportional per stratum, which plain
@@ -645,6 +722,7 @@ object Curation {
     "q_split_assign" -> (qSplitAssign _),
     "q_sample_hash" -> (qSampleHash _),
     "q_curate" -> (qCurate _),
+    "q_corpus_build" -> (qCorpusBuild _),
     "q_stratified_sample" -> (qStratifiedSample _),
   )
 
@@ -846,6 +924,67 @@ object Curation {
         |  FROM documents)
         |SELECT doc_id, lang FROM r
         |WHERE rn <= ceil(0.2 * n_stratum) ORDER BY doc_id""".stripMargin,
+    // the funnel recomposed from the SAME shared fragments the stage
+    // oracles use: minhashPairsCte + transitive closure (near-dup
+    // clusters), the quarantine word-5-gram join (note: minhashPairsCte's
+    // `t` IS the un-lowered trim-split both fragments tokenize from),
+    // the curate gates, and the lowered-token langid argmax
+    "q_corpus_build" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reach GROUP BY u),
+         |g5 AS (SELECT doc_id, unnest(list_distinct(
+         |        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         |             ELSE list_transform(range(1, len(w) - 3),
+         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END)) AS g
+         |      FROM t),
+         |bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 100 = 0),
+         |contam AS (SELECT DISTINCT c.doc_id FROM g5 c JOIN bench USING (g)
+         |           WHERE c.doc_id % 100 <> 0),
+         |tl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+         |       FROM documents WHERE doc_id % 100 <> 0),
+         |lp AS (SELECT doc_id AS l_doc_id, (list_sort([
+         |        $langStructs], 'DESC'))[1].lang AS lang_pred
+         |      FROM tl),
+         |tq AS (SELECT d.doc_id, d.n_chars, d.lang,
+         |         row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn,
+         |         round(CAST(length(regexp_replace(d.text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |               / length(d.text), 4) AS punct_ratio,
+         |         round(CAST(list_sum(list_transform(string_split_regex(trim(d.text), '\\s+'),
+         |               x -> length(x))) AS DOUBLE)
+         |               / len(string_split_regex(trim(d.text), '\\s+')), 4) AS mean_token_len
+         |       FROM documents d WHERE d.doc_id % 100 <> 0),
+         |f AS (SELECT tq.doc_id, tq.n_chars,
+         |        (tq.rn = 1) AS e_ok,
+         |        tq.doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id) AS nd_ok,
+         |        tq.doc_id NOT IN (SELECT doc_id FROM contam) AS ct_ok,
+         |        (tq.punct_ratio <= 0.2 AND tq.mean_token_len BETWEEN 2.0 AND 15.0
+         |          AND lp.lang_pred = tq.lang) AS q_ok
+         |      FROM tq JOIN lp ON tq.doc_id = lp.l_doc_id)
+         |SELECT * FROM (
+         |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars FROM f
+         |  UNION ALL
+         |  SELECT '1_exact_dedup', CAST(count(*) FILTER (WHERE e_ok) AS BIGINT),
+         |         CAST(coalesce(sum(n_chars) FILTER (WHERE e_ok), 0) AS BIGINT) FROM f
+         |  UNION ALL
+         |  SELECT '2_near_dedup', CAST(count(*) FILTER (WHERE e_ok AND nd_ok) AS BIGINT),
+         |         CAST(coalesce(sum(n_chars) FILTER (WHERE e_ok AND nd_ok), 0) AS BIGINT) FROM f
+         |  UNION ALL
+         |  SELECT '3_decontaminated',
+         |         CAST(count(*) FILTER (WHERE e_ok AND nd_ok AND ct_ok) AS BIGINT),
+         |         CAST(coalesce(sum(n_chars) FILTER (WHERE e_ok AND nd_ok AND ct_ok), 0) AS BIGINT) FROM f
+         |  UNION ALL
+         |  SELECT '4_quality',
+         |         CAST(count(*) FILTER (WHERE e_ok AND nd_ok AND ct_ok AND q_ok) AS BIGINT),
+         |         CAST(coalesce(sum(n_chars) FILTER (WHERE e_ok AND nd_ok AND ct_ok AND q_ok), 0) AS BIGINT) FROM f
+         |) ORDER BY stage""".stripMargin,
     "q_curate" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, text,

