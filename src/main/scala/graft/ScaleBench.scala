@@ -120,7 +120,8 @@ object ScaleBench {
     // grows factor-fold — the hot-key shape the threshold path targets
     "q_domain_cap", "q_token_budget", "ann_knn_graph_autobits",
     "containment_candidates", "knn_autobits_candidates", "minhash_pairs",
-    "winnow_pairs", "bitext_autobits", "bitext_candidates")
+    "winnow_pairs", "bitext_autobits", "bitext_candidates",
+    "q_corpus_build")
 
   /** The production bits knob from the annKnnGraph scaladoc, made
     * runnable: bits grows as log2(N / target-occupancy-8), holding

@@ -12,9 +12,14 @@ import graft.queries.Parity
   * checks plus ScalaTest coverage.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The corpus-build funnel composes the engine's curation stages end to
+    * end (dedup -> near-dedup -> decontaminate -> quality), so it
+    * exercises the native expressions, the pair pipeline, and the gram
+    * join in one smoke check.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Parity.qAgg(spark, "/root/testdata/sf0.001")
+    ext.Curation.qCorpusBuild(spark, "/root/testdata/sf0.001")
 
   def queryGroups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
