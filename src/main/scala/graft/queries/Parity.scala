@@ -319,8 +319,8 @@ object Parity {
   }
 
   /** Exact distinct counting per group (two-phase: partial distinct then
-    * final; the approximate HLL variant is the 100 TB path but has no
-    * cross-engine oracle).
+    * final; the approximate 100 TB path is the deterministic HLL of
+    * [[qHllUnion]], itself oracle-checked register-for-register).
     */
   def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
