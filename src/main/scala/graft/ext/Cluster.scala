@@ -370,6 +370,24 @@ object Cluster {
        |FROM r16 JOIN r0 ON r16.id = r0.id ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB transitive-closure fragment over [[Dedup.minhashPairsCte]]'s
+    * `pairs`: symmetric `edges`, recursive `reach`, and `lbl(doc_id,
+    * cluster_id)` labeling every clustered doc with its min member. ONE
+    * definition shared by the dedup_cluster / dedup_survivors /
+    * split_cluster_safe oracles and the corpus-build funnel
+    * ([[Curation]]), so the cluster semantics cannot drift between the
+    * stage oracles and the composition that claims to reuse them.
+    */
+  private[ext] val closureCtes: String =
+    """edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      |        FROM reach GROUP BY u)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_kcore" -> kcoreSql,
@@ -377,41 +395,20 @@ object Cluster {
     // pair CTE the dedup_minhash oracle checks against)
     "dedup_cluster" ->
       s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT u, v FROM edges
-         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |        FROM reach GROUP BY u)
+         |$closureCtes
          |SELECT doc_id, cluster_id,
          |       CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
          |       doc_id = cluster_id AS is_canonical
          |FROM lbl ORDER BY cluster_id, doc_id""".stripMargin,
     "dedup_survivors" ->
       s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT u, v FROM edges
-         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |        FROM reach GROUP BY u)
+         |$closureCtes
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
     "split_cluster_safe" ->
       s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT u, v FROM edges
-         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |        FROM reach GROUP BY u),
+         |$closureCtes,
          |g AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
          |      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
          |SELECT doc_id, group_id, ${Curation.splitSqlFor("group_id")} AS split

@@ -66,24 +66,35 @@ object Curation {
     * then split assignment. One shuffle total (the dedup window); the
     * quality/lang columns come from the native single-pass expressions.
     */
-  def qCurate(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared curation signals: quality columns (punctuation ratio, mean
+    * token length from one TextStats pass), predicted language, and the
+    * exact-dedup rank (min doc_id per content hash). ONE definition used
+    * by both [[qCurate]] and the [[qCorpusBuild]] funnel, so the
+    * flagship can never drift from the standalone gates.
+    */
+  private def curateSignals(docs: DataFrame): DataFrame = {
     val st = TextStats(col("text"), Seq("the", "a", "of", "and", "to", "in"))
-    val pred = LangId(col("text"))
     val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
+    docs
       .withColumn("st", st)
       .withColumn("punct_ratio", round(col("st.n_punct").cast("double") / col("st.n_chars"), 4))
       .withColumn("mean_token_len",
         round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4))
-      .withColumn("lang_pred", pred.getField("lang"))
+      .withColumn("lang_pred", LangId(col("text")).getField("lang"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 &&
-        col("punct_ratio") <= 0.2 &&
-        col("mean_token_len").between(2.0, 15.0) &&
-        col("lang_pred") === col("lang"))
+  }
+
+  /** The quality gate over [[curateSignals]] columns. */
+  private def curateGate: Column =
+    col("punct_ratio") <= 0.2 &&
+      col("mean_token_len").between(2.0, 15.0) &&
+      col("lang_pred") === col("lang")
+
+  def qCurate(spark: SparkSession, dir: String): DataFrame =
+    curateSignals(Tables.documents(spark, dir))
+      .filter(col("rn") === 1 && curateGate)
       .select(col("doc_id"), col("lang"), splitAssign(col("doc_id")).as("split"))
       .orderBy("doc_id")
-  }
 
   /** The full corpus-build FUNNEL — the integration query a real
     * training-data pipeline runs end to end, composing the engine's
@@ -114,21 +125,9 @@ object Curation {
   def qCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val corpus = docs.filter(col("doc_id") % 100 =!= 0)
-    val st = TextStats(col("text"), Seq("the", "a", "of", "and", "to", "in"))
-    val wExact = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
-    val flagged = corpus
-      .withColumn("st", st)
-      .withColumn("punct_ratio",
-        round(col("st.n_punct").cast("double") / col("st.n_chars"), 4))
-      .withColumn("mean_token_len",
-        round(col("st.sum_token_len").cast("double") / col("st.n_tokens"), 4))
-      .withColumn("lang_pred", LangId(col("text")).getField("lang"))
-      .withColumn("rn", row_number().over(wExact))
+    val flagged = curateSignals(corpus)
       .select(col("doc_id"), col("n_chars"),
-        (col("rn") === 1).as("e_ok"),
-        (col("punct_ratio") <= 0.2 &&
-          col("mean_token_len").between(2.0, 15.0) &&
-          col("lang_pred") === col("lang")).as("q_ok"))
+        (col("rn") === 1).as("e_ok"), curateGate.as("q_ok"))
     val nearDropped = Cluster.connectedComponents(
         Dedup.dedupMinhash(spark, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
       .filter(col("id") =!= col("label"))
@@ -740,6 +739,27 @@ object Curation {
     s"{score: CAST(len(list_filter(w, x -> list_contains($lst, x))) AS DOUBLE) / greatest(len(w), 1), lang: '$code'}"
   }.mkString(",\n        ")
 
+  /** SQL mirror of the [[curateSignals]] gate columns (punctuation ratio
+    * and mean token length from `$a.text` — pass the table alias with
+    * its dot, or "" when unqualified). ONE definition shared by the
+    * q_curate oracle and the corpus-build funnel oracle.
+    */
+  private def gateColsSql(a: String): String =
+    s"""round(CAST(length(regexp_replace(${a}text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+       |               / length(${a}text), 4) AS punct_ratio,
+       |         round(CAST(list_sum(list_transform(string_split_regex(trim(${a}text), '\\s+'),
+       |               x -> length(x))) AS DOUBLE)
+       |               / len(string_split_regex(trim(${a}text), '\\s+')), 4) AS mean_token_len""".stripMargin
+
+  /** SQL mirror of the langid prediction: argmax over [[langStructs]]
+    * scored on `$src`'s lowered token list `w`, as a CTE body ending in
+    * `(l_doc_id, lang_pred)`. Shared like [[gateColsSql]].
+    */
+  private def langPredCteBody(src: String): String =
+    s"""SELECT doc_id AS l_doc_id, (list_sort([
+       |        $langStructs], 'DESC'))[1].lang AS lang_pred
+       |      FROM $src""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // gate comparisons run on RAW double ratios in both engines (same
     // IEEE divisions), so no round-tie hazard; fragments mirror the
@@ -925,40 +945,23 @@ object Curation {
         |SELECT doc_id, lang FROM r
         |WHERE rn <= ceil(0.2 * n_stratum) ORDER BY doc_id""".stripMargin,
     // the funnel recomposed from the SAME shared fragments the stage
-    // oracles use: minhashPairsCte + transitive closure (near-dup
-    // clusters), the quarantine word-5-gram join (note: minhashPairsCte's
-    // `t` IS the un-lowered trim-split both fragments tokenize from),
-    // the curate gates, and the lowered-token langid argmax
+    // oracles use: Dedup.minhashPairsCte + Cluster.closureCtes (near-dup
+    // clusters), Retrieval.gram5Cte (note: minhashPairsCte's `t` IS the
+    // un-lowered trim-split both fragments tokenize from), gateColsSql,
+    // and langPredCteBody — every fragment has exactly one definition
     "q_corpus_build" ->
       s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT u, v FROM edges
-         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |        FROM reach GROUP BY u),
-         |g5 AS (SELECT doc_id, unnest(list_distinct(
-         |        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-         |             ELSE list_transform(range(1, len(w) - 3),
-         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END)) AS g
-         |      FROM t),
-         |bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 100 = 0),
-         |contam AS (SELECT DISTINCT c.doc_id FROM g5 c JOIN bench USING (g)
+         |${Cluster.closureCtes},
+         |${Retrieval.gram5Cte("t")},
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0),
+         |contam AS (SELECT DISTINCT c.doc_id FROM g c JOIN bench USING (g)
          |           WHERE c.doc_id % 100 <> 0),
          |tl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
          |       FROM documents WHERE doc_id % 100 <> 0),
-         |lp AS (SELECT doc_id AS l_doc_id, (list_sort([
-         |        $langStructs], 'DESC'))[1].lang AS lang_pred
-         |      FROM tl),
+         |lp AS (${langPredCteBody("tl")}),
          |tq AS (SELECT d.doc_id, d.n_chars, d.lang,
          |         row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn,
-         |         round(CAST(length(regexp_replace(d.text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-         |               / length(d.text), 4) AS punct_ratio,
-         |         round(CAST(list_sum(list_transform(string_split_regex(trim(d.text), '\\s+'),
-         |               x -> length(x))) AS DOUBLE)
-         |               / len(string_split_regex(trim(d.text), '\\s+')), 4) AS mean_token_len
+         |         ${gateColsSql("d.")}
          |       FROM documents d WHERE d.doc_id % 100 <> 0),
          |f AS (SELECT tq.doc_id, tq.n_chars,
          |        (tq.rn = 1) AS e_ok,
@@ -989,16 +992,10 @@ object Curation {
       s"""WITH t AS (
          |  SELECT doc_id, lang, text,
          |         string_split_regex(trim(lower(text)), '\\s+') AS w,
-         |         round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-         |               / length(text), 4) AS punct_ratio,
-         |         round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
-         |               x -> length(x))) AS DOUBLE)
-         |               / len(string_split_regex(trim(text), '\\s+')), 4) AS mean_token_len,
+         |         ${gateColsSql("")},
          |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
          |  FROM documents),
-         |l AS (SELECT doc_id AS l_doc_id, (list_sort([
-         |        $langStructs], 'DESC'))[1].lang AS lang_pred
-         |      FROM t),
+         |l AS (${langPredCteBody("t")}),
          |kept AS (
          |  SELECT t.doc_id AS doc_id, t.lang AS lang
          |  FROM t JOIN l ON t.doc_id = l.l_doc_id

@@ -344,14 +344,11 @@ object Retrieval {
     "q_contamination" -> contaminationSql,
     // bloom pre-screen changes the PLAN, not the result — same oracle
     "q_contamination_bloom" -> contaminationSql,
-    // same shingle construction as contaminationSql, per-corpus-doc view
+    // same shingle construction as contaminationSql (shared gram5Cte),
+    // per-corpus-doc view
     "q_quarantine" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id, unnest(list_distinct(
-        |        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-        |             ELSE list_transform(range(1, len(w) - 3),
-        |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END)) AS g
-        |      FROM t),
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |${gram5Cte("t")},
         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0)
         |SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams
         |FROM g c JOIN bench USING (g)
@@ -359,13 +356,23 @@ object Retrieval {
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
   )
 
+  /** DuckDB word-5-gram fragment: from a tokenized CTE `$src(doc_id, w)`
+    * (the `\s+` trim split — [[Dedup.minhashPairsCte]]'s `t` is exactly
+    * this), produce `g(doc_id, g)` with each doc's DISTINCT 5-grams
+    * (whole text when shorter). ONE definition shared by the
+    * q_contamination / q_quarantine oracles and the corpus-build funnel
+    * ([[Curation]]), mirroring [[graft.functions.WordShingles]] at n=5.
+    */
+  private[ext] def gram5Cte(src: String): String =
+    s"""g AS (SELECT doc_id, unnest(list_distinct(
+       |        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+       |             ELSE list_transform(range(1, len(w) - 3),
+       |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END)) AS g
+       |      FROM $src)""".stripMargin
+
   private lazy val contaminationSql: String =
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id, unnest(list_distinct(
-        |        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-        |             ELSE list_transform(range(1, len(w) - 3),
-        |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END)) AS g
-        |      FROM t),
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |${gram5Cte("t")},
         |hits AS (
         |  SELECT b.doc_id AS bench_id,
         |         count(DISTINCT c.doc_id) AS n_contam_docs,

@@ -407,14 +407,22 @@ object Similarity {
     val wSo = wS.orderBy(col("cosine").desc, col("tgt_id"))
     val wT = Window.partitionBy(col("tgt_id"))
     val wTo = wT.orderBy(col("cosine").desc, col("src_id"))
+    // the top-k cosines sum as DECIMAL(6,4) — the rounded values are
+    // exact decimals, so the sum is association-free and both engines
+    // derive the identical knn mean (the pageRank quantization
+    // discipline; a double sum would order-depend by ~1 ulp and could
+    // flip round(margin, 4) at a rounding tie)
+    val d64 = org.apache.spark.sql.types.DataTypes.createDecimalType(6, 4)
     cand
       // src-keyed block, then tgt-keyed block: each block is one exchange
       .withColumn("rn_s", row_number().over(wSo))
       .withColumn("n_s", count(lit(1)).over(wS))
-      .withColumn("knn_src", sum(when(col("rn_s") <= k, col("cosine"))).over(wS) / k)
+      .withColumn("knn_src",
+        sum(when(col("rn_s") <= k, col("cosine").cast(d64))).over(wS).cast("double") / k)
       .withColumn("rn_t", row_number().over(wTo))
       .withColumn("n_t", count(lit(1)).over(wT))
-      .withColumn("knn_tgt", sum(when(col("rn_t") <= k, col("cosine"))).over(wT) / k)
+      .withColumn("knn_tgt",
+        sum(when(col("rn_t") <= k, col("cosine").cast(d64))).over(wT).cast("double") / k)
       .filter(col("n_s") >= k && col("n_t") >= k
         && (col("knn_src") + col("knn_tgt")) > 0)
       .withColumn("margin",
@@ -606,8 +614,10 @@ object Similarity {
          |  FROM cand),
          |enr2 AS (
          |  SELECT *,
-         |    sum(CASE WHEN rn_s <= 4 THEN cosine END) OVER (PARTITION BY src_id) / 4 AS knn_src,
-         |    sum(CASE WHEN rn_t <= 4 THEN cosine END) OVER (PARTITION BY tgt_id) / 4 AS knn_tgt
+         |    CAST(sum(CASE WHEN rn_s <= 4 THEN CAST(cosine AS DECIMAL(6,4)) END)
+         |      OVER (PARTITION BY src_id) AS DOUBLE) / 4 AS knn_src,
+         |    CAST(sum(CASE WHEN rn_t <= 4 THEN CAST(cosine AS DECIMAL(6,4)) END)
+         |      OVER (PARTITION BY tgt_id) AS DOUBLE) / 4 AS knn_tgt
          |  FROM enr),
          |m AS (
          |  SELECT src_id, tgt_id, cosine,

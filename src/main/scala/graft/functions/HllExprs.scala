@@ -124,6 +124,11 @@ object HllSketch {
     * scaladoc for the cross-engine determinism argument.
     */
   def estimate(regs: Array[Byte]): Long = {
+    // a wrong-length input is not a sketch — fail loudly rather than
+    // return a silently absurd count (an empty array would estimate
+    // C/0 = Infinity -> Long.MaxValue)
+    require(regs.length == M,
+      s"hll_estimate expects a $M-byte register array, got ${regs.length} bytes")
     var v = 0
     var k = BigInt(0)
     var i = 0

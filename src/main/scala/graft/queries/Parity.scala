@@ -285,21 +285,22 @@ object Parity {
       .orderBy("l_returnflag")
 
   /** HLL sketch MERGEABILITY — the property that makes approximate
-    * distinct counting distributable: per-group Datasketches HLL
-    * sketches (`hll_sketch_agg`) union-merge (`hll_union_agg`) into
-    * exactly the sketch of the union, so pre-aggregated per-partition /
-    * per-day / per-source sketches can be stored as columns and rolled
-    * up later WITHOUT rescanning raw data — the sketch-warehouse pattern
-    * at 100 TB. Output: one row per event type (estimate vs exact) plus
-    * the ALL row whose estimate comes from MERGING the per-type
-    * sketches, never from re-scanning. The sketch is the deterministic
-    * cross-engine HLL of [[graft.functions.HllSketch]] (formerly the
-    * engine-specific Datasketches HLL, which had no oracle), so the
-    * DuckDB oracle recomputes registers and estimates exactly — and
-    * because the oracle aggregates RAW rows while this query merges
-    * pre-built sketches, hash-green PROVES union-of-sketches =
-    * sketch-of-union. ParitySpec additionally asserts merge ==
-    * direct-global sketch bit-exactly and bounds the estimate error.
+    * distinct counting distributable: per-group register arrays
+    * ([[graft.functions.HllRegAgg]], the deterministic cross-engine HLL
+    * of [[graft.functions.HllSketch]]) union by elementwise max
+    * ([[graft.functions.HllRegMergeAgg]]) into exactly the sketch of
+    * the union, so pre-aggregated per-partition / per-day / per-source
+    * sketches can be stored as columns and rolled up later WITHOUT
+    * rescanning raw data — the sketch-warehouse pattern at 100 TB.
+    * Output: one row per event type (estimate vs exact) plus the ALL
+    * row whose estimate comes from MERGING the per-type sketches, never
+    * from re-scanning. The DuckDB oracle recomputes registers and
+    * estimates exactly — and because the oracle aggregates RAW rows
+    * while this query merges pre-built sketches, hash-green PROVES
+    * union-of-sketches = sketch-of-union (the engine-specific
+    * Datasketches HLL this replaced had no such oracle). ParitySpec
+    * additionally asserts merge == direct-global sketch bit-exactly and
+    * bounds the estimate error.
     */
   def qHllUnion(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hll
