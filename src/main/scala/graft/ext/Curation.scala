@@ -141,8 +141,10 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("nd_ok", col("near_dup").isNull)
       .withColumn("ct_ok", col("contam").isNull)
+    // both sums coalesce: over an EMPTY corpus the global agg yields
+    // NULL while the oracle's count(*) FILTER yields 0
     def stageAgg(cond: Column) = Seq(
-      sum(when(cond, 1L).otherwise(0L)),
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(cond, col("n_chars"))), lit(0L)))
     val conds = Seq(
       "0_raw" -> lit(true),

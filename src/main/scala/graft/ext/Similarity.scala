@@ -302,8 +302,15 @@ object Similarity {
     * log2(N / target occupancy 8), floored at [[LshBits]] so small
     * corpora match the fixed-bits query exactly.
     */
-  def autoBits(n: Long): Int =
-    math.max(LshBits, math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
+  def autoBits(n: Long): Int = bitsFor(n, occupancy = 8.0, floor = LshBits)
+
+  /** Shared bits-for-pool-size knob: 2^bits tracks n/occupancy, floored
+    * so small corpora match their fixed-bits driver query exactly. One
+    * definition behind [[autoBits]] and [[bitextAutoBits]] so the two
+    * knobs' staircase semantics cannot drift.
+    */
+  private def bitsFor(n: Long, occupancy: Double, floor: Int): Int =
+    math.max(floor, math.ceil(math.log(n / occupancy) / math.log(2)).toInt)
 
   /** Corpus and probe sides of the knn-graph bucket join. */
   private def knnSides(e: DataFrame, bits: Int): (DataFrame, DataFrame) = {
@@ -398,8 +405,7 @@ object Similarity {
     * neighborhood tens-wide at any corpus size (equals the 6-bit driver
     * query at the sf0.1 pool sizes).
     */
-  def bitextAutoBits(n: Long): Int =
-    math.max(6, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
+  def bitextAutoBits(n: Long): Int = bitsFor(n, occupancy = 32.0, floor = 6)
 
   def bitextMine(emb: DataFrame, k: Int = 4, bits: Int = 6): DataFrame = {
     val cand = bitextCandidateRows(emb, bits)
@@ -567,12 +573,7 @@ object Similarity {
     * observed on the corpus, and any such vector is equidistant from
     * both buckets semantically anyway.
     */
-  private def srpMix(x0: Long): Long = {
-    var x = x0 * 0x9e3779b97f4a7c15L
-    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
-    x ^= x >>> 27; x *= 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private def srpMix(x0: Long): Long = graft.functions.Mix.splitmix64(x0)
 
   def srpSigCte(d: Int = 64, bits: Int = LshBits): String = {
     val rows = for (bit <- 0 until bits; j <- 0 until d) yield {

@@ -47,12 +47,11 @@ object HllSketch {
   val C: Double =
     0.7213 / (1.0 + 1.079 / M) * M.toDouble * M.toDouble * 1.8446744073709552e19
 
-  @inline def mix(x0: Long): Long = {
-    var x = x0 * 0x9e3779b97f4a7c15L
-    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
-    x ^= x >>> 27; x *= 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  /** The ONE splitmix64 definition ([[Mix.splitmix64]]) — shared with
+    * SrpSignature and the SRP oracle so the cross-engine hash story has
+    * a single source of truth.
+    */
+  @inline def mix(x0: Long): Long = Mix.splitmix64(x0)
 
   /** Shuffle/storage encoding for partial register arrays: fine-grained
     * groups (hourly windows, small sources) touch few registers, so a
@@ -129,14 +128,19 @@ object HllSketch {
     // C/0 = Infinity -> Long.MaxValue)
     require(regs.length == M,
       s"hll_estimate expects a $M-byte register array, got ${regs.length} bytes")
-    var v = 0
-    var k = BigInt(0)
+    // K = sum_j 2^(64-M_j) exactly, via a value histogram: register
+    // values are bounded by RhoMax, so <=54 BigInt terms replace 4096
+    // per-register shift-adds in this per-row scalar (identical exact K,
+    // same cross-engine determinism argument)
+    val hist = new Array[Int](RhoMax + 1)
     var i = 0
-    while (i < regs.length) {
-      val mj = regs(i).toInt
-      if (mj == 0) v += 1
-      k += BigInt(1) << (64 - mj)
-      i += 1
+    while (i < regs.length) { hist(regs(i).toInt) += 1; i += 1 }
+    val v = hist(0)
+    var k = BigInt(0)
+    var mj = 0
+    while (mj <= RhoMax) {
+      if (hist(mj) > 0) k += BigInt(hist(mj)) << (64 - mj)
+      mj += 1
     }
     val kd = (k >> 32).toDouble * 4294967296.0 + (k & 0xffffffffL).toDouble
     val raw = C / kd
@@ -295,6 +299,12 @@ case class HllEstimate(child: Expression)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hll_estimate"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll_estimate needs BINARY registers, got ${child.dataType.catalogString}")
   override protected def withNewChildInternal(newChild: Expression): HllEstimate =
     copy(child = newChild)
   override def nullSafeEval(input: Any): Any =

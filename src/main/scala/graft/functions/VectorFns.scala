@@ -68,13 +68,23 @@ case class SrpSignature(child: Expression, bits: Int) extends
       s"${ev.value} = graft.functions.SrpSignature.signature($c, $bits);")
 }
 
-object SrpSignature {
-  @inline private def mix(x0: Long): Long = {
+/** The splitmix64 finalizer (golden-ratio multiply + two avalanche
+  * rounds) — the ONE definition behind every hash-derived construction
+  * that a DuckDB oracle mirrors (SRP hyperplanes, the HLL key hash):
+  * three formerly-private copies had to stay bit-identical by
+  * discipline; now they delegate here.
+  */
+object Mix {
+  @inline def splitmix64(x0: Long): Long = {
     var x = x0 * 0x9e3779b97f4a7c15L
     x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
     x ^= x >>> 27; x *= 0x94d049bb133111ebL
     x ^ (x >>> 31)
   }
+}
+
+object SrpSignature {
+  @inline private def mix(x0: Long): Long = Mix.splitmix64(x0)
 
   /** Hyperplane component in [-1, 1). */
   @inline private def component(bit: Int, j: Int): Double =

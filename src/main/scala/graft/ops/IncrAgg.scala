@@ -297,6 +297,7 @@ object IncrAgg {
          |SELECT b.day, b.event_type, coalesce(h.est_users, 0) AS est_users,
          |       b.n_events
          |FROM base b LEFT JOIN hest h
-         |  ON h.day = b.day AND h.event_type = b.event_type
+         |  ON h.day IS NOT DISTINCT FROM b.day
+         |  AND h.event_type IS NOT DISTINCT FROM b.event_type
          |ORDER BY b.day, b.event_type""".stripMargin)
 }

@@ -2020,7 +2020,7 @@ object Parity {
          |  UNION ALL
          |  SELECT 'ALL', count(DISTINCT user_id) FROM events)
          |SELECT n.scope, coalesce(hest.est_users, 0) AS est_users, n.n_exact
-         |FROM nex n LEFT JOIN hest ON hest.scope = n.scope
+         |FROM nex n LEFT JOIN hest ON hest.scope IS NOT DISTINCT FROM n.scope
          |ORDER BY n.scope""".stripMargin,
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
     // the dedicated-pass aggregate the observed (single-scan) metrics

@@ -1202,7 +1202,8 @@ object Streaming {
          |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start
          |  FROM events)
          |SELECT b.window_start, coalesce(h.est_users, 0) AS est_users
-         |FROM base b LEFT JOIN hest h ON h.window_start = b.window_start
+         |FROM base b LEFT JOIN hest h
+         |  ON h.window_start IS NOT DISTINCT FROM b.window_start
          |ORDER BY b.window_start""".stripMargin,
     // dedup over duplicated delivery restores exactly-once: totals equal
     // the plain per-type totals over the original events
