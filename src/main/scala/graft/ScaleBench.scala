@@ -101,15 +101,37 @@ object ScaleBench {
     }.reduce(_.unionAll(_))
   }
 
+  /** Replica k of the events table: event/user ids offset by k*10M (the
+    * user DOMAIN grows factor-fold, so distinct counts — what the HLL
+    * family estimates — scale with the corpus), timestamps unchanged
+    * (same retention window: the per-hour/per-day group COUNT stays
+    * fixed while each group's cardinality grows, exactly the
+    * sketch-warehouse shape where registers saturate rather than groups
+    * multiplying).
+    */
+  def expandEvents(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    val src = Tables.events(spark, srcDir)
+    (0 until factor).map { k =>
+      src.select(
+        (col("event_id") + lit(k.toLong * 10_000_000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * 10_000_000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Stage an expanded corpus under `outDir` with the testdata layout
-    * (documents.parquet / embeddings.parquet directories), so every
-    * `(spark, dir)` query entry runs against it unchanged.
+    * (documents.parquet / embeddings.parquet / events.parquet
+    * directories), so every `(spark, dir)` query entry runs against it
+    * unchanged.
     */
   def stage(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     expandDocuments(spark, srcDir, factor)
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     expandEmbeddings(spark, srcDir, factor)
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    expandEvents(spark, srcDir, factor)
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   val HeavyQueries = Seq(
@@ -121,7 +143,10 @@ object ScaleBench {
     "q_domain_cap", "q_token_budget", "ann_knn_graph_autobits",
     "containment_candidates", "knn_autobits_candidates", "minhash_pairs",
     "winnow_pairs", "bitext_autobits", "bitext_candidates",
-    "q_corpus_build")
+    "q_corpus_build",
+    // the sketch-warehouse family: per-group registers saturate as the
+    // user domain grows factor-fold while the group count stays fixed
+    "q_hll_union", "q_hll_view", "q_stream_distinct")
 
   /** The production bits knob from the annKnnGraph scaladoc, made
     * runnable: bits grows as log2(N / target-occupancy-8), holding
