@@ -111,6 +111,16 @@ object ScaleBench {
     */
   def expandEvents(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
     val src = Tables.events(spark, srcDir)
+    if (factor > 1) {
+      // the k*10M replica offsets assume source ids fit below 10M; a
+      // larger corpus would silently collide replica id ranges and
+      // undercount the distincts the HLL curves measure — fail loudly
+      // instead (one tiny aggregate over the small source, pre-staging)
+      val mx = src.agg(greatest(max(col("event_id")), max(col("user_id")))
+        .cast("long")).first().getLong(0)
+      require(mx < 10_000_000L,
+        s"expandEvents replica offset (10M) collides: max source id $mx")
+    }
     (0 until factor).map { k =>
       src.select(
         (col("event_id") + lit(k.toLong * 10_000_000L)).as("event_id"),
@@ -140,24 +150,13 @@ object ScaleBench {
     "text_boilerplate", "ann_knn_graph",
     // per-key cap: expansion preserves the 20 sources, so each source
     // grows factor-fold — the hot-key shape the threshold path targets
-    "q_domain_cap", "q_token_budget", "ann_knn_graph_autobits",
+    "q_domain_cap", "q_token_budget",
     "containment_candidates", "knn_autobits_candidates", "minhash_pairs",
     "winnow_pairs", "bitext_autobits", "bitext_candidates",
     "q_corpus_build",
     // the sketch-warehouse family: per-group registers saturate as the
     // user domain grows factor-fold while the group count stays fixed
     "q_hll_union", "q_hll_view", "q_stream_distinct")
-
-  /** The production bits knob from the annKnnGraph scaladoc, made
-    * runnable: bits grows as log2(N / target-occupancy-8), holding
-    * per-bucket candidate work roughly constant as the corpus scales
-    * (at sf0.1-x1 sizes it equals the fixed-bits query). The count scan
-    * that sizes the corpus is negligible against the graph build.
-    */
-  private def knnAutoBits(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
-    ext.Similarity.annKnnGraph(spark, dir, bits = ext.Similarity.autoBits(n))
-  }
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves
@@ -171,7 +170,8 @@ object ScaleBench {
 
   private def knnCandCount(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
-    // exactly the rows annKnnGraph scores — shared definition, no drift
+    // exactly the rows the registered annKnnGraph (autoBits default
+    // since round 11) scores — shared definition, no drift
     ext.Similarity.knnCandidateRows(spark, dir, ext.Similarity.autoBits(n))
       .groupBy().agg(count(lit(1)).as("n_candidates"))
   }
@@ -198,7 +198,6 @@ object ScaleBench {
   }
 
   val Extras: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_knn_graph_autobits" -> (knnAutoBits _),
     "bitext_autobits" -> (bitextAutoBits _),
     "bitext_candidates" -> (bitextCandCount _),
     "containment_candidates" -> (containmentCandCount _),

@@ -869,7 +869,7 @@ object Curation {
         |  CAST(sum(h) AS VARCHAR) AS fp_sum
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
     // exact mirror of mixtureWaterfill: BIGINT capacities/prefix sums,
-    // one double division for the level candidates, min over the valid
+    // one double division for the level candidates, max over the valid
     // ones; unrounded doubles (identical IEEE ops) hash-match directly
     "q_mix_waterfill" ->
       """WITH s AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang),

@@ -31,17 +31,25 @@ object Ivf {
   val SampleN = 4096
   val NProbe = 4
 
-  /** Deterministic k-means: the sample is the lowest-id vectors (stable
-    * across runs and partitionings), init is evenly-spaced sample vectors,
-    * and Lloyd's runs a fixed number of iterations on the driver.
-    * Assignment during training uses the same centroid-normalized cosine
-    * as the serving-path expression, so train and serve agree.
+  /** Deterministic k-means: the sample is the first [[SampleN]] vectors
+    * by HASH order — splitmix64(vec_id) with id tie-break
+    * ([[graft.functions.VectorFns.mix64]]), stable across runs and
+    * partitionings like an id sort but INDEPENDENT of the corpus's id
+    * layout: an `ORDER BY vec_id LIMIT n` draw trains centroids on
+    * whatever happened to be ingested first (id-prefix bias — at corpus
+    * scale that can be one crawl, one day, one source), while the hash
+    * order is a uniform draw whatever the ids encode. Init is
+    * evenly-spaced sample vectors, and Lloyd's runs a fixed number of
+    * iterations on the driver. Assignment during training uses the same
+    * centroid-normalized cosine as the serving-path expression, so
+    * train and serve agree.
     */
   def trainCentroids(
       emb: DataFrame, k: Int = K, iters: Int = Iters, sampleN: Int = SampleN)
       : Seq[Seq[Float]] = {
+    import graft.functions.VectorFns
     val sample: Array[Array[Float]] = emb
-      .orderBy("vec_id").limit(sampleN)
+      .orderBy(VectorFns.mix64(col("vec_id")), col("vec_id")).limit(sampleN)
       .select("embedding")
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train on an empty corpus")
@@ -168,8 +176,9 @@ object Ivf {
   )
 
   /** The LEARNED quantizer is oracle-checkable after all: Lloyd's is
-    * deterministic here (lowest-id sample, evenly-spaced init, fixed
-    * rounds), and the one cross-engine hazard — double-sum ORDER in the
+    * deterministic here (splitmix64-hash-ordered sample — see
+    * [[trainCentroids]] — evenly-spaced init, fixed rounds), and the
+    * one cross-engine hazard — double-sum ORDER in the
     * centroid means — is absorbed by the trainer's own float truncation
     * (`(sums/count).toFloat`): a 1e-16-relative double difference
     * almost never moves a value across a 2^-24-granular float rounding
@@ -202,9 +211,13 @@ object Ivf {
          |    FROM asg$r a JOIN kee ON kee.vec_id = a.vec_id GROUP BY 1, 2) m
          |  ON m.c = p.c AND m.j = p.j)""".stripMargin
     }.mkString(",\n")
-    s"""samp AS MATERIALIZED (
-       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk
-       |  FROM embeddings ORDER BY vec_id LIMIT $sampleN),
+    s"""sampu AS (SELECT vec_id,
+       |  ${graft.functions.MixSql.mix(graft.functions.MixSql.toU64("vec_id"))} AS mku
+       |  FROM embeddings),
+       |sampo AS (SELECT vec_id, ${graft.functions.MixSql.toS64("mku")} AS mk FROM sampu),
+       |samp AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY mk, vec_id) - 1 AS rk
+       |  FROM sampo ORDER BY mk, vec_id LIMIT $sampleN),
        |keeall AS MATERIALIZED (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
        |         CAST(CAST(unnest(embedding) AS REAL) AS DOUBLE) AS x FROM embeddings),

@@ -34,17 +34,20 @@ object Pq {
     if (n > 0) v.map(x => (x / n).toFloat) else v
   }
 
-  /** Deterministic per-subspace k-means on the L2-normalized lowest-id
-    * sample: evenly-spaced sample init, fixed iterations, argmin-L2
-    * assignment with ties to the lower index (the same rule
+  /** Deterministic per-subspace k-means on the L2-normalized sample,
+    * drawn in splitmix64-hash order of vec_id (id-layout-independent;
+    * see [[Ivf.trainCentroids]] for why a lowest-id draw is biased at
+    * corpus scale): evenly-spaced sample init, fixed iterations,
+    * argmin-L2 assignment with ties to the lower index (the same rule
     * [[graft.functions.PqEncode.Evaluator]] applies at serve time, so
     * train and serve agree). Empty clusters keep their centroid.
     */
   def trainCodebooks(
       emb: DataFrame, m: Int = M, ksub: Int = Ksub, iters: Int = Iters,
       sampleN: Int = SampleN): Seq[Seq[Seq[Float]]] = {
+    import graft.functions.VectorFns
     val sample: Array[Array[Float]] = emb
-      .orderBy("vec_id").limit(sampleN)
+      .orderBy(VectorFns.mix64(col("vec_id")), col("vec_id")).limit(sampleN)
       .select("embedding")
       .collect().map(r => normalize(r.getSeq[Float](0).toArray))
     require(sample.nonEmpty, "cannot train on an empty corpus")
@@ -292,9 +295,13 @@ object Pq {
        |  FROM pea JOIN pnrm USING (vec_id)),
        |pallsub AS MATERIALIZED (
        |  SELECT vec_id, j // $subDim AS s, j % $subDim AS sj, x FROM pn),
+       |psampu AS (SELECT vec_id,
+       |  ${graft.functions.MixSql.mix(graft.functions.MixSql.toU64("vec_id"))} AS mku
+       |  FROM embeddings),
+       |psampo AS (SELECT vec_id, ${graft.functions.MixSql.toS64("mku")} AS mk FROM psampu),
        |psamp AS MATERIALIZED (
-       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rk
-       |  FROM embeddings ORDER BY vec_id LIMIT $sampleN),
+       |  SELECT vec_id, row_number() OVER (ORDER BY mk, vec_id) - 1 AS rk
+       |  FROM psampo ORDER BY mk, vec_id LIMIT $sampleN),
        |pns AS (SELECT count(*) AS n FROM psamp),
        |psub AS MATERIALIZED (
        |  SELECT p.vec_id, p.s, p.sj, p.x FROM pallsub p JOIN psamp USING (vec_id)),

@@ -290,9 +290,16 @@ object Similarity {
     * anywhere. Unlike the serving path the probe side IS the corpus
     * (13 rows per vector), so there is no broadcast hint: both sides
     * shuffle on the bucket key and AQE handles any hot bucket. Expected
-    * candidate volume is N^2*(bits+1)/2^bits; at larger corpora bits
-    * scales as log2(N / target bucket occupancy), keeping per-bucket
-    * work constant — the knob a production run sets per corpus size.
+    * candidate volume is N^2*(bits+1)/2^bits, so the DEFAULT bits is
+    * [[autoBits]] of the corpus size — 2^bits tracks N/8, holding
+    * per-bucket occupancy (and therefore per-bucket quadratic work)
+    * constant at any scale; a fixed bits width would go quadratic the
+    * moment N outgrows it (measured exponent 2.6 at x100 with 12 bits
+    * vs 1.0 auto-scaled — BENCH_SCALE.md). The floor at [[LshBits]]
+    * keeps small-corpus results bit-identical to the historical
+    * fixed-12-bit query, the same staircase discipline as
+    * [[bitextMine]]'s [[bitextAutoBits]]. The sizing count is one
+    * parquet-metadata-cheap job, negligible against the graph build.
     * Vectors whose probe buckets hold no neighbor simply have no rows
     * (an ANN graph, not an exact one); recall on planted near-dup pairs
     * is asserted in ExtSpec.
@@ -324,9 +331,15 @@ object Similarity {
     (bucketed, probes)
   }
 
+  /** `bits = 0` (the default) means [[autoBits]] of the corpus size —
+    * the production knob; pass an explicit width only to pin a
+    * historical curve (the scale rehearsal's fixed-bits comparison).
+    */
   def annKnnGraph(spark: SparkSession, dir: String, k: Int = 3,
-      bits: Int = LshBits): DataFrame = {
-    val (bucketed, probes) = knnSides(Tables.embeddings(spark, dir), bits)
+      bits: Int = 0): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val b = if (bits > 0) bits else autoBits(e.count())
+    val (bucketed, probes) = knnSides(e, b)
     scoreBucketJoin(bucketed, probes, k, neighborCol = "neighbor_id")
   }
 

@@ -150,29 +150,10 @@ object HllSketch {
 
   // ---- DuckDB oracle mirror ----------------------------------------
 
-  private def mulMod64(x: String, k: BigInt): String = {
-    val m = BigInt(1) << 64
-    val (kh, kl) = (k >> 32, k & 0xffffffffL)
-    s"""CAST(CAST(((CAST($x AS HUGEINT) * $kl) +
-       |  ((((CAST($x AS HUGEINT) % 4294967296) * $kh) % 4294967296) * 4294967296))
-       |  % CAST('$m' AS HUGEINT) AS HUGEINT) AS UBIGINT)""".stripMargin
-  }
-
-  /** splitmix64 of a UBIGINT SQL expression, as nested CTE-free SQL. */
-  private def mixSql(x: String): String = {
-    val s1 = mulMod64(x, BigInt("9e3779b97f4a7c15", 16))
-    val s2 = mulMod64(s"xor(($s1), ($s1) >> 30)", BigInt("bf58476d1ce4e5b9", 16))
-    val s3 = mulMod64(s"xor(($s2), ($s2) >> 27)", BigInt("94d049bb133111eb", 16))
-    s"xor(($s3), ($s3) >> 31)"
-  }
-
-  /** Two's-complement BIGINT -> UBIGINT (negative keys wrap, matching
-    * the JVM's untyped 64-bit lanes).
-    */
-  private def toU64(col: String): String =
-    s"""CAST(CASE WHEN $col >= 0 THEN CAST($col AS HUGEINT)
-       |  ELSE CAST($col AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
-       |  END AS UBIGINT)""".stripMargin
+  // wrapping-multiply emulation + BIGINT<->UBIGINT lane casts live in
+  // the shared [[MixSql]] (the IVF/PQ sample-order CTEs use them too)
+  private def mixSql(x: String): String = MixSql.mix(x)
+  private def toU64(col: String): String = MixSql.toU64(col)
 
   /** Oracle CTE chain: expects a prior CTE `hin($grpCols, uid BIGINT
     * NOT NULL)` (one row per raw key occurrence; duplicates fine) and
@@ -271,7 +252,10 @@ case class HllRegMergeAgg(
     if (v != null) {
       val regs = v.asInstanceOf[Array[Byte]]
       require(regs.length == HllSketch.M,
-        s"register array of ${regs.length} bytes; expected ${HllSketch.M}")
+        s"register array of ${regs.length} bytes; expected the dense " +
+          s"${HllSketch.M}-byte form hll_regs eval() emits — serialize()" +
+          " output is the SPARSE encoding (pass it through" +
+          " deserializeRegs first)")
       HllSketch.merge(buf, regs)
     }
     buf

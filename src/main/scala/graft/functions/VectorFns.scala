@@ -105,9 +105,35 @@ object SrpSignature {
   }
 }
 
+/** [[Mix.splitmix64]] of a long column as a native codegen'd expression —
+  * the deterministic hash ORDER both engines can reproduce (vs Spark's
+  * xxhash64, which DuckDB cannot mirror); the SQL twin is
+  * [[MixSql.mix]]. Used to hash-order training samples so a
+  * `LIMIT sampleN` draw is independent of the corpus's id layout.
+  */
+case class Splitmix64Col(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "splitmix64"
+  override protected def withNewChildInternal(newChild: Expression): Splitmix64Col =
+    copy(child = newChild)
+  override def nullSafeEval(input: Any): Any =
+    Mix.splitmix64(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Mix.splitmix64($c);")
+}
+
 object VectorFns {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.toColumn(DotProduct(Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  /** splitmix64 of a long column (signed-long value; order with the
+    * oracle's [[MixSql.toS64]] image for cross-engine sort parity).
+    */
+  def mix64(c: Column): Column =
+    Bridge.toColumn(Splitmix64Col(Bridge.toExpression(c)))
 
   def srpSignature(v: Column, bits: Int): Column =
     Bridge.toColumn(SrpSignature(Bridge.toExpression(v), bits))

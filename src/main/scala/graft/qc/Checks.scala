@@ -130,15 +130,25 @@ object Checks {
     import org.apache.spark.sql.types.DecimalType
     val ev = graft.Tables.events(spark, dir)
     val obs = org.apache.spark.sql.Observation()
-    val out = java.nio.file.Files.createTempDirectory("graft_observe").toString
-    ev.observe(obs,
-        count(lit(1)).as("n_rows"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
-        sum(col("value").cast(DecimalType(18, 2))).as("sum_value_dec"),
-        min(unix_millis(col("ts"))).as("min_ts_ms"),
-        max(unix_millis(col("ts"))).as("max_ts_ms"))
-      .write.mode("overwrite").parquet(out)
-    val m = obs.get
+    val outPath = java.nio.file.Files.createTempDirectory("graft_observe")
+    // the write exists only to drive the observed scan; remove its
+    // output afterwards so repeated bench/oracle invocations of this
+    // registered query don't accrete a table copy per run
+    val m = try {
+      ev.observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sum_value_dec"),
+          min(unix_millis(col("ts"))).as("min_ts_ms"),
+          max(unix_millis(col("ts"))).as("max_ts_ms"))
+        .write.mode("overwrite").parquet(outPath.toString)
+      obs.get
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     import spark.implicits._
     // sum/min/max aggregate to NULL over an empty table — carry the
     // nulls through (the oracle's dedicated pass returns the same row
