@@ -270,19 +270,62 @@ object Parity {
         round(expr("percentile(l_quantity, 0.95)"), 4).as("q95"))
       .orderBy("l_returnflag")
 
-  /** Approximate sketches — the 100 TB counting path: HLL++ distinct
-    * counts and approximate percentiles are one-pass, fixed-memory,
-    * partial-aggregable. Rows-only check (sketch internals differ across
-    * engines); the accuracy bound vs the exact forms is asserted in
-    * ParitySpec.
+  /** Approximate sketches — the 100 TB counting path: distinct counts
+    * and percentiles as one-pass, fixed-memory, MERGEABLE summaries.
+    * Both halves are DETERMINISTIC cross-engine sketches, so the DuckDB
+    * oracle recomputes them exactly and the check is hash-green —
+    * unlike Spark's built-in approx_count_distinct/percentile_approx
+    * (this query's first form), whose HLL++/QuantileSummaries internals
+    * are engine-private and admit only a rows-only check:
+    *  - approx_parts: the [[graft.functions.Hll]] register sketch over
+    *    l_partkey (splitmix64-hashed keys, 4096 elementwise-max
+    *    registers — the machinery q_hll_union proves merge-exact);
+    *    ~1.6% standard error, same class as approx_count_distinct.
+    *  - approx_median_price: a fixed-width histogram quantile — exact
+    *    integer cents (the DECIMAL(18,2) money discipline) bucketed at
+    *    $100, cumulative counts cross rank (n+1)/2 at the median
+    *    bucket, whose $-midpoint is returned. One partial-aggregable
+    *    groupBy plus a window over ~1k buckets per flag; histograms
+    *    merge by adding counts, so the sketch-warehouse rollup story
+    *    applies unchanged. Max error $50 (<0.2% at these prices).
+    * ParitySpec bounds both halves against the exact aggregates and
+    * pins them across partitionings.
     */
   def qApproxSketch(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    approxSketch(Tables.lineitem(spark, dir))
+
+  /** The sketch core over any lineitem-shaped frame — ParitySpec feeds
+    * repartitioned variants through this to prove both halves are
+    * partition-invariant (register max and histogram counts are
+    * commutative/associative merges; GK/QuantileSummaries, which this
+    * replaced, is not).
+    */
+  def approxSketch(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hll
+    val est = li.groupBy(col("l_returnflag"))
+      .agg(Hll.regAgg(col("l_partkey")).as("sk"))
+      .select(col("l_returnflag"), Hll.estimate(col("sk")).as("approx_parts"))
+    val hist = li
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .select(col("l_returnflag"), expr("cents div 10000").as("bucket"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // buckets are unique per flag, so the default RANGE cumulative
+    // frame equals ROWS on both engines
+    val wCum = Window.partitionBy("l_returnflag").orderBy("bucket")
+    val wAll = Window.partitionBy("l_returnflag")
+    val med = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
-      .orderBy("l_returnflag")
+      .agg(min(col("bucket")).as("mb"))
+      .select(col("l_returnflag"),
+        (col("mb") * 100 + 50).cast("double").as("approx_median_price"))
+    est.join(med, Seq("l_returnflag")).orderBy("l_returnflag")
+  }
 
   /** HLL sketch MERGEABILITY — the property that makes approximate
     * distinct counting distributable: per-group register arrays
@@ -1972,6 +2015,29 @@ object Parity {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // both sketch halves recomputed exactly: HLL registers via the
+    // shared estimateCtes machinery, the histogram median via the same
+    // integer-cents buckets and (n+1)/2 rank rule as the Spark side
+    "q_approx_sketch" ->
+      s"""WITH hin AS (
+         |  SELECT l_returnflag, l_partkey AS uid FROM lineitem
+         |  WHERE l_partkey IS NOT NULL),
+         |${graft.functions.HllSketch.estimateCtes("l_returnflag")},
+         |cents AS (
+         |  SELECT l_returnflag,
+         |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS bucket
+         |  FROM lineitem),
+         |hist AS (SELECT l_returnflag, bucket, count(*) AS cnt FROM cents GROUP BY 1, 2),
+         |chist AS (SELECT l_returnflag, bucket,
+         |        sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         |        sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |      FROM hist),
+         |med AS (SELECT l_returnflag, min(bucket) AS mb FROM chist
+         |        WHERE cum >= (n + 1) // 2 GROUP BY l_returnflag)
+         |SELECT m.l_returnflag, hest.est_users AS approx_parts,
+         |       CAST(m.mb * 100 + 50 AS DOUBLE) AS approx_median_price
+         |FROM med m JOIN hest ON hest.l_returnflag = m.l_returnflag
+         |ORDER BY m.l_returnflag""".stripMargin,
     "q_cube" ->
       """SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, CAST(year(o_orderdate) AS INTEGER))

@@ -333,12 +333,13 @@ class ParitySpec extends SparkSuite {
   test("sketch estimates are partition-invariant at sf0.1") {
     import org.apache.spark.sql.functions._
     // sketches are the ops most sensitive to merge order; pin at the
-    // bench SF where many-partition merges actually happen. HLL merges
-    // are register-max (commutative/associative), so estimates must be
-    // EXACTLY equal under any partitioning; the GK quantile summary's
-    // merge result is partitioning-dependent by construction, so the
-    // estimate is instead pinned within its rank-error bound of the
-    // exact percentile under every partitioning.
+    // bench SF where many-partition merges actually happen. Both
+    // q_approx_sketch halves merge commutatively/associatively (HLL
+    // register max; histogram count addition), so the ENTIRE result —
+    // estimate AND median — must be exactly equal under any
+    // partitioning (the GK summary this replaced was
+    // partitioning-dependent by construction and only admitted a
+    // rank-error-bound check here).
     val dir01 = "/root/testdata/sf0.1"
     val li = Tables.lineitem(spark, dir01)
     val exactQ = li.groupBy(col("l_returnflag"))
@@ -346,19 +347,17 @@ class ParitySpec extends SparkSuite {
         expr("percentile(l_extendedprice, 0.5)").as("m"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     def sketch(df: org.apache.spark.sql.DataFrame) =
-      df.groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ad"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+      queries.Parity.approxSketch(df)
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val base = sketch(li)
     Seq(li.repartition(7), li.repartition(64, col("l_partkey")),
       li.repartition(3, col("l_orderkey"))).foreach { variant =>
       val got = sketch(variant)
       exactQ.foreach { case (k, (n, m)) =>
-        assert(got(k)._1 === base(k)._1,
-          s"$k: HLL estimate moved across partitionings (${got(k)._1} vs ${base(k)._1})")
+        assert(got(k) === base(k),
+          s"$k: sketch result moved across partitionings (${got(k)} vs ${base(k)})")
         assert(math.abs(got(k)._2 - m) / m < 0.01,
-          s"$k: approx median ${got(k)._2} outside 1% of exact $m")
+          s"$k: histogram median ${got(k)._2} outside 1% of exact $m")
         assert(math.abs(got(k)._1 - n).toDouble / n < 0.05,
           s"$k: HLL ${got(k)._1} outside 5% of exact $n")
       }
