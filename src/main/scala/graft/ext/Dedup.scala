@@ -733,10 +733,21 @@ object Dedup {
     */
   private def containmentGrams(docs: DataFrame,
       maxChars: Int, maxDf: Int): (DataFrame, DataFrame) = {
+    // shingles enter the join as their 64-bit FNV+avalanche hashes
+    // ([[graft.functions.SketchFns.shingleHashSet]], the minhash base
+    // hash), not strings: the candidate join is the pipeline's one
+    // corpus-sized shuffle, and an 8-byte fixed-width key more than
+    // halves its bytes vs ~20-byte shingle text while keeping the
+    // sort/hash fast-path fixed-width. Containment over hashed
+    // shingles equals containment over shingles except under a 64-bit
+    // collision INSIDE one document pair's gram sets — order 2^-64 per
+    // pair, zero observed at any test SF (the string-based oracle
+    // hash-matches exactly), and at worst ±1 on one intersection count
+    // at corpus scale — the standard text-reuse trade.
     val grams = docs.select(col("doc_id"),
-      explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
-    // stop = shingles in MORE than maxDf docs (WordShingles emits
-    // distinct shingles per doc, so count(*) IS document frequency).
+      explode(graft.functions.SketchFns.shingleHashSet(col("text"), 3)).as("s"))
+    // stop = shingle hashes in MORE than maxDf docs (the hash set is
+    // distinct per doc, so count(*) IS document frequency).
     // The stop set — not its informative complement — is the bounded
     // artifact: |stop| ≤ total shingle occurrences / maxDf, tiny at any
     // corpus size, so it materializes once (localCheckpoint) and the
@@ -751,7 +762,7 @@ object Dedup {
     // shares an informative shingle with some source row
     val aGrams = docs.filter(col("n_chars") < maxChars)
       .select(col("doc_id").as("src_id"),
-        explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
+        explode(graft.functions.SketchFns.shingleHashSet(col("text"), 3)).as("s"))
       .join(stop, Seq("s"), "left_anti")
     (aGrams, grams)
   }
