@@ -792,6 +792,38 @@ object Dedup {
       .orderBy(col("src_id"), col("dst_id"))
   }
 
+  /** Per-document duplication profile — the corpus-level NOVELTY signal
+    * a quality-filtering pipeline ranks documents by (the
+    * duplication-ratio feature family of RefinedWeb/Dolma; the
+    * intra-document sibling is `text_repetition`): for every document,
+    * the fraction of its distinct 3-shingles that also occur in at
+    * least one OTHER document. 1.0 = nothing novel (boilerplate or a
+    * near-copy of something else in the corpus); 0.0 = entirely novel.
+    * Unlike the pair-producing dedup joins this never forms document
+    * pairs — one df aggregate over shingle hashes plus one join of the
+    * occurrence list back to that df table, both LINEAR in total
+    * shingle occurrences, so the plan needs no df cap at any corpus
+    * size. Shingles enter as 64-bit hashes (the dedup_containment
+    * trade: per-doc error order 2^-64, string-level oracle exact at
+    * the test SFs); df > 1 means "occurs in another document" because
+    * the per-doc hash set is DISTINCT.
+    */
+  def dedupNovelty(spark: SparkSession, dir: String): DataFrame =
+    dedupNoveltyDf(Tables.documents(spark, dir))
+
+  def dedupNoveltyDf(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(graft.functions.SketchFns.shingleHashSet(col("text"), 3)).as("s"))
+    val dfreq = grams.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   // --- winnowing (MOSS) span-overlap dedup ---------------------------------
 
   /** Per-fingerprint document-frequency cap for [[dedupWinnow]]: a
@@ -892,6 +924,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_novelty" -> (dedupNovelty _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
@@ -922,7 +955,12 @@ object Dedup {
     * exact class of bug these oracles exist to catch — cannot drift
     * between them.
     */
-  private def shingleHashCtes(key: String): String =
+  /** Tokenization + distinct-3-shingle head of [[shingleHashCtes]],
+    * ending in `sh(<key>, s)` — factored so string-level consumers
+    * (the novelty oracle) share the ONE WordShingles mirror without
+    * paying for the recursive FNV chain.
+    */
+  private def shingleCtes(key: String): String =
     s"""t AS (
        |  SELECT $key, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
        |sh AS (
@@ -930,7 +968,10 @@ object Dedup {
        |    unnest(CASE WHEN len(w) = 0 THEN ['']
        |      WHEN len(w) < 3 THEN [array_to_string(w, ' ') || ' ']
        |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ') END) AS s
-       |  FROM t),
+       |  FROM t)""".stripMargin
+
+  private def shingleHashCtes(key: String): String =
+    s"""${shingleCtes(key)},
        |us AS (SELECT DISTINCT s FROM sh),
        |sb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS olen FROM us),
        |fnv AS (
@@ -1043,6 +1084,15 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowPairsSql,
+    // string-level mirror of the hashed-shingle profile: same distinct
+    // trailing-space shingle construction as the minhash base hashes
+    "dedup_novelty" ->
+      s"""WITH ${shingleCtes("doc_id")},
+         |dfr AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+         |FROM sh JOIN dfr USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_corpus_overlap" -> corpusOverlapOracleSql,
     // asymmetric containment over the same distinct word-3-shingle
     // construction as the jaccard CTEs; source side scoped to

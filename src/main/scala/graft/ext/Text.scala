@@ -838,7 +838,88 @@ object Text {
   def textReadability(spark: SparkSession, dir: String): DataFrame =
     readability(Tables.documents(spark, dir))
 
+  /** Drift vocabulary bound: top-V corpus tokens kept, everything else
+    * pooled into one OOV bucket — per-source state is V+1 counters no
+    * matter the corpus. 24 at test scale so the pooling path is
+    * EXERCISED (the synthetic corpus has 31 distinct tokens); a
+    * production run sets thousands — the shape is identical, only the
+    * constant changes.
+    */
+  val DriftVocab = 24
+
+  /** Corpus drift — per-source token-distribution shift, the monitoring
+    * query a training-data pipeline runs per ingest batch: the
+    * Jensen-Shannon divergence between each source's unigram
+    * distribution and the REST of the corpus, over the corpus top-V
+    * vocabulary with all remaining tokens pooled into one OOV bucket
+    * (the [[qTextNbLang]] bounded-vocab discipline). JSD is symmetric,
+    * bounded [0, ln 2], zero iff the distributions agree; a source
+    * whose crawl changed character — language mix, boilerplate,
+    * spam — moves here before any downstream metric.
+    *
+    * Cross-engine arithmetic: every per-term contribution derives from
+    * exact integer counts with the SAME double expression tree on both
+    * engines (one division per side, pointwise-nonnegative by the
+    * log-sum inequality), quantized to DECIMAL(18,12) BEFORE the sum
+    * ([[textEntropy]]'s association-free discipline), halved and
+    * rounded at the end.
+    *
+    * Scale: the token explode folds into a partial agg on
+    * (source, tok) — the one corpus-sized shuffle; the vocabulary is a
+    * TakeOrdered top-V; everything downstream operates on
+    * ≤ sources × (V+1) rows (localCheckpointed once, reused for the
+    * totals and the zero-filled grid).
+    */
+  def textDrift(spark: SparkSession, dir: String): DataFrame =
+    textDriftDf(Tables.documents(spark, dir))
+
+  /** The drift core over any (source, text) frame — ExtSpec feeds
+    * constructed corpora through this (identical-distribution source →
+    * jsd 0; disjoint-vocabulary source → jsd ln 2).
+    */
+  def textDriftDf(docs: DataFrame, vocabN: Int = DriftVocab): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val st0 = docs
+      .select(col("source"), explode(TextFns.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = st0.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("tok")).limit(vocabN)
+      .select(col("tok"), lit(1).as("in_v"))
+    val st = st0.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("source"),
+        when(col("in_v").isNotNull, col("tok")).otherwise(lit("\u0001OOV")).as("tok"),
+        col("c"))
+      .groupBy(col("source"), col("tok")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    val tot = st.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val nsrc = st.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val nAll = st.agg(sum(col("c")).as("n"))
+    // zero-filled grid: a token the source never emits still contributes
+    // (the rest-distribution has mass there) — absent (source, tok)
+    // cells become cs = 0 via the left join
+    val grid = nsrc.crossJoin(broadcast(tot))
+      .join(st, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("ns"),
+        coalesce(col("c"), lit(0L)).as("cs"),
+        (col("ct") - coalesce(col("c"), lit(0L))).as("cr"),
+        (col("n") - col("ns")).as("nr"))
+    val x = col("cs").cast("double") / col("ns")
+    val y = col("cr").cast("double") / col("nr")
+    val term = when(col("cs") === 0 && col("cr") === 0, lit(0.0))
+      .when(col("cs") === 0, y * log(lit(2.0)))
+      .when(col("cr") === 0, x * log(lit(2.0)))
+      .otherwise(x * log(lit(2.0) * x / (x + y)) + y * log(lit(2.0) * y / (x + y)))
+    grid.select(col("source"), col("ns"), term.cast(DecimalType(18, 12)).as("trm"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"), sum(col("trm")).as("s"))
+      .select(col("source"), col("n_tokens"),
+        round(col("s").cast("double") / 2, 6).as("jsd"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_drift" -> (textDrift _),
     "text_readability" -> (textReadability _),
     "text_boilerplate" -> (qTextBoilerplate _),
     "text_dsir" -> (qTextDsir _),
@@ -1152,6 +1233,45 @@ object Text {
         |GROUP BY t.lang, tok, g.lang_total
         |HAVING count(*) >= CAST(ceil(0.02 * lang_total) AS BIGINT)
         |ORDER BY lang, cnt DESC, tok""".stripMargin,
+    // per-term JSD contributions quantized to DECIMAL(18,12) pre-sum;
+    // every double expression tree mirrors textDrift exactly
+    "text_drift" ->
+      s"""WITH t AS (SELECT source,
+         |             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |           FROM documents),
+         |st0 AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         |voc AS (SELECT tok FROM (
+         |    SELECT tok, sum(c) AS ct, row_number() OVER (ORDER BY sum(c) DESC, tok) AS rn
+         |    FROM st0 GROUP BY tok) WHERE rn <= ${DriftVocab}),
+         |st AS (SELECT source,
+         |         CASE WHEN v.tok IS NOT NULL THEN st0.tok ELSE chr(1) || 'OOV' END AS tok,
+         |         CAST(sum(c) AS BIGINT) AS c
+         |       FROM st0 LEFT JOIN voc v ON v.tok = st0.tok GROUP BY 1, 2),
+         |tot AS (SELECT tok, sum(c) AS ct FROM st GROUP BY tok),
+         |nsrc AS (SELECT source, sum(c) AS ns FROM st GROUP BY source),
+         |nall AS (SELECT sum(c) AS n FROM st),
+         |grid AS (
+         |  SELECT s.source, s.ns,
+         |         coalesce(x.c, 0) AS cs, tt.ct - coalesce(x.c, 0) AS cr,
+         |         (SELECT n FROM nall) - s.ns AS nr
+         |  FROM nsrc s CROSS JOIN tot tt
+         |  LEFT JOIN st x ON x.source = s.source AND x.tok = tt.tok),
+         |terms AS (
+         |  SELECT source, ns,
+         |    CAST(CASE WHEN cs = 0 AND cr = 0 THEN 0.0
+         |      WHEN cs = 0 THEN (CAST(cr AS DOUBLE) / nr) * ln(2.0)
+         |      WHEN cr = 0 THEN (CAST(cs AS DOUBLE) / ns) * ln(2.0)
+         |      ELSE (CAST(cs AS DOUBLE) / ns) *
+         |             ln(2.0 * (CAST(cs AS DOUBLE) / ns) /
+         |                ((CAST(cs AS DOUBLE) / ns) + (CAST(cr AS DOUBLE) / nr)))
+         |         + (CAST(cr AS DOUBLE) / nr) *
+         |             ln(2.0 * (CAST(cr AS DOUBLE) / nr) /
+         |                ((CAST(cs AS DOUBLE) / ns) + (CAST(cr AS DOUBLE) / nr)))
+         |      END AS DECIMAL(18,12)) AS trm
+         |  FROM grid)
+         |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(trm) AS DOUBLE) / 2, 6) AS jsd
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     // c·ln(c) quantized to DECIMAL(18,9) pre-sum, mirroring textEntropy
     "text_entropy" ->
       """WITH t AS (SELECT doc_id,

@@ -1227,6 +1227,65 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("dedup_novelty: exact copies read 1.0, unique docs 0.0, partial overlap in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // copy of 2
+      (2L, "alpha beta gamma delta epsilon"),      // copy of 1
+      (3L, "zeta eta theta iota kappa"),           // fully novel
+      // shares shingle "alpha beta gamma" with 1/2, rest novel
+      (4L, "alpha beta gamma mu nu xi"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupNoveltyDf(docs).as[(Long, Long, Double)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) === ((3L, 1.0)) && got(2L) === ((3L, 1.0)))
+    assert(got(3L) === ((3L, 0.0)))
+    assert(got(4L)._2 === 0.25) // 1 of its 4 shingles seen elsewhere
+    // registered query: every doc scored, fractions in [0,1], and the
+    // generator-planted near-dup pairs sit in the high tail
+    val all = Dedup.dedupNovelty(spark, dir).as[(Long, Long, Double)].collect()
+    assert(all.length === Tables.documents(spark, dir).count())
+    assert(all.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
+    val dupIds = Dedup.dedupExact(spark, dir) // exact dups must read 1.0
+      .filter(col("n_copies") > 1).select("doc_id").as[Long].collect().toSet
+    if (dupIds.nonEmpty) {
+      val frac = all.filter(t => dupIds(t._1)).map(_._3)
+      assert(frac.forall(_ === 1.0), "an exact duplicate scored below 1.0")
+    }
+  }
+
+  test("text_drift: identical distribution -> 0, disjoint vocabulary -> ln 2") {
+    import spark.implicits._
+    // source "same" emits exactly the rest's distribution (both sides
+    // are two copies of the same two docs) -> jsd 0 exactly
+    val mirrored = Seq(
+      ("same", "alpha beta beta"), ("same", "gamma alpha"),
+      ("restA", "alpha beta beta"), ("restB", "gamma alpha"),
+      ("restA", "gamma alpha"), ("restB", "alpha beta beta"),
+    ).toDF("source", "text")
+    val m = Text.textDriftDf(mirrored).as[(String, Long, Double)]
+      .collect().map(t => t._1 -> t._3).toMap
+    assert(m("same") === 0.0)
+    // a source sharing NO tokens with the rest maximizes JSD at ln 2
+    // (vocabN covers both vocabularies, so nothing pools into OOV)
+    val disjoint = Seq(
+      ("new", "zig zag zig"), ("old1", "foo bar"), ("old2", "bar baz foo"),
+    ).toDF("source", "text")
+    val d = Text.textDriftDf(disjoint, vocabN = 24).as[(String, Long, Double)]
+      .collect().map(t => t._1 -> t._3).toMap
+    assert(math.abs(d("new") - math.log(2.0)) < 1e-6)
+    // drift is symmetric in the pooled-OOV regime too: a 1-token vocab
+    // pools everything, and a source with the rest's exact distribution
+    // still reads 0
+    val pooled = Text.textDriftDf(mirrored, vocabN = 1).as[(String, Long, Double)]
+      .collect().map(t => t._1 -> t._3).toMap
+    assert(pooled("same") === 0.0)
+    // registered query: 20 sources, all values in [0, ln 2]
+    val all = Text.textDrift(spark, dir).as[(String, Long, Double)].collect()
+    assert(all.length === 20)
+    assert(all.forall(t => t._3 >= 0.0 && t._3 <= math.log(2.0) + 1e-9))
+  }
+
   test("text_boilerplate matches an in-memory segment-df reference exactly") {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
