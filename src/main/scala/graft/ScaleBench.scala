@@ -147,7 +147,7 @@ object ScaleBench {
   val HeavyQueries = Seq(
     "dedup_minhash", "dedup_suffix", "dedup_containment", "dedup_winnow",
     "split_cluster_safe", "ann_ivfpq_search", "q_pack_sequences",
-    "text_boilerplate", "ann_knn_graph",
+    "text_boilerplate", "ann_knn_graph", "dedup_novelty", "text_drift",
     // per-key cap: expansion preserves the 20 sources, so each source
     // grows factor-fold — the hot-key shape the threshold path targets
     "q_domain_cap", "q_token_budget",
