@@ -364,6 +364,42 @@ object Similarity {
     annLshSearch(e, queries, 5)
   }
 
+  /** Index-quality evaluation AS A QUERY — recall@k of the multi-probe
+    * LSH search against the exact batch top-k for the same query block:
+    * the measurement a pipeline runs after (re)building an ANN index to
+    * decide whether its bits/probe knobs are adequate before serving
+    * traffic ("measure, don't guess" applied to the index itself).
+    * Both sides are deterministic (rounded cosines, id tie-breaks), so
+    * unlike typical recall harnesses this one is DuckDB-oracle-checkable
+    * — the oracle recomputes both searches and the intersection. All
+    * frames after the two searches are query-block-sized; the searches
+    * themselves are the already-measured ann_topk_batch and
+    * ann_lsh_search plans.
+    */
+  def annRecallReport(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = annTopkBatch(spark, dir, nQueries = 5, k = k)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    val approx = annLshSearchQuery(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    val hits = exact.select("query_id", "vec_id")
+      .join(approx.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    // set-recall alone reads 0 whenever the buckets miss the exact set
+    // entirely (on a near-random corpus the true neighbors are
+    // uninformative); the best-cosine pair shows the actual quality
+    // gap the index serves — the number a knob decision needs
+    exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), max(col("cosine")).as("exact_best"))
+      .join(approx.groupBy(col("query_id"))
+        .agg(max(col("cosine")).as("approx_best")), Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 4)
+          .as("recall"),
+        col("exact_best"), col("approx_best"))
+      .orderBy("query_id")
+  }
+
   /** Margin-based bitext mining — the parallel-pair extraction step of a
     * multilingual training-data pipeline (Artetxe & Schwenk 2019, the
     * CCMatrix/LASER method): two embedding pools are aligned by the RATIO
@@ -574,6 +610,7 @@ object Similarity {
     "ann_knn_graph" -> ((s: SparkSession, d: String) => annKnnGraph(s, d)),
     "ann_hard_negatives" -> ((s: SparkSession, d: String) => qHardNegatives(s, d)),
     "ann_bitext_mine" -> (qBitextMine _),
+    "ann_recall_report" -> ((s: SparkSession, d: String) => annRecallReport(s, d)),
   )
 
   /** The SRP hyperplane table is DATA-INDEPENDENT (a splitmix64 hash of
@@ -607,6 +644,44 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // both searches recomputed (the ann_lsh_search candidate chain and
+    // the exact batch top-5), then the id-set intersection per query
+    "ann_recall_report" ->
+      s"""WITH ${srpSigCte()},
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM sig q JOIN sig c
+         |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+         |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+         |  WHERE q.vec_id < 5),
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM cand) WHERE rn <= 5),
+         |qb AS (SELECT vec_id AS query_id, embedding AS query_emb FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qb.query_id, e.vec_id,
+         |         round(list_cosine_similarity(e.embedding::DOUBLE[], qb.query_emb::DOUBLE[]), 4) AS cosine
+         |  FROM embeddings e, qb WHERE e.vec_id <> qb.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 5),
+         |hits AS (
+         |  SELECT ex.query_id, count(*) AS n_exact, count(ap.vec_id) AS n_hits
+         |  FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |  GROUP BY ex.query_id),
+         |bests AS (
+         |  SELECT s.query_id, s.b AS exact_best, a.b AS approx_best FROM
+         |    (SELECT query_id, max(cosine) AS b FROM scored GROUP BY query_id) s
+         |  LEFT JOIN
+         |    (SELECT query_id, max(cosine) AS b FROM cand GROUP BY query_id) a
+         |  ON a.query_id = s.query_id)
+         |SELECT h.query_id, round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall,
+         |       exact_best, approx_best
+         |FROM hits h JOIN bests USING (query_id) ORDER BY h.query_id""".stripMargin,
     // same 6-bit signature table, Hamming<=1 cross-pool candidate set,
     // exactly-k top-k means, and rounded-margin mutual-best windows as
     // bitextMine — every ranking on rounded values with id tie-breaks

@@ -1227,6 +1227,22 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("ann_recall_report: recall bounded, approx best never beats exact best") {
+    import spark.implicits._
+    val rows = Similarity.annRecallReport(spark, dir)
+      .as[(Long, Double, Double, Option[Double])].collect()
+    assert(rows.length === 5)
+    rows.foreach { case (q, recall, exactBest, approxBest) =>
+      assert(recall >= 0.0 && recall <= 1.0, s"query $q recall $recall")
+      // the approx candidate set is a subset of the scored universe, so
+      // its best cosine can never exceed the exact best
+      approxBest.foreach(ab =>
+        assert(ab <= exactBest, s"query $q: approx $ab beats exact $exactBest"))
+      // set-recall 1.0 forces best-cosine equality
+      if (recall == 1.0) assert(approxBest.contains(exactBest))
+    }
+  }
+
   test("dedup_novelty: exact copies read 1.0, unique docs 0.0, partial overlap in between") {
     import spark.implicits._
     val docs = Seq(
