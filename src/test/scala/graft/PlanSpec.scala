@@ -328,6 +328,38 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_drift: everything past the checkpointed counts joins by broadcast") {
+    // the (source, tok) table is localCheckpointed at sources x (V+1)
+    // rows; the plan over it must stay broadcast-only — a sort-merge
+    // join here would mean Spark thinks some side is corpus-sized
+    val p = planOf(ext.Text.textDrift(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "drift's bounded frames must broadcast:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_novelty: pair-free — equi joins only, two scans, two-phase aggs") {
+    val p = planOf(ext.Dedup.dedupNovelty(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "novelty must never form a non-equi join:\n" + p)
+    // grams feeds both the df aggregate and the join probe: exactly two
+    // scans of documents, nothing else
+    assert(nodeCount(p, "Scan parquet") === 2, p)
+    // the df aggregate combines map-side before its exchange
+    assert(p.contains("partial_count"), "df partials must aggregate map-side:\n" + p)
+  }
+
+  test("q_approx_sketch: HLL registers aggregate two-phase; no cartesian anywhere") {
+    val p = planOf(Parity.qApproxSketch(spark, dir))
+    // TypedImperativeAggregate plans as ObjectHashAggregate — partial
+    // AND final, proving sketches combine map-side (the property that
+    // makes the distinct estimate one-pass at 100 TB)
+    assert(nodeCount(p, "ObjectHashAggregate") >= 2,
+      "HLL must aggregate partial+final:\n" + p)
+    assert(nodeCount(p, "Scan parquet") === 2, p) // est branch + histogram branch
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("readability: pure map over a pruned 2-column scan, no aggregate or join") {
     val p = planOf(graft.ext.Text.textReadability(spark, dir))
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
