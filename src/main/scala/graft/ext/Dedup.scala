@@ -1014,17 +1014,11 @@ object Dedup {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
-  /** `(x * k) mod 2^64` over a UBIGINT SQL expression with the multiply
-    * split into 32-bit halves of k — the direct HUGEINT product of two
-    * 64-bit values overflows INT128.
-    */
-  private def mulMod64(x: String, k: BigInt): String = {
-    val m = BigInt(1) << 64
-    val (kh, kl) = (k >> 32, k & 0xffffffffL)
-    s"""CAST(CAST(((CAST($x AS HUGEINT) * $kl) +
-       |  ((((CAST($x AS HUGEINT) % 4294967296) * $kh) % 4294967296) * 4294967296))
-       |  % CAST('$m' AS HUGEINT) AS HUGEINT) AS UBIGINT)""".stripMargin
-  }
+  // the ONE wrapping-multiply emulation lives in MixSql — a private
+  // copy here would be exactly the cross-mirror drift the shared
+  // object exists to prevent
+  private def mulMod64(x: String, k: BigInt): String =
+    graft.functions.MixSql.mulMod64(x, k)
 
   /** See the `dedup_simhash` entry in [[oracles]]. The shared
     * [[shingleHashCtes]] chain keyed by doc_id (byte-for-byte mirror of

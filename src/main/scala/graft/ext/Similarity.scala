@@ -643,19 +643,29 @@ object Similarity {
        |  FROM dots GROUP BY vec_id)""".stripMargin
   }
 
+  /** Shared multi-probe candidate CTE (`cand`): every (query, corpus)
+    * pair within signature Hamming distance 1, exact rounded cosine.
+    * ONE definition behind the ann_lsh_search, ann_knn_graph, and
+    * ann_recall_report oracles, so the probe radius / rounding of the
+    * search and of its recall evaluation cannot drift.
+    */
+  private def lshCandCte(neighborCol: String = "vec_id",
+      pred: String = "WHERE q.vec_id < 5"): String =
+    s"""cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS $neighborCol,
+       |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
+       |  FROM sig q JOIN sig c
+       |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+       |  JOIN embeddings eq ON eq.vec_id = q.vec_id
+       |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+       |  $pred)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // both searches recomputed (the ann_lsh_search candidate chain and
-    // the exact batch top-5), then the id-set intersection per query
+    // both searches recomputed (the shared lshCandCte chain and the
+    // exact batch top-5), then the id-set intersection per query
     "ann_recall_report" ->
       s"""WITH ${srpSigCte()},
-         |cand AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id,
-         |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
-         |  FROM sig q JOIN sig c
-         |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
-         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
-         |  JOIN embeddings ec ON ec.vec_id = c.vec_id
-         |  WHERE q.vec_id < 5),
+         |${lshCandCte()},
          |ap AS (SELECT query_id, vec_id FROM (
          |  SELECT query_id, vec_id,
          |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
@@ -742,14 +752,7 @@ object Similarity {
     // exact cosine re-rank and per-query top-k mirror the Spark window
     "ann_lsh_search" ->
       s"""WITH ${srpSigCte()},
-         |cand AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id,
-         |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
-         |  FROM sig q JOIN sig c
-         |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
-         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
-         |  JOIN embeddings ec ON ec.vec_id = c.vec_id
-         |  WHERE q.vec_id < 5),
+         |${lshCandCte()},
          |rk AS (SELECT query_id, vec_id, cosine,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
          |  FROM cand)
@@ -757,16 +760,17 @@ object Similarity {
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // whole-corpus variant of the ann_lsh_search oracle: every vector is
     // a query, candidates = signature Hamming <= 1 (exactly the
-    // own-bucket + 1-bit multi-probe set), top-3 per vector
+    // own-bucket + 1-bit multi-probe set), top-3 per vector. SCOPE:
+    // srpSigCte pins the autoBits FLOOR (12 bits) — exact for any
+    // corpus up to 32768 vectors (autoBits(N<=32768) = 12, covering
+    // both driver SFs with 12x headroom); above that the registered
+    // query's bits staircase steps up and this static oracle no longer
+    // applies (the scale regime is covered by the BENCH_SCALE candidate
+    // probes and ExtSpec recall instead — same contract as the
+    // bitextAutoBits staircase).
     "ann_knn_graph" ->
       s"""WITH ${srpSigCte()},
-         |cand AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
-         |  FROM sig q JOIN sig c
-         |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
-         |  JOIN embeddings eq ON eq.vec_id = q.vec_id
-         |  JOIN embeddings ec ON ec.vec_id = c.vec_id),
+         |${lshCandCte(neighborCol = "neighbor_id", pred = "")},
          |rk AS (SELECT query_id, neighbor_id, cosine,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
          |  FROM cand)

@@ -10,7 +10,12 @@ package graft.functions
   */
 object MixSql {
 
-  private def mulMod64(x: String, k: BigInt): String = {
+  /** `(x * k) mod 2^64` over a UBIGINT SQL expression with the multiply
+    * split into 32-bit halves of k — the direct HUGEINT product of two
+    * 64-bit values overflows INT128. Public: the FNV/avalanche shingle
+    * CTEs ([[graft.ext.Dedup]]) build their own multiply chains from it.
+    */
+  def mulMod64(x: String, k: BigInt): String = {
     val m = BigInt(1) << 64
     val (kh, kl) = (k >> 32, k & 0xffffffffL)
     s"""CAST(CAST(((CAST($x AS HUGEINT) * $kl) +

@@ -145,9 +145,11 @@ object Checks {
       obs.get
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val walk = java.nio.file.Files.walk(outPath)
+      // materialize before closing the stream (deleting while the
+      // directory stream is open is undefined), then deepest-first
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
     import spark.implicits._
     // sum/min/max aggregate to NULL over an empty table — carry the
