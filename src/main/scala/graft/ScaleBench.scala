@@ -152,7 +152,7 @@ object ScaleBench {
     // grows factor-fold — the hot-key shape the threshold path targets
     "q_domain_cap", "q_token_budget",
     "containment_candidates", "knn_autobits_candidates", "minhash_pairs",
-    "winnow_pairs", "bitext_autobits", "bitext_candidates",
+    "winnow_pairs", "ann_bitext_mine", "bitext_candidates",
     "q_corpus_build",
     // the sketch-warehouse family: per-group registers saturate as the
     // user domain grows factor-fold while the group count stays fixed
@@ -179,17 +179,6 @@ object ScaleBench {
   /** Scale-only entries not on the driver surface (knob demonstrations
     * and candidate-volume probes).
     */
-  /** Bitext mining with the production bits knob: bits tracks the pool
-    * size ([[ext.Similarity.bitextAutoBits]]) so per-source candidate
-    * neighborhoods stay tens-wide as the corpus scales (at x1 it equals
-    * the fixed-6-bit driver query). The count scan is negligible.
-    */
-  private def bitextAutoBits(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(spark, dir).count()
-    ext.Similarity.bitextMine(Tables.embeddings(spark, dir),
-      bits = ext.Similarity.bitextAutoBits(n))
-  }
-
   private def bitextCandCount(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     ext.Similarity.bitextCandidateRows(Tables.embeddings(spark, dir),
@@ -198,7 +187,6 @@ object ScaleBench {
   }
 
   val Extras: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bitext_autobits" -> (bitextAutoBits _),
     "bitext_candidates" -> (bitextCandCount _),
     "containment_candidates" -> (containmentCandCount _),
     "knn_autobits_candidates" -> (knnCandCount _),

@@ -456,8 +456,14 @@ object Similarity {
     */
   def bitextAutoBits(n: Long): Int = bitsFor(n, occupancy = 32.0, floor = 6)
 
-  def bitextMine(emb: DataFrame, k: Int = 4, bits: Int = 6): DataFrame = {
-    val cand = bitextCandidateRows(emb, bits)
+  /** `bits = 0` (the default) means [[bitextAutoBits]] of the pool size
+    * — the same auto-staircase default as [[annKnnGraph]]; the floor of
+    * 6 keeps both driver SFs (pools ≤ 2000 → bits 6) bit-identical to
+    * the historical fixed-6-bit query and its oracle.
+    */
+  def bitextMine(emb: DataFrame, k: Int = 4, bits: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits else bitextAutoBits(emb.count())
+    val cand = bitextCandidateRows(emb, b)
     val wS = Window.partitionBy(col("src_id"))
     val wSo = wS.orderBy(col("cosine").desc, col("tgt_id"))
     val wT = Window.partitionBy(col("tgt_id"))
