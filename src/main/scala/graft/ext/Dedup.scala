@@ -559,17 +559,25 @@ object Dedup {
 
   /** Candidate pairs (vec_a < vec_b, signature Hamming ≤ 1) with exact
     * cosine — pre-top-k, exposed for the ExtSpec candidate-bound check.
+    * Both join sides are corpus-sized, so like [[Similarity.annKnnGraph]]
+    * / [[Similarity.bitextMine]] the signature width defaults to the
+    * [[Similarity.autoBits]] staircase (floor = the historical 12 bits,
+    * keeping every test-SF result and the recall spec bit-identical) —
+    * a fixed width would go bucket-quadratic once the corpus outgrows
+    * it, the exact defect the round-10 rehearsal measured on the
+    * knn graph.
     */
-  def dedupEmbeddingLshCandidates(emb: DataFrame): DataFrame = {
+  def dedupEmbeddingLshCandidates(emb: DataFrame, bits: Int = 0): DataFrame = {
     import graft.functions.VectorFns
+    val b = if (bits > 0) bits else Similarity.autoBits(emb.count())
     val e = emb.select(col("vec_id"), col("embedding"),
       VectorFns.l2norm(col("embedding")).as("nrm"),
-      Similarity.lshSignature(col("embedding")).as("bucket"))
+      Similarity.lshSignature(col("embedding"), b).as("bucket"))
     val probes = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"),
       explode(concat(
         array(col("bucket")),
-        transform(sequence(lit(0), lit(Similarity.LshBits - 1)),
+        transform(sequence(lit(0), lit(b - 1)),
           i => col("bucket")
             .bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int")).cast("long")))))
         .as("bucket"))
