@@ -312,19 +312,75 @@ object Parity {
       .select(col("l_returnflag"), expr("cents div 10000").as("bucket"))
       .groupBy(col("l_returnflag"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    // buckets are unique per flag, so the default RANGE cumulative
-    // frame equals ROWS on both engines
-    val wCum = Window.partitionBy("l_returnflag").orderBy("bucket")
-    val wAll = Window.partitionBy("l_returnflag")
-    val med = hist
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("n", sum(col("cnt")).over(wAll))
-      .filter(col("cum") >= expr("(n + 1) div 2"))
-      .groupBy(col("l_returnflag"))
-      .agg(min(col("bucket")).as("mb"))
+    val med = histMedianBucket(hist, "l_returnflag")
       .select(col("l_returnflag"),
         (col("mb") * 100 + 50).cast("double").as("approx_median_price"))
     est.join(med, Seq("l_returnflag")).orderBy("l_returnflag")
+  }
+
+  /** Lower-median bucket per group of a (grp, bucket, cnt) histogram:
+    * the minimum bucket whose cumulative count reaches rank (n+1)/2 —
+    * exact integer arithmetic throughout, so both engines agree
+    * bit-for-bit. Output: (grp, n_values, mb). Buckets are unique per
+    * group, so the default RANGE cumulative frame equals ROWS on both
+    * engines. The ONE rank rule behind [[approxSketch]] and
+    * [[qHistView]].
+    */
+  private def histMedianBucket(hist: DataFrame, grp: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(grp).orderBy("bucket")
+    val wAll = Window.partitionBy(grp)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col(grp))
+      .agg(max(col("n")).as("n_values"), min(col("bucket")).as("mb"))
+  }
+
+  /** Histogram-sketch MERGEABILITY — the quantile half of the
+    * sketch-warehouse pattern whose distinct-count half is
+    * [[qHllUnion]]: per-scope fixed-width histograms (here $5 buckets
+    * of the event value in exact integer cents) are stored once, and
+    * ANY rollup — type→ALL, day→month, shard→corpus — is plain count
+    * addition over the bucket key, so quantile queries over arbitrary
+    * unions never rescan raw data. Output: one row per event type
+    * (median from its own histogram, plus the exact lower median for
+    * error visibility) and an ALL row whose median derives ONLY from
+    * MERGING the per-type histograms. The DuckDB oracle computes the
+    * ALL scope directly from raw rows, so hash-green PROVES
+    * merge-of-histograms = histogram-of-union as implemented — the
+    * same proof shape as qHllUnion. At 100 TB the sketch size is
+    * bounded by value-range/width per scope regardless of row count,
+    * and every step is partial-aggregable.
+    */
+  def qHistView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    // the STORED sketch: per-type $5-bucket counts (localCheckpointed —
+    // the ALL row below must derive from these counts, not raw rows)
+    val sketch = ev.select(col("event_type"), expr("cents div 500").as("bucket"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def dollars(bucketMid: Column): Column = bucketMid.cast("double") / 100
+    val perType = histMedianBucket(sketch, "event_type")
+      .select(col("event_type").as("scope"), col("n_values"),
+        dollars(col("mb") * 500 + 250).as("approx_median"))
+    val merged = sketch.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .select(lit("ALL").as("scope"), col("bucket"), col("cnt"))
+    val allRow = histMedianBucket(merged, "scope")
+      .select(col("scope"), col("n_values"),
+        dollars(col("mb") * 500 + 250).as("approx_median"))
+    // exact lower medians (cents-granularity rank rule on raw values)
+    // ride along so the bucket error is visible in the result itself
+    val exact = ev.select(col("event_type").as("scope"), col("cents"))
+      .unionByName(ev.select(lit("ALL").as("scope"), col("cents")))
+      .groupBy(col("scope"), col("cents").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exactMed = histMedianBucket(exact, "scope")
+      .select(col("scope"), dollars(col("mb")).as("exact_median"))
+    perType.unionByName(allRow).join(exactMed, Seq("scope")).orderBy("scope")
   }
 
   /** HLL sketch MERGEABILITY — the property that makes approximate
@@ -2089,6 +2145,33 @@ object Parity {
          |FROM nex n LEFT JOIN hest ON hest.scope IS NOT DISTINCT FROM n.scope
          |ORDER BY n.scope""".stripMargin,
     "q_count" -> "SELECT count(*) AS n FROM lineitem",
+    // the oracle computes the ALL scope DIRECTLY from raw rows (the
+    // UNION ALL group) while the Spark side derives it only from
+    // merging per-type bucket counts — hash-green proves the merge
+    "q_hist_view" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type AS scope, cents FROM ev
+        |      UNION ALL SELECT 'ALL', cents FROM ev),
+        |h AS (SELECT scope, cents // 500 AS bucket, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |m AS (SELECT scope, bucket,
+        |        sum(cnt) OVER (PARTITION BY scope ORDER BY bucket) AS cum,
+        |        sum(cnt) OVER (PARTITION BY scope) AS n
+        |      FROM h),
+        |med AS (SELECT scope, CAST(min(n) AS BIGINT) AS n_values, min(bucket) AS mb
+        |        FROM m WHERE cum >= (n + 1) // 2 GROUP BY scope),
+        |eh AS (SELECT scope, cents AS bucket, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |em AS (SELECT scope, bucket,
+        |        sum(cnt) OVER (PARTITION BY scope ORDER BY bucket) AS cum,
+        |        sum(cnt) OVER (PARTITION BY scope) AS n
+        |      FROM eh),
+        |emed AS (SELECT scope, min(bucket) AS mc
+        |         FROM em WHERE cum >= (n + 1) // 2 GROUP BY scope)
+        |SELECT med.scope, n_values,
+        |       CAST(mb * 500 + 250 AS DOUBLE) / 100 AS approx_median,
+        |       CAST(mc AS DOUBLE) / 100 AS exact_median
+        |FROM med JOIN emed USING (scope) ORDER BY med.scope""".stripMargin,
     // the dedicated-pass aggregate the observed (single-scan) metrics
     // must equal — proving the piggy-backed counters are exact
     "q_observe" ->
@@ -2274,5 +2357,6 @@ object Parity {
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
     "q_hll_union" -> (qHllUnion _),
+    "q_hist_view" -> (qHistView _),
   )
 }

@@ -377,6 +377,24 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("q_hist_view: bucket medians stay within half a bucket of exact, ALL row merges") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Parity.qHistView(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // the $5-bucket lower-median midpoint is within $2.50 + one exact
+    // step of the exact lower median by construction
+    rows.foreach { case (scope, (n, approx, exact)) =>
+      assert(n > 0, scope)
+      assert(math.abs(approx - exact) <= 2.51, s"$scope: $approx vs $exact")
+    }
+    // the ALL scope (derived ONLY from merged per-type bucket counts)
+    // counts every non-null value exactly once
+    val nAll = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull).count()
+    assert(rows("ALL")._1 === nAll)
+    assert(rows.filterKeys(_ != "ALL").values.map(_._1).sum === nAll)
+  }
+
   test("hll sketch union merges to exactly the direct global sketch") {
     import org.apache.spark.sql.functions._
     val rows = queries.Parity.qHllUnion(spark, sfDir).collect()
