@@ -326,7 +326,7 @@ object Parity {
     * engines. The ONE rank rule behind [[approxSketch]] and
     * [[qHistView]].
     */
-  private def histMedianBucket(hist: DataFrame, grp: String): DataFrame = {
+  private[graft] def histMedianBucket(hist: DataFrame, grp: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy(grp).orderBy("bucket")
     val wAll = Window.partitionBy(grp)

@@ -1019,6 +1019,56 @@ object Streaming {
     hourlyDistinctUsers(graft.Tables.events(spark, dir))
       .orderBy("window_start")
 
+  /** Shared batch/stream histogram sketch: per hour window, per $5
+    * bucket (exact integer cents) counts of the event value — the
+    * QUANTILE sibling of [[hourlyDistinctUsers]] in the streaming
+    * sketch-warehouse pair (the batch rollup story is
+    * [[graft.queries.Parity.qHistView]]). Append-mode-safe: the group
+    * key is (window, bucket), so per-window state is one counter per
+    * occupied bucket (bounded by value-range/width, not row count) and
+    * rows finalize when the watermark passes the window close.
+    */
+  def hourlyValueHist(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(col("ts"),
+        (col("value").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), expr("cents div 500").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("bucket"), col("cnt"))
+
+  /** Driver entry: per-hour approximate (bucket-midpoint) lower-median
+    * value from the histogram sketch — the rank rule is the shared
+    * [[graft.queries.Parity.histMedianBucket]], so the streaming and
+    * batch sketch surfaces cannot drift. StreamingSpec asserts the
+    * streamed histogram rows equal this batch sketch exactly.
+    */
+  def qStreamHist(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Parity
+      .histMedianBucket(hourlyValueHist(graft.Tables.events(spark, dir)), "window_start")
+      .select(col("window_start"), col("n_values"),
+        ((col("mb") * 500 + 250).cast("double") / 100).as("approx_median"))
+      .orderBy("window_start")
+
+  /** Streaming run of [[hourlyValueHist]]: watermark + append mode,
+    * bucket-count state per open window, results to a memory table.
+    */
+  def runValueHistStream(spark: SparkSession, inputGlob: String, queryName: String): Unit = {
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputGlob)
+    val agg = hourlyValueHist(normalize(stream).withWatermark("ts", "2 hours"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming run of [[hourlyDistinctUsers]]: watermark + append mode,
     * sketch state per open window, results to a named memory table.
     */
@@ -1174,6 +1224,7 @@ object Streaming {
     // rows-only: HLL internals are engine-specific; StreamingSpec pins
     // stream == batch estimate equality and closeness to exact
     "q_stream_distinct" -> (qStreamDistinct _),
+    "q_stream_hist" -> (qStreamHist _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
@@ -1205,6 +1256,23 @@ object Streaming {
          |FROM base b LEFT JOIN hest h
          |  ON h.window_start IS NOT DISTINCT FROM b.window_start
          |ORDER BY b.window_start""".stripMargin,
+    // hour-window $5-bucket histograms and the shared (n+1)/2 rank rule
+    // (see q_hist_view) — the streaming sketch's batch form
+    "q_stream_hist" ->
+      """WITH ev AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT window_start, cents // 500 AS bucket, count(*) AS cnt
+        |      FROM ev GROUP BY 1, 2),
+        |m AS (SELECT window_start, bucket,
+        |        sum(cnt) OVER (PARTITION BY window_start ORDER BY bucket) AS cum,
+        |        sum(cnt) OVER (PARTITION BY window_start) AS n
+        |      FROM h)
+        |SELECT window_start, CAST(min(n) AS BIGINT) AS n_values,
+        |       CAST(min(bucket) * 500 + 250 AS DOUBLE) / 100 AS approx_median
+        |FROM m WHERE cum >= (n + 1) // 2
+        |GROUP BY window_start ORDER BY window_start""".stripMargin,
     // dedup over duplicated delivery restores exactly-once: totals equal
     // the plain per-type totals over the original events
     "q_stream_dedup" ->

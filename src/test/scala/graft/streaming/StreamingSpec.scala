@@ -472,6 +472,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming value histograms equal the batch sketch; medians follow") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("events_hist_stream")
+    val raw = spark.read.schema(Streaming.eventsRawSchema).parquet(s"$dir/events.parquet")
+    val midTs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b1").toString)
+    raw.filter(col("ts") > midTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b2").toString)
+    // heartbeat 4h past the end closes every real window under the 2h
+    // watermark. It must carry a NON-NULL value: the value-not-null
+    // filter pushes below the EventTimeWatermark node, so a null-value
+    // heartbeat would be dropped before the watermark stats see it and
+    // the tail windows would never emit (observed). Its own window
+    // never closes, so it still stays out of the emitted histograms.
+    val maxTs = raw.agg(max(col("ts"))).first().getLong(0)
+    Seq((-31L, maxTs + 4L * 3600L * 1000000L, -1L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(streamDir.resolve("b3").toString)
+    Streaming.runValueHistStream(spark, s"$streamDir/*", "value_hist_out")
+    val batchHist = Streaming.hourlyValueHist(graft.Tables.events(spark, dir))
+      .orderBy("window_start", "bucket").collect().map(_.toString)
+    val streamedHist = spark.table("value_hist_out")
+      .orderBy("window_start", "bucket").collect().map(_.toString)
+    assert(streamedHist.nonEmpty)
+    assert(streamedHist.toSeq === batchHist.toSeq)
+    // each window's bucket-midpoint median sits within half a bucket
+    // of the exact LOWER median (the same rank the bucket rule targets)
+    val exactLower = graft.Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("ws"), col("value"))
+      .as[(Long, Double)].collect().groupBy(_._1)
+      .map { case (ws, vs) =>
+        val sorted = vs.map(_._2).sorted
+        ws -> sorted((sorted.length + 1) / 2 - 1)
+      }
+    Streaming.qStreamHist(spark, dir).collect().foreach { r =>
+      val (ws, med) = (r.getLong(0), r.getDouble(2))
+      assert(math.abs(med - exactLower(ws)) <= 2.51,
+        s"window $ws: histogram median $med vs exact lower ${exactLower(ws)}")
+    }
+  }
+
   test("streaming Misra-Gries summary confirms to the same heavy hitters as batch") {
     import graft.functions.TextFns
     val streamDir = java.nio.file.Files.createTempDirectory("docs_mg_stream")
