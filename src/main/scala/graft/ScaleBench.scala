@@ -155,8 +155,10 @@ object ScaleBench {
     "winnow_pairs", "ann_bitext_mine", "bitext_candidates",
     "q_corpus_build",
     // the sketch-warehouse family: per-group registers saturate as the
-    // user domain grows factor-fold while the group count stays fixed
-    "q_hll_union", "q_hll_view", "q_stream_distinct")
+    // user domain grows factor-fold while the group count stays fixed;
+    // the histogram twins' bucket counts are value-range-bounded
+    "q_hll_union", "q_hll_view", "q_stream_distinct",
+    "q_hist_view", "q_stream_hist")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves
