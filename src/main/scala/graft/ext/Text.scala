@@ -501,6 +501,70 @@ object Text {
   def qTextNbLang(spark: SparkSession, dir: String): DataFrame =
     nbClassify(Tables.documents(spark, dir), "lang")
 
+  /** Classifier-quality evaluation AS A QUERY — the confusion matrix of
+    * the bounded-vocab NB language classifier against the declared
+    * labels, with each cell's fraction of its declared-label row (the
+    * per-class recall diagonal): the measurement a pipeline runs before
+    * trusting a learned quality/language gate at corpus scale — the
+    * [[graft.ext.Similarity.annRecallReport]] discipline applied to the
+    * classifier. Deterministic end-to-end (the NB model and argmax
+    * tie-breaks are), so the DuckDB oracle recomputes the entire chain:
+    * the prediction CTEs are ONE shared fragment with the text_nb_lang
+    * oracle, making classifier/evaluation drift structurally
+    * impossible. Output is |labels|²-bounded regardless of corpus size.
+    */
+  def qTextNbReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    nbClassify(Tables.documents(spark, dir), "lang")
+      .groupBy(col("label_declared"), col("label_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_declared",
+        sum(col("n")).over(Window.partitionBy("label_declared")))
+      .select(col("label_declared"), col("label_pred"), col("n"),
+        round(col("n").cast("double") / col("n_declared"), 4).as("frac"))
+      .orderBy("label_declared", "label_pred")
+  }
+
+  /** Shared DuckDB NB prediction chain — vocab/model/prior/score CTEs
+    * ending in `pred(doc_id, label_pred, nb_score, label_declared)`;
+    * consumed by both the text_nb_lang and text_nb_report oracles.
+    */
+  private val nbPredCtes: String =
+    """t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(w) AS tok FROM t),
+      |cc0 AS (SELECT lang AS label, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |vocab AS (SELECT tok FROM (
+      |  SELECT tok, sum(c) AS ctot FROM cc0 GROUP BY tok
+      |  ORDER BY ctot DESC, tok LIMIT 65536)),
+      |cc AS (SELECT cc0.label AS label, cc0.tok AS tok, cc0.c AS c
+      |       FROM cc0 JOIN vocab ON cc0.tok = vocab.tok),
+      |ct AS (SELECT label, sum(c) AS tot FROM cc GROUP BY 1),
+      |vs AS (SELECT count(*) AS v FROM vocab),
+      |model AS (
+      |  SELECT ct.label AS label, vocab.tok AS tok,
+      |         CAST(ln(CAST(COALESCE(cc.c, 0) + 1 AS DOUBLE) / (ct.tot + v)) AS DECIMAL(18,9)) AS lp
+      |  FROM vocab CROSS JOIN ct
+      |  LEFT JOIN cc ON cc.label = ct.label AND cc.tok = vocab.tok
+      |  CROSS JOIN vs),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |pri AS (SELECT lang AS label,
+      |               CAST(ln(CAST(count(*) AS DOUBLE) / n_docs) AS DECIMAL(18,9)) AS prior
+      |        FROM documents CROSS JOIN nd GROUP BY lang, n_docs),
+      |ll AS (SELECT d.doc_id AS doc_id, m.label AS label, sum(m.lp) AS ll
+      |       FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |             FROM documents) d
+      |       JOIN model m ON m.tok = d.tok GROUP BY 1, 2),
+      |sc AS (SELECT ll.doc_id AS doc_id, ll.label AS label, pri.prior + ll.ll AS score
+      |       FROM ll JOIN pri ON ll.label = pri.label),
+      |rk AS (SELECT doc_id, label, score,
+      |              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rank
+      |       FROM sc),
+      |pred AS (SELECT rk.doc_id AS doc_id, rk.label AS label_pred,
+      |                round(CAST(rk.score AS DOUBLE), 4) AS nb_score,
+      |                docs.lang AS label_declared
+      |         FROM rk JOIN documents docs ON docs.doc_id = rk.doc_id
+      |         WHERE rank = 1)""".stripMargin
+
   /** Per-document token-distribution Shannon entropy + type/token ratio —
     * the lexical-diversity signals a corpus-quality filter thresholds on
     * (low entropy ⇒ boilerplate/repetition, near-max ⇒ random noise).
@@ -931,6 +995,7 @@ object Text {
     "text_entropy" -> (textEntropy _),
     "text_pmi" -> (qTextPmi _),
     "text_nb_lang" -> (qTextNbLang _),
+    "text_nb_report" -> (qTextNbReport _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
     "text_compress" -> (textCompress _),
     "text_chunks" -> (textChunks _),
@@ -1308,40 +1373,19 @@ object Text {
     // mirrors nbClassify: dense vocab x class smoothing grid, DECIMAL(18,9)
     // log-prob quantization before summing (exact, association-free)
     "text_nb_lang" ->
-      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
-        |tok AS (SELECT doc_id, lang, unnest(w) AS tok FROM t),
-        |cc0 AS (SELECT lang AS label, tok, count(*) AS c FROM tok GROUP BY 1, 2),
-        |vocab AS (SELECT tok FROM (
-        |  SELECT tok, sum(c) AS ctot FROM cc0 GROUP BY tok
-        |  ORDER BY ctot DESC, tok LIMIT 65536)),
-        |cc AS (SELECT cc0.label AS label, cc0.tok AS tok, cc0.c AS c
-        |       FROM cc0 JOIN vocab ON cc0.tok = vocab.tok),
-        |ct AS (SELECT label, sum(c) AS tot FROM cc GROUP BY 1),
-        |vs AS (SELECT count(*) AS v FROM vocab),
-        |model AS (
-        |  SELECT ct.label AS label, vocab.tok AS tok,
-        |         CAST(ln(CAST(COALESCE(cc.c, 0) + 1 AS DOUBLE) / (ct.tot + v)) AS DECIMAL(18,9)) AS lp
-        |  FROM vocab CROSS JOIN ct
-        |  LEFT JOIN cc ON cc.label = ct.label AND cc.tok = vocab.tok
-        |  CROSS JOIN vs),
-        |nd AS (SELECT count(*) AS n_docs FROM documents),
-        |pri AS (SELECT lang AS label,
-        |               CAST(ln(CAST(count(*) AS DOUBLE) / n_docs) AS DECIMAL(18,9)) AS prior
-        |        FROM documents CROSS JOIN nd GROUP BY lang, n_docs),
-        |ll AS (SELECT d.doc_id AS doc_id, m.label AS label, sum(m.lp) AS ll
-        |       FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-        |             FROM documents) d
-        |       JOIN model m ON m.tok = d.tok GROUP BY 1, 2),
-        |sc AS (SELECT ll.doc_id AS doc_id, ll.label AS label, pri.prior + ll.ll AS score
-        |       FROM ll JOIN pri ON ll.label = pri.label),
-        |rk AS (SELECT doc_id, label, score,
-        |              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rank
-        |       FROM sc)
-        |SELECT rk.doc_id AS doc_id, rk.label AS label_pred,
-        |       round(CAST(rk.score AS DOUBLE), 4) AS nb_score,
-        |       docs.lang AS label_declared
-        |FROM rk JOIN documents docs ON docs.doc_id = rk.doc_id
-        |WHERE rank = 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH $nbPredCtes
+         |SELECT doc_id, label_pred, nb_score, label_declared
+         |FROM pred ORDER BY doc_id""".stripMargin,
+    // the confusion rollup over the SAME prediction chain — one NB
+    // definition behind the classifier and its evaluation
+    "text_nb_report" ->
+      s"""WITH $nbPredCtes,
+         |cm AS (SELECT label_declared, label_pred, count(*) AS n
+         |       FROM pred GROUP BY 1, 2)
+         |SELECT label_declared, label_pred, n,
+         |       round(CAST(n AS DOUBLE) /
+         |             sum(n) OVER (PARTITION BY label_declared), 4) AS frac
+         |FROM cm ORDER BY label_declared, label_pred""".stripMargin,
     // integer sums mirror TextStats exactly (same classes as text_quality);
     // ratios unrounded — int/int doubles are bit-identical cross-engine
     "q_source_report" ->

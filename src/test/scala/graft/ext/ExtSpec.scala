@@ -1227,6 +1227,25 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("text_nb_report: confusion cells count every document once, row fracs sum to 1") {
+    import spark.implicits._
+    val cm = Text.qTextNbReport(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    assert(cm.map(_._3).sum === Tables.documents(spark, dir).count())
+    cm.groupBy(_._1).foreach { case (decl, rows) =>
+      val fracSum = rows.map(_._4).sum
+      // each frac rounds to 4dp, so a row of k cells sums to 1 within k ulps
+      assert(math.abs(fracSum - 1.0) <= rows.length * 1e-4 + 1e-9,
+        s"$decl: fracs sum to $fracSum")
+    }
+    // the matrix agrees cell-for-cell with a direct rollup of the
+    // per-doc classifier output
+    val direct = Text.qTextNbLang(spark, dir)
+      .groupBy(col("label_declared"), col("label_pred")).count()
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    cm.foreach { case (d, p, n, _) => assert(direct((d, p)) === n) }
+  }
+
   test("ann_recall_report: recall bounded, approx best never beats exact best") {
     import spark.implicits._
     val rows = Similarity.annRecallReport(spark, dir)
