@@ -377,6 +377,25 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("histMedianBucket picks exactly the lower median's bucket (randomized multisets)") {
+    import spark.implicits._
+    // fixed seed: every run checks the same 20 (values, width) draws
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(400)
+      val vals = Seq.fill(n)(rnd.nextInt(10000).toLong)
+      val w = 1 + rnd.nextInt(500)
+      val hist = vals.groupBy(_ / w).toSeq
+        .map { case (b, xs) => ("g", b, xs.size.toLong) }
+        .toDF("g", "bucket", "cnt")
+      val row = queries.Parity.histMedianBucket(hist, "g").head()
+      val lowerMed = vals.sorted.apply((n + 1) / 2 - 1)
+      assert(row.getLong(1) === n, s"trial $trial: n_values")
+      assert(row.getLong(2) === lowerMed / w,
+        s"trial $trial: bucket ${row.getLong(2)} vs lower-median bucket ${lowerMed / w} (n=$n, w=$w)")
+    }
+  }
+
   test("q_hist_view: bucket medians stay within half a bucket of exact, ALL row merges") {
     import org.apache.spark.sql.functions._
     val rows = queries.Parity.qHistView(spark, sfDir).collect()
