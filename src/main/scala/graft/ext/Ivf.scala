@@ -211,13 +211,7 @@ object Ivf {
          |    FROM asg$r a JOIN kee ON kee.vec_id = a.vec_id GROUP BY 1, 2) m
          |  ON m.c = p.c AND m.j = p.j)""".stripMargin
     }.mkString(",\n")
-    s"""sampu AS (SELECT vec_id,
-       |  ${graft.functions.MixSql.mix(graft.functions.MixSql.toU64("vec_id"))} AS mku
-       |  FROM embeddings),
-       |sampo AS (SELECT vec_id, ${graft.functions.MixSql.toS64("mku")} AS mk FROM sampu),
-       |samp AS MATERIALIZED (
-       |  SELECT vec_id, row_number() OVER (ORDER BY mk, vec_id) - 1 AS rk
-       |  FROM sampo ORDER BY mk, vec_id LIMIT $sampleN),
+    s"""${graft.functions.MixSql.hashSampleCtes("", "embeddings", "vec_id", sampleN)},
        |keeall AS MATERIALIZED (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
        |         CAST(CAST(unnest(embedding) AS REAL) AS DOUBLE) AS x FROM embeddings),

@@ -295,13 +295,7 @@ object Pq {
        |  FROM pea JOIN pnrm USING (vec_id)),
        |pallsub AS MATERIALIZED (
        |  SELECT vec_id, j // $subDim AS s, j % $subDim AS sj, x FROM pn),
-       |psampu AS (SELECT vec_id,
-       |  ${graft.functions.MixSql.mix(graft.functions.MixSql.toU64("vec_id"))} AS mku
-       |  FROM embeddings),
-       |psampo AS (SELECT vec_id, ${graft.functions.MixSql.toS64("mku")} AS mk FROM psampu),
-       |psamp AS MATERIALIZED (
-       |  SELECT vec_id, row_number() OVER (ORDER BY mk, vec_id) - 1 AS rk
-       |  FROM psampo ORDER BY mk, vec_id LIMIT $sampleN),
+       |${graft.functions.MixSql.hashSampleCtes("p", "embeddings", "vec_id", sampleN)},
        |pns AS (SELECT count(*) AS n FROM psamp),
        |psub AS MATERIALIZED (
        |  SELECT p.vec_id, p.s, p.sj, p.x FROM pallsub p JOIN psamp USING (vec_id)),

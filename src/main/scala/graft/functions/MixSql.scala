@@ -48,4 +48,20 @@ object MixSql {
     s"""(CAST($col AS HUGEINT) -
        |  CASE WHEN $col >= CAST('9223372036854775808' AS UBIGINT)
        |       THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END)""".stripMargin
+
+  /** CTE chain ending in `<p>samp($key, rk)`: the first `limit` rows of
+    * `table` in splitmix64($key) order with $key tie-break, rk the
+    * 0-based position in that order — the SQL mirror of a Spark
+    * `orderBy(mix64(key), key).limit(n)` draw. ONE definition behind
+    * the IVF and PQ training-sample oracles so the sampling discipline
+    * cannot drift between the two quantizers.
+    */
+  def hashSampleCtes(p: String, table: String, key: String, limit: Int): String =
+    s"""${p}sampu AS (SELECT $key,
+       |  ${mix(toU64(key))} AS mku
+       |  FROM $table),
+       |${p}sampo AS (SELECT $key, ${toS64("mku")} AS mk FROM ${p}sampu),
+       |${p}samp AS MATERIALIZED (
+       |  SELECT $key, row_number() OVER (ORDER BY mk, $key) - 1 AS rk
+       |  FROM ${p}sampo ORDER BY mk, $key LIMIT $limit)""".stripMargin
 }

@@ -144,12 +144,7 @@ object Checks {
         .write.mode("overwrite").parquet(outPath.toString)
       obs.get
     } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(outPath)
-      // materialize before closing the stream (deleting while the
-      // directory stream is open is undefined), then deepest-first
-      val paths = try walk.iterator().asScala.toSeq finally walk.close()
-      paths.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      org.apache.spark.network.util.JavaUtils.deleteRecursively(outPath.toFile)
     }
     import spark.implicits._
     // sum/min/max aggregate to NULL over an empty table — carry the

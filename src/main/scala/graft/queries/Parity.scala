@@ -372,12 +372,20 @@ object Parity {
     val allRow = histMedianBucket(merged, "scope")
       .select(col("scope"), col("n_values"),
         dollars(col("mb") * 500 + 250).as("approx_median"))
-    // exact lower medians (cents-granularity rank rule on raw values)
-    // ride along so the bucket error is visible in the result itself
-    val exact = ev.select(col("event_type").as("scope"), col("cents"))
-      .unionByName(ev.select(lit("ALL").as("scope"), col("cents")))
-      .groupBy(col("scope"), col("cents").as("bucket"))
+    // exact lower medians (cents-granularity rank rule) ride along so
+    // the bucket error is visible in the result itself. ONE cents
+    // histogram serves both scopes: the ALL branch merges its bounded
+    // counts instead of rescanning raw rows — the same discipline as
+    // the $5 sketch above, so the raw table is scanned once per
+    // granularity, not once per scope
+    val centsHist = ev.groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val exact = centsHist
+      .select(col("event_type").as("scope"), col("cents").as("bucket"), col("cnt"))
+      .unionByName(centsHist.groupBy(col("cents").as("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(lit("ALL").as("scope"), col("bucket"), col("cnt")))
     val exactMed = histMedianBucket(exact, "scope")
       .select(col("scope"), dollars(col("mb")).as("exact_median"))
     perType.unionByName(allRow).join(exactMed, Seq("scope")).orderBy("scope")
