@@ -1202,15 +1202,13 @@ object Dedup {
     // multi-probe candidate semantics closed-form: (a, b) is a candidate
     // iff their SRP signatures differ in at most one bit (own bucket +
     // every Hamming-1 probe) — signatures recomputed in SQL from the
-    // data-independent hyperplane table (see Similarity.srpSigCte).
-    // SCOPE: srpSigCte pins the autoBits FLOOR (12 bits) — exact for
-    // any corpus up to 32768 vectors (covering both driver SFs with
-    // 12x headroom); above that the Spark side's bits staircase steps
-    // up and this static oracle no longer applies (the scale regime is
-    // covered by ExtSpec's candidate-bound and recall checks — the
-    // same contract as the ann_knn_graph oracle)
+    // data-independent hyperplane table, following the SAME autoBits
+    // staircase as the Spark side (Similarity.srpSigCteAuto computes
+    // bits from the corpus count in exact integer arithmetic), so the
+    // oracle is exact in the staircase regime too, not just at the
+    // 12-bit floor
     "dedup_embedding_lsh" ->
-      s"""WITH ${Similarity.srpSigCte()}
+      s"""WITH ${Similarity.srpSigCteAuto(occupancy = 8L, floor = Similarity.LshBits)}
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
          |FROM sig a JOIN sig b

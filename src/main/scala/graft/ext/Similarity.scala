@@ -309,15 +309,22 @@ object Similarity {
     * log2(N / target occupancy 8), floored at [[LshBits]] so small
     * corpora match the fixed-bits query exactly.
     */
-  def autoBits(n: Long): Int = bitsFor(n, occupancy = 8.0, floor = LshBits)
+  def autoBits(n: Long): Int = bitsFor(n, occupancy = 8L, floor = LshBits)
 
-  /** Shared bits-for-pool-size knob: 2^bits tracks n/occupancy, floored
-    * so small corpora match their fixed-bits driver query exactly. One
-    * definition behind [[autoBits]] and [[bitextAutoBits]] so the two
-    * knobs' staircase semantics cannot drift.
+  /** Shared bits-for-pool-size knob: the smallest b with 2^b·occupancy
+    * ≥ n (i.e. ceil(log2(n/occupancy)) computed in EXACT integer
+    * arithmetic — a float log could flip the ceil at exact powers of
+    * two and, worse, disagree with the oracle's libm at the same
+    * boundary), floored so small corpora match their fixed-bits driver
+    * query exactly. One definition behind [[autoBits]] and
+    * [[bitextAutoBits]]; the SQL twin is the `abits` CTE of
+    * [[srpSigCteAuto]].
     */
-  private def bitsFor(n: Long, occupancy: Double, floor: Int): Int =
-    math.max(floor, math.ceil(math.log(n / occupancy) / math.log(2)).toInt)
+  private def bitsFor(n: Long, occupancy: Long, floor: Int): Int = {
+    var b = 0
+    while ((1L << b) * occupancy < n) b += 1
+    math.max(floor, b)
+  }
 
   /** Corpus and probe sides of the knn-graph bucket join. */
   private def knnSides(e: DataFrame, bits: Int): (DataFrame, DataFrame) = {
@@ -454,7 +461,7 @@ object Similarity {
     * neighborhood tens-wide at any corpus size (equals the 6-bit driver
     * query at the sf0.1 pool sizes).
     */
-  def bitextAutoBits(n: Long): Int = bitsFor(n, occupancy = 32.0, floor = 6)
+  def bitextAutoBits(n: Long): Int = bitsFor(n, occupancy = 32L, floor = 6)
 
   /** `bits = 0` (the default) means [[bitextAutoBits]] of the pool size
     * — the same auto-staircase default as [[annKnnGraph]]; the floor of
@@ -649,6 +656,40 @@ object Similarity {
        |  FROM dots GROUP BY vec_id)""".stripMargin
   }
 
+  /** The AUTO-BITS twin of [[srpSigCte]]: hyperplanes are emitted for
+    * `maxBits` bits, and the signature masks to `abits` = the smallest
+    * b with 2^b·occupancy ≥ count(embeddings), floored — EXACT integer
+    * arithmetic mirroring [[bitsFor]] bit-for-bit (no float log whose
+    * ceil could flip at a power of two). This makes the staircase
+    * oracles (ann_knn_graph, ann_bitext_mine, dedup_embedding_lsh)
+    * exact at ANY corpus up to occupancy·2^maxBits vectors, not just
+    * inside the floor regime: the same Verify + DuckDB compare that
+    * gates the driver SFs also gates a staged 30x corpus where the
+    * staircase has stepped past the floor (see COVERAGE round-11
+    * notes for the measured run).
+    */
+  def srpSigCteAuto(occupancy: Long, floor: Int, d: Int = 64,
+      maxBits: Int = 24): String = {
+    val rows = for (bit <- 0 until maxBits; j <- 0 until d) yield {
+      val h = srpMix(bit.toLong << 32 | j.toLong).toDouble / Long.MaxValue
+      String.format(java.util.Locale.ROOT, "(%d,%d,%.17g)",
+        Int.box(bit), Int.box(j), Double.box(h))
+    }
+    s"""hp(bit, j, h) AS (VALUES ${rows.mkString(",")}),
+       |nemb AS (SELECT count(*) AS n FROM embeddings),
+       |abits AS (SELECT greatest($floor, CAST(min(b) AS INT)) AS b
+       |  FROM (SELECT unnest(range(0, ${maxBits + 1})) AS b), nemb
+       |  WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) * $occupancy >= n),
+       |srpee AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |dots AS (SELECT e.vec_id, hp.bit, sum(e.x * hp.h) AS dt
+       |  FROM srpee e JOIN hp ON e.j = hp.j
+       |  WHERE hp.bit < (SELECT b FROM abits) GROUP BY 1, 2),
+       |sig AS MATERIALIZED (SELECT vec_id,
+       |  CAST(sum(CASE WHEN dt >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+  }
+
   /** Shared multi-probe candidate CTE (`cand`): every (query, corpus)
     * pair within signature Hamming distance 1, exact rounded cosine.
     * ONE definition behind the ann_lsh_search, ann_knn_graph, and
@@ -698,11 +739,13 @@ object Similarity {
          |SELECT h.query_id, round(CAST(n_hits AS DOUBLE) / n_exact, 4) AS recall,
          |       exact_best, approx_best
          |FROM hits h JOIN bests USING (query_id) ORDER BY h.query_id""".stripMargin,
-    // same 6-bit signature table, Hamming<=1 cross-pool candidate set,
-    // exactly-k top-k means, and rounded-margin mutual-best windows as
-    // bitextMine — every ranking on rounded values with id tie-breaks
+    // same auto-staircase signature table (floor 6, occupancy 32 — the
+    // bitextAutoBits knob in exact integer SQL), Hamming<=1 cross-pool
+    // candidate set, exactly-k top-k means, and rounded-margin
+    // mutual-best windows as bitextMine — every ranking on rounded
+    // values with id tie-breaks
     "ann_bitext_mine" ->
-      s"""WITH ${srpSigCte(bits = 6)},
+      s"""WITH ${srpSigCteAuto(occupancy = 32L, floor = 6)},
          |cand AS (
          |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
          |         round(list_cosine_similarity(es.embedding::DOUBLE[], et.embedding::DOUBLE[]), 4) AS cosine
@@ -766,16 +809,14 @@ object Similarity {
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // whole-corpus variant of the ann_lsh_search oracle: every vector is
     // a query, candidates = signature Hamming <= 1 (exactly the
-    // own-bucket + 1-bit multi-probe set), top-3 per vector. SCOPE:
-    // srpSigCte pins the autoBits FLOOR (12 bits) — exact for any
-    // corpus up to 32768 vectors (autoBits(N<=32768) = 12, covering
-    // both driver SFs with 12x headroom); above that the registered
-    // query's bits staircase steps up and this static oracle no longer
-    // applies (the scale regime is covered by the BENCH_SCALE candidate
-    // probes and ExtSpec recall instead — same contract as the
-    // bitextAutoBits staircase).
+    // own-bucket + 1-bit multi-probe set), top-3 per vector. The
+    // signature table follows the SAME autoBits staircase as the
+    // registered query (srpSigCteAuto computes bits from the corpus
+    // count in exact integer arithmetic), so this oracle is exact at
+    // any corpus up to 8·2^24 vectors — the staircase regime included,
+    // proven on a staged 30x corpus (COVERAGE round-11 notes).
     "ann_knn_graph" ->
-      s"""WITH ${srpSigCte()},
+      s"""WITH ${srpSigCteAuto(occupancy = 8L, floor = LshBits)},
          |${lshCandCte(neighborCol = "neighbor_id", pred = "")},
          |rk AS (SELECT query_id, neighbor_id, cosine,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
