@@ -82,7 +82,14 @@ object Bench {
     // protocol context invites false regression reads (the r9/r10
     // verdicts both flagged exactly that).
     val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE")
-      .map(n => s""","note":"${n.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(300)}"""")
+      .map { n =>
+        val t = n.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(300)
+        // take() counts UTF-16 units and can cut a surrogate pair in
+        // half — a lone high surrogate would make the JSON invalid UTF-8
+        val safe = if (t.nonEmpty && Character.isHighSurrogate(t.last))
+          t.dropRight(1) else t
+        s""","note":"$safe""""
+      }
       .getOrElse("")
     val fullLine =
       f"""{"queries":$fullQs,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${results.size},"nerr":${errors.size}$note}"""

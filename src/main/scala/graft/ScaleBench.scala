@@ -116,10 +116,12 @@ object ScaleBench {
       // larger corpus would silently collide replica id ranges and
       // undercount the distincts the HLL curves measure — fail loudly
       // instead (one tiny aggregate over the small source, pre-staging)
-      val mx = src.agg(greatest(max(col("event_id")), max(col("user_id")))
-        .cast("long")).first().getLong(0)
-      require(mx < 10_000_000L,
-        s"expandEvents replica offset (10M) collides: max source id $mx")
+      // max() is NULL on an empty source — no rows means no possible
+      // collision, so fold that into a pass instead of an NPE
+      val mx = Option(src.agg(greatest(max(col("event_id")), max(col("user_id")))
+        .cast("long")).first().get(0)).map(_.asInstanceOf[Long])
+      mx.foreach(m => require(m < 10_000_000L,
+        s"expandEvents replica offset (10M) collides: max source id $m"))
     }
     (0 until factor).map { k =>
       src.select(

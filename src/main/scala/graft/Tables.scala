@@ -45,6 +45,35 @@ object Tables {
       case n        => load(spark, dir, n).createOrReplaceTempView(n)
     }
 
+  /** Row count WITHOUT a Spark job when the frame is a bare parquet scan:
+    * sums the footer record counts of the scan's input files on the
+    * driver (one footer read per file — the same metadata a scan
+    * planner already touches), falling back to `df.count()` for any
+    * frame that is not a plain file relation (constructed test frames,
+    * filtered/unioned inputs — where footer counts would be wrong).
+    *
+    * Used by the auto-bits staircase sizers (`Similarity.annKnnGraph`,
+    * `bitextMine`, `Dedup.dedupEmbeddingLshCandidates`): at 100 TB a
+    * `count()` is a full-scan job launched BEFORE the real query, while
+    * the footers answer the same question driver-side in file-count
+    * time. Bits chosen are identical either way — footer counts are
+    * exact, not estimates.
+    */
+  def metadataRowCount(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        df.inputFiles.iterator.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      case _ => df.count()
+    }
+  }
+
   /** `events` with `ts` normalized to a proper TimestampType column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")

@@ -569,7 +569,8 @@ object Dedup {
     */
   def dedupEmbeddingLshCandidates(emb: DataFrame, bits: Int = 0): DataFrame = {
     import graft.functions.VectorFns
-    val b = if (bits > 0) bits else Similarity.autoBits(emb.count())
+    val b = if (bits > 0) bits
+      else Similarity.autoBits(graft.Tables.metadataRowCount(emb))
     val e = emb.select(col("vec_id"), col("embedding"),
       VectorFns.l2norm(col("embedding")).as("nrm"),
       Similarity.lshSignature(col("embedding"), b).as("bucket"))

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * ever leaves storage.
   *
   * Scale shape: training is driver-side Lloyd's per subspace over a
-  * BOUNDED lowest-id sample (deterministic, like [[Ivf.trainCentroids]]);
+  * BOUNDED splitmix64-hash-ordered sample (deterministic and
+  * id-layout-independent, like [[Ivf.trainCentroids]] — a lowest-id
+  * draw would train only on whatever ingest batch happens to own the
+  * low ids at corpus scale);
   * encoding is the compiled [[graft.functions.PqEncode]] expression — a
   * pure map, no shuffle; search broadcasts the per-query ADC tables
   * (query metadata, M·ksub doubles each) over one scan of the code

@@ -298,8 +298,9 @@ object Similarity {
     * vs 1.0 auto-scaled — BENCH_SCALE.md). The floor at [[LshBits]]
     * keeps small-corpus results bit-identical to the historical
     * fixed-12-bit query, the same staircase discipline as
-    * [[bitextMine]]'s [[bitextAutoBits]]. The sizing count is one
-    * parquet-metadata-cheap job, negligible against the graph build.
+    * [[bitextMine]]'s [[bitextAutoBits]]. The sizing count is read from
+    * the parquet footers on the driver ([[graft.Tables.metadataRowCount]])
+    * — no Spark job at all before the graph build.
     * Vectors whose probe buckets hold no neighbor simply have no rows
     * (an ANN graph, not an exact one); recall on planted near-dup pairs
     * is asserted in ExtSpec.
@@ -345,7 +346,9 @@ object Similarity {
   def annKnnGraph(spark: SparkSession, dir: String, k: Int = 3,
       bits: Int = 0): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val b = if (bits > 0) bits else autoBits(e.count())
+    // footer-metadata count: sizing the staircase must not cost a
+    // full-scan job before the real query (round-11 verdict item)
+    val b = if (bits > 0) bits else autoBits(Tables.metadataRowCount(e))
     val (bucketed, probes) = knnSides(e, b)
     scoreBucketJoin(bucketed, probes, k, neighborCol = "neighbor_id")
   }
@@ -469,7 +472,8 @@ object Similarity {
     * the historical fixed-6-bit query and its oracle.
     */
   def bitextMine(emb: DataFrame, k: Int = 4, bits: Int = 0): DataFrame = {
-    val b = if (bits > 0) bits else bitextAutoBits(emb.count())
+    val b = if (bits > 0) bits else
+      bitextAutoBits(graft.Tables.metadataRowCount(emb))
     val cand = bitextCandidateRows(emb, b)
     val wS = Window.partitionBy(col("src_id"))
     val wSo = wS.orderBy(col("cosine").desc, col("tgt_id"))
@@ -666,7 +670,11 @@ object Similarity {
     * inside the floor regime: the same Verify + DuckDB compare that
     * gates the driver SFs also gates a staged 30x corpus where the
     * staircase has stepped past the floor (see COVERAGE round-11
-    * notes for the measured run).
+    * notes for the measured run). Past occupancy·2^maxBits vectors the
+    * `abits` CTE raises via DuckDB `error()` instead of letting
+    * `greatest` swallow the NULL `min(b)` and silently fall back to
+    * the floor — an over-capacity corpus fails the harness loudly
+    * rather than diverging from the unbounded Scala [[bitsFor]].
     */
   def srpSigCteAuto(occupancy: Long, floor: Int, d: Int = 64,
       maxBits: Int = 24): String = {
@@ -677,7 +685,8 @@ object Similarity {
     }
     s"""hp(bit, j, h) AS (VALUES ${rows.mkString(",")}),
        |nemb AS (SELECT count(*) AS n FROM embeddings),
-       |abits AS (SELECT greatest($floor, CAST(min(b) AS INT)) AS b
+       |abits AS (SELECT greatest($floor, CAST(coalesce(min(b),
+       |    error('srpSigCteAuto: corpus exceeds occupancy<<maxBits=$maxBits — raise maxBits')) AS INT)) AS b
        |  FROM (SELECT unnest(range(0, ${maxBits + 1})) AS b), nemb
        |  WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) * $occupancy >= n),
        |srpee AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,

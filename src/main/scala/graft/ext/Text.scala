@@ -970,7 +970,13 @@ object Text {
         (col("n") - col("ns")).as("nr"))
     val x = col("cs").cast("double") / col("ns")
     val y = col("cr").cast("double") / col("nr")
-    val term = when(col("cs") === 0 && col("cr") === 0, lit(0.0))
+    // nr = 0 means the source holds the ENTIRE corpus (single-source
+    // input, or every other source empty): there is no rest-distribution
+    // to drift from, so jsd is undefined — emit NULL for that source
+    // rather than letting 0/0 leak NaN through the public API (the
+    // null terms sum to a null jsd; n_tokens still reports)
+    val term = when(col("nr") === 0, lit(null).cast("double"))
+      .when(col("cs") === 0 && col("cr") === 0, lit(0.0))
       .when(col("cs") === 0, y * log(lit(2.0)))
       .when(col("cr") === 0, x * log(lit(2.0)))
       .otherwise(x * log(lit(2.0) * x / (x + y)) + y * log(lit(2.0) * y / (x + y)))

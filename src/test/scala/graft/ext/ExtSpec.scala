@@ -1319,6 +1319,13 @@ class ExtSpec extends SparkSuite {
     val all = Text.textDrift(spark, dir).as[(String, Long, Double)].collect()
     assert(all.length === 20)
     assert(all.forall(t => t._3 >= 0.0 && t._3 <= math.log(2.0) + 1e-9))
+    // a single-source corpus has no rest-distribution to drift from:
+    // jsd must come out NULL (not NaN/Infinity from the 0/0 division)
+    val solo = Seq(("only", "alpha beta"), ("only", "beta gamma"))
+      .toDF("source", "text")
+    val s = Text.textDriftDf(solo).collect()
+    assert(s.length === 1 && s(0).getString(0) === "only")
+    assert(s(0).getLong(1) === 4L && s(0).isNullAt(2))
   }
 
   test("text_boilerplate matches an in-memory segment-df reference exactly") {
