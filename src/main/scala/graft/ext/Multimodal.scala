@@ -142,7 +142,18 @@ object Multimodal {
       * PNG signature; any parse failure returns None so the caller
       * falls back rather than throwing mid-partition.
       */
-    def decodePng(b: Array[Byte]): Option[BmpImage] = {
+    def decodePng(b: Array[Byte]): Option[BmpImage] =
+      decodePngSums(b).map { case (w, h, sr, sg, sb) =>
+        val n = w.toDouble * h * 255.0
+        BmpImage(w, h, sr / n, sg / n, sb / n)
+      }
+
+    /** Integer channel sums of a PNG — the exact form behind
+      * [[decodePng]]'s means (PNG is lossless, so these are
+      * bit-reproducible on every compliant JVM and SQL-mirrorable
+      * without any float arithmetic — the decode-check oracle's hook).
+      */
+    def decodePngSums(b: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
       if (b.length < 8 || (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G')
         return None
       try {
@@ -161,8 +172,7 @@ object Multimodal {
           }
           y += 1
         }
-        val n = w.toDouble * h * 255.0
-        Some(BmpImage(w, h, sr / n, sg / n, sb / n))
+        Some((w, h, sr, sg, sb))
       } catch { case _: Exception => None }
     }
 
@@ -425,6 +435,24 @@ object Multimodal {
         }
     }
 
+    /** Integer-exact WAV stats: sum |sample| and sum sample² over the
+      * RAW 16-bit values (no float normalization), so a SQL oracle can
+      * mirror the whole decode walk in integer arithmetic — the
+      * decode-check companion's hook.
+      */
+    def decodeWavRaw(b: Array[Byte]): Option[(Int, Int, Long, Long)] = wavPcm(b).map {
+      case (sampleRate, dataStart, n) =>
+        val buf = java.nio.ByteBuffer.wrap(b).order(LE)
+        var sumAbs = 0L; var sumSq = 0L
+        var i = 0
+        while (i < n) {
+          val s = buf.getShort(dataStart + i * 2).toLong
+          sumAbs += math.abs(s); sumSq += s * s
+          i += 1
+        }
+        (sampleRate, n, sumAbs, sumSq)
+    }
+
     /** WAV parse; amplitudes normalized to [-1, 1]. */
     def decodeWav(b: Array[Byte]): Option[WavAudio] = wavPcm(b).map {
       case (sampleRate, dataStart, n) =>
@@ -612,6 +640,56 @@ object Multimodal {
         round(element_at(col("features"), 3).cast("double"), 4).as("f2"),
         round(element_at(col("features"), 4).cast("double"), 4).as("f3"))
       .orderBy("doc_id")
+  }
+
+  /** Hash-green companion of [[multimodalDecode]] (round-11 verdict item
+    * 5): the decode pipeline restricted to its LOSSLESS formats — WAV
+    * PCM, BMP, PNG; everything except the id%6==4 JPEG branch, whose
+    * ImageIO IDCT is the one genuinely non-bit-reproducible step — and
+    * reduced to integer-exact statistics. The blobs are encoded and
+    * decoded by the REAL codecs above; the DuckDB oracle never sees a
+    * byte — it regenerates the expected values from the closed-form
+    * generators (trunc'd sine samples for WAV, modular byte gradients
+    * for BMP/PNG), so a hash match proves the encoder→decoder
+    * round-trip, header walks, and sample/pixel sums exact end to end.
+    * n_bytes is asserted where the container size is canonical (WAV
+    * 44+2n, BMP 54+stride·h) and sentinel -1 for PNG, whose IDAT
+    * length is zlib-engine-local (s2 likewise -1 for audio, which has
+    * two stats, not three) — precisely the boundary that keeps the
+    * full [[multimodalDecode]] rows-only.
+    */
+  def multimodalDecodeCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(6)) =!= 4)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        if (id % 3 == 0) {
+          val samples = Array.tabulate(512)(i =>
+            (math.sin(2 * math.Pi * i * (1 + id % 32) / 64.0) * 16384).toShort)
+          val wav = MediaCodec.encodeWav(samples, 16000)
+          val (sr, n, sumAbs, sumSq) = MediaCodec.decodeWavRaw(wav).get
+          (id, "wav", wav.length, sr.toLong, n.toLong, sumAbs, sumSq, -1L)
+        } else if (id % 3 == 1) { // id % 6 == 1 after the JPEG filter
+          val rgb = Array.tabulate(16 * 16 * 3)(i => ((i + id) % 256).toByte)
+          val bmp = MediaCodec.encodeBmp(16, 16, rgb)
+          val (w, h, px) = MediaCodec.decodeBmpPixels(bmp).get
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          while (p < px.length) {
+            sr += px(p) & 0xff; sg += px(p + 1) & 0xff; sb += px(p + 2) & 0xff
+            p += 3
+          }
+          (id, "bmp", bmp.length, w.toLong, h.toLong, sr, sg, sb)
+        } else {
+          val rgb = Array.tabulate(8 * 8 * 3)(i => ((i * 7 + id) % 256).toByte)
+          val png = MediaCodec.encodePng(8, 8, rgb)
+          val (w, h, sr, sg, sb) = MediaCodec.decodePngSums(png).get
+          (id, "png", -1, w.toLong, h.toLong, sr, sg, sb)
+        }
+      })
+      .toDF("doc_id", "kind", "n_bytes", "d0", "d1", "s0", "s1", "s2")
+    rows.orderBy("doc_id")
   }
 
   /** Query entry: decoded feature table (rows-only; binary+mapPartitions
@@ -832,7 +910,9 @@ object Multimodal {
     // Every entry except multimodal_decode is oracle-checked (see
     // [[oracles]] — closed-form regeneration incl. Java-wrap mirroring
     // for the perceptual hashes); decode stays rows-only because its
-    // JPEG branch goes through the ImageIO IDCT, which has no SQL form.
+    // JPEG branch goes through the ImageIO IDCT, which has no SQL form
+    // — but its lossless slice IS oracle-checked via
+    // multimodal_decode_check (integer-exact stats, hash-green).
     "multimodal_image_dedup" -> ((s: SparkSession, d: String) => imageDedup(s, d)),
     "multimodal_audio_dedup" -> ((s: SparkSession, d: String) => audioDedup(s, d)),
     "multimodal_gvid_scan" -> (multimodalGvidScan _),
@@ -840,6 +920,7 @@ object Multimodal {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_decode_check" -> (multimodalDecodeCheck _),
     "multimodal_frames" -> ((s: SparkSession, d: String) => multimodalFrames(s, d)),
   )
 
@@ -951,6 +1032,51 @@ object Multimodal {
          |  WHERE a.rx < 8
          |  GROUP BY a.doc_id)
          |$hammingTail""".stripMargin,
+    // The lossless decode slice regenerates closed-form: WAV samples as
+    // CAST(trunc(sin(2*pi()*i*c/64)*16384) AS BIGINT) (same
+    // left-associated multiply order as the Scala expression; integer
+    // after the trunc, so no fp sensitivity survives into the sums),
+    // BMP/PNG channel sums as modular gradients (byte j of the source
+    // image is (j+id)%256 resp. (7j+id)%256, and the codecs are
+    // lossless, so decoded channel ch of pixel p is (3p+ch+id)%256
+    // resp. (21p+7ch+id)%256). Container sizes are canonical for WAV
+    // (44+2·512=1068) and BMP (54+48·16=822); PNG's IDAT is
+    // zlib-engine-local, hence the -1 sentinel (likewise s2 for
+    // audio's two-stat rows). Branch carve-out mirrors the query
+    // dispatch: audio id%3=0, JPEG id%6=4 (excluded), BMP the REST of
+    // id%3=1 (= id%6=1), PNG id%3=2.
+    "multimodal_decode_check" ->
+      """WITH wav AS (
+        |  SELECT doc_id, 'wav' AS kind, CAST(1068 AS INTEGER) AS n_bytes,
+        |    CAST(16000 AS BIGINT) AS d0, CAST(512 AS BIGINT) AS d1,
+        |    CAST(sum(abs(raw)) AS BIGINT) AS s0,
+        |    CAST(sum(raw*raw) AS BIGINT) AS s1, CAST(-1 AS BIGINT) AS s2
+        |  FROM (SELECT doc_id,
+        |          CAST(trunc(sin(2*pi()*i*(1 + doc_id % 32)/64)*16384) AS BIGINT) AS raw
+        |        FROM documents, unnest(range(512)) AS t(i)
+        |        WHERE doc_id % 3 = 0)
+        |  GROUP BY doc_id),
+        |bmp AS (
+        |  SELECT doc_id, 'bmp' AS kind, CAST(822 AS INTEGER) AS n_bytes,
+        |    CAST(16 AS BIGINT) AS d0, CAST(16 AS BIGINT) AS d1,
+        |    CAST(sum((3*p + 0 + doc_id) % 256) AS BIGINT) AS s0,
+        |    CAST(sum((3*p + 1 + doc_id) % 256) AS BIGINT) AS s1,
+        |    CAST(sum((3*p + 2 + doc_id) % 256) AS BIGINT) AS s2
+        |  FROM documents, unnest(range(256)) AS t(p)
+        |  WHERE doc_id % 6 = 1
+        |  GROUP BY doc_id),
+        |png AS (
+        |  SELECT doc_id, 'png' AS kind, CAST(-1 AS INTEGER) AS n_bytes,
+        |    CAST(8 AS BIGINT) AS d0, CAST(8 AS BIGINT) AS d1,
+        |    CAST(sum((21*p + 0 + doc_id) % 256) AS BIGINT) AS s0,
+        |    CAST(sum((21*p + 7 + doc_id) % 256) AS BIGINT) AS s1,
+        |    CAST(sum((21*p + 14 + doc_id) % 256) AS BIGINT) AS s2
+        |  FROM documents, unnest(range(64)) AS t(p)
+        |  WHERE doc_id % 3 = 2
+        |  GROUP BY doc_id)
+        |SELECT doc_id, kind, n_bytes, d0, d1, s0, s1, s2
+        |FROM (SELECT * FROM wav UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM png)
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -306,6 +306,46 @@ object Text {
       .withColumn("low_entropy", col("compress_ratio") < 0.35)
       .orderBy("doc_id")
 
+  /** Hash-green companion of [[textCompress]] (round-11 verdict item 5):
+    * the oracle-expressible slice of the compression gate. The zlib byte
+    * count itself is engine-local (deflate has no canonical
+    * cross-implementation output size — the precise reason
+    * text_compress stays rows-only), but two exact quantities bracket
+    * and explain it: the raw-deflate STORED-mode ceiling (a compliant
+    * deflater never emits more than the input plus 5 bytes per
+    * 65535-byte stored block, +10 margin for the final-block epilogue)
+    * and the order-0 character-entropy code length — the classic
+    * compressibility reference signal the ratio tracks. Both are
+    * integer/closed-form SQL; ExtSpec then pins the engine's
+    * [[graft.functions.DeflateRatio]] inside the ceiling for EVERY
+    * document, tying the rows-only value to this oracle-checked frame.
+    * Entropy terms quantize c·ln c to DECIMAL(18,9) pre-sum (the
+    * [[textEntropy]] discipline) so both engines add bit-identical
+    * addends.  Scale: one char-explode absorbed by partial agg on
+    * (doc_id, ch) — alphabet-bounded per doc — then doc-bounded math.
+    */
+  def textCompressBound(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val nb = octet_length(col("text"))
+    val bounds = Tables.documents(spark, dir)
+      .select(col("doc_id"), nb.cast("int").as("n_bytes"),
+        (nb + lit(5) * ceil(nb.cast("double") / 65535).cast("long") + lit(10))
+          .cast("long").as("ceil_bytes"))
+    cc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_chars"),
+        sum((col("c") * log(col("c"))).cast(DecimalType(18, 9))).as("sclc"))
+      .join(bounds, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bytes"), col("ceil_bytes"),
+        round(col("ceil_bytes").cast("double") / col("n_bytes"), 4).as("ceil_ratio"),
+        round((log(col("n_chars")) - col("sclc").cast("double") / col("n_chars"))
+          / log(lit(2.0)) / 8, 4).as("h0_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage / OOV-rate scoring — the tokenizer-fit metric a
     * pretraining pipeline tracks per document (high OOV = the tokenizer
     * fragments this text; gate or re-route it). Two corpus passes by
@@ -1004,6 +1044,7 @@ object Text {
     "text_nb_report" -> (qTextNbReport _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
     "text_compress" -> (textCompress _),
+    "text_compress_bound" -> (textCompressBound _),
     "text_chunks" -> (textChunks _),
     "text_lm_score" -> (textLmScore _),
     "text_pii" -> (textPii _),
@@ -1343,6 +1384,25 @@ object Text {
          |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
          |       round(CAST(sum(trm) AS DOUBLE) / 2, 6) AS jsd
          |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // textCompressBound's mirror: per-CHAR counts via the empty-pattern
+    // split (both engines split per character, no trailing empty for
+    // nonempty text), c·ln c quantized DECIMAL(18,9) pre-sum, and the
+    // stored-mode ceiling in pure integer arithmetic
+    "text_compress_bound" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |             sum(CAST(c * ln(c) AS DECIMAL(18,9))) AS sclc
+        |      FROM c GROUP BY doc_id),
+        |b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |             CAST(octet_length(encode(text))
+        |               + 5 * CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 65535) AS BIGINT)
+        |               + 10 AS BIGINT) AS ceil_bytes
+        |      FROM documents)
+        |SELECT a.doc_id, b.n_bytes, b.ceil_bytes,
+        |       round(CAST(b.ceil_bytes AS DOUBLE) / b.n_bytes, 4) AS ceil_ratio,
+        |       round((ln(a.n_chars) - CAST(a.sclc AS DOUBLE) / a.n_chars) / ln(2) / 8, 4) AS h0_ratio
+        |FROM a JOIN b ON a.doc_id = b.doc_id ORDER BY a.doc_id""".stripMargin,
     // c·ln(c) quantized to DECIMAL(18,9) pre-sum, mirroring textEntropy
     "text_entropy" ->
       """WITH t AS (SELECT doc_id,

@@ -988,6 +988,19 @@ class ExtSpec extends SparkSuite {
     val q = Text.textCompress(spark, dir).collect()
     assert(q.length === 500)
     assert(q.forall(_.getAs[Double]("compress_ratio") > 0))
+    // the oracle-checked companion brackets the engine-local ratio: the
+    // engine's deflate output stays inside the stored-mode ceiling for
+    // EVERY document (this is what ties the rows-only zlib value to the
+    // hash-green frame), and the entropy reference signal is in range
+    val byId = Text.textCompressBound(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId.size === 500)
+    q.foreach { r =>
+      val b = byId(r.getLong(0))
+      assert(r.getAs[Double]("compress_ratio") <= b.getAs[Double]("ceil_ratio") + 1e-9,
+        s"doc ${r.getLong(0)}: deflate exceeded the stored-mode ceiling")
+      assert(b.getAs[Double]("h0_ratio") >= 0.0)
+    }
   }
 
   test("embedStats matches hand-computed per-dimension moments") {

@@ -360,6 +360,33 @@ class MultimodalSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(base ^ other) > 10)
   }
 
+  test("decode check covers the lossless slice with canonical containers") {
+    val rows = Multimodal.multimodalDecodeCheck(spark, dir).collect()
+    val ids = graft.Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(rows.length === ids.count(_ % 6 != 4), "one row per non-JPEG doc")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val kind = r.getString(1)
+      // kind mirrors the decode dispatch exactly
+      assert(kind === (if (id % 3 == 0) "wav" else if (id % 3 == 1) "bmp" else "png"))
+      kind match {
+        case "wav" =>
+          assert(r.getInt(2) === 1068 && r.getLong(3) === 16000L && r.getLong(4) === 512L)
+          assert(r.getLong(7) === -1L)
+        case "bmp" =>
+          assert(r.getInt(2) === 822 && r.getLong(3) === 16L && r.getLong(4) === 16L)
+          // decoded channel sums equal the generator's closed form
+          val exp = (0 until 256).map(p => (3L * p + id) % 256).sum
+          assert(r.getLong(5) === exp)
+        case "png" =>
+          assert(r.getInt(2) === -1 && r.getLong(3) === 8L && r.getLong(4) === 8L)
+          val exp = (0 until 64).map(p => (21L * p + 7 + id) % 256).sum
+          assert(r.getLong(6) === exp)
+      }
+    }
+  }
+
   test("audio dedup finds planted same-pattern clips through the pigeonhole join") {
     val got = Multimodal.audioDedup(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
