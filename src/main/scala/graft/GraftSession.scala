@@ -19,8 +19,23 @@ object GraftSession {
   def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
     .getOrElse(Runtime.getRuntime.availableProcessors())
 
-  def builder(appName: String = "graft"): SparkSession.Builder =
-    SparkSession.builder()
+  /** AQE advisory partition size override (bytes). The round-12 scale
+    * rehearsal measured that for pair-heavy dedup joins the binding
+    * single-box term is NOT spill (zero spill bytes) but the partial
+    * aggregation's per-task hash-map state falling out of CPU cache:
+    * at the 64 MB default one task holds ~4M (src,dst) pairs (~200 MB
+    * of map), and the hot stage's CPU halves when 8 MB advisory
+    * partitions keep each task's state cache-resident (BENCH_SCALE.md
+    * round 12). Spark cannot know a stage's state-per-input-byte, so
+    * this stays an operator knob: set SPARK_GRAFT_ADVISORY_PART_BYTES
+    * (e.g. 8388608) for corpus-scale pair-aggregation workloads; the
+    * Spark default (64 MB) holds otherwise.
+    */
+  def advisoryPartBytes: Option[String] =
+    sys.env.get("SPARK_GRAFT_ADVISORY_PART_BYTES")
+
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -36,6 +51,9 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    advisoryPartBytes.fold(b)(
+      b.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", _))
+  }
 
   /** Local session for tests / ad-hoc runs. */
   def local(appName: String = "graft"): SparkSession =

@@ -164,9 +164,11 @@ object ScaleBench {
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves
-    * conflate algorithmic growth with shuffle-spill saturation; these
-    * counts measure the work itself, which the df cap / bits knob bound
-    * linearly in corpus size.
+    * conflate algorithmic growth with single-box saturation (round-12
+    * instrumentation: NOT spill — zero spill bytes measured — but
+    * cache-residency of per-task aggregation state plus virtualized-
+    * host wall-time dispersion); these counts measure the work itself,
+    * which the df cap / bits knob bound linearly in corpus size.
     */
   private def containmentCandCount(spark: SparkSession, dir: String): DataFrame =
     ext.Dedup.containmentCandidateRows(Tables.documents(spark, dir))
@@ -212,7 +214,26 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     val heavy = only.fold(HeavyQueries)(s => HeavyQueries.filter(s))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    // Partition scaling knob: with SPARK_GRAFT_SCALE_PART_PER_X set
+    // (partitions per unit factor, e.g. 3.2 -> 96 at x30 / 320 at
+    // x100), each factor's run sets spark.sql.shuffle.partitions
+    // proportional to the staged corpus. Round-12 measurements showed
+    // this knob is mostly a NO-OP for reduce width (AQE coalesces back
+    // to the 64 MB advisory size — 320 -> 34 tasks observed) and
+    // actively regressive for range exchanges (dedup_suffix 3.2x: the
+    // RangePartitioner's sampling pass and file churn scale with the
+    // requested width). The knob that reaches the real term is
+    // spark.sql.adaptive.advisoryPartitionSizeInBytes (see
+    // GraftSession and BENCH_SCALE.md round 12); PART_PER_X is kept to
+    // make initialPartitionNum large enough for AQE to split finely.
+    val partPerX = sys.env.get("SPARK_GRAFT_SCALE_PART_PER_X").map(_.toDouble)
+    // A fixed root (SPARK_GRAFT_SCALE_ROOT) lets repeated measurement
+    // runs REUSE an already-staged corpus instead of re-writing ~GBs
+    // per invocation: staging IO perturbs the page cache the measured
+    // query then runs against, which is exactly the noise an A/B
+    // comparison wants out of the loop. Default: fresh temp dir.
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROOT",
+      java.nio.file.Files.createTempDirectory("graft_scale").toString)
     val spark = GraftSession.builder("graft-scale")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -229,7 +250,18 @@ object ScaleBench {
 
     val results = factors.map { f =>
       val dir = s"$root/x$f"
-      stage(spark, srcDir, dir, f)
+      // _STAGED marker: only trust a COMPLETE prior staging (a crashed
+      // run's partial corpus would silently shrink the measured work)
+      val marker = java.nio.file.Paths.get(dir, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        stage(spark, srcDir, dir, f)
+        java.nio.file.Files.createFile(marker)
+      }
+      partPerX.foreach { p =>
+        val parts = math.max(cpus.toInt, math.round(p * f).toInt)
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        System.err.println(s"[scale x$f] shuffle.partitions = $parts")
+      }
       val entries = heavy.flatMap { q =>
         System.gc()
         val t0 = System.nanoTime()

@@ -738,7 +738,20 @@ object Dedup {
     * join applied, all grams). The candidate join volume — the thing
     * the df cap provably bounds linearly in corpus size — is exactly
     * `aGrams ⋈_s grams` below; counting it directly separates
-    * algorithmic growth from single-box spill saturation.
+    * algorithmic growth from single-box saturation. Round-12 task-
+    * metric instrumentation corrected the saturation's NAME: the x100
+    * tail spills NOTHING (0 memory/disk spill bytes in every config);
+    * the binding term is the candidate-join stage's partial pair
+    * aggregation, whose per-task hash-map state outgrows the CPU cache
+    * once AQE's default 64 MB advisory partitions put ~4M pairs in one
+    * task (hot-stage CPU 627 s -> 275 s when advisory drops to 8 MB and
+    * the same work runs as 80 cache-resident tasks; BENCH_SCALE.md
+    * round-12 table). The production knob is therefore
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` sized so
+    * per-task aggregation state stays cache-resident — not heap (96 GiB
+    * measured slower: page-cache zero-sum on one box) and not raw
+    * shuffle-partition count (AQE coalesces it back to the advisory
+    * size; 320 -> 34 tasks measured).
     */
   private def containmentGrams(docs: DataFrame,
       maxChars: Int, maxDf: Int): (DataFrame, DataFrame) = {
