@@ -321,26 +321,31 @@ object Text {
     * document, tying the rows-only value to this oracle-checked frame.
     * Entropy terms quantize c·ln c to DECIMAL(18,9) pre-sum (the
     * [[textEntropy]] discipline) so both engines add bit-identical
-    * addends.  Scale: one char-explode absorbed by partial agg on
-    * (doc_id, ch) — alphabet-bounded per doc — then doc-bounded math.
+    * addends.  Scale: ONE scan — n_bytes rides the char-explode (an
+    * int per exploded row, folded back out by max() in the same
+    * partial agg that absorbs the explode) so no second corpus scan or
+    * doc_id join exists; everything after the (doc_id, ch) agg is
+    * doc-bounded math.
     */
   def textCompressBound(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
     val nb = octet_length(col("text"))
-    val bounds = Tables.documents(spark, dir)
+    val cc = Tables.documents(spark, dir)
       .select(col("doc_id"), nb.cast("int").as("n_bytes"),
-        (nb + lit(5) * ceil(nb.cast("double") / 65535).cast("long") + lit(10))
-          .cast("long").as("ceil_bytes"))
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(max(col("n_bytes")).as("n_bytes"), count(lit(1)).as("c"))
+    val nBytes = max(col("n_bytes"))
+    val ceilBytes = (nBytes +
+      lit(5) * ceil(nBytes.cast("double") / 65535).cast("long") + lit(10))
+      .cast("long")
     cc.groupBy(col("doc_id"))
       .agg(
+        nBytes.as("nb"), ceilBytes.as("ceil_bytes"),
         sum(col("c")).as("n_chars"),
         sum((col("c") * log(col("c"))).cast(DecimalType(18, 9))).as("sclc"))
-      .join(bounds, Seq("doc_id"))
-      .select(col("doc_id"), col("n_bytes"), col("ceil_bytes"),
-        round(col("ceil_bytes").cast("double") / col("n_bytes"), 4).as("ceil_ratio"),
+      .select(col("doc_id"), col("nb").as("n_bytes"), col("ceil_bytes"),
+        round(col("ceil_bytes").cast("double") / col("nb"), 4).as("ceil_ratio"),
         round((log(col("n_chars")) - col("sclc").cast("double") / col("n_chars"))
           / log(lit(2.0)) / 8, 4).as("h0_ratio"))
       .orderBy("doc_id")
