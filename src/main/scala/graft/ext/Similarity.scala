@@ -321,7 +321,7 @@ object Similarity {
     * [[bitextAutoBits]]; the SQL twin is the `abits` CTE of
     * [[srpSigCteAuto]].
     */
-  private def bitsFor(n: Long, occupancy: Long, floor: Int): Int = {
+  private[ext] def bitsFor(n: Long, occupancy: Long, floor: Int): Int = {
     var b = 0
     while ((1L << b) * occupancy < n) b += 1
     math.max(floor, b)

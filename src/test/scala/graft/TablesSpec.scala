@@ -27,4 +27,13 @@ class TablesSpec extends SparkSuite {
     val local = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
     assert(Tables.metadataRowCount(local) === 3L)
   }
+
+  test("metadataRowCount sums footers across a multi-file parquet write") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_multifile").toString
+    (0L until 1000L).toDF("id").repartition(7).write.parquet(s"$tmp/t.parquet")
+    val back = spark.read.parquet(s"$tmp/t.parquet")
+    assert(back.inputFiles.length === 7)
+    assert(Tables.metadataRowCount(back) === 1000L)
+  }
 }
