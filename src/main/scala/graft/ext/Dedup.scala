@@ -311,6 +311,60 @@ object Dedup {
     verifyPairs(candidates, shingleTable(docs), threshold)
   }
 
+  /** Jaccard grid for [[dedupThresholdSweep]] — 0.50 to 0.95 in 0.05
+    * steps; the floor is the lowest threshold at which the prefix filter's
+    * recall-1 theorem still holds over ONE candidate pass (any pair with
+    * J ≥ 0.5 must share a prefix shingle at t = 0.5).
+    */
+  val SweepGrid: Array[Double] = (50 to 95 by 5).map(_ / 100.0).toArray
+
+  /** Dedup-threshold sensitivity curve — the knob-picking measurement run
+    * BEFORE committing a near-dup threshold at corpus scale: exact
+    * duplicate-pair counts, affected-document counts, and the affected
+    * fraction at every grid threshold, from ONE exact pair computation at
+    * the grid floor ([[dedupPrefixDocs]] at 0.5 — recall 1 by the
+    * AllPairs theorem, so every grid row is EXACT truth, not an
+    * LSH-recall-shaped undercount). A steep n_pairs drop between two grid
+    * points means the corpus has a near-dup band there; a flat tail means
+    * the threshold choice barely matters above it.
+    *
+    * Scale shape: the corpus-sized work is the one prefix-filtered pass
+    * (candidate fan-out bounded by rare-shingle df², same as
+    * dedup_prefix at 0.5's longer-prefix cost); the grid explode runs on
+    * the PAIR table (dup-pairs-sized, not corpus-sized) and output is
+    * |grid|-bounded. Counts stay integers until the one final fraction.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepDf(Tables.documents(spark, dir))
+
+  def thresholdSweepDf(docs: DataFrame): DataFrame = {
+    // both the pair count and the affected-doc count consume this —
+    // without materialization each aggregate replays the whole prefix
+    // pipeline (df join, per-doc sort, candidate join, verification)
+    val pairs = dedupPrefixDocs(docs, SweepGrid.head).localCheckpoint()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val grid = docs.sparkSession.range(1)
+      .select(explode(lit(SweepGrid)).as("threshold"))
+    // each surviving pair contributes its two endpoints: n_pairs = rows/2
+    // (exact — the row count is even by construction)
+    val agg = pairs
+      .select(explode(lit(SweepGrid)).as("threshold"), col("jaccard"),
+        col("doc_a"), col("doc_b"))
+      .filter(col("jaccard") >= col("threshold"))
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("d")).as("n_docs_affected"))
+    grid.join(agg, Seq("threshold"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("threshold"),
+        coalesce((col("n_rows") / 2).cast("long"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+        round(coalesce(col("n_docs_affected"), lit(0L)).cast("double") /
+          col("n_docs"), 6).as("dup_doc_frac"))
+      .orderBy("threshold")
+  }
+
   /** Edit-distance (Levenshtein ≤ k) string self-join via PASSJOIN-style
     * segment filtering (cf. Li/Deng/Feng, VLDB'11) — the edit-distance
     * sibling of [[dedupPrefixDocs]]'s set-similarity prefix filter, run
@@ -950,6 +1004,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_fuzzy" -> ((s: SparkSession, d: String) => dedupFuzzy(s, d)),
@@ -1074,29 +1129,39 @@ object Dedup {
   }
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
-    * exact all-pairs word-3-gram jaccard >= 0.8 truth. Shared by the
-    * `dedup_minhash` oracle and the `dedup_cluster` transitive closure
-    * ([[Cluster]]), so the pair semantics cannot drift between them.
+    * exact all-pairs word-3-gram jaccard ≥ `threshold` truth (the filter
+    * is on the UNROUNDED quotient, the emitted jaccard rounds to 4, both
+    * mirroring [[verifyPairs]]). Instantiated at 0.8 as
+    * [[minhashPairsCte]] and at the sweep floor by the
+    * `dedup_threshold_sweep` oracle.
     */
-  val minhashPairsCte: String =
-    """t AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-      |sh AS (
-      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-      |    ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
-      |  FROM t),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT doc_a, doc_b,
-      |         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
-      |  FROM inter
-      |  JOIN sizes sa ON sa.doc_id = doc_a
-      |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)""".stripMargin
+  def jaccardPairsCte(threshold: Double): String = {
+    val t = BigDecimal(threshold.toString).bigDecimal.toPlainString
+    s"""t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |    ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
+       |  FROM t),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $t)""".stripMargin
+  }
+
+  /** The 0.8-threshold instance — shared by the `dedup_minhash` oracle and
+    * the `dedup_cluster` transitive closure ([[Cluster]]), so the pair
+    * semantics cannot drift between them.
+    */
+  val minhashPairsCte: String = jaccardPairsCte(0.8)
 
   val oracles: Map[String, String] = Map(
     "dedup_winnow" -> winnowPairsSql,
@@ -1161,6 +1226,30 @@ object Dedup {
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the same exact pair truth instantiated at the grid floor; the grid
+    // join mirrors the Spark explode (each pair contributes both
+    // endpoints, so n_pairs = rows // 2) and zero-pair grid rows survive
+    // via the left join
+    "dedup_threshold_sweep" -> {
+      val grid = SweepGrid.map(t => BigDecimal(t.toString).bigDecimal.toPlainString)
+        .mkString("[", ", ", "]")
+      s"""WITH ${jaccardPairsCte(SweepGrid.head)},
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |grid AS (SELECT CAST(unnest($grid) AS DOUBLE) AS threshold),
+         |e AS (SELECT g.threshold AS threshold, unnest([p.doc_a, p.doc_b]) AS d
+         |      FROM pairs p JOIN grid g ON p.jaccard >= g.threshold),
+         |agg AS (SELECT threshold,
+         |               CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |               CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+         |        FROM e GROUP BY threshold)
+         |SELECT g.threshold AS threshold,
+         |       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+         |       round(CAST(COALESCE(n_docs_affected, 0) AS DOUBLE) / n_docs, 6) AS dup_doc_frac
+         |FROM grid g LEFT JOIN agg ON g.threshold = agg.threshold
+         |CROSS JOIN nd
+         |ORDER BY threshold""".stripMargin
+    },
     // the incremental run must emit exactly the pairs touching the new
     // batch (doc_id >= 250) — same exact truth, filtered
     "dedup_incremental" ->

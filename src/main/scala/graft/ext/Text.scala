@@ -59,6 +59,120 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Threshold-free detector evaluation AS A QUERY: one-vs-rest ROC AUC of
+    * each stopword-profile language score against the declared labels, via
+    * the Mann–Whitney rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻)
+    * with midrank tie handling. The [[graft.ext.Similarity.annRecallReport]]
+    * / [[qTextNbReport]] discipline extended to the raw scorer: the
+    * confusion matrix grades one operating point, AUC grades EVERY
+    * threshold at once — the number a pipeline reads before picking a
+    * language-gate cutoff.
+    *
+    * Numerics: scores come from ONE compiled walk per document
+    * ([[graft.functions.LangScores]]) as exact IEEE quotients
+    * hits/max(n_tokens,1), so grouping on the double is engine-portable;
+    * the rank-sum runs in DOUBLED integer units (midrank = cum + (n+1)/2
+    * lives in halves, so 2·R⁺ = Σ n⁺·(2·cum + n + 1) is an exact BIGINT)
+    * and the only division is the final AUC — one IEEE op, rounded.
+    *
+    * Scale shape: the corpus-sized work is the single explode absorbed by
+    * partial aggregation on (profile, score); distinct scores are
+    * RATIONALS hits/denom with hits ≤ denom ≤ max tokens per doc, so the
+    * aggregate is bounded by |profiles|·maxlen² rows INDEPENDENT of corpus
+    * size, and the rank window sorts only that. Degenerate classes (a
+    * profile with no positives or no negatives) emit NULL rather than a
+    * NaN division.
+    */
+  def textAuc(spark: SparkSession, dir: String): DataFrame =
+    langAucDf(Tables.documents(spark, dir))
+
+  def langAucDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = docs
+      .select(col("lang"), explode(graft.functions.LangScores(col("text"))).as("ls"))
+      .select(col("ls.lang").as("lang_profile"), col("ls.score").as("score"),
+        when(col("lang") === col("ls.lang"), 1L).otherwise(0L).as("pos"))
+      .groupBy(col("lang_profile"), col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+    val asc = Window.partitionBy(col("lang_profile")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum", sum(col("n")).over(asc) - col("n"))
+      .withColumn("r2", col("npos") * (lit(2L) * col("cum") + col("n") + lit(1L)))
+      .groupBy(col("lang_profile"))
+      .agg(
+        sum(col("npos")).as("n_pos"),
+        sum(col("n") - col("npos")).as("n_neg"),
+        sum(col("r2")).as("r2sum"))
+      .select(
+        col("lang_profile").as("lang"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("r2sum") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+      .orderBy("lang")
+  }
+
+  /** Vocabulary-growth (Heaps-law) curve — the marginal-data-value
+    * diagnostic: cumulative distinct types vs cumulative occurrences at
+    * 10 corpus checkpoints in ingestion (doc_id) order, at TWO
+    * granularities: unigram tokens (classic Heaps) and the distinct
+    * word-3-shingles that are the dedup unit. A flattening type curve
+    * says new data is re-treading existing vocabulary; a flattening
+    * SHINGLE curve says it is re-treading existing passages — near-zero
+    * shingle novelty in the tail buckets means the next crawl slice buys
+    * almost no deduplicated content. This is the curve a mixture
+    * designer reads before paying for more data.
+    *
+    * Checkpoints are VALUE-based doc_id buckets, bucket =
+    * (doc_id−lo)·10 div (hi−lo+1), from one broadcast min/max aggregate —
+    * exact integer arithmetic in both engines, and no rank window over
+    * the corpus (an ntile bucketing would global-sort). "First
+    * occurrence" is min(bucket) per type: a VOCAB-bounded aggregate with
+    * map-side partial mins, so the corpus-sized work is the two explodes
+    * (tokens; per-doc-distinct shingles via the compiled
+    * [[graft.functions.WordShingles]] walk); everything downstream
+    * (cumulative sums, ratios) runs on ≤10 rows.
+    */
+  def textHeaps(spark: SparkSession, dir: String): DataFrame =
+    heapsCurveDf(Tables.documents(spark, dir))
+
+  def heapsCurveDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val base = docs
+      .crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        expr("(doc_id - lo) * 10 div (hi - lo + 1)").cast("int"))
+    def curve(unit: DataFrame, occName: String, newName: String): DataFrame = {
+      val occ = unit.groupBy(col("bucket")).agg(count(lit(1)).as(occName))
+      val firsts = unit.groupBy(col("u")).agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(newName))
+      occ.join(firsts, Seq("bucket"), "left")
+        .withColumn(newName, coalesce(col(newName), lit(0L)))
+    }
+    val toks = curve(
+      base.select(col("bucket"), explode(TextFns.tokens(lower(col("text")))).as("u")),
+      "n_tokens", "new_types")
+    val shingles = curve(
+      base.select(col("bucket"),
+        explode(graft.functions.WordShingles(lower(col("text")), 3)).as("u")),
+      "n_shingles", "new_shingles")
+    val nDocs = base.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nDocs.join(toks, "bucket").join(shingles, "bucket")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("cum_types", sum(col("new_types")).over(cum))
+      .withColumn("cum_shingle_types", sum(col("new_shingles")).over(cum))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_types"),
+        round(col("cum_types").cast("double") / col("cum_tokens"), 6).as("ttr"),
+        col("n_shingles"), col("new_shingles"), col("cum_shingle_types"),
+        round(col("new_shingles").cast("double") / col("n_shingles"), 6)
+          .as("shingle_novelty"))
+      .orderBy("bucket")
+  }
+
   /** Document fingerprinting with the native rolling-hash expression.
     * Oracle-checked: the 64-bit-wraparound polynomial is reproduced in
     * DuckDB with HUGEINT arithmetic (see [[fingerprintOracleCte]]).
@@ -489,6 +603,24 @@ object Text {
     * the argmax window partitions by doc_id — no global ordering.
     */
   def nbClassify(docs: DataFrame, labelCol: String, vocabCap: Int = 65536): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    nbScores(docs, labelCol, vocabCap)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("doc_id"), col("label").as("label_pred"),
+        round(col("score").cast("double"), 4).as("nb_score"), col("label_declared"))
+      .orderBy("doc_id")
+  }
+
+  /** The full (doc, class) score table behind [[nbClassify]] — every
+    * class's exact-DECIMAL posterior score per scored document (docs whose
+    * tokens are all out-of-vocab have no rows, as in the classifier).
+    * Factored out so evaluation passes that need MORE than the argmax
+    * (the margin curve, [[qTextNbMargin]]) share the one model/scoring
+    * chain with the classifier instead of re-deriving it.
+    */
+  def nbScores(docs: DataFrame, labelCol: String, vocabCap: Int = 65536): DataFrame = {
     val d9 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 9)
     // The corpus tokenizes exactly TWICE — once for the training
     // aggregate, once for scoring. Everything between (vocab top-k,
@@ -527,8 +659,6 @@ object Text {
       .crossJoin(broadcast(nDocs))
       .select(col("label"),
         log(col("n_class").cast("double") / col("n_docs")).cast(d9).as("prior"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("label"))
     toks.withColumnRenamed("label", "label_declared")
       .join(broadcast(model), "tok")
       .groupBy(col("doc_id"), col("label_declared"), col("label"))
@@ -536,11 +666,6 @@ object Text {
       .join(broadcast(priors), "label")
       .select(col("doc_id"), col("label"), col("label_declared"),
         (col("prior") + col("ll")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select(col("doc_id"), col("label").as("label_pred"),
-        round(col("score").cast("double"), 4).as("nb_score"), col("label_declared"))
-      .orderBy("doc_id")
   }
 
   def qTextNbLang(spark: SparkSession, dir: String): DataFrame =
@@ -570,9 +695,67 @@ object Text {
       .orderBy("label_declared", "label_pred")
   }
 
+  /** Margin thresholds for [[qTextNbMargin]] — quarter steps from "keep
+    * everything" to "keep only the most confident calls". Measured NB
+    * log-score margins on this corpus concentrate in 0..3 (median ≈ 0.7),
+    * so this grid traces the whole operating curve; every step is an
+    * exact binary fraction (k/4), so the threshold literals are the same
+    * doubles in both engines.
+    */
+  val NbMarginGrid: Array[Double] =
+    Array(0.0, 0.25, 0.5, 0.75, 1.0, 1.25, 1.5, 2.0, 3.0)
+
+  /** Selective-prediction operating curve of the NB language gate:
+    * accuracy vs coverage at each margin threshold, where margin = top-1
+    * minus top-2 class score. The third leg of the classifier-evaluation
+    * triple ([[qTextNbReport]] grades the argmax at full coverage; this
+    * grades EVERY confidence cutoff — the curve a pipeline reads to pick
+    * the margin below which documents route to a slower fallback
+    * detector).
+    *
+    * Exactness: scores are DECIMAL sums ([[nbScores]]), so the margin is
+    * an exact decimal difference — bit-identical across engines — and its
+    * double cast is exact at these magnitudes (|margin|·10⁹ ≪ 2⁵³); the
+    * grid comparison, counts, and two final divisions are then
+    * engine-portable. Deliberately NOT an ntile reliability diagram: rank
+    * deciles need a global sort over the corpus, while a fixed threshold
+    * grid is one explode + aggregate at any scale.
+    *
+    * Scale shape: the top-2 window partitions by doc_id (no global
+    * order); the grid fan-out is ×|grid| on the DOC-level margin table
+    * (not the corpus text); output is |grid|-bounded.
+    */
+  def qTextNbMargin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    val m = nbScores(Tables.documents(spark, dir), "lang")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .groupBy(col("doc_id"), col("label_declared"))
+      .agg(
+        max(when(col("rank") === 1, struct(col("score"), col("label")))).as("t1"),
+        max(when(col("rank") === 2, col("score"))).as("s2"))
+      .select(
+        (col("t1.score") - col("s2")).cast("double").as("margin"),
+        when(col("t1.label") === col("label_declared"), 1L).otherwise(0L).as("ok"))
+    val total = m.agg(count(lit(1)).as("n_total"))
+    m.select(explode(lit(NbMarginGrid)).as("min_margin"), col("margin"), col("ok"))
+      .filter(col("margin") >= col("min_margin"))
+      .groupBy(col("min_margin"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("ok")).as("n_correct"))
+      .crossJoin(broadcast(total))
+      .select(col("min_margin"), col("n_kept"), col("n_correct"),
+        round(col("n_kept").cast("double") / col("n_total"), 6).as("coverage"),
+        round(col("n_correct").cast("double") / col("n_kept"), 6).as("acc"))
+      .orderBy("min_margin")
+  }
+
   /** Shared DuckDB NB prediction chain — vocab/model/prior/score CTEs
-    * ending in `pred(doc_id, label_pred, nb_score, label_declared)`;
-    * consumed by both the text_nb_lang and text_nb_report oracles.
+    * through `rk` (all per-doc class ranks) ending in
+    * `pred(doc_id, label_pred, nb_score, label_declared)`; consumed by
+    * the text_nb_lang, text_nb_report (via pred), and text_nb_margin
+    * (via rk, ranks 1–2) oracles — one NB definition behind the
+    * classifier and every evaluation of it.
     */
   private val nbPredCtes: String =
     """t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
@@ -1047,6 +1230,9 @@ object Text {
     "text_pmi" -> (qTextPmi _),
     "text_nb_lang" -> (qTextNbLang _),
     "text_nb_report" -> (qTextNbReport _),
+    "text_nb_margin" -> (qTextNbMargin _),
+    "text_auc" -> (textAuc _),
+    "text_heaps" -> (textHeaps _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => textVocabOov(s, d)),
     "text_compress" -> (textCompress _),
     "text_compress_bound" -> (textCompressBound _),
@@ -1457,6 +1643,103 @@ object Text {
          |       round(CAST(n AS DOUBLE) /
          |             sum(n) OVER (PARTITION BY label_declared), 4) AS frac
          |FROM cm ORDER BY label_declared, label_pred""".stripMargin,
+    // the margin curve over the SAME rk CTE as the classifier: margin is
+    // an exact decimal difference of rank-1/rank-2 scores, the grid join
+    // mirrors the Spark explode, and every count/division is integer
+    // until the two final rounded quotients
+    "text_nb_margin" -> {
+      val grid = NbMarginGrid.map(t => BigDecimal(t).bigDecimal.toPlainString)
+        .mkString("[", ", ", "]")
+      s"""WITH $nbPredCtes,
+         |mg AS (SELECT r1.doc_id AS doc_id,
+         |              CAST(r1.score - r2.score AS DOUBLE) AS margin,
+         |              CASE WHEN r1.label = d.lang THEN 1 ELSE 0 END AS ok
+         |       FROM rk r1
+         |       JOIN rk r2 ON r1.doc_id = r2.doc_id AND r1.rank = 1 AND r2.rank = 2
+         |       JOIN documents d ON d.doc_id = r1.doc_id),
+         |tot AS (SELECT count(*) AS n_total FROM mg),
+         |grid AS (SELECT CAST(unnest($grid) AS DOUBLE) AS min_margin)
+         |SELECT min_margin,
+         |       CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(ok) AS BIGINT) AS n_correct,
+         |       round(CAST(count(*) AS DOUBLE) / n_total, 6) AS coverage,
+         |       round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS acc
+         |FROM grid JOIN mg ON mg.margin >= grid.min_margin
+         |CROSS JOIN tot
+         |GROUP BY min_margin, n_total
+         |ORDER BY min_margin""".stripMargin
+    },
+    // one-vs-rest rank-sum AUC over the SAME per-profile quotient scores
+    // as the text_langid oracle; the rank-sum runs in doubled integer
+    // units so the only float op is the final division
+    "text_auc" -> {
+      val structs = TextFns.langProfiles.map { case (code, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"{lang: '$code', score: CAST(len(list_filter(w, x -> list_contains($lst, x))) AS DOUBLE) / greatest(len(w), 1)}"
+      }.mkString(",\n        ")
+      s"""WITH t AS (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         |s AS (SELECT lang, unnest([
+         |        $structs]) AS ls FROM t),
+         |p AS (SELECT ls.lang AS lang_profile, ls.score AS score,
+         |             CASE WHEN lang = ls.lang THEN 1 ELSE 0 END AS pos
+         |      FROM s),
+         |g AS (SELECT lang_profile, score, count(*) AS n, CAST(sum(pos) AS BIGINT) AS npos
+         |      FROM p GROUP BY 1, 2),
+         |c AS (SELECT lang_profile, n, npos,
+         |             sum(n) OVER (PARTITION BY lang_profile ORDER BY score
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum
+         |      FROM g),
+         |a AS (SELECT lang_profile AS lang,
+         |             CAST(sum(npos) AS BIGINT) AS n_pos,
+         |             CAST(sum(n - npos) AS BIGINT) AS n_neg,
+         |             CAST(sum(npos * (2 * cum + n + 1)) AS BIGINT) AS r2
+         |      FROM c GROUP BY 1)
+         |SELECT lang, n_pos, n_neg,
+         |       CASE WHEN n_pos > 0 AND n_neg > 0
+         |         THEN round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+         |       END AS auc
+         |FROM a ORDER BY lang""".stripMargin
+    },
+    // value-based integer doc_id buckets (div, not ntile) + vocab-level
+    // min-bucket first occurrences at both granularities (unigram tokens;
+    // the per-doc-distinct word-3-shingles of the dedup unit); cumulative
+    // sums over the 10-row curve
+    "text_heaps" ->
+      """WITH mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |d AS (SELECT CAST((doc_id - lo) * 10 // (hi - lo + 1) AS INT) AS bucket,
+        |             string_split_regex(trim(lower(text)), '\s+') AS w
+        |      FROM documents CROSS JOIN mm),
+        |nd AS (SELECT bucket, count(*) AS n_docs FROM d GROUP BY bucket),
+        |tk AS (SELECT bucket, unnest(w) AS u FROM d),
+        |sg AS (SELECT bucket,
+        |              unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |                ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS u
+        |       FROM d),
+        |occ_t AS (SELECT bucket, count(*) AS n_tokens FROM tk GROUP BY bucket),
+        |new_t AS (SELECT bucket, count(*) AS new_types
+        |          FROM (SELECT u, min(bucket) AS bucket FROM tk GROUP BY u) GROUP BY bucket),
+        |occ_s AS (SELECT bucket, count(*) AS n_shingles FROM sg GROUP BY bucket),
+        |new_s AS (SELECT bucket, count(*) AS new_shingles
+        |          FROM (SELECT u, min(bucket) AS bucket FROM sg GROUP BY u) GROUP BY bucket),
+        |cur AS (SELECT nd.bucket AS bucket, n_docs, n_tokens,
+        |               COALESCE(new_types, 0) AS new_types,
+        |               n_shingles, COALESCE(new_shingles, 0) AS new_shingles
+        |        FROM nd
+        |        JOIN occ_t ON nd.bucket = occ_t.bucket
+        |        LEFT JOIN new_t ON nd.bucket = new_t.bucket
+        |        JOIN occ_s ON nd.bucket = occ_s.bucket
+        |        LEFT JOIN new_s ON nd.bucket = new_s.bucket)
+        |SELECT bucket, n_docs, n_tokens, new_types,
+        |       CAST(sum(n_tokens) OVER cw AS BIGINT) AS cum_tokens,
+        |       CAST(sum(new_types) OVER cw AS BIGINT) AS cum_types,
+        |       round(CAST(sum(new_types) OVER cw AS DOUBLE) /
+        |             CAST(sum(n_tokens) OVER cw AS DOUBLE), 6) AS ttr,
+        |       n_shingles, new_shingles,
+        |       CAST(sum(new_shingles) OVER cw AS BIGINT) AS cum_shingle_types,
+        |       round(CAST(new_shingles AS DOUBLE) / n_shingles, 6) AS shingle_novelty
+        |FROM cur
+        |WINDOW cw AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
     // integer sums mirror TextStats exactly (same classes as text_quality);
     // ratios unrounded — int/int doubles are bit-identical cross-engine
     "q_source_report" ->

@@ -53,7 +53,11 @@ object LangId {
     private val words: Array[Array[Array[Byte]]] =
       profiles.map(_._2.map(_.getBytes("UTF-8")).toArray).toArray
 
-    def eval(bytes: Array[Byte]): InternalRow = {
+    /** Per-profile hit counts + token count in one byte-walk — the shared
+      * kernel of the argmax ([[eval]]) and the full score vector
+      * ([[evalAll]]).
+      */
+    private def countHits(bytes: Array[Byte]): (Array[Int], Int) = {
       val len = bytes.length
       val hits = new Array[Int](codes.length)
       var nTokens = 0
@@ -76,6 +80,11 @@ object LangId {
         } else if (tokStart < 0) tokStart = i
         i += 1
       }
+      (hits, nTokens)
+    }
+
+    def eval(bytes: Array[Byte]): InternalRow = {
+      val (hits, nTokens) = countHits(bytes)
       // split(trim(""), "\s+") yields one (empty) token
       val denom = math.max(nTokens, 1)
       // argmax; ascending profile order + >= ties toward the greatest code,
@@ -89,6 +98,23 @@ object LangId {
         l += 1
       }
       InternalRow(bestScore, codes(best))
+    }
+
+    /** EVERY profile's score from the same single walk, in profile order —
+      * the one-vs-rest evaluation surface ([[LangScores]]): each score is
+      * the exact IEEE quotient hits/max(n_tokens,1), so grouping on it is
+      * engine-portable.
+      */
+    def evalAll(bytes: Array[Byte]): GenericArrayData = {
+      val (hits, nTokens) = countHits(bytes)
+      val denom = math.max(nTokens, 1)
+      val out = new Array[Any](codes.length)
+      var l = 0
+      while (l < codes.length) {
+        out(l) = InternalRow(codes(l), hits(l).toDouble / denom)
+        l += 1
+      }
+      new GenericArrayData(out)
     }
 
     private def inProfile(
@@ -119,6 +145,39 @@ object LangId {
 
   def apply(text: Column): Column =
     Bridge.toColumn(LangId(Bridge.toExpression(text)))
+}
+
+/** ALL language-profile scores from the one byte-walk that [[LangId]]
+  * argmaxes over — array<struct<lang,score>> in fixed profile order. The
+  * detector-evaluation surface: one-vs-rest metrics (text_auc) need every
+  * profile's score per document, and running [[graft.functions.TextStats]]
+  * once per profile would re-tokenize the corpus |profiles| times.
+  */
+case class LangScores(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LangScores.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_scores"
+  override protected def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    LangId.evaluator.evalAll(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evalRef = ctx.addReferenceObj("langIdEvaluator", LangId.evaluator,
+      classOf[LangId.Evaluator].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $evalRef.evalAll($c.getBytes());")
+  }
+}
+
+object LangScores {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  def apply(text: Column): Column =
+    Bridge.toColumn(LangScores(Bridge.toExpression(text)))
 }
 
 /** Distinct word n-gram shingles (as strings) in one compiled pass. The

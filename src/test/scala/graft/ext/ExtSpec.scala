@@ -1455,4 +1455,120 @@ class ExtSpec extends SparkSuite {
     assert(top === all.filter(_._4 <= 3).toSet)
     assert(top.nonEmpty)
   }
+
+  test("lang_scores: one walk equals the argmax expression and scores every profile") {
+    import graft.functions.{LangId, LangScores, TextFns}
+    val rows = Tables.documents(spark, dir)
+      .select(LangId(col("text")).as("best"), LangScores(col("text")).as("all"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val best = (r.getStruct(0).getDouble(0), r.getStruct(0).getString(1))
+      val all = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getString(0), s.getDouble(1)))
+      assert(all.map(_._1) === TextFns.langProfiles.map(_._1),
+        "profile order is fixed")
+      // argmax with ties toward the greatest code == the LangId struct
+      val arg = all.maxBy(t => (t._2, t._1))
+      assert((arg._2, arg._1) === best)
+      all.foreach { case (_, s) => assert(s >= 0.0 && s <= 1.0) }
+    }
+  }
+
+  test("text_auc: hand-computed midrank cases; degenerate classes emit NULL") {
+    import spark.implicits._
+    // en: positives score {0.5, 0}, negatives {0, 0} -> midranks give 0.75;
+    // de: positives {0, 1.0}, negatives {0, 0} -> 0.75; es/fr/zh: no
+    // positives -> NULL
+    val docs = Seq(
+      (1L, "de", "xyz qqq"),
+      (2L, "en", "the cat"),
+      (3L, "en", "zzz yyy"),
+      (4L, "de", "und und"),
+    ).toDF("doc_id", "lang", "text")
+    val got = Text.langAucDf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("en") === ((2L, 2L, Some(0.75))))
+    assert(got("de") === ((2L, 2L, Some(0.75))))
+    Seq("es", "fr", "zh").foreach(l => assert(got(l) === ((0L, 4L, None))))
+    // perfect separation and perfect anti-separation hit the AUC extremes
+    val sep = Seq(
+      (1L, "en", "the of and"), (2L, "en", "to a in"),
+      (3L, "de", "blah blub"), (4L, "de", "qqq zzz"),
+    ).toDF("doc_id", "lang", "text")
+    val gotSep = Text.langAucDf(sep).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(gotSep("en") === Some(1.0), "all positives outscore all negatives")
+    // de positives score 0 while the en docs also score 0 on the de
+    // profile -> all tied -> 0.5
+    assert(gotSep("de") === Some(0.5))
+  }
+
+  test("text_nb_margin: tau=0 row is the classifier's full-coverage accuracy, curve consistent") {
+    val docs = Tables.documents(spark, dir)
+    val rows = Text.qTextNbMargin(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    // coverage and kept counts shrink monotonically with the threshold
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2); assert(b._4 <= a._4)
+    }
+    rows.foreach { case (_, kept, correct, cov, acc) =>
+      assert(correct <= kept)
+      assert(math.abs(acc - correct.toDouble / kept) < 1e-6)
+      assert(cov > 0 && cov <= 1.0)
+    }
+    // the tau=0 row keeps every scored doc and reproduces the argmax
+    // accuracy of nbClassify
+    val pred = Text.nbClassify(docs, "lang").collect()
+    val nScored = pred.length.toLong
+    val nOk = pred.count(r => r.getString(1) == r.getString(3)).toLong
+    val t0 = rows.find(_._1 == 0.0).get
+    assert((t0._2, t0._3) === ((nScored, nOk)))
+  }
+
+  test("dedup_threshold_sweep: grid-complete, monotone, and anchored at dedup_minhash") {
+    val rows = Dedup.dedupThresholdSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Dedup.SweepGrid.toSeq, "every grid row present")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"pairs monotone at ${b._1}")
+      assert(b._3 <= a._3, s"docs monotone at ${b._1}")
+    }
+    val nDocs = Tables.documents(spark, dir).count()
+    rows.foreach { case (_, pairs, docsAff, frac) =>
+      assert(docsAff <= 2 * pairs)
+      assert((pairs == 0) == (docsAff == 0))
+      assert(math.abs(frac - docsAff.toDouble / nDocs) < 1e-6)
+    }
+    // the 0.8 grid point counts exactly the dedup_minhash pairs
+    val mh = Dedup.dedupMinhash(spark, dir).collect()
+    val at08 = rows.find(_._1 == 0.8).get
+    assert(at08._2 === mh.length.toLong)
+    assert(at08._3 === mh.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length.toLong)
+  }
+
+  test("text_heaps: buckets partition the corpus, cum totals equal direct distinct counts") {
+    import graft.functions.{TextFns, WordShingles}
+    val docs = Tables.documents(spark, dir)
+    val rows = Text.textHeaps(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(7), r.getLong(8), r.getLong(9)))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._2).sum === docs.count())
+    // cumulative columns really accumulate the per-bucket columns
+    assert(rows.map(_._3).sum === rows.last._5)
+    assert(rows.map(_._4).sum === rows.last._6)
+    assert(rows.map(_._8).sum === rows.last._9)
+    // final cumulative type counts equal direct whole-corpus distincts
+    val vocab = docs.select(explode(TextFns.tokens(lower(col("text")))).as("t"))
+      .agg(countDistinct(col("t"))).first().getLong(0)
+    val shingleVocab = docs
+      .select(explode(WordShingles(lower(col("text")), 3)).as("s"))
+      .agg(countDistinct(col("s"))).first().getLong(0)
+    assert(rows.last._6 === vocab)
+    assert(rows.last._9 === shingleVocab)
+  }
 }
