@@ -160,7 +160,13 @@ object ScaleBench {
     // user domain grows factor-fold while the group count stays fixed;
     // the histogram twins' bucket counts are value-range-bounded
     "q_hll_union", "q_hll_view", "q_stream_distinct",
-    "q_hist_view", "q_stream_hist")
+    "q_hist_view", "q_stream_hist",
+    // round-12 evaluation queries: the sweep's pair table scales N-fold
+    // exactly under the affine expansion (intra-replica dup topology
+    // preserved, no cross-replica pairs); auc's rank aggregate is
+    // bounded by distinct score rationals; heaps' first-occurrence
+    // aggregate is vocab-sized; nb_margin shares the NB model shape
+    "dedup_threshold_sweep", "text_auc", "text_heaps", "text_nb_margin")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

@@ -170,9 +170,93 @@ object Ivf {
       .orderBy("list_id")
   }
 
+  /** nProbe grid for [[annProbeCurve]] — doubling from "cheapest possible"
+    * to half the centroid count; the candidate sets nest, so recall is
+    * monotone along the grid by construction.
+    */
+  val ProbeGrid: Array[Int] = Array(1, 2, 4, 8)
+
+  /** Index-tuning curve AS A QUERY — recall@k and the mean best-cosine gap
+    * of the IVF search at EVERY [[ProbeGrid]] nProbe, against the exact
+    * batch top-k: the measurement that picks the probe knob (where the
+    * recall curve flattens, more probes buy nothing). Extends the
+    * one-operating-point [[graft.ext.Similarity.annRecallReport]] to the
+    * full knob sweep.
+    *
+    * ONE corpus join at the grid maximum produces every grid point: each
+    * candidate carries the RANK of its inverted list in the query's
+    * centroid ordering, and the nProbe-p result is exactly the top-k of
+    * candidates with probe_rank ≤ p (the probe sets nest). The grid
+    * fan-out and all re-ranks run on the CANDIDATE set (per-query
+    * ~pmax·N/k rows), never the corpus.
+    *
+    * Exactness: cosines are rounded to 4 dp with id tie-breaks (both
+    * searches' standing discipline); per-query bests are cast to
+    * DECIMAL(8,4) before summing so the micro-averaged recall and mean
+    * gap are integer/decimal arithmetic until the two final divisions. A
+    * query whose probed lists hold no candidates contributes recall 0
+    * and drops out of the gap mean (NULL in both engines).
+    */
+  def annProbeCurve(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val d84 = org.apache.spark.sql.types.DataTypes.createDecimalType(8, 4)
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = trainCentroids(emb)
+    val pmax = ProbeGrid.max
+    val assigned = assignLists(emb, centroids)
+      .select(col("vec_id"), col("embedding"), col("list_id"),
+        VectorFns.l2norm(col("embedding")).as("nrm"))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
+        VectorFns.l2norm(col("embedding")).as("qnrm"))
+      .select(col("query_id"), col("query_emb"), col("qnrm"),
+        posexplode(NearestCentroids(col("query_emb"), centroids, pmax))
+          .as(Seq("pr0", "list_id")))
+      .select(col("query_id"), col("query_emb"), col("qnrm"),
+        (col("pr0") + 1).as("probe_rank"), col("list_id"))
+    val cand = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("probe_rank"),
+        round(VectorFns.dotProduct(col("embedding"), col("query_emb"))
+          / (col("nrm") * col("qnrm")), 4).as("cosine"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val topk = cand
+      .select(explode(lit(ProbeGrid)).as("nprobe"), col("query_id"),
+        col("vec_id"), col("probe_rank"), col("cosine"))
+      .filter(col("probe_rank") <= col("nprobe"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val exact = Similarity.annTopkBatch(spark, dir, nQueries = 5, k = k)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    val exactAgg = exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), max(col("cosine").cast(d84)).as("exact_best"))
+    val hits = topk.join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .groupBy(col("nprobe"), col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val approxAgg = topk.groupBy(col("nprobe"), col("query_id"))
+      .agg(max(col("cosine").cast(d84)).as("approx_best"))
+    exactAgg
+      .select(explode(lit(ProbeGrid)).as("nprobe"), col("query_id"),
+        col("n_exact"), col("exact_best"))
+      .join(hits, Seq("nprobe", "query_id"), "left")
+      .join(approxAgg, Seq("nprobe", "query_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(
+        sum(coalesce(col("n_hits"), lit(0L))).as("n_hits"),
+        sum(col("n_exact")).as("n_exact"),
+        sum(when(col("approx_best").isNotNull,
+          col("exact_best") - col("approx_best"))).as("gap_sum"),
+        count(col("approx_best")).as("n_scored"))
+      .select(col("nprobe"), col("n_hits"), col("n_exact"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"),
+        round(col("gap_sum").cast("double") / col("n_scored"), 6).as("mean_best_gap"),
+        col("n_scored"))
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_lists" -> (annIvfLists _),
+    "ann_probe_curve" -> ((s: SparkSession, d: String) => annProbeCurve(s, d)),
   )
 
   /** The LEARNED quantizer is oracle-checkable after all: Lloyd's is
@@ -260,5 +344,59 @@ object Ivf {
          |  FROM cand)
          |SELECT query_id, vec_id, cosine, rn FROM rk
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // the same lists/probe machinery with the probe RANK kept: each grid
+    // point re-ranks the probe_rank<=p slice of the one candidate set;
+    // bests go through DECIMAL(8,4) so the micro-averages are exact
+    // until the two final divisions
+    "ann_probe_curve" -> {
+      val grid = Ivf.ProbeGrid.mkString("[", ", ", "]")
+      val pmax = Ivf.ProbeGrid.max
+      s"""WITH ${kmeansCte()},
+         |probes AS (
+         |  SELECT vec_id AS query_id, CAST(c AS INT) AS list_id, CAST(rn AS INT) AS probe_rank FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+         |    FROM fsc WHERE vec_id < 5) WHERE rn <= $pmax),
+         |cand AS (
+         |  SELECT p.query_id, l.vec_id, p.probe_rank,
+         |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM probes p JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+         |  JOIN embeddings eq ON eq.vec_id = p.query_id
+         |  JOIN embeddings ec ON ec.vec_id = l.vec_id),
+         |grid AS (SELECT CAST(unnest($grid) AS INT) AS nprobe),
+         |tk AS (SELECT nprobe, query_id, vec_id, cosine FROM (
+         |    SELECT g.nprobe AS nprobe, c.query_id, c.vec_id, c.cosine,
+         |           row_number() OVER (PARTITION BY g.nprobe, c.query_id
+         |             ORDER BY c.cosine DESC, c.vec_id) AS rn
+         |    FROM cand c JOIN grid g ON c.probe_rank <= g.nprobe) WHERE rn <= 5),
+         |ex AS (SELECT query_id, vec_id, cosine FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) AS cosine,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) DESC,
+         |             e.vec_id) AS rn
+         |    FROM embeddings e,
+         |         (SELECT vec_id AS query_id, embedding AS query_emb FROM embeddings WHERE vec_id < 5) q
+         |    WHERE e.vec_id <> q.query_id) WHERE rn <= 5),
+         |exa AS (SELECT query_id, count(*) AS n_exact,
+         |               max(CAST(cosine AS DECIMAL(8,4))) AS exact_best
+         |        FROM ex GROUP BY 1),
+         |apx AS (SELECT nprobe, query_id, max(CAST(cosine AS DECIMAL(8,4))) AS approx_best
+         |        FROM tk GROUP BY 1, 2),
+         |ht AS (SELECT t.nprobe, t.query_id, count(*) AS n_hits
+         |       FROM tk t JOIN ex ON ex.query_id = t.query_id AND ex.vec_id = t.vec_id
+         |       GROUP BY 1, 2),
+         |base AS (SELECT nprobe, query_id, n_exact, exact_best FROM grid CROSS JOIN exa)
+         |SELECT base.nprobe AS nprobe,
+         |       CAST(sum(COALESCE(n_hits, 0)) AS BIGINT) AS n_hits,
+         |       CAST(sum(n_exact) AS BIGINT) AS n_exact,
+         |       round(CAST(sum(COALESCE(n_hits, 0)) AS DOUBLE) / sum(n_exact), 4) AS recall,
+         |       round(CAST(sum(CASE WHEN approx_best IS NOT NULL
+         |               THEN exact_best - approx_best END) AS DOUBLE) / count(approx_best), 6) AS mean_best_gap,
+         |       CAST(count(approx_best) AS BIGINT) AS n_scored
+         |FROM base
+         |LEFT JOIN ht USING (nprobe, query_id)
+         |LEFT JOIN apx USING (nprobe, query_id)
+         |GROUP BY base.nprobe ORDER BY nprobe""".stripMargin
+    },
   )
 }

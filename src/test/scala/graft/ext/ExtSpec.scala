@@ -1550,6 +1550,34 @@ class ExtSpec extends SparkSuite {
     assert(at08._3 === mh.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length.toLong)
   }
 
+  test("ann_probe_curve: each grid point equals the direct search at that nProbe, recall monotone") {
+    val curve = Ivf.annProbeCurve(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(curve.map(_._1).toSeq === Ivf.ProbeGrid.toSeq)
+    // nested probe sets -> monotone nondecreasing hits/recall
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"hits monotone at nprobe ${b._1}")
+    }
+    curve.foreach { case (_, hits, nExact, recall) =>
+      assert(hits <= nExact)
+      assert(math.abs(recall - math.floor(hits.toDouble / nExact * 1e4 + 0.5) / 1e4) < 1e-9)
+    }
+    // the one-join curve reproduces the direct per-nProbe searches exactly
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = Ivf.trainCentroids(emb)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val exact = Similarity.annTopkBatch(spark, dir, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(1, 4).foreach { p =>
+      val direct = Ivf.search(emb, queries, centroids, k = 5, nProbe = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hitsDirect = direct.intersect(exact).size.toLong
+      assert(curve.find(_._1 == p).get._2 === hitsDirect,
+        s"curve hits at nprobe=$p must equal the direct search's")
+    }
+  }
+
   test("text_heaps: buckets partition the corpus, cum totals equal direct distinct counts") {
     import graft.functions.{TextFns, WordShingles}
     val docs = Tables.documents(spark, dir)
