@@ -154,7 +154,7 @@ object ScaleBench {
     // grows factor-fold — the hot-key shape the threshold path targets
     "q_domain_cap", "q_token_budget",
     "containment_candidates", "knn_autobits_candidates", "minhash_pairs",
-    "winnow_pairs", "ann_bitext_mine", "bitext_candidates",
+    "winnow_pairs", "sweep_candidates", "ann_bitext_mine", "bitext_candidates",
     "q_corpus_build",
     // the sketch-warehouse family: per-group registers saturate as the
     // user domain grows factor-fold while the group count stays fixed;
@@ -208,7 +208,12 @@ object ScaleBench {
     // reported winnow pair volume: linear (N-fold) under the affine
     // expansion because fingerprints never cross replicas
     "winnow_pairs" -> ((s: SparkSession, d: String) =>
-      ext.Dedup.dedupWinnow(s, d).groupBy().agg(count(lit(1)).as("n_candidates"))))
+      ext.Dedup.dedupWinnow(s, d).groupBy().agg(count(lit(1)).as("n_candidates"))),
+    // exactly the candidate pairs the threshold sweep's prefix filter
+    // (t = grid floor 0.5) generates and verifies
+    "sweep_candidates" -> ((s: SparkSession, d: String) =>
+      ext.Dedup.prefixCandidates(graft.Tables.documents(s, d), 0.5)
+        .groupBy().agg(count(lit(1)).as("n_candidates"))))
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

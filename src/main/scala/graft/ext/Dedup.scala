@@ -279,7 +279,15 @@ object Dedup {
   def dedupPrefix(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     dedupPrefixDocs(Tables.documents(spark, dir), threshold)
 
-  def dedupPrefixDocs(docs: DataFrame, threshold: Double): DataFrame = {
+  def dedupPrefixDocs(docs: DataFrame, threshold: Double): DataFrame =
+    verifyPairs(prefixCandidates(docs, threshold), shingleTable(docs), threshold)
+
+  /** The distinct candidate pairs the AllPairs prefix filter generates at
+    * `threshold` — factored from [[dedupPrefixDocs]] so the scale
+    * rehearsal's candidate probe counts exactly the pairs the query
+    * verifies.
+    */
+  private[graft] def prefixCandidates(docs: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.WordShingles
     val sh = docs.select(col("doc_id"),
       explode(WordShingles(col("text"), 3)).as("s"))
@@ -303,12 +311,11 @@ object Dedup {
       // (explode, df join, per-doc sort); the prefix table is ~(1-t) of
       // the shingle table, the smallest thing worth keeping
       .localCheckpoint()
-    val candidates = prefix.as("a")
+    prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(candidates, shingleTable(docs), threshold)
   }
 
   /** Jaccard grid for [[dedupThresholdSweep]] — 0.50 to 0.95 in 0.05
@@ -363,6 +370,59 @@ object Dedup {
         round(coalesce(col("n_docs_affected"), lit(0L)).cast("double") /
           col("n_docs"), 6).as("dup_doc_frac"))
       .orderBy("threshold")
+  }
+
+  /** LSH-index calibration AS A QUERY — for every exact duplicate pair
+    * (the [[dedupPrefixDocs]] recall-1 truth at the 0.5 floor), grouped
+    * into jaccard bins: (a) the fraction CAUGHT by the production r=4,b=32
+    * banding (a pair is caught iff some band's 4 signature components all
+    * agree — the event the band-hash join keys on), and (b) the mean
+    * MinHash component-agreement fraction, whose expectation is exactly
+    * the pair's jaccard (the unbiased MinHash estimator). Together they
+    * validate the two layers the dedup_minhash pipeline trusts: the
+    * banding theory curve 1−(1−j⁴)³² in the region the pipeline operates
+    * (catch_rate ≈ 1 above j=0.5 — asserted against theory in spec), and
+    * the signature's estimator fidelity per bin. The
+    * [[graft.ext.Similarity.annRecallReport]] discipline pointed at the
+    * MinHash index.
+    *
+    * Scale shape: corpus-sized work is the one prefix-filtered truth pass
+    * plus the one-pass compiled signatures; everything else (signature
+    * joins, band tests, binning) runs on the PAIR table. Bin ids go
+    * through DECIMAL so the floor is exact; catch/agreement stay integer
+    * sums until the final divisions.
+    */
+  def dedupLshCalibration(spark: SparkSession, dir: String): DataFrame =
+    lshCalibrationDf(Tables.documents(spark, dir))
+
+  def lshCalibrationDf(docs: DataFrame): DataFrame = {
+    val d64 = org.apache.spark.sql.types.DataTypes.createDecimalType(6, 4)
+    val r = NumHashes / Bands
+    val truth = dedupPrefixDocs(docs, 0.5)
+    val sigs = minhashSignatures(docs)
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    truth.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("caught",
+        when(exists(sequence(lit(0), lit(Bands - 1)),
+          bb => slice(col("sig_a"), bb * r + 1, lit(r)) ===
+            slice(col("sig_b"), bb * r + 1, lit(r))), 1L).otherwise(0L))
+      .withColumn("n_eq",
+        size(filter(sequence(lit(0), lit(NumHashes - 1)),
+          i => element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1)))
+          .cast("long"))
+      .withColumn("b10",
+        least(floor(col("jaccard").cast(d64) * 10).cast("int"), lit(9)))
+      .groupBy(col("b10"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"),
+        sum(col("n_eq")).as("eq_sum"))
+      .select(
+        (col("b10").cast("double") / 10).as("bin_lo"),
+        col("n_pairs"), col("n_caught"),
+        round(col("n_caught").cast("double") / col("n_pairs"), 4).as("catch_rate"),
+        round(col("eq_sum").cast("double") / (col("n_pairs") * NumHashes), 4)
+          .as("est_jaccard_mean"))
+      .orderBy("bin_lo")
   }
 
   /** Edit-distance (Levenshtein ≤ k) string self-join via PASSJOIN-style
@@ -1005,6 +1065,7 @@ object Dedup {
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "dedup_lsh_calibration" -> (dedupLshCalibration _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_fuzzy" -> ((s: SparkSession, d: String) => dedupFuzzy(s, d)),
@@ -1097,6 +1158,65 @@ object Dedup {
   private def mulMod64(x: String, k: BigInt): String =
     graft.functions.MixSql.mulMod64(x, k)
 
+  /** Full mirror of [[lshCalibrationDf]]: exact pair truth over the SAME
+    * hash-domain shingle sets [[verifyPairs]] walks (the
+    * [[shingleHashCtes]] chain — set-equivalent to the string-domain
+    * [[jaccardPairsCte]] truth, and the domain whose 128-family minhash
+    * the signatures minimize), signatures re-mixed per
+    * [[graft.functions.Sketches.mix]] for the PAIR DOCS ONLY (the 128×
+    * fan-out never touches the whole corpus), band agreement as
+    * 4-component equality, and the estimator mean as exact integer
+    * agreement sums. Bin ids floor in DECIMAL in both engines.
+    */
+  private lazy val lshCalibrationOracleSql: String = {
+    val m = BigInt(1) << 64
+    val phi = BigInt("9e3779b97f4a7c15", 16)
+    s"""WITH RECURSIVE ${shingleHashCtes("doc_id")},
+       |dh AS (SELECT DISTINCT sh.doc_id, av.h FROM sh JOIN av USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM dh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |          FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b,
+       |                 round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+       |          FROM inter
+       |          JOIN sizes sa ON sa.doc_id = doc_a
+       |          JOIN sizes sb ON sb.doc_id = doc_b
+       |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       |pd AS (SELECT DISTINCT doc_id FROM (
+       |         SELECT doc_a AS doc_id FROM pairs
+       |         UNION ALL SELECT doc_b FROM pairs)),
+       |fam AS (SELECT CAST(unnest(range($NumHashes)) AS INT) AS i),
+       |pdh AS (SELECT dh.doc_id, dh.h FROM dh JOIN pd USING (doc_id)),
+       |mx0 AS (SELECT doc_id, i,
+       |    xor(h, CAST((CAST(i AS HUGEINT) * $phi) % CAST('$m' AS HUGEINT) AS UBIGINT)) AS h
+       |  FROM pdh CROSS JOIN fam),
+       |mx1 AS (SELECT doc_id, i, ${mulMod64("xor(h, h >> 30)", BigInt("bf58476d1ce4e5b9", 16))} AS h FROM mx0),
+       |mx2 AS (SELECT doc_id, i, ${mulMod64("xor(h, h >> 27)", BigInt("94d049bb133111eb", 16))} AS h FROM mx1),
+       |mx AS (SELECT doc_id, i, xor(h, h >> 31) AS hu FROM mx2),
+       |sv AS (SELECT doc_id, i, CAST(CASE WHEN hu >= CAST('${BigInt(1) << 63}' AS HUGEINT)
+       |    THEN hu - CAST('$m' AS HUGEINT) ELSE hu END AS BIGINT) AS v FROM mx),
+       |sig AS (SELECT doc_id, i, min(v) AS v FROM sv GROUP BY 1, 2),
+       |cmp AS (SELECT p.doc_a, p.doc_b, a.i // ${NumHashes / Bands} AS band,
+       |               sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS eq
+       |        FROM pairs p
+       |        JOIN sig a ON a.doc_id = p.doc_a
+       |        JOIN sig b ON b.doc_id = p.doc_b AND b.i = a.i
+       |        GROUP BY 1, 2, 3),
+       |ct AS (SELECT doc_a, doc_b,
+       |              max(CASE WHEN eq = ${NumHashes / Bands} THEN 1 ELSE 0 END) AS caught,
+       |              CAST(sum(eq) AS BIGINT) AS n_eq
+       |       FROM cmp GROUP BY 1, 2),
+       |binned AS (SELECT least(CAST(floor(CAST(p.jaccard AS DECIMAL(6,4)) * 10) AS INT), 9) AS b10,
+       |                  ct.caught, ct.n_eq
+       |           FROM pairs p JOIN ct USING (doc_a, doc_b))
+       |SELECT CAST(b10 AS DOUBLE) / 10 AS bin_lo,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(caught) AS BIGINT) AS n_caught,
+       |       round(CAST(sum(caught) AS DOUBLE) / count(*), 4) AS catch_rate,
+       |       round(CAST(sum(n_eq) AS DOUBLE) / (count(*) * $NumHashes), 4) AS est_jaccard_mean
+       |FROM binned GROUP BY b10 ORDER BY bin_lo""".stripMargin
+  }
+
   /** See the `dedup_simhash` entry in [[oracles]]. The shared
     * [[shingleHashCtes]] chain keyed by doc_id (byte-for-byte mirror of
     * [[graft.functions.Sketches.shingleBaseHashes]] — serialization and
@@ -1164,6 +1284,7 @@ object Dedup {
   val minhashPairsCte: String = jaccardPairsCte(0.8)
 
   val oracles: Map[String, String] = Map(
+    "dedup_lsh_calibration" -> lshCalibrationOracleSql,
     "dedup_winnow" -> winnowPairsSql,
     // string-level mirror of the hashed-shingle profile: same distinct
     // trailing-space shingle construction as the minhash base hashes

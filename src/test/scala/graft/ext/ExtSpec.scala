@@ -1550,6 +1550,56 @@ class ExtSpec extends SparkSuite {
     assert(at08._3 === mh.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length.toLong)
   }
 
+  test("dedup_lsh_calibration: bins partition the exact truth, caught matches direct band agreement") {
+    import spark.implicits._
+    val baseToks = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ")
+    // prefix-overlap variants: close ids share most tokens (high jaccard),
+    // distant ids land in lower bins — pairs spread across the bin range
+    val docs = (0 until 12).map { i =>
+      val text = (baseToks.take(20 - i) ++ (0 until i).map(j => s"nov${i}_$j")).mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val truth = Dedup.dedupPrefixDocs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(truth.nonEmpty)
+    def bin(j: Double): Int =
+      math.min((BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10)
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toInt, 9)
+    assert(truth.map(t => bin(t._3)).distinct.length >= 3,
+      "planted pairs should span several bins")
+    // direct band agreement + component agreement from the signatures
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val direct = truth.map { case (a, b, j) =>
+      val (sa, sb) = (sigs(a), sigs(b))
+      val caught = (0 until Dedup.Bands)
+        .exists(bb => (0 until 4).forall(k => sa(4 * bb + k) == sb(4 * bb + k)))
+      val nEq = (0 until Dedup.NumHashes).count(i => sa(i) == sb(i))
+      (bin(j), caught, nEq)
+    }
+    val got = Dedup.lshCalibrationDf(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._2).sum === truth.length.toLong, "bins partition the truth pairs")
+    got.foreach { case (binLo, nPairs, nCaught, rate, est) =>
+      val b = math.round(binLo * 10).toInt
+      val mine = direct.filter(_._1 == b)
+      assert(mine.length.toLong === nPairs, s"bin $binLo pair count")
+      assert(mine.count(_._2).toLong === nCaught, s"bin $binLo caught count")
+      assert(math.abs(rate - nCaught.toDouble / nPairs) < 1e-6)
+      val expEst = mine.map(_._3).sum.toDouble / (mine.length * Dedup.NumHashes)
+      assert(math.abs(est - expEst) < 1e-3, s"bin $binLo estimator mean")
+      // the estimator tracks the bin's jaccard range (128 hashes: sd
+      // ~0.04, and these are fixed texts so the value is deterministic)
+      assert(est >= binLo - 0.15 && est <= binLo + 0.1 + 0.15)
+    }
+    // banding theory: at j >= 0.8 catch probability is 1-2e-7 — the high
+    // bins must be fully caught
+    got.filter(_._1 >= 0.8).foreach { case (binLo, n, c, _, _) =>
+      assert(c === n, s"bin $binLo must be fully caught")
+    }
+  }
+
   test("ann_probe_curve: each grid point equals the direct search at that nProbe, recall monotone") {
     val curve = Ivf.annProbeCurve(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
