@@ -246,10 +246,66 @@ object Pq {
       .orderBy("subspace")
   }
 
+  /** Codebook-quality evaluation AS A QUERY — per-subspace quantization
+    * error of the trained PQ codebook over the whole corpus: mean and max
+    * squared L2 distance between each normalized subvector and its
+    * assigned centroid. This is THE number product quantization is
+    * graded by (Jégou et al. §III: ADC score error is bounded by
+    * quantization error), and per-subspace resolution shows a collapsed
+    * or under-trained subspace directly — the PQ leg of the index
+    * evaluation family (LSH → [[Similarity.annRecallReport]], IVF →
+    * [[Ivf.annProbeCurve]], MinHash → [[Dedup.dedupLshCalibration]]).
+    *
+    * Exactness: each of the 8 per-subspace terms (x−v)² is EXACT in
+    * double (float operands: the subtract is exact, the square has a
+    * 48-bit mantissa), and both engines fold the terms in index order
+    * (Spark `aggregate` is a sequential left fold; the oracle pivots to
+    * t0..t7 and adds in an explicit left-parenthesized chain), so the
+    * per-(vector, subspace) distance is the IDENTICAL double. Corpus
+    * aggregation then quantizes to DECIMAL(20,12) before summing (the
+    * embedStats discipline — identical addends in an association-free
+    * type), and max is order-free.
+    *
+    * Scale shape: one compiled encode pass + one explode to (vec,
+    * subspace) joined against the BROADCAST m·ksub codebook; output is
+    * m rows.
+    */
+  def annPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 12)
+    val emb = Tables.embeddings(spark, dir)
+    val codebooks = trainCodebooks(emb)
+    val subDim = 64 / M
+    import spark.implicits._
+    val cbDf = broadcast(codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cent, k) => (s, k, cent) }
+    }.toDF("s", "code", "cvec"))
+    val dist = aggregate(
+      sequence(lit(0), lit(subDim - 1)), lit(0.0),
+      (acc, j) => {
+        val xd = element_at(col("xn"), col("s") * subDim + j + 1).cast("double")
+        val cd = element_at(col("cvec"), j + 1).cast("double")
+        acc + (xd - cd) * (xd - cd)
+      })
+    emb.select(col("vec_id"), normalizedCol(col("embedding")).as("xn"),
+        PqEncode(normalizedCol(col("embedding")), codebooks).as("codes"))
+      .select(col("vec_id"), col("xn"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(cbDf, Seq("s", "code"))
+      .select(col("s"), dist.as("dist"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("dist").cast(d2012)).as("dsum"),
+        max(col("dist")).as("dmax"))
+      .select(col("s").cast("int").as("subspace"), col("n"),
+        round(col("dsum").cast("double") / col("n"), 8).as("mean_sq_err"),
+        round(col("dmax"), 8).as("max_sq_err"))
+      .orderBy("subspace")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_search" -> (annPqSearch _),
     "ann_pq_occupancy" -> (annPqOccupancy _),
     "ann_ivfpq_search" -> (annIvfPqSearch _),
+    "ann_pq_distortion" -> (annPqDistortion _),
   )
 
   /** Per-subspace Lloyd's unrolled in SQL, the PQ twin of
@@ -330,6 +386,34 @@ object Pq {
   }
 
   val oracles: Map[String, String] = Map(
+    // term products are exact doubles; the t0..t7 pivot + explicit
+    // left-parenthesized chain reproduces Spark's sequential fold, so
+    // the per-(vec, subspace) distance is the identical double before
+    // the DECIMAL(20,12) corpus sum
+    "ann_pq_distortion" -> {
+      val subDim = 64 / M
+      val ts = (0 until subDim)
+        .map(j => s"max(CASE WHEN sj = $j THEN t END) AS t$j").mkString(",\n         ")
+      val chain = (0 until subDim).map(j => s"t$j")
+        .foldLeft("CAST(0.0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
+      s"""WITH ${pqCte()},
+         |term AS (
+         |  SELECT p.vec_id, p.s, p.sj,
+         |         (CAST(p.x AS DOUBLE) - CAST(cb.v AS DOUBLE)) *
+         |         (CAST(p.x AS DOUBLE) - CAST(cb.v AS DOUBLE)) AS t
+         |  FROM pallsub p
+         |  JOIN codes c ON c.vec_id = p.vec_id AND c.s = p.s
+         |  JOIN cb$Iters cb ON cb.s = p.s AND cb.k = c.code AND cb.sj = p.sj),
+         |piv AS (
+         |  SELECT vec_id, s,
+         |         $ts
+         |  FROM term GROUP BY 1, 2),
+         |d AS (SELECT vec_id, s, $chain AS dist FROM piv)
+         |SELECT CAST(s AS INT) AS subspace, CAST(count(*) AS BIGINT) AS n,
+         |       round(CAST(sum(CAST(dist AS DECIMAL(20,12))) AS DOUBLE) / count(*), 8) AS mean_sq_err,
+         |       round(max(dist), 8) AS max_sq_err
+         |FROM d GROUP BY s ORDER BY subspace""".stripMargin
+    },
     "ann_pq_occupancy" ->
       s"""WITH ${pqCte()}
          |SELECT CAST(s AS INT) AS subspace, count(DISTINCT code) AS codes_used, count(*) AS n

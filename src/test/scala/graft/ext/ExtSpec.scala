@@ -1628,6 +1628,53 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("ann_pq_distortion: matches a driver-side recomputation from the trained codebooks") {
+    val emb = Tables.embeddings(spark, dir)
+    val codebooks = Pq.trainCodebooks(emb)
+    val subDim = 64 / Pq.M
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n > 0) v.map(x => (x / n).toFloat) else v
+    }
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> normalize(r.getSeq[Float](1).toArray)).toMap
+    val codes = Pq.encodeCorpus(emb, codebooks).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    // per-(vec, subspace) distance in the query's exact fold order
+    def dist(v: Array[Float], s: Int, code: Int): Double = {
+      var acc = 0.0
+      var j = 0
+      while (j < subDim) {
+        val t = v(s * subDim + j).toDouble - codebooks(s)(code)(j).toDouble
+        acc += t * t
+        j += 1
+      }
+      acc
+    }
+    // the assigned code minimizes the subspace distance (spot-check)
+    vecs.take(5).foreach { case (id, v) =>
+      (0 until Pq.M).foreach { s =>
+        val d0 = dist(v, s, codes(id)(s))
+        (0 until Pq.Ksub by 17).foreach(c => assert(d0 <= dist(v, s, c) + 1e-12))
+      }
+    }
+    val expected = (0 until Pq.M).map { s =>
+      val ds = vecs.toSeq.map { case (id, v) =>
+        BigDecimal(dist(v, s, codes(id)(s))).setScale(12, BigDecimal.RoundingMode.HALF_EVEN)
+      }
+      val mean = (ds.sum / ds.length).toDouble
+      val mx = vecs.toSeq.map { case (id, v) => dist(v, s, codes(id)(s)) }.max
+      (s, vecs.size.toLong, mean, mx)
+    }
+    val got = Pq.annPqDistortion(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    expected.zip(got.sortBy(_._1)).foreach { case ((s, n, mean, mx), (gs, gn, gmean, gmx)) =>
+      assert(gs === s); assert(gn === n)
+      assert(math.abs(gmean - mean) < 1e-7, s"subspace $s mean")
+      assert(math.abs(gmx - mx) < 1e-7, s"subspace $s max")
+    }
+  }
+
   test("text_heaps: buckets partition the corpus, cum totals equal direct distinct counts") {
     import graft.functions.{TextFns, WordShingles}
     val docs = Tables.documents(spark, dir)
