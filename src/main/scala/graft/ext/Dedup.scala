@@ -1108,7 +1108,9 @@ object Dedup {
        |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ') END) AS s
        |  FROM t)""".stripMargin
 
-  private def shingleHashCtes(key: String): String =
+  // private[graft]: the novelty-sketch oracle (streaming.Streaming)
+  // consumes the same chain, keeping ONE shingle-hash mirror repo-wide
+  private[graft] def shingleHashCtes(key: String): String =
     s"""${shingleCtes(key)},
        |us AS (SELECT DISTINCT s FROM sh),
        |sb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS olen FROM us),

@@ -136,13 +136,23 @@ object Text {
   def textHeaps(spark: SparkSession, dir: String): DataFrame =
     heapsCurveDf(Tables.documents(spark, dir))
 
-  def heapsCurveDf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Value-based doc_id decile buckets — bucket = (doc_id−lo)·10 div
+    * (hi−lo+1) from one broadcast min/max aggregate; exact integer
+    * arithmetic in both engines and no rank window over the corpus. ONE
+    * definition shared by the heaps curve and the novelty sketch
+    * ([[graft.streaming.Streaming.qStreamNovelty]]) so their checkpoints
+    * cannot drift.
+    */
+  def docBuckets(docs: DataFrame): DataFrame = {
     val mm = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-    val base = docs
-      .crossJoin(broadcast(mm))
+    docs.crossJoin(broadcast(mm))
       .withColumn("bucket",
         expr("(doc_id - lo) * 10 div (hi - lo + 1)").cast("int"))
+  }
+
+  def heapsCurveDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docBuckets(docs)
     def curve(unit: DataFrame, occName: String, newName: String): DataFrame = {
       val occ = unit.groupBy(col("bucket")).agg(count(lit(1)).as(occName))
       val firsts = unit.groupBy(col("u")).agg(min(col("bucket")).as("bucket"))

@@ -1137,6 +1137,101 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Per-group distinct-shingle HLL sketch: registers + per-doc-distinct
+    * shingle occurrence count, over the dedup-unit word-3-shingle hashes
+    * ([[graft.functions.SketchFns.shingleHashSet]] — one compiled pass,
+    * no string materialization). The ONE sketch both the batch curve
+    * ([[qStreamNovelty]]) and the streaming runner
+    * ([[runNoveltyStream]]) fold, so batch and ingest-time novelty
+    * cannot drift.
+    */
+  def shingleSketch(docs: DataFrame, groupCol: String): DataFrame =
+    docs
+      .select(col(groupCol),
+        explode(graft.functions.SketchFns.shingleHashSet(col("text"), 3)).as("s"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.Hll.regAgg(col("s")).as("sk"),
+        count(lit(1)).as("n_shingles"))
+
+  /** Corpus-novelty sketch curve — the HLL twin of the exact
+    * [[graft.ext.Text.textHeaps]] shingle columns, and the form that
+    * runs at INGEST TIME with fixed-size state: per doc_id decile
+    * bucket (the shared [[graft.ext.Text.docBuckets]] rule), the
+    * estimated cumulative distinct shingle count and its per-bucket
+    * delta, from MERGEABLE per-bucket registers. The estimate of a
+    * prefix union comes from merging the per-bucket sketches — never
+    * re-scanning earlier buckets — which is exactly why a stream can
+    * maintain it: [[runNoveltyStream]] folds each arriving file into
+    * one persisted register file and emits the same numbers per
+    * micro-batch (StreamingSpec asserts stream == batch on a 4-file
+    * replay). Register merges are deterministic, so the curve is
+    * DuckDB-oracle-checkable end to end despite being an approximation.
+    *
+    * Scale shape: the corpus-sized work is the one compiled shingle
+    * pass absorbed by the register aggregate (4096 bytes of state per
+    * bucket); the prefix self-join and estimates run on ≤10·10 rows.
+    */
+  def qStreamNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
+    val perBucket = shingleSketch(
+      graft.ext.Text.docBuckets(graft.Tables.documents(spark, dir)), "bucket")
+    val ks = perBucket.select(col("bucket").as("k"))
+    val cum = perBucket.join(ks, col("bucket") <= col("k"))
+      .groupBy(col("k"))
+      .agg(Hll.mergeAgg(col("sk")).as("msk"))
+      .select(col("k").as("bucket"), Hll.estimate(col("msk")).as("est_cum_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    perBucket.select(col("bucket"), col("n_shingles"))
+      .join(cum, "bucket")
+      .withColumn("est_new_types",
+        col("est_cum_types") - coalesce(lag(col("est_cum_types"), 1).over(w), lit(0L)))
+      .select(col("bucket"), col("n_shingles"), col("est_cum_types"), col("est_new_types"))
+      .orderBy("bucket")
+  }
+
+  /** Ingest-time novelty monitor: each arriving document file folds into
+    * ONE persisted 4096-byte register file (read-merge-overwrite, the
+    * near-dup index discipline) and appends a batch-keyed row
+    * (batch_id, n_shingles, est_cum_types, est_new_types) — "how much of
+    * this delivery have we effectively seen before", at any corpus size,
+    * with state that never grows. Registers are deterministic merges, so
+    * the emitted rows equal the batch prefix estimates over the same
+    * arrival slices regardless of batch boundaries.
+    */
+  def runNoveltyStream(
+      spark: SparkSession, inputGlob: String, regsPath: String,
+      outDir: String): Unit = {
+    import graft.functions.Hll
+    val q = docsFileStream(spark, inputGlob).writeStream
+      .option("checkpointLocation", s"$regsPath/_stream_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = shingleSketch(batch.toDF().withColumn("g", lit(1)), "g")
+            .select(col("sk"), col("n_shingles"))
+            .first()
+          val (bsk, bn) = (b.getAs[Array[Byte]](0), b.getLong(1))
+          val regsFile = java.nio.file.Paths.get(regsPath, "regs.bin")
+          val prev = if (java.nio.file.Files.exists(regsFile))
+            Some(java.nio.file.Files.readAllBytes(regsFile)) else None
+          val prevEst = prev.map(graft.functions.HllSketch.estimate).getOrElse(0L)
+          // elementwise-max merge mutates its first argument
+          val merged = prev.map { p =>
+            graft.functions.HllSketch.merge(p, bsk); p
+          }.getOrElse(bsk)
+          val est = graft.functions.HllSketch.estimate(merged)
+          java.nio.file.Files.write(regsFile, merged)
+          import spark.implicits._
+          Seq((batchId, bn, est, est - prevEst))
+            .toDF("batch_id", "n_shingles", "est_cum_types", "est_new_types")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming NEAR-DUPLICATE detection — the ingest-time face of the
     * persistent MinHash index ([[graft.ext.Dedup.indexIncremental]]):
     * documents arrive as a file stream, each micro-batch sketches ONLY
@@ -1225,6 +1320,7 @@ object Streaming {
     // stream == batch estimate equality and closeness to exact
     "q_stream_distinct" -> (qStreamDistinct _),
     "q_stream_hist" -> (qStreamHist _),
+    "q_stream_novelty" -> (qStreamNovelty _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
@@ -1239,6 +1335,33 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // the novelty sketch: the shared shingle-hash chain (Dedup's ONE
+    // mirror of Sketches.shingleBaseHashes) feeds the register-level
+    // HLL mirror per prefix scope — hash-green proves the per-bucket
+    // registers AND their prefix merges, which is exactly the
+    // mergeability the streaming runner relies on
+    "q_stream_novelty" -> {
+      val m = BigInt(1) << 64
+      s"""WITH RECURSIVE ${graft.ext.Dedup.shingleHashCtes("doc_id")},
+         |mmn AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |db AS (SELECT doc_id, CAST((doc_id - lo) * 10 // (hi - lo + 1) AS INT) AS bucket
+         |       FROM documents CROSS JOIN mmn),
+         |dh AS (SELECT db.bucket AS bucket,
+         |              CAST(CASE WHEN av.h >= CAST('${BigInt(1) << 63}' AS HUGEINT)
+         |                THEN av.h - CAST('$m' AS HUGEINT) ELSE av.h END AS BIGINT) AS uid
+         |       FROM sh JOIN av USING (s) JOIN db ON db.doc_id = sh.doc_id),
+         |occ AS (SELECT bucket, count(*) AS n_shingles FROM dh GROUP BY 1),
+         |ks AS (SELECT DISTINCT bucket AS k FROM db),
+         |hin AS (SELECT ks.k AS scope, dh.uid AS uid
+         |        FROM dh JOIN ks ON dh.bucket <= ks.k),
+         |${graft.functions.HllSketch.estimateCtes("scope")}
+         |SELECT o.bucket AS bucket, o.n_shingles AS n_shingles,
+         |       e.est_users AS est_cum_types,
+         |       e.est_users - coalesce(lag(e.est_users) OVER (ORDER BY o.bucket), 0)
+         |         AS est_new_types
+         |FROM occ o JOIN hest e ON e.scope = o.bucket
+         |ORDER BY bucket""".stripMargin
+    },
     // register-level mirror of the deterministic HLL
     // (functions.HllSketch) per epoch-aligned hour window — the same
     // sketch the streaming path maintains as state, so hash-green here

@@ -579,6 +579,53 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(outDir).count() === streamed.size.toLong)
   }
 
+  test("streaming novelty sketch: per-batch rows equal the batch prefix estimates") {
+    import graft.functions.HllSketch
+    val docs = Tables.documents(spark, dir)
+    val slices = Seq(0L -> 125L, 125L -> 250L, 250L -> 375L, 375L -> 10000L)
+    val inDir = java.nio.file.Files.createTempDirectory("docs_nvstream").toString
+    slices.foreach { case (lo, hi) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val regsPath = java.nio.file.Files.createTempDirectory("nv_regs").toString
+    val outDir = java.nio.file.Files.createTempDirectory("nv_out").toString + "/rows"
+
+    Streaming.runNoveltyStream(spark, s"$inDir/*.parquet", regsPath, outDir)
+
+    val streamed = spark.read.parquet(outDir)
+      .select("batch_id", "n_shingles", "est_cum_types", "est_new_types")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(streamed.length === slices.length)
+    // batch recomputation over the same arrival slices: per-slice
+    // registers merged into prefixes must give the same estimates —
+    // register merges are deterministic, so equality is EXACT
+    val sliceRegs = slices.map { case (lo, hi) =>
+      val s = Streaming.shingleSketch(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi).withColumn("g", lit(1)), "g")
+        .select(col("sk"), col("n_shingles")).first()
+      (s.getAs[Array[Byte]](0), s.getLong(1))
+    }
+    var running: Option[Array[Byte]] = None
+    var prevEst = 0L
+    sliceRegs.zip(streamed).zipWithIndex.foreach {
+      case (((regs, n), (bid, sn, cum, nw)), i) =>
+        assert(bid === i.toLong)
+        assert(sn === n, s"batch $i shingle count")
+        running = running.map { p => HllSketch.merge(p, regs); p }.orElse(Some(regs))
+        val est = HllSketch.estimate(running.get)
+        assert(cum === est, s"batch $i cumulative estimate")
+        assert(nw === est - prevEst, s"batch $i novelty delta")
+        prevEst = est
+    }
+    // ... and the final cumulative estimate equals the one-shot
+    // whole-corpus sketch (arrival batching is invisible)
+    val whole = Streaming.shingleSketch(docs.withColumn("g", lit(1)), "g")
+      .select(col("sk")).first().getAs[Array[Byte]](0)
+    assert(streamed.last._3 === HllSketch.estimate(whole))
+  }
+
   test("streaming near-dup ingestion: union over micro-batches equals batch dedup_minhash") {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, dir)
