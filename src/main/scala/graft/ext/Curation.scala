@@ -483,6 +483,73 @@ object Curation {
       .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
       .orderBy("split_lo", "split_hi")
 
+  /** Split-representativeness report — the measurement a pipeline runs
+    * before trusting hash-split evaluation numbers: for each split and
+    * each categorical dimension (lang, source), the total-variation
+    * distance between the split's distribution and the WHOLE-corpus
+    * distribution, plus the single worst-deviating value. A hash split
+    * should be representative by construction; a large TVD on any
+    * dimension means the split is too small for that dimension's tail
+    * (or the hash is correlated with it) and per-slice eval numbers
+    * from it are noise. Completes the split triple: [[qSplitAssign]]
+    * (sizes), [[qSplitLeakage]] (near-dup contamination across splits),
+    * and this (representativeness).
+    *
+    * Exactness: TVD = ½ Σ_v |p_v − q_v| over shares p_v = n_sv/n_s and
+    * q_v = n_v/n is computed as Σ_v |n_sv·n − n_v·n_s| / (2·n_s·n) —
+    * INTEGER numerators summed exactly, ONE final double division — so
+    * the report is hash-stable with no decimal quantization at all; the
+    * worst value is the integer-numerator argmax with a value
+    * tie-break.
+    *
+    * Scale shape: corpus-sized work is the one (split, dim, value)
+    * count aggregate (map-side partial); everything downstream runs on
+    * the values×splits grid, bounded by the dimensions' cardinality.
+    */
+  def qSplitReport(spark: SparkSession, dir: String): DataFrame =
+    splitReportDf(Tables.documents(spark, dir))
+
+  def splitReportDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = docs.select(splitAssign(col("doc_id")).as("split"),
+      col("lang"), col("source"))
+    val long = tagged.select(col("split"), lit("lang").as("dim"), col("lang").as("value"))
+      .unionByName(tagged.select(col("split"), lit("source").as("dim"),
+        col("source").as("value")))
+    val cnt = long.groupBy(col("split"), col("dim"), col("value"))
+      .agg(count(lit(1)).as("n_sv"))
+    // bounded frames from here on: values per dim × splits
+    val values = cnt.groupBy(col("dim"), col("value")).agg(sum(col("n_sv")).as("n_v"))
+    val splits = cnt.select(col("split")).distinct()
+    val nS = cnt.filter(col("dim") === "lang")
+      .groupBy(col("split")).agg(sum(col("n_sv")).as("n_s"))
+    val nTot = nS.agg(sum(col("n_s")).as("n"))
+    val grid = values.crossJoin(splits)
+      .join(cnt, Seq("split", "dim", "value"), "left")
+      .withColumn("n_sv", coalesce(col("n_sv"), lit(0L)))
+      .join(broadcast(nS), "split")
+      .crossJoin(broadcast(nTot))
+      .withColumn("num", abs(col("n_sv") * col("n") - col("n_v") * col("n_s")))
+    val w = Window.partitionBy(col("split"), col("dim"))
+      .orderBy(col("num").desc, col("value"))
+    grid
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("split"), col("dim"))
+      .agg(
+        first(col("n_s")).as("n_docs"),
+        first(col("n")).as("n"),
+        sum(col("num")).as("num_sum"),
+        max(when(col("rk") === 1, col("value"))).as("worst_value"),
+        max(when(col("rk") === 1, col("num"))).as("worst_num"))
+      .select(col("split"), col("dim"), col("n_docs"),
+        round(col("num_sum").cast("double") /
+          (lit(2.0) * col("n_docs") * col("n")), 6).as("tvd"),
+        col("worst_value"),
+        round(col("worst_num").cast("double") /
+          (col("n_docs") * col("n")).cast("double"), 6).as("worst_gap"))
+      .orderBy("split", "dim")
+  }
+
   /** Per-key cap-k by hash rank — the RefinedWeb-style per-domain
     * frequency cap: no source may contribute more than k documents, the
     * kept k chosen by md5 order so the selection is reproducible and
@@ -721,6 +788,7 @@ object Curation {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_split_assign" -> (qSplitAssign _),
+    "q_split_report" -> (qSplitReport _),
     "q_sample_hash" -> (qSampleHash _),
     "q_curate" -> (qCurate _),
     "q_corpus_build" -> (qCorpusBuild _),
@@ -922,6 +990,39 @@ object Curation {
         |SELECT status, count(*) AS n_docs,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    // integer TVD numerators over the values×splits grid; the two final
+    // divisions are the only float ops (see splitReportDf)
+    "q_split_report" ->
+      s"""WITH tagged AS (
+         |  SELECT $splitSql AS split, lang, source FROM documents),
+         |lng AS (
+         |  SELECT split, 'lang' AS dim, lang AS value FROM tagged
+         |  UNION ALL
+         |  SELECT split, 'source', source FROM tagged),
+         |cnt AS (SELECT split, dim, value, count(*) AS n_sv FROM lng GROUP BY 1, 2, 3),
+         |vals AS (SELECT dim, value, CAST(sum(n_sv) AS BIGINT) AS n_v FROM cnt GROUP BY 1, 2),
+         |sp AS (SELECT DISTINCT split FROM cnt),
+         |ns AS (SELECT split, CAST(sum(n_sv) AS BIGINT) AS n_s FROM cnt WHERE dim = 'lang' GROUP BY 1),
+         |nt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
+         |grid AS (
+         |  SELECT sp.split AS split, v.dim AS dim, v.value AS value,
+         |         COALESCE(c.n_sv, 0) AS n_sv, v.n_v AS n_v, ns.n_s AS n_s, nt.n AS n
+         |  FROM vals v CROSS JOIN sp
+         |  LEFT JOIN cnt c ON c.split = sp.split AND c.dim = v.dim AND c.value = v.value
+         |  JOIN ns ON ns.split = sp.split
+         |  CROSS JOIN nt),
+         |num AS (SELECT split, dim, value, n_s, n,
+         |               abs(n_sv * n - n_v * n_s) AS num FROM grid),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY split, dim
+         |                 ORDER BY num DESC, value) AS rk FROM num)
+         |SELECT split, dim,
+         |       CAST(min(n_s) AS BIGINT) AS n_docs,
+         |       round(CAST(sum(num) AS DOUBLE) / (2.0 * min(n_s) * min(n)), 6) AS tvd,
+         |       max(CASE WHEN rk = 1 THEN value END) AS worst_value,
+         |       round(CAST(max(CASE WHEN rk = 1 THEN num END) AS DOUBLE) /
+         |             (CAST(min(n_s) AS DOUBLE) * min(n)), 6) AS worst_gap
+         |FROM rk GROUP BY split, dim
+         |ORDER BY split, dim""".stripMargin,
     "q_split_assign" ->
       s"""SELECT $splitSql AS split, count(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,

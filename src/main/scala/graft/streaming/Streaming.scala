@@ -1316,8 +1316,9 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (qStreamWindow _),
-    // rows-only: HLL internals are engine-specific; StreamingSpec pins
-    // stream == batch estimate equality and closeness to exact
+    // oracle-checked since the deterministic-HLL flip (register-level
+    // DuckDB mirror); StreamingSpec additionally pins stream == batch
+    // estimate equality and closeness to exact
     "q_stream_distinct" -> (qStreamDistinct _),
     "q_stream_hist" -> (qStreamHist _),
     "q_stream_novelty" -> (qStreamNovelty _),

@@ -1628,6 +1628,40 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("q_split_report: TVD matches an integer recomputation from raw counts") {
+    val docs = Tables.documents(spark, dir)
+    val rows = Curation.splitReportDf(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getString(4), r.getDouble(5)))).toMap
+    assert(rows.keySet.map(_._1) === Set("train", "val", "test"))
+    assert(rows.keySet.map(_._2) === Set("lang", "source"))
+    // recompute from raw counts with BigInt arithmetic
+    val raw = docs.select(Curation.splitAssign(col("doc_id")).as("split"),
+        col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val n = raw.length.toLong
+    Seq(("lang", (t: (String, String, String)) => t._2),
+        ("source", (t: (String, String, String)) => t._3)).foreach { case (dim, f) =>
+      val nV = raw.groupBy(f).view.mapValues(_.length.toLong).toMap
+      raw.groupBy(_._1).foreach { case (split, rs) =>
+        val nS = rs.length.toLong
+        val nums = nV.map { case (v, nv) =>
+          val nsv = rs.count(f(_) == v).toLong
+          v -> (BigInt(nsv) * n - BigInt(nv) * nS).abs
+        }
+        val tvd = (BigDecimal(nums.values.sum) /
+          (BigDecimal(2) * nS * n)).toDouble
+        val (worstV, worstNum) = nums.toSeq.sortBy(t => (-t._2, t._1)).head
+        val (gotN, gotTvd, gotWv, gotWg) = rows((split, dim))
+        assert(gotN === nS, s"$split/$dim size")
+        assert(math.abs(gotTvd - tvd) < 1e-5, s"$split/$dim tvd")
+        assert(gotWv === worstV, s"$split/$dim worst value")
+        assert(math.abs(gotWg - (BigDecimal(worstNum) / (BigDecimal(nS) * n)).toDouble) < 1e-5)
+        assert(gotTvd >= 0 && gotTvd <= 1.0)
+      }
+    }
+  }
+
   test("ann_pq_distortion: matches a driver-side recomputation from the trained codebooks") {
     val emb = Tables.embeddings(spark, dir)
     val codebooks = Pq.trainCodebooks(emb)
