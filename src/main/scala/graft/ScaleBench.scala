@@ -165,8 +165,13 @@ object ScaleBench {
     // exactly under the affine expansion (intra-replica dup topology
     // preserved, no cross-replica pairs); auc's rank aggregate is
     // bounded by distinct score rationals; heaps' first-occurrence
-    // aggregate is vocab-sized; nb_margin shares the NB model shape
-    "dedup_threshold_sweep", "text_auc", "text_heaps", "text_nb_margin")
+    // aggregate is vocab-sized; nb_margin shares the NB model shape;
+    // the calibration shares the sweep's pair truth; the novelty
+    // sketch, PQ distortion, and split report are one-pass +
+    // bounded-aggregate shapes
+    "dedup_threshold_sweep", "text_auc", "text_heaps", "text_nb_margin",
+    "dedup_lsh_calibration", "q_stream_novelty", "ann_pq_distortion",
+    "q_split_report")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves
