@@ -524,14 +524,21 @@ object Curation {
     val nS = cnt.filter(col("dim") === "lang")
       .groupBy(col("split")).agg(sum(col("n_sv")).as("n_s"))
     val nTot = nS.agg(sum(col("n_s")).as("n"))
+    // null-safe value equality: a NULL lang/source is a real category
+    // (its corpus share must compare against its split share, not
+    // against a fabricated zero)
     val grid = values.crossJoin(splits)
-      .join(cnt, Seq("split", "dim", "value"), "left")
+      .join(cnt.withColumnRenamed("split", "c_split")
+          .withColumnRenamed("dim", "c_dim").withColumnRenamed("value", "c_value"),
+        col("split") === col("c_split") && col("dim") === col("c_dim") &&
+          col("value") <=> col("c_value"), "left")
+      .drop("c_split", "c_dim", "c_value")
       .withColumn("n_sv", coalesce(col("n_sv"), lit(0L)))
       .join(broadcast(nS), "split")
       .crossJoin(broadcast(nTot))
       .withColumn("num", abs(col("n_sv") * col("n") - col("n_v") * col("n_s")))
     val w = Window.partitionBy(col("split"), col("dim"))
-      .orderBy(col("num").desc, col("value"))
+      .orderBy(col("num").desc, col("value").asc_nulls_first)
     grid
       .withColumn("rk", row_number().over(w))
       .groupBy(col("split"), col("dim"))
@@ -1008,13 +1015,14 @@ object Curation {
          |  SELECT sp.split AS split, v.dim AS dim, v.value AS value,
          |         COALESCE(c.n_sv, 0) AS n_sv, v.n_v AS n_v, ns.n_s AS n_s, nt.n AS n
          |  FROM vals v CROSS JOIN sp
-         |  LEFT JOIN cnt c ON c.split = sp.split AND c.dim = v.dim AND c.value = v.value
+         |  LEFT JOIN cnt c ON c.split = sp.split AND c.dim = v.dim
+         |    AND c.value IS NOT DISTINCT FROM v.value
          |  JOIN ns ON ns.split = sp.split
          |  CROSS JOIN nt),
          |num AS (SELECT split, dim, value, n_s, n,
          |               abs(n_sv * n - n_v * n_s) AS num FROM grid),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY split, dim
-         |                 ORDER BY num DESC, value) AS rk FROM num)
+         |                 ORDER BY num DESC, value ASC NULLS FIRST) AS rk FROM num)
          |SELECT split, dim,
          |       CAST(min(n_s) AS BIGINT) AS n_docs,
          |       round(CAST(sum(num) AS DOUBLE) / (2.0 * min(n_s) * min(n)), 6) AS tvd,

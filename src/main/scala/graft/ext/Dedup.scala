@@ -345,10 +345,23 @@ object Dedup {
     thresholdSweepDf(Tables.documents(spark, dir))
 
   def thresholdSweepDf(docs: DataFrame): DataFrame = {
+    import graft.functions.SketchFns
+    // UNROUNDED jaccard throughout: grid comparison on the 4-dp rounded
+    // value would count a pair with true j = 0.79996 at the 0.8 row
+    // (verifyPairs rounds only for OUTPUT; its threshold filter is
+    // unrounded) — the sweep must apply the same unrounded rule at
+    // every grid point or its 0.8 row could exceed dedup_minhash's
+    val shA = shingleTable(docs).select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val shB = shingleTable(docs).select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     // both the pair count and the affected-doc count consume this —
     // without materialization each aggregate replays the whole prefix
     // pipeline (df join, per-doc sort, candidate join, verification)
-    val pairs = dedupPrefixDocs(docs, SweepGrid.head).localCheckpoint()
+    val pairs = prefixCandidates(docs, SweepGrid.head)
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard", SketchFns.jaccardSorted(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= SweepGrid.head)
+      .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint()
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val grid = docs.sparkSession.range(1)
       .select(explode(lit(SweepGrid)).as("threshold"))
@@ -386,11 +399,13 @@ object Dedup {
     * [[graft.ext.Similarity.annRecallReport]] discipline pointed at the
     * MinHash index.
     *
-    * Scale shape: corpus-sized work is the one prefix-filtered truth pass
-    * plus the one-pass compiled signatures; everything else (signature
-    * joins, band tests, binning) runs on the PAIR table. Bin ids go
-    * through DECIMAL so the floor is exact; catch/agreement stay integer
-    * sums until the final divisions.
+    * Scale shape: corpus-sized work is the one prefix-filtered truth
+    * pass; the compiled 128-hash signatures are computed for PAIR
+    * ENDPOINT docs only (a semi-join against the truth — the oracle's
+    * pd discipline), and everything else (signature joins, band tests,
+    * binning) runs on the PAIR table. Bin ids go through DECIMAL so the
+    * floor is exact; catch/agreement stay integer sums until the final
+    * divisions.
     */
   def dedupLshCalibration(spark: SparkSession, dir: String): DataFrame =
     lshCalibrationDf(Tables.documents(spark, dir))
@@ -398,8 +413,15 @@ object Dedup {
   def lshCalibrationDf(docs: DataFrame): DataFrame = {
     val d64 = org.apache.spark.sql.types.DataTypes.createDecimalType(6, 4)
     val r = NumHashes / Bands
-    val truth = dedupPrefixDocs(docs, 0.5)
-    val sigs = minhashSignatures(docs)
+    // consumed by both signature joins and the endpoint semi-join
+    val truth = dedupPrefixDocs(docs, 0.5).localCheckpoint()
+    // sign PAIR-ENDPOINT docs only (the oracle's pd discipline): the
+    // 128-family sketch pass must never pay for documents no truth pair
+    // touches
+    val ids = truth.select(col("doc_a").as("doc_id"))
+      .unionByName(truth.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sigs = minhashSignatures(docs.join(ids, Seq("doc_id"), "left_semi"))
     val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     truth.join(a, "doc_a").join(b, "doc_b")
@@ -1272,7 +1294,8 @@ object Dedup {
        |  GROUP BY 1, 2),
        |pairs AS (
        |  SELECT doc_a, doc_b,
-       |         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+       |         round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard,
+       |         CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jraw
        |  FROM inter
        |  JOIN sizes sa ON sa.doc_id = doc_a
        |  JOIN sizes sb ON sb.doc_id = doc_b
@@ -1360,7 +1383,7 @@ object Dedup {
          |nd AS (SELECT count(*) AS n_docs FROM documents),
          |grid AS (SELECT CAST(unnest($grid) AS DOUBLE) AS threshold),
          |e AS (SELECT g.threshold AS threshold, unnest([p.doc_a, p.doc_b]) AS d
-         |      FROM pairs p JOIN grid g ON p.jaccard >= g.threshold),
+         |      FROM pairs p JOIN grid g ON p.jraw >= g.threshold),
          |agg AS (SELECT threshold,
          |               CAST(count(*) // 2 AS BIGINT) AS n_pairs,
          |               CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected

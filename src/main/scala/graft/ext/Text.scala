@@ -150,6 +150,13 @@ object Text {
         expr("(doc_id - lo) * 10 div (hi - lo + 1)").cast("int"))
   }
 
+  /** The ONE SQL mirror of [[docBuckets]]'s rule (expects `lo`/`hi` in
+    * scope) — shared by the text_heaps and q_stream_novelty oracles so
+    * the two curves' checkpoints cannot drift in DuckDB either.
+    */
+  private[graft] def bucketSql(idCol: String): String =
+    s"CAST(($idCol - lo) * 10 // (hi - lo + 1) AS INT)"
+
   def heapsCurveDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docBuckets(docs)
@@ -749,13 +756,22 @@ object Text {
         (col("t1.score") - col("s2")).cast("double").as("margin"),
         when(col("t1.label") === col("label_declared"), 1L).otherwise(0L).as("ok"))
     val total = m.agg(count(lit(1)).as("n_total"))
-    m.select(explode(lit(NbMarginGrid)).as("min_margin"), col("margin"), col("ok"))
+    // a threshold nothing clears is still an operating point: the grid
+    // left-join keeps it as (tau, 0, 0, 0.0, NULL) so the curve always
+    // has |grid| rows (the dedup_threshold_sweep discipline)
+    val grid = m.sparkSession.range(1)
+      .select(explode(lit(NbMarginGrid)).as("min_margin"))
+    val agg = m.select(explode(lit(NbMarginGrid)).as("min_margin"), col("margin"), col("ok"))
       .filter(col("margin") >= col("min_margin"))
       .groupBy(col("min_margin"))
       .agg(count(lit(1)).as("n_kept"), sum(col("ok")).as("n_correct"))
+    grid.join(agg, Seq("min_margin"), "left")
       .crossJoin(broadcast(total))
-      .select(col("min_margin"), col("n_kept"), col("n_correct"),
-        round(col("n_kept").cast("double") / col("n_total"), 6).as("coverage"),
+      .select(col("min_margin"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_total"), 6)
+          .as("coverage"),
         round(col("n_correct").cast("double") / col("n_kept"), 6).as("acc"))
       .orderBy("min_margin")
   }
@@ -1668,16 +1684,21 @@ object Text {
          |       JOIN rk r2 ON r1.doc_id = r2.doc_id AND r1.rank = 1 AND r2.rank = 2
          |       JOIN documents d ON d.doc_id = r1.doc_id),
          |tot AS (SELECT count(*) AS n_total FROM mg),
-         |grid AS (SELECT CAST(unnest($grid) AS DOUBLE) AS min_margin)
-         |SELECT min_margin,
-         |       CAST(count(*) AS BIGINT) AS n_kept,
-         |       CAST(sum(ok) AS BIGINT) AS n_correct,
-         |       round(CAST(count(*) AS DOUBLE) / n_total, 6) AS coverage,
-         |       round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS acc
-         |FROM grid JOIN mg ON mg.margin >= grid.min_margin
+         |grid AS (SELECT CAST(unnest($grid) AS DOUBLE) AS min_margin),
+         |agg AS (
+         |  SELECT min_margin,
+         |         CAST(count(*) AS BIGINT) AS n_kept,
+         |         CAST(sum(ok) AS BIGINT) AS n_correct
+         |  FROM grid JOIN mg ON mg.margin >= grid.min_margin
+         |  GROUP BY min_margin)
+         |SELECT g.min_margin AS min_margin,
+         |       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(COALESCE(n_correct, 0) AS BIGINT) AS n_correct,
+         |       round(CAST(COALESCE(n_kept, 0) AS DOUBLE) / n_total, 6) AS coverage,
+         |       round(CAST(n_correct AS DOUBLE) / n_kept, 6) AS acc
+         |FROM grid g LEFT JOIN agg ON agg.min_margin = g.min_margin
          |CROSS JOIN tot
-         |GROUP BY min_margin, n_total
-         |ORDER BY min_margin""".stripMargin
+         |ORDER BY g.min_margin""".stripMargin
     },
     // one-vs-rest rank-sum AUC over the SAME per-profile quotient scores
     // as the text_langid oracle; the rank-sum runs in doubled integer
@@ -1715,9 +1736,9 @@ object Text {
     // the per-doc-distinct word-3-shingles of the dedup unit); cumulative
     // sums over the 10-row curve
     "text_heaps" ->
-      """WITH mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
-        |d AS (SELECT CAST((doc_id - lo) * 10 // (hi - lo + 1) AS INT) AS bucket,
-        |             string_split_regex(trim(lower(text)), '\s+') AS w
+      s"""WITH mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |d AS (SELECT ${bucketSql("doc_id")} AS bucket,
+        |             string_split_regex(trim(lower(text)), '\\s+') AS w
         |      FROM documents CROSS JOIN mm),
         |nd AS (SELECT bucket, count(*) AS n_docs FROM d GROUP BY bucket),
         |tk AS (SELECT bucket, unnest(w) AS u FROM d),

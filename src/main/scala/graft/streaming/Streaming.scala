@@ -1190,13 +1190,18 @@ object Streaming {
   }
 
   /** Ingest-time novelty monitor: each arriving document file folds into
-    * ONE persisted 4096-byte register file (read-merge-overwrite, the
-    * near-dup index discipline) and appends a batch-keyed row
+    * a BATCH-KEYED 4096-byte register file (regs_<batchId>.bin, previous
+    * id pruned to keep exactly two on disk) and appends a batch-keyed row
     * (batch_id, n_shingles, est_cum_types, est_new_types) — "how much of
     * this delivery have we effectively seen before", at any corpus size,
-    * with state that never grows. Registers are deterministic merges, so
-    * the emitted rows equal the batch prefix estimates over the same
-    * arrival slices regardless of batch boundaries.
+    * with state that never grows. Batch-keyed (not one mutable file)
+    * because foreachBatch is at-least-once: a replayed batch must
+    * re-read its PREDECESSOR's registers, not a state that already
+    * contains itself, or its novelty delta collapses to ~0 — keyed
+    * files make the replay rewrite identical contents. Registers are
+    * deterministic merges, so the emitted rows equal the batch prefix
+    * estimates over the same arrival slices regardless of batch
+    * boundaries.
     */
   def runNoveltyStream(
       spark: SparkSession, inputGlob: String, regsPath: String,
@@ -1206,20 +1211,37 @@ object Streaming {
       .option("checkpointLocation", s"$regsPath/_stream_checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          import java.nio.file.{Files, Paths}
           val b = shingleSketch(batch.toDF().withColumn("g", lit(1)), "g")
             .select(col("sk"), col("n_shingles"))
             .first()
           val (bsk, bn) = (b.getAs[Array[Byte]](0), b.getLong(1))
-          val regsFile = java.nio.file.Paths.get(regsPath, "regs.bin")
-          val prev = if (java.nio.file.Files.exists(regsFile))
-            Some(java.nio.file.Files.readAllBytes(regsFile)) else None
+          // BATCH-KEYED register files make the novelty delta
+          // replay-idempotent: foreachBatch is at-least-once, and with
+          // one mutable file a replayed batch would merge into a state
+          // that already contains itself and record delta ~0 forever.
+          // Keyed files mean a replay of batch N re-reads batch N-1's
+          // registers (still present) and overwrites regs_N and its
+          // output row with IDENTICAL contents. Streaming replays only
+          // the last uncommitted batch, so files older than N-1 are
+          // pruned — the persisted state stays two register files.
+          val dir = Paths.get(regsPath)
+          // plain String listing — no stream handle to leak per batch
+          def regIds(): Seq[Long] = dir.toFile.list().toSeq
+            .filter(f => f.startsWith("regs_") && f.endsWith(".bin"))
+            .map(_.stripPrefix("regs_").stripSuffix(".bin").toLong)
+          val prevId = regIds().filter(_ < batchId).sorted.lastOption
+          val prev = prevId
+            .map(i => Files.readAllBytes(dir.resolve(s"regs_$i.bin")))
           val prevEst = prev.map(graft.functions.HllSketch.estimate).getOrElse(0L)
           // elementwise-max merge mutates its first argument
           val merged = prev.map { p =>
             graft.functions.HllSketch.merge(p, bsk); p
           }.getOrElse(bsk)
           val est = graft.functions.HllSketch.estimate(merged)
-          java.nio.file.Files.write(regsFile, merged)
+          Files.write(dir.resolve(s"regs_$batchId.bin"), merged)
+          prevId.foreach(pi => regIds().filter(_ < pi)
+            .foreach(i => Files.delete(dir.resolve(s"regs_$i.bin"))))
           import spark.implicits._
           Seq((batchId, bn, est, est - prevEst))
             .toDF("batch_id", "n_shingles", "est_cum_types", "est_new_types")
@@ -1345,7 +1367,7 @@ object Streaming {
       val m = BigInt(1) << 64
       s"""WITH RECURSIVE ${graft.ext.Dedup.shingleHashCtes("doc_id")},
          |mmn AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
-         |db AS (SELECT doc_id, CAST((doc_id - lo) * 10 // (hi - lo + 1) AS INT) AS bucket
+         |db AS (SELECT doc_id, ${graft.ext.Text.bucketSql("doc_id")} AS bucket
          |       FROM documents CROSS JOIN mmn),
          |dh AS (SELECT db.bucket AS bucket,
          |              CAST(CASE WHEN av.h >= CAST('${BigInt(1) << 63}' AS HUGEINT)

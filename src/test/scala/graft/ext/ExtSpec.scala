@@ -1508,17 +1508,19 @@ class ExtSpec extends SparkSuite {
   test("text_nb_margin: tau=0 row is the classifier's full-coverage accuracy, curve consistent") {
     val docs = Tables.documents(spark, dir)
     val rows = Text.qTextNbMargin(spark, dir).collect()
-      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
-    assert(rows.nonEmpty)
-    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    // every grid threshold is present, including zero-kept tails
+    assert(rows.map(_._1).toSeq === Text.NbMarginGrid.toSeq)
     // coverage and kept counts shrink monotonically with the threshold
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b._2 <= a._2); assert(b._4 <= a._4)
     }
     rows.foreach { case (_, kept, correct, cov, acc) =>
       assert(correct <= kept)
-      assert(math.abs(acc - correct.toDouble / kept) < 1e-6)
-      assert(cov > 0 && cov <= 1.0)
+      if (kept > 0) assert(math.abs(acc.get - correct.toDouble / kept) < 1e-6)
+      else assert(acc.isEmpty && cov == 0.0)
+      assert(cov >= 0 && cov <= 1.0)
     }
     // the tau=0 row keeps every scored doc and reproduces the argmax
     // accuracy of nbClassify
