@@ -511,13 +511,19 @@ object Curation {
 
   def splitReportDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tagged = docs.select(splitAssign(col("doc_id")).as("split"),
-      col("lang"), col("source"))
-    val long = tagged.select(col("split"), lit("lang").as("dim"), col("lang").as("value"))
-      .unionByName(tagged.select(col("split"), lit("source").as("dim"),
-        col("source").as("value")))
-    val cnt = long.groupBy(col("split"), col("dim"), col("value"))
+    // ONE corpus scan: both dimensions fan out from a 2-element struct
+    // array per row (not a self-union, which scans the corpus per leg),
+    // and the bounded (split, dim, value) aggregate is materialized once
+    // for its four downstream consumers
+    val cnt = docs
+      .select(splitAssign(col("doc_id")).as("split"),
+        explode(array(
+          struct(lit("lang").as("dim"), col("lang").as("value")),
+          struct(lit("source").as("dim"), col("source").as("value")))).as("dv"))
+      .select(col("split"), col("dv.dim").as("dim"), col("dv.value").as("value"))
+      .groupBy(col("split"), col("dim"), col("value"))
       .agg(count(lit(1)).as("n_sv"))
+      .localCheckpoint()
     // bounded frames from here on: values per dim × splits
     val values = cnt.groupBy(col("dim"), col("value")).agg(sum(col("n_sv")).as("n_v"))
     val splits = cnt.select(col("split")).distinct()

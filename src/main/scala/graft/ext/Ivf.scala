@@ -220,14 +220,21 @@ object Ivf {
           / (col("nrm") * col("qnrm")), 4).as("cosine"))
     val w = Window.partitionBy(col("nprobe"), col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
+    // grid×queries×k rows, consumed by BOTH the hit join and the best
+    // aggregate — materialize once or each consumer replays the whole
+    // candidate join (measured: 16 corpus scans without the
+    // checkpoints; PlanSpec pins ≤4)
     val topk = cand
       .select(explode(lit(ProbeGrid)).as("nprobe"), col("query_id"),
         col("vec_id"), col("probe_rank"), col("cosine"))
       .filter(col("probe_rank") <= col("nprobe"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+      .localCheckpoint()
+    // query-block-sized ground truth, consumed twice
     val exact = Similarity.annTopkBatch(spark, dir, nQueries = 5, k = k)
       .select(col("query_id"), col("vec_id"), col("cosine"))
+      .localCheckpoint()
     val exactAgg = exact.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"), max(col("cosine").cast(d84)).as("exact_best"))
     val hits = topk.join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))

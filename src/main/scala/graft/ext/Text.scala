@@ -161,8 +161,15 @@ object Text {
     import org.apache.spark.sql.expressions.Window
     val base = docBuckets(docs)
     def curve(unit: DataFrame, occName: String, newName: String): DataFrame = {
-      val occ = unit.groupBy(col("bucket")).agg(count(lit(1)).as(occName))
-      val firsts = unit.groupBy(col("u")).agg(min(col("bucket")).as("bucket"))
+      // ONE explode per unit: the (bucket, type) occurrence table is
+      // vocab×10-bounded, so it is materialized once and both branches
+      // (per-bucket occurrences; first-occurrence counts) read it —
+      // without the checkpoint each branch replays the corpus explode
+      // (measured: 4 Generate nodes / 4 corpus scans; PlanSpec pins 2)
+      val bu = unit.groupBy(col("bucket"), col("u")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val occ = bu.groupBy(col("bucket")).agg(sum(col("n")).as(occName))
+      val firsts = bu.groupBy(col("u")).agg(min(col("bucket")).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(newName))
       occ.join(firsts, Seq("bucket"), "left")
         .withColumn(newName, coalesce(col(newName), lit(0L)))

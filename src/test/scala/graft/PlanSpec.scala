@@ -594,4 +594,59 @@ class PlanSpec extends SparkSuite {
     val segEx = p.linesIterator.filter(_.contains("hashpartitioning(seg_hash")).size
     assert(segEx >= 1, "df aggregation must shuffle on seg_hash:\n" + p)
   }
+
+  test("text_auc: one pruned scan, rank aggregate keyed on (profile, score)") {
+    val p = planOf(graft.ext.Text.textAuc(spark, dir))
+    // the corpus contributes exactly one scan reading only text + lang
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.size === 1, s"one corpus scan expected:\n$p")
+    assert(reads.head.contains("text") && reads.head.contains("lang"))
+    assert(!reads.head.contains("source") && !reads.head.contains("n_chars"),
+      s"unused columns not pruned: ${reads.head}")
+    // the single score explode is absorbed by a two-phase aggregate on
+    // (lang_profile, score) before the rank window
+    assert(nodeCount(p, "Generate") === 1, p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_heaps: corpus fan-out materialized once; final plan joins bounded frames") {
+    // each unit's (bucket, type) table is localCheckpoint'd, so the two
+    // corpus explodes run exactly once at materialization time (without
+    // it: 4 Generate nodes / 4 corpus scans measured). The FINAL plan
+    // may therefore contain no Generate at all and only the n_docs
+    // branch's corpus scan (+ its min/max broadcast).
+    val p = planOf(graft.ext.Text.textHeaps(spark, dir))
+    assert(nodeCount(p, "Generate") === 0,
+      s"corpus fan-out must be materialized, not replayed:\n$p")
+    // count the detail entries only — formatted plans list every node
+    // twice (tree + "(N) Scan parquet" detail)
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans <= 2, s"only the n_docs branch may scan the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann_probe_curve: candidate/exact frames materialized; final plan never rescans") {
+    // topk (grid×queries×k rows) and the exact block are
+    // localCheckpoint'd — each is consumed twice, and without the
+    // materialization every consumer replayed the whole candidate join
+    // (measured: 16 corpus scans). The final plan runs entirely on the
+    // bounded frames.
+    val p = planOf(graft.ext.Ivf.annProbeCurve(spark, dir))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 0, s"final plan must not rescan the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_split_report: ONE corpus scan feeds both dimensions; text pruned everywhere") {
+    val p = planOf(graft.ext.Curation.qSplitReport(spark, dir))
+    // both dimensions fan out from one scan via the struct-array explode
+    // (the checkpoint hides the upstream; assert on the checkpointed
+    // plan's scan count)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 1, s"one corpus scan expected, got $scans:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.forall(!_.contains("text")), "text must be pruned everywhere")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
