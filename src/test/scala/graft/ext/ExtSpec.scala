@@ -1664,6 +1664,30 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("q_split_report: a NULL category is a real value, not a fabricated zero") {
+    import spark.implicits._
+    // doc_ids chosen so the md5 split puts them in >1 split; lang NULL
+    // for half the corpus — the TVD must compare NULL's split share
+    // against NULL's corpus share (null-safe join), not coalesce it to 0
+    val docs = (1L to 64L).map(i =>
+      (i, if (i % 2 == 0) null else "en", s"src${i % 3}"))
+      .toDF("doc_id", "lang", "source")
+    val rows = Curation.splitReportDf(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    // with only {en, NULL} at a 50/50 corpus share, TVD per split is
+    // |n_s_en/n_s - 1/2| (the NULL term mirrors it); a null-unsafe join
+    // would instead add NULL's full corpus mass and overshoot
+    val raw = docs.select(Curation.splitAssign(col("doc_id")).as("split"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    raw.groupBy(_._1).foreach { case (split, rs) =>
+      val nS = rs.length.toDouble
+      val pEn = rs.count(_._2 == "en") / nS
+      val expected = math.abs(pEn - 0.5)
+      assert(math.abs(rows((split, "lang")) - expected) < 1e-6,
+        s"$split lang TVD must treat NULL as a category")
+    }
+  }
+
   test("ann_pq_distortion: matches a driver-side recomputation from the trained codebooks") {
     val emb = Tables.embeddings(spark, dir)
     val codebooks = Pq.trainCodebooks(emb)

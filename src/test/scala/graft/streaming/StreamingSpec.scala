@@ -624,6 +624,25 @@ class StreamingSpec extends SparkSuite {
     val whole = Streaming.shingleSketch(docs.withColumn("g", lit(1)), "g")
       .select(col("sk")).first().getAs[Array[Byte]](0)
     assert(streamed.last._3 === HllSketch.estimate(whole))
+    // REPLAY idempotency (foreachBatch is at-least-once): wipe the
+    // checkpoint but keep the register files and outputs, re-run the
+    // whole stream — every batch replays against surviving state and
+    // must rewrite IDENTICAL rows (batch-keyed registers mean a replayed
+    // batch reads its predecessor's sketch, never one containing itself)
+    val ckpt = java.nio.file.Paths.get(regsPath, "_stream_checkpoint")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        p.toFile.listFiles().foreach(f => rmTree(f.toPath))
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(ckpt)
+    Streaming.runNoveltyStream(spark, s"$inDir/*.parquet", regsPath, outDir)
+    val replayed = spark.read.parquet(outDir)
+      .select("batch_id", "n_shingles", "est_cum_types", "est_new_types")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(replayed.toSeq === streamed.toSeq,
+      "a full replay over surviving register state must be a no-op")
   }
 
   test("streaming near-dup ingestion: union over micro-batches equals batch dedup_minhash") {
