@@ -509,13 +509,15 @@ object Curation {
   def qSplitReport(spark: SparkSession, dir: String): DataFrame =
     splitReportDf(Tables.documents(spark, dir))
 
-  def splitReportDf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE corpus scan: both dimensions fan out from a 2-element struct
-    // array per row (not a self-union, which scans the corpus per leg),
-    // and the bounded (split, dim, value) aggregate is materialized once
-    // for its four downstream consumers
-    val cnt = docs
+  /** The corpus-sized head of [[splitReportDf]]: ONE scan fans both
+    * dimensions out through a 2-element struct array per row (not a
+    * self-union, which would scan the corpus per leg) into the bounded
+    * (split, dim, value) count table. Factored un-checkpointed so
+    * PlanSpec can pin the single-scan, text-pruned shape that the
+    * report's materialization then hides from the final plan.
+    */
+  private[graft] def splitDimCounts(docs: DataFrame): DataFrame =
+    docs
       .select(splitAssign(col("doc_id")).as("split"),
         explode(array(
           struct(lit("lang").as("dim"), col("lang").as("value")),
@@ -523,7 +525,12 @@ object Curation {
       .select(col("split"), col("dv.dim").as("dim"), col("dv.value").as("value"))
       .groupBy(col("split"), col("dim"), col("value"))
       .agg(count(lit(1)).as("n_sv"))
-      .localCheckpoint()
+
+  def splitReportDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the bounded (split, dim, value) aggregate is materialized once for
+    // its four downstream consumers
+    val cnt = splitDimCounts(docs).localCheckpoint()
     // bounded frames from here on: values per dim × splits
     val values = cnt.groupBy(col("dim"), col("value")).agg(sum(col("n_sv")).as("n_v"))
     val splits = cnt.select(col("split")).distinct()

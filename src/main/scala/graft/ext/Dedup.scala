@@ -298,9 +298,11 @@ object Dedup {
     * pairs are verified against was already the hash-set jaccard.
     */
   private[graft] def prefixCandidates(docs: DataFrame, threshold: Double): DataFrame = {
-    import graft.functions.SketchFns
-    val sh = docs.select(col("doc_id"),
-      explode(SketchFns.shingleHashSet(col("text"), 3)).as("s"))
+    // explode of the CANONICAL shingleTable — the recall-1 exactness
+    // guarantee depends on indexing exactly the hash sets verifyPairs
+    // walks, so the two sites must share one definition
+    val sh = shingleTable(docs)
+      .select(col("doc_id"), explode(col("hs")).as("s"))
     val dfTab = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfTab, "s")
       .groupBy(col("doc_id"))

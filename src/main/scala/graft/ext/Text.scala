@@ -161,15 +161,19 @@ object Text {
     import org.apache.spark.sql.expressions.Window
     val base = docBuckets(docs)
     def curve(unit: DataFrame, occName: String, newName: String): DataFrame = {
-      // ONE explode per unit: the (bucket, type) occurrence table is
-      // vocab×10-bounded, so it is materialized once and both branches
-      // (per-bucket occurrences; first-occurrence counts) read it —
-      // without the checkpoint each branch replays the corpus explode
-      // (measured: 4 Generate nodes / 4 corpus scans; PlanSpec pins 2)
-      val bu = unit.groupBy(col("bucket"), col("u")).agg(count(lit(1)).as("n"))
-        .localCheckpoint()
-      val occ = bu.groupBy(col("bucket")).agg(sum(col("n")).as(occName))
-      val firsts = bu.groupBy(col("u")).agg(min(col("bucket")).as("bucket"))
+      // TWO streaming passes per unit, DELIBERATELY not materialized:
+      // the occurrence count groups by bucket (10 rows) and the
+      // first-occurrence count groups by type — different keys, so one
+      // shared intermediate would have to be the (bucket, type) table,
+      // which for SHINGLES is corpus-sized (distinct shingles grow
+      // near-linearly — that growth is the very signal this query
+      // measures). Pinning corpus-scale state in the block manager to
+      // save a re-scan is the wrong trade at 100 TB; a second pruned
+      // scan + map-side-absorbed explode is a streaming pass. (A
+      // checkpointed variant measured ~25% faster at x100 on ONE box —
+      // and would not survive a cluster-sized corpus.)
+      val occ = unit.groupBy(col("bucket")).agg(count(lit(1)).as(occName))
+      val firsts = unit.groupBy(col("u")).agg(min(col("bucket")).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(newName))
       occ.join(firsts, Seq("bucket"), "left")
         .withColumn(newName, coalesce(col(newName), lit(0L)))

@@ -610,19 +610,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("text_heaps: corpus fan-out materialized once; final plan joins bounded frames") {
-    // each unit's (bucket, type) table is localCheckpoint'd, so the two
-    // corpus explodes run exactly once at materialization time (without
-    // it: 4 Generate nodes / 4 corpus scans measured). The FINAL plan
-    // may therefore contain no Generate at all and only the n_docs
-    // branch's corpus scan (+ its min/max broadcast).
+  test("text_heaps: four streaming passes by design, nothing corpus-sized materialized") {
+    // two aggregation keys per unit (bucket; type) × two units = four
+    // deliberate streaming passes — the shared intermediate would be the
+    // corpus-sized (bucket, shingle) table, which must NOT be pinned in
+    // executor storage at scale (see the curve() comment). Pin: exactly
+    // 4 explodes, no checkpoint RDD scan, every parquet read pruned to
+    // doc_id/text.
     val p = planOf(graft.ext.Text.textHeaps(spark, dir))
-    assert(nodeCount(p, "Generate") === 0,
-      s"corpus fan-out must be materialized, not replayed:\n$p")
-    // count the detail entries only — formatted plans list every node
-    // twice (tree + "(N) Scan parquet" detail)
-    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
-    assert(scans <= 2, s"only the n_docs branch may scan the corpus:\n$p")
+    assert(nodeCount(p, "Generate") === 4, s"four streaming passes expected:\n$p")
+    assert(!p.contains("ExistingRDD"),
+      s"no corpus-sized intermediate may be materialized:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.forall(r => !r.contains("lang") && !r.contains("source")),
+      s"unused columns not pruned:\n${reads.mkString("\n")}")
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -638,15 +639,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_split_report: ONE corpus scan feeds both dimensions; text pruned everywhere") {
-    val p = planOf(graft.ext.Curation.qSplitReport(spark, dir))
-    // both dimensions fan out from one scan via the struct-array explode
-    // (the checkpoint hides the upstream; assert on the checkpointed
-    // plan's scan count)
-    val scans = p.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans <= 1, s"one corpus scan expected, got $scans:\n$p")
-    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(reads.forall(!_.contains("text")), "text must be pruned everywhere")
-    assert(!p.contains("CartesianProduct"), p)
+  test("q_split_report: ONE corpus scan feeds both dimensions; text pruned") {
+    // pin the corpus-sized HEAD (splitDimCounts) directly — the report's
+    // checkpoint hides it from the final plan, which would make any
+    // assertion there vacuous
+    val head = planOf(graft.ext.Curation.splitDimCounts(Tables.documents(spark, dir)))
+    val scans = head.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans === 1, s"one corpus scan expected, got $scans:\n$head")
+    assert(nodeCount(head, "Generate") === 1,
+      s"one struct-array fan-out expected:\n$head")
+    val reads = head.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("text")),
+      s"text must be pruned:\n${reads.mkString("\n")}")
+    // and the assembled report never cartesians the bounded frames
+    assert(!planOf(graft.ext.Curation.qSplitReport(spark, dir))
+      .contains("CartesianProduct"))
   }
 }

@@ -588,6 +588,15 @@ class StreamingSpec extends SparkSuite {
       docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
         .coalesce(1).write.mode("append").parquet(inDir)
     }
+    // FileStreamSource orders arrivals by modification time (path on
+    // ties — random part-file UUIDs); pin STRICTLY increasing mtimes so
+    // both the original run and the fresh-checkpoint replay assign the
+    // same slice to the same batch_id
+    new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified((i + 1) * 60000L)
+      }
     val regsPath = java.nio.file.Files.createTempDirectory("nv_regs").toString
     val outDir = java.nio.file.Files.createTempDirectory("nv_out").toString + "/rows"
 
@@ -630,12 +639,7 @@ class StreamingSpec extends SparkSuite {
     // must rewrite IDENTICAL rows (batch-keyed registers mean a replayed
     // batch reads its predecessor's sketch, never one containing itself)
     val ckpt = java.nio.file.Paths.get(regsPath, "_stream_checkpoint")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        p.toFile.listFiles().foreach(f => rmTree(f.toPath))
-      java.nio.file.Files.delete(p)
-    }
-    rmTree(ckpt)
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(ckpt.toFile)
     Streaming.runNoveltyStream(spark, s"$inDir/*.parquet", regsPath, outDir)
     val replayed = spark.read.parquet(outDir)
       .select("batch_id", "n_shingles", "est_cum_types", "est_new_types")
