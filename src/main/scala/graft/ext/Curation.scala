@@ -297,6 +297,45 @@ object Curation {
   def qMixWeights(spark: SparkSession, dir: String): DataFrame =
     mixtureWeights(Tables.documents(spark, dir), 0.5)
 
+  /** Temperature grid for [[qMixSweep]] — quarter steps from aggressive
+    * flattening to the natural (proportional) mixture; α = 1 is the
+    * identity row (every weight 1), the sanity anchor of the sweep.
+    */
+  val MixAlphaGrid: Array[Double] = Array(0.25, 0.5, 0.75, 1.0)
+
+  /** Mixture-temperature sweep — the α knob's operating table, computed
+    * the way every knob sweep here is: ONE corpus pass (the same
+    * per-source aggregate as [[mixtureWeights]]), then the grid fans out
+    * over the DOMAIN-sized rows, never the corpus. Reading down a source's
+    * column shows how hard each temperature up-weights it; α = 1
+    * reproduces the natural shares (weight 1 everywhere), and the chosen
+    * 0.5 row equals q_mix_weights exactly (spec-pinned). Completes the
+    * knob-sweep family: jaccard threshold (dedup_threshold_sweep), LSH
+    * banding (dedup_lsh_calibration), IVF nProbe (ann_probe_curve), NB
+    * margin (text_nb_margin) — and the mixture temperature.
+    */
+  def qMixSweep(spark: SparkSession, dir: String): DataFrame =
+    mixtureSweepDf(Tables.documents(spark, dir))
+
+  def mixtureSweepDf(docs: DataFrame): DataFrame = {
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val perAlpha = Window.partitionBy(col("alpha"))
+    bySource
+      .select(explode(lit(MixAlphaGrid)).as("alpha"),
+        col("source"), col("n_docs"), col("sum_chars"))
+      .withColumn("share",
+        col("sum_chars").cast("double") /
+          sum(col("sum_chars")).over(perAlpha).cast("double"))
+      .withColumn("w_raw", pow(col("share"), col("alpha")))
+      .withColumn("target_share", col("w_raw") / sum(col("w_raw")).over(perAlpha))
+      .select(col("alpha"), col("source"), col("n_docs"),
+        round(col("share"), 6).as("share"),
+        round(col("target_share"), 6).as("target_share"),
+        round(col("target_share") / col("share"), 6).as("weight"))
+      .orderBy("alpha", "source")
+  }
+
   /** Epoch materialization of the mixture: every document appears
     * ⌊w⌋ times plus one more with probability frac(w), where w is its
     * domain's [[mixtureWeights]] weight — the deterministic repeat-
@@ -802,6 +841,7 @@ object Curation {
     "q_shuffle_shards" -> (qShuffleShards _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_mix_weights" -> (qMixWeights _),
+    "q_mix_sweep" -> (qMixSweep _),
     "q_mix_expand" -> (qMixExpand _),
     "q_mix_waterfill" -> (qMixWaterfill _),
     "q_corpus_fingerprint" -> (qCorpusFingerprint _),
@@ -993,6 +1033,29 @@ object Curation {
         |       round(w_raw / (SELECT sum(w_raw) FROM r), 6) AS target_share,
         |       round(w_raw / (SELECT sum(w_raw) FROM r) / share, 6) AS weight
         |FROM r ORDER BY source""".stripMargin,
+    // the same per-source aggregate crossed with the temperature grid;
+    // per-alpha normalization mirrors the partitioned window
+    "q_mix_sweep" -> {
+      val grid = MixAlphaGrid.map(a => BigDecimal(a.toString).bigDecimal.toPlainString)
+        .mkString("[", ", ", "]")
+      s"""WITH s AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY 1),
+         |g AS (SELECT CAST(unnest($grid) AS DOUBLE) AS alpha),
+         |t AS (
+         |  SELECT g.alpha AS alpha, s.source AS source, s.n_docs AS n_docs,
+         |         CAST(sum_chars AS DOUBLE) /
+         |         CAST((SELECT sum(sum_chars) FROM s) AS DOUBLE) AS share
+         |  FROM s CROSS JOIN g),
+         |r AS (SELECT *, pow(share, alpha) AS w_raw FROM t),
+         |n AS (SELECT alpha, sum(w_raw) AS tw FROM r GROUP BY 1)
+         |SELECT r.alpha AS alpha, source, n_docs,
+         |       round(share, 6) AS share,
+         |       round(w_raw / tw, 6) AS target_share,
+         |       round(w_raw / tw / share, 6) AS weight
+         |FROM r JOIN n ON n.alpha = r.alpha
+         |ORDER BY alpha, source""".stripMargin
+    },
     "q_snapshot_diff" ->
       """WITH prev AS (
         |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 0),

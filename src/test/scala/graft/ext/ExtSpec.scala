@@ -1664,6 +1664,34 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("q_mix_sweep: alpha=1 is the identity mixture, alpha=0.5 equals q_mix_weights") {
+    val docs = Tables.documents(spark, dir)
+    val sweep = Curation.mixtureSweepDf(docs).collect()
+      .map(r => ((r.getDouble(0), r.getString(1)),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val sources = sweep.keySet.map(_._2)
+    assert(sweep.keySet.map(_._1) === Curation.MixAlphaGrid.toSet)
+    // alpha = 1: natural mixture — target share == share, weight == 1
+    sources.foreach { s =>
+      val (share, tgt, w) = sweep((1.0, s))
+      assert(math.abs(tgt - share) < 2e-6, s"$s at alpha=1")
+      assert(math.abs(w - 1.0) < 1e-4, s"$s weight at alpha=1")
+    }
+    // the 0.5 row is exactly the registered q_mix_weights mixture
+    val base = Curation.mixtureWeights(docs, 0.5).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    sources.foreach(s => assert(sweep((0.5, s)) === base(s), s"$s at alpha=0.5"))
+    // flattening monotone in temperature: the scarcest source's
+    // up-weight never increases with alpha; the dominant source's never
+    // decreases
+    val byShare = sources.toSeq.sortBy(s => sweep((1.0, s))._1)
+    val (scarcest, dominant) = (byShare.head, byShare.last)
+    Curation.MixAlphaGrid.toSeq.sorted.sliding(2).foreach { case Seq(a1, a2) =>
+      assert(sweep((a2, scarcest))._3 <= sweep((a1, scarcest))._3 + 1e-9)
+      assert(sweep((a2, dominant))._3 >= sweep((a1, dominant))._3 - 1e-9)
+    }
+  }
+
   test("q_split_report: a NULL category is a real value, not a fabricated zero") {
     import spark.implicits._
     // doc_ids chosen so the md5 split puts them in >1 split; lang NULL
