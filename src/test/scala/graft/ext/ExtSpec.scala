@@ -1664,6 +1664,63 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("text_auc equals the pairwise P(pos>neg) + P(tie)/2 definition on a randomized corpus") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val rnd = new scala.util.Random(7)
+    val profiles = TextFns.langProfiles.toMap
+    val langs = TextFns.langProfiles.map(_._1)
+    val docs = (1 to 60).map { i =>
+      val lang = langs(rnd.nextInt(langs.size))
+      val words = (0 to rnd.nextInt(12)).map { _ =>
+        rnd.nextInt(10) match {
+          case r if r < 3 => profiles("en")(rnd.nextInt(12))
+          case r if r < 5 => profiles("de")(rnd.nextInt(12))
+          case _          => s"w${rnd.nextInt(30)}"
+        }
+      }
+      (i.toLong, lang, words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val scored = docs
+      .select(col("lang"), graft.functions.LangScores(col("text")).as("ls"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s => s.getString(0) -> s.getDouble(1)).toMap)
+    val got = Text.langAucDf(docs).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    langs.foreach { l =>
+      val pos = scored.filter(_._1 == l).map(_._2(l))
+      val neg = scored.filter(_._1 != l).map(_._2(l))
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val wins = (for { p <- pos; n <- neg }
+          yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        val auc = wins / (pos.size.toLong * neg.size)
+        assert(math.abs(got(l).get - auc) < 1e-6, s"profile $l")
+      } else assert(got(l).isEmpty, s"degenerate profile $l must be NULL")
+    }
+  }
+
+  test("threshold sweep pair counts equal per-threshold recall-1 runs at every grid point") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    // overlapping random docs: shared prefixes of a base word sequence
+    // plant pairs across the whole jaccard range
+    val base = (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val docs = (1 to 40).map { i =>
+      val keep = 8 + rnd.nextInt(22)
+      val novel = (0 until (30 - keep)).map(j => s"n${i}_$j")
+      (i.toLong, (base.take(keep) ++ novel).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sweep = Dedup.thresholdSweepDf(docs).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    Dedup.SweepGrid.foreach { t =>
+      val direct = Dedup.dedupPrefixDocs(docs, t).count()
+      assert(sweep(t) === direct,
+        s"sweep at $t must equal the direct recall-1 run")
+    }
+  }
+
   test("q_mix_sweep: alpha=1 is the identity mixture, alpha=0.5 equals q_mix_weights") {
     val docs = Tables.documents(spark, dir)
     val sweep = Curation.mixtureSweepDf(docs).collect()
