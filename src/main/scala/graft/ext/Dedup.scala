@@ -341,9 +341,11 @@ object Dedup {
     * BEFORE committing a near-dup threshold at corpus scale: exact
     * duplicate-pair counts, affected-document counts, and the affected
     * fraction at every grid threshold, from ONE exact pair computation at
-    * the grid floor ([[dedupPrefixDocs]] at 0.5 — recall 1 by the
-    * AllPairs theorem, so every grid row is EXACT truth, not an
-    * LSH-recall-shaped undercount). A steep n_pairs drop between two grid
+    * the grid floor ([[prefixCandidates]] at 0.5, verified by the same
+    * jaccardSorted merge walk as [[verifyPairs]] but compared UNROUNDED
+    * — recall 1 by the AllPairs theorem, so every grid row is EXACT
+    * truth, not an LSH-recall-shaped undercount). A steep n_pairs drop
+    * between two grid
     * points means the corpus has a near-dup band there; a flat tail means
     * the threshold choice barely matters above it.
     *
