@@ -855,6 +855,23 @@ object Curation {
     "q_stratified_sample" -> (qStratifiedSample _),
   )
 
+  /** The α=0.5 mixture-target CTE chain (`s`/`t`/`r`, plus `tgt(source,
+    * target_share)` at the registered 6-dp rounding) — ONE definition
+    * behind the q_mix_weights oracle and the streaming mix monitor's, so
+    * the target a monitor alarms against can never drift from the
+    * registered mixture design.
+    */
+  private[graft] val mixTargetCtes: String =
+    """s AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY 1),
+      |t AS (
+      |  SELECT *, CAST(sum_chars AS DOUBLE) /
+      |            CAST((SELECT sum(sum_chars) FROM s) AS DOUBLE) AS share FROM s),
+      |r AS (SELECT *, pow(share, 0.5) AS w_raw FROM t),
+      |tgt AS (SELECT source, round(w_raw / (SELECT sum(w_raw) FROM r), 6) AS target_share
+      |        FROM r)""".stripMargin
+
   private[ext] def splitSqlFor(c: String) =
     s"""CASE WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
        |     WHEN substr(md5(CAST($c AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
@@ -1021,18 +1038,12 @@ object Curation {
         |    / CAST(chars AS DOUBLE) AS epochs
         |FROM l ORDER BY lang""".stripMargin,
     "q_mix_weights" ->
-      """WITH s AS (
-        |  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |  FROM documents GROUP BY 1),
-        |t AS (
-        |  SELECT *, CAST(sum_chars AS DOUBLE) /
-        |            CAST((SELECT sum(sum_chars) FROM s) AS DOUBLE) AS share FROM s),
-        |r AS (SELECT *, pow(share, 0.5) AS w_raw FROM t)
-        |SELECT source, n_docs, sum_chars,
-        |       round(share, 6) AS share,
-        |       round(w_raw / (SELECT sum(w_raw) FROM r), 6) AS target_share,
-        |       round(w_raw / (SELECT sum(w_raw) FROM r) / share, 6) AS weight
-        |FROM r ORDER BY source""".stripMargin,
+      s"""WITH $mixTargetCtes
+         |SELECT source, n_docs, sum_chars,
+         |       round(share, 6) AS share,
+         |       round(w_raw / (SELECT sum(w_raw) FROM r), 6) AS target_share,
+         |       round(w_raw / (SELECT sum(w_raw) FROM r) / share, 6) AS weight
+         |FROM r ORDER BY source""".stripMargin,
     // the same per-source aggregate crossed with the temperature grid;
     // per-alpha normalization mirrors the partitioned window
     "q_mix_sweep" -> {

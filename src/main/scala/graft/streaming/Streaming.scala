@@ -1254,6 +1254,134 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Per-group per-source char sums — the ONE composition sketch both
+    * the batch mix monitor ([[qStreamMix]]) and its ingest runner
+    * ([[runMixStream]]) fold; bounded by groups×sources.
+    */
+  def sourceMixSketch(docs: DataFrame, groupCol: String): DataFrame =
+    docs.groupBy(col(groupCol), col("source"))
+      .agg(sum(col("n_chars")).as("chars"))
+
+  /** Corpus-composition monitor — the mixture sibling of
+    * [[qStreamNovelty]] in the ingest-monitor pair (novelty = content
+    * freshness; this = composition): per doc_id decile bucket (the
+    * shared [[graft.ext.Text.docBuckets]] rule), the total-variation
+    * distance between the CUMULATIVE arrived char mix and the registered
+    * α=0.5 target mixture (`q_mix_weights`' 6-dp target_share), plus the
+    * worst-deviating source. The alarm reading: tvd spiking above the
+    * whole-corpus baseline row (bucket 9) means a delivery is skewing
+    * composition; the baseline itself is the resampling gap the mixture
+    * weights exist to close.
+    *
+    * Exactness: cumulative char sums are integers and each share one
+    * IEEE division; per-source |share − target| quantizes to
+    * DECIMAL(18,12) BEFORE the source sum and the argmax (absorbing any
+    * pow() last-ulp difference inside the 6-dp-rounded target), so the
+    * curve is oracle-exact. Scale shape: corpus-sized work is the one
+    * (bucket, source) char aggregate; everything after runs on ≤10×
+    * sources rows.
+    */
+  def qStreamMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
+    val docs = graft.Tables.documents(spark, dir)
+    val target = graft.ext.Curation.mixtureWeights(docs, 0.5)
+      .select(col("source"), col("target_share"))
+    val byBucket = sourceMixSketch(graft.ext.Text.docBuckets(docs), "bucket")
+    // dense bucket×source grid so a source absent from early buckets
+    // still contributes its full target share to the distance
+    val grid = byBucket.select(col("bucket")).distinct()
+      .crossJoin(target)
+      .join(byBucket, Seq("bucket", "source"), "left")
+      .withColumn("chars", coalesce(col("chars"), lit(0L)))
+    val cumW = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perB = Window.partitionBy(col("bucket"))
+    val rk = Window.partitionBy(col("bucket"))
+      .orderBy(col("diff").desc, col("source"))
+    grid
+      .withColumn("cum", sum(col("chars")).over(cumW))
+      .withColumn("cum_all", sum(col("cum")).over(perB))
+      .withColumn("diff",
+        abs(col("cum").cast("double") / col("cum_all") - col("target_share")).cast(d12))
+      .withColumn("rk", row_number().over(rk))
+      .groupBy(col("bucket"))
+      .agg(
+        first(col("cum_all")).as("cum_chars"),
+        sum(col("diff")).as("tvd2"),
+        max(when(col("rk") === 1, col("source"))).as("worst_source"),
+        max(when(col("rk") === 1, col("diff"))).as("worst_diff"))
+      .select(col("bucket"), col("cum_chars"),
+        // halve in DOUBLE (exact exponent shift) — a decimal division
+        // could round at engine-chosen scales
+        round(col("tvd2").cast("double") / 2.0, 6).as("mix_tvd"),
+        col("worst_source"),
+        round(col("worst_diff").cast("double"), 6).as("worst_gap"))
+      .orderBy("bucket")
+  }
+
+  /** Ingest-time mixture monitor: each arriving file folds its per-source
+    * char counts into a BATCH-KEYED cumulative counts file (the
+    * [[runNoveltyStream]] replay discipline — a replayed batch re-reads
+    * its predecessor's counts and rewrites identical rows) and appends
+    * (batch_id, cum_chars, mix_tvd, worst_source, worst_gap) against the
+    * static target mixture trained on `staticDir`. Per-source counts are
+    * the entire state — bounded by the source vocabulary at any corpus
+    * size.
+    */
+  def runMixStream(
+      spark: SparkSession, inputGlob: String, staticDir: String,
+      statePath: String, outDir: String): Unit = {
+    val target: Map[String, Double] = graft.ext.Curation
+      .mixtureWeights(graft.Tables.documents(spark, staticDir), 0.5)
+      .select(col("source"), col("target_share"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val q = docsFileStream(spark, inputGlob).writeStream
+      .option("checkpointLocation", s"$statePath/_stream_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import java.nio.file.{Files, Paths}
+          val dir = Paths.get(statePath)
+          val bCounts = sourceMixSketch(batch.toDF().withColumn("g", lit(1)), "g")
+            .select(col("source"), col("chars"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          def stateIds(): Seq[Long] = dir.toFile.list().toSeq
+            .filter(f => f.startsWith("mix_") && f.endsWith(".tsv"))
+            .map(_.stripPrefix("mix_").stripSuffix(".tsv").toLong)
+          val prevId = stateIds().filter(_ < batchId).sorted.lastOption
+          val prev: Map[String, Long] = prevId.fold(Map.empty[String, Long]) { i =>
+            scala.io.Source.fromFile(dir.resolve(s"mix_$i.tsv").toFile).getLines()
+              .map(_.split("\t")).map(a => a(0) -> a(1).toLong).toMap
+          }
+          val merged = (prev.keySet ++ bCounts.keySet).map(s =>
+            s -> (prev.getOrElse(s, 0L) + bCounts.getOrElse(s, 0L))).toMap
+          Files.write(dir.resolve(s"mix_$batchId.tsv"),
+            merged.toSeq.sorted.map { case (s, c) => s"$s\t$c" }
+              .mkString("\n").getBytes("UTF-8"))
+          prevId.foreach(pi => stateIds().filter(_ < pi)
+            .foreach(i => Files.delete(dir.resolve(s"mix_$i.tsv"))))
+          val total = merged.values.sum
+          val diffs = (target.keySet ++ merged.keySet).toSeq.map { s =>
+            val share = merged.getOrElse(s, 0L).toDouble / total
+            // the d12 quantization the batch query applies
+            s -> BigDecimal(math.abs(share - target.getOrElse(s, 0.0)))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          }
+          val tvd = (diffs.map(_._2).sum / 2).toDouble
+          val (worstS, worstD) = diffs.sortBy { case (s, d) => (-d, s) }.head
+          import spark.implicits._
+          Seq((batchId, total, math.floor(tvd * 1e6 + 0.5) / 1e6, worstS,
+            math.floor(worstD.toDouble * 1e6 + 0.5) / 1e6))
+            .toDF("batch_id", "cum_chars", "mix_tvd", "worst_source", "worst_gap")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming NEAR-DUPLICATE detection — the ingest-time face of the
     * persistent MinHash index ([[graft.ext.Dedup.indexIncremental]]):
     * documents arrive as a file stream, each micro-batch sketches ONLY
@@ -1344,6 +1472,7 @@ object Streaming {
     "q_stream_distinct" -> (qStreamDistinct _),
     "q_stream_hist" -> (qStreamHist _),
     "q_stream_novelty" -> (qStreamNovelty _),
+    "q_stream_mix" -> (qStreamMix _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
@@ -1385,6 +1514,37 @@ object Streaming {
          |FROM occ o JOIN hest e ON e.scope = o.bucket
          |ORDER BY bucket""".stripMargin
     },
+    // the mix monitor: shared bucket rule + the ONE mixture-target chain
+    // (Curation.mixTargetCtes) the registered q_mix_weights oracle uses;
+    // per-source |share − target| quantizes to DECIMAL(18,12) before the
+    // sum/argmax, halving happens in double
+    "q_stream_mix" ->
+      s"""WITH mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |db AS (SELECT ${graft.ext.Text.bucketSql("doc_id")} AS bucket, source, n_chars
+         |       FROM documents CROSS JOIN mm),
+         |bb AS (SELECT bucket, source, CAST(sum(n_chars) AS BIGINT) AS chars
+         |       FROM db GROUP BY 1, 2),
+         |${graft.ext.Curation.mixTargetCtes},
+         |bk AS (SELECT DISTINCT bucket FROM bb),
+         |grid AS (
+         |  SELECT bk.bucket AS bucket, tgt.source AS source, tgt.target_share AS target_share,
+         |         COALESCE(bb.chars, 0) AS chars
+         |  FROM bk CROSS JOIN tgt
+         |  LEFT JOIN bb ON bb.bucket = bk.bucket AND bb.source = tgt.source),
+         |c AS (SELECT *, CAST(sum(chars) OVER (PARTITION BY source ORDER BY bucket
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM grid),
+         |c2 AS (SELECT *, CAST(sum(cum) OVER (PARTITION BY bucket) AS BIGINT) AS cum_all FROM c),
+         |d AS (SELECT bucket, source, cum_all,
+         |             CAST(abs(CAST(cum AS DOUBLE) / cum_all - target_share) AS DECIMAL(18,12)) AS diff
+         |      FROM c2),
+         |drk AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY diff DESC, source) AS rk
+         |        FROM d)
+         |SELECT bucket, CAST(min(cum_all) AS BIGINT) AS cum_chars,
+         |       round(CAST(sum(diff) AS DOUBLE) / 2.0, 6) AS mix_tvd,
+         |       max(CASE WHEN rk = 1 THEN source END) AS worst_source,
+         |       round(CAST(max(CASE WHEN rk = 1 THEN diff END) AS DOUBLE), 6) AS worst_gap
+         |FROM drk GROUP BY bucket ORDER BY bucket""".stripMargin,
     // register-level mirror of the deterministic HLL
     // (functions.HllSketch) per epoch-aligned hour window — the same
     // sketch the streaming path maintains as state, so hash-green here

@@ -649,6 +649,60 @@ class StreamingSpec extends SparkSuite {
       "a full replay over surviving register state must be a no-op")
   }
 
+  test("streaming mix monitor: per-batch rows equal batch prefix mixes; replay is a no-op") {
+    val docs = Tables.documents(spark, dir)
+    val slices = Seq(0L -> 125L, 125L -> 250L, 250L -> 375L, 375L -> 10000L)
+    val inDir = java.nio.file.Files.createTempDirectory("docs_mixstream").toString
+    slices.foreach { case (lo, hi) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+      .zipWithIndex.foreach { case (f, i) => f.setLastModified((i + 1) * 60000L) }
+    val statePath = java.nio.file.Files.createTempDirectory("mix_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mix_out").toString + "/rows"
+
+    Streaming.runMixStream(spark, s"$inDir/*.parquet", dir, statePath, outDir)
+
+    def readOut() = spark.read.parquet(outDir)
+      .select("batch_id", "cum_chars", "mix_tvd", "worst_source", "worst_gap")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val streamed = readOut()
+    assert(streamed.length === slices.length)
+    // batch recomputation of every arrival prefix against the same
+    // target — exact equality (integer counts, the same d12 quantization)
+    val target = graft.ext.Curation.mixtureWeights(docs, 0.5)
+      .select(col("source"), col("target_share"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    slices.indices.foreach { k =>
+      val hi = slices(k)._2
+      val pref = docs.filter(col("doc_id") < hi)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = pref.values.sum
+      val diffs = (target.keySet ++ pref.keySet).toSeq.map { s =>
+        s -> BigDecimal(math.abs(pref.getOrElse(s, 0L).toDouble / total -
+          target.getOrElse(s, 0.0)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val (ws, wd) = diffs.sortBy { case (s, d) => (-d, s) }.head
+      val row = streamed(k)
+      assert(row._2 === total, s"batch $k chars")
+      assert(row._3 === r6((diffs.map(_._2).sum / 2).toDouble), s"batch $k tvd")
+      assert(row._4 === ws, s"batch $k worst source")
+      assert(row._5 === r6(wd.toDouble), s"batch $k worst gap")
+    }
+    // at-least-once replay over surviving state rewrites identical rows
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      java.nio.file.Paths.get(statePath, "_stream_checkpoint").toFile)
+    Streaming.runMixStream(spark, s"$inDir/*.parquet", dir, statePath, outDir)
+    assert(readOut().toSeq === streamed.toSeq)
+  }
+
   test("streaming near-dup ingestion: union over micro-batches equals batch dedup_minhash") {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, dir)
