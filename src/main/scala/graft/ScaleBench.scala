@@ -171,7 +171,12 @@ object ScaleBench {
     // bounded-aggregate shapes
     "dedup_threshold_sweep", "text_auc", "text_heaps", "text_nb_margin",
     "dedup_lsh_calibration", "q_stream_novelty", "ann_pq_distortion",
-    "q_split_report")
+    "q_split_report",
+    // round-13 sampled knob sweeps: the pair pass is bounded by the
+    // FIXED hash sample, so cost at x100 is the TakeOrdered sample draw
+    // plus a constant — the form of these measurements that stays
+    // runnable at 100 TB
+    "dedup_threshold_sweep_sampled", "dedup_lsh_calibration_sampled")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

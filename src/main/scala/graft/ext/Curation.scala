@@ -567,6 +567,15 @@ object Curation {
 
   def splitReportDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the cross-multiplied TVD numerator n_sv·n − n_v·n_s runs in
+    // DECIMAL(38,0) (DuckDB: HUGEINT): each product is ≤ n² which
+    // overflows BIGINT once the corpus passes ~3.04e9 docs (√2⁶³), and
+    // Spark would wrap silently where DuckDB raises. 38 digits hold any
+    // BIGINT-countable corpus (n² < 8.6e37 at n = 2⁶³−1); only the
+    // grid-wide num SUM could theoretically pass 1e38, and that needs
+    // n > 7.6e18 — beyond any corpus countable in the engine's own
+    // row-count type.
+    val d380 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     // the bounded (split, dim, value) aggregate is materialized once for
     // its four downstream consumers
     val cnt = splitDimCounts(docs).localCheckpoint()
@@ -588,7 +597,8 @@ object Curation {
       .withColumn("n_sv", coalesce(col("n_sv"), lit(0L)))
       .join(broadcast(nS), "split")
       .crossJoin(broadcast(nTot))
-      .withColumn("num", abs(col("n_sv") * col("n") - col("n_v") * col("n_s")))
+      .withColumn("num",
+        abs(col("n_sv").cast(d380) * col("n") - col("n_v").cast(d380) * col("n_s")))
     val w = Window.partitionBy(col("split"), col("dim"))
       .orderBy(col("num").desc, col("value").asc_nulls_first)
     grid
@@ -604,8 +614,11 @@ object Curation {
         round(col("num_sum").cast("double") /
           (lit(2.0) * col("n_docs") * col("n")), 6).as("tvd"),
         col("worst_value"),
+        // cast the denominator factors to double BEFORE multiplying —
+        // n_docs·n as a Long product wraps at the same ~3e9-doc bound
+        // the numerator fix closes
         round(col("worst_num").cast("double") /
-          (col("n_docs") * col("n")).cast("double"), 6).as("worst_gap"))
+          (col("n_docs").cast("double") * col("n").cast("double")), 6).as("worst_gap"))
       .orderBy("split", "dim")
   }
 
@@ -1107,7 +1120,8 @@ object Curation {
          |  JOIN ns ON ns.split = sp.split
          |  CROSS JOIN nt),
          |num AS (SELECT split, dim, value, n_s, n,
-         |               abs(n_sv * n - n_v * n_s) AS num FROM grid),
+         |               abs(CAST(n_sv AS HUGEINT) * n - CAST(n_v AS HUGEINT) * n_s) AS num
+         |        FROM grid),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY split, dim
          |                 ORDER BY num DESC, value ASC NULLS FIRST) AS rk FROM num)
          |SELECT split, dim,

@@ -337,6 +337,63 @@ object Dedup {
     */
   val SweepGrid: Array[Double] = (50 to 95 by 5).map(_ / 100.0).toArray
 
+  /** Sample size for the sampled knob-sweep variants
+    * ([[dedupThresholdSweepSampled]] / [[dedupLshCalibrationSampled]]).
+    * Sized like the quantizer training samples ([[Ivf.SampleN]]): large
+    * enough that the per-bin / per-threshold fractions stabilize, small
+    * enough that the O(sample²)-bounded exact pair pass is constant
+    * cost at ANY corpus size.
+    */
+  val SweepSampleDocs = 1024
+
+  /** The first [[SweepSampleDocs]] documents in splitmix64(doc_id)
+    * order with id tie-break — the [[Ivf.trainCentroids]] sampling
+    * discipline: stable across runs and partitionings, and UNIFORM
+    * whatever the ids encode (an id-prefix draw would sample one crawl
+    * / one day / one source at corpus scale). The hash order + limit
+    * is a TakeOrdered (per-partition top-n, then a bounded merge — no
+    * global sort), and the sample is locally checkpointed because the
+    * sweep pipelines consume it from several branches.
+    */
+  private def hashSampleDocs(docs: DataFrame, n: Int = SweepSampleDocs): DataFrame =
+    docs.orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
+      .limit(n)
+      .localCheckpoint()
+
+  /** DuckDB mirror of [[hashSampleDocs]] — [[graft.functions.MixSql]]'s
+    * ONE hash-sample chain, ending in `documents_s` (the sampled
+    * documents table the sampled oracles then read like `documents`).
+    */
+  private lazy val sampledDocsCtes: String =
+    s"""${graft.functions.MixSql.hashSampleCtes("sw", "documents", "doc_id", SweepSampleDocs)},
+       |documents_s AS MATERIALIZED (
+       |  SELECT d.* FROM documents d JOIN swsamp USING (doc_id))""".stripMargin
+
+  /** [[dedupThresholdSweep]] over the [[hashSampleDocs]] sample — the
+    * form of the knob-picking measurement that stays RUNNABLE at
+    * 100 TB: the exact sweep's one recall-1 pair pass is corpus×corpus
+    * (its x100 wall is the repo's heaviest), while this one's is
+    * bounded by the FIXED sample size at any corpus scale — the only
+    * corpus-sized work left is the TakeOrdered sample draw itself. The
+    * per-threshold `dup_doc_frac` column is the estimator (a uniform
+    * sample's duplicate-pair density estimates the corpus's near-dup
+    * band shape); `n_pairs`/`n_docs_affected` are sample-level counts,
+    * and ExtSpec asserts the sampled fraction curve tracks the exact
+    * curve on the staged corpus. Oracle-mirrored sample rule
+    * ([[sampledDocsCtes]]), so the entry stays hash-checkable.
+    */
+  def dedupThresholdSweepSampled(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepDf(hashSampleDocs(Tables.documents(spark, dir)))
+
+  /** [[dedupLshCalibration]] over the [[hashSampleDocs]] sample — same
+    * scale argument as [[dedupThresholdSweepSampled]]: banding
+    * catch-rates and the MinHash estimator mean are per-pair FRACTIONS,
+    * so a fixed uniform sample estimates them at constant cost where
+    * the exact form's truth pass grows with the corpus.
+    */
+  def dedupLshCalibrationSampled(spark: SparkSession, dir: String): DataFrame =
+    lshCalibrationDf(hashSampleDocs(Tables.documents(spark, dir)))
+
   /** Dedup-threshold sensitivity curve — the knob-picking measurement run
     * BEFORE committing a near-dup threshold at corpus scale: exact
     * duplicate-pair counts, affected-document counts, and the affected
@@ -1102,6 +1159,8 @@ object Dedup {
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
+    "dedup_threshold_sweep_sampled" -> (dedupThresholdSweepSampled _),
+    "dedup_lsh_calibration_sampled" -> (dedupLshCalibrationSampled _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "dedup_fuzzy" -> ((s: SparkSession, d: String) => dedupFuzzy(s, d)),
@@ -1134,9 +1193,9 @@ object Dedup {
     * (the novelty oracle) share the ONE WordShingles mirror without
     * paying for the recursive FNV chain.
     */
-  private def shingleCtes(key: String): String =
+  private def shingleCtes(key: String, table: String = "documents"): String =
     s"""t AS (
-       |  SELECT $key, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+       |  SELECT $key, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM $table),
        |sh AS (
        |  SELECT DISTINCT $key,
        |    unnest(CASE WHEN len(w) = 0 THEN ['']
@@ -1146,8 +1205,8 @@ object Dedup {
 
   // private[graft]: the novelty-sketch oracle (streaming.Streaming)
   // consumes the same chain, keeping ONE shingle-hash mirror repo-wide
-  private[graft] def shingleHashCtes(key: String): String =
-    s"""${shingleCtes(key)},
+  private[graft] def shingleHashCtes(key: String, table: String = "documents"): String =
+    s"""${shingleCtes(key, table)},
        |us AS (SELECT DISTINCT s FROM sh),
        |sb AS (SELECT s, hex(encode(s)) AS hx, octet_length(encode(s)) AS olen FROM us),
        |fnv AS (
@@ -1206,10 +1265,11 @@ object Dedup {
     * 4-component equality, and the estimator mean as exact integer
     * agreement sums. Bin ids floor in DECIMAL in both engines.
     */
-  private lazy val lshCalibrationOracleSql: String = {
+  private def lshCalibrationOracleSql(
+      table: String = "documents", prelude: String = ""): String = {
     val m = BigInt(1) << 64
     val phi = BigInt("9e3779b97f4a7c15", 16)
-    s"""WITH RECURSIVE ${shingleHashCtes("doc_id")},
+    s"""WITH RECURSIVE $prelude${shingleHashCtes("doc_id", table)},
        |dh AS (SELECT DISTINCT sh.doc_id, av.h FROM sh JOIN av USING (s)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM dh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -1293,10 +1353,10 @@ object Dedup {
     * [[minhashPairsCte]] and at the sweep floor by the
     * `dedup_threshold_sweep` oracle.
     */
-  def jaccardPairsCte(threshold: Double): String = {
+  def jaccardPairsCte(threshold: Double, table: String = "documents"): String = {
     val t = BigDecimal(threshold.toString).bigDecimal.toPlainString
     s"""t AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $table),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
        |    ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS s
@@ -1322,8 +1382,42 @@ object Dedup {
     */
   val minhashPairsCte: String = jaccardPairsCte(0.8)
 
+  /** The exact pair truth instantiated at the grid floor over `table`;
+    * the grid join mirrors the Spark explode (each pair contributes
+    * both endpoints, so n_pairs = rows // 2), zero-pair grid rows
+    * survive via the left join, and the fraction denominator is
+    * `table`'s row count (the corpus for the exact sweep, the sample
+    * for the sampled one).
+    */
+  private def thresholdSweepOracleSql(
+      table: String = "documents", prelude: String = ""): String = {
+    val grid = SweepGrid.map(t => BigDecimal(t.toString).bigDecimal.toPlainString)
+      .mkString("[", ", ", "]")
+    s"""WITH $prelude${jaccardPairsCte(SweepGrid.head, table)},
+       |nd AS (SELECT count(*) AS n_docs FROM $table),
+       |grid AS (SELECT CAST(unnest($grid) AS DOUBLE) AS threshold),
+       |e AS (SELECT g.threshold AS threshold, unnest([p.doc_a, p.doc_b]) AS d
+       |      FROM pairs p JOIN grid g ON p.jraw >= g.threshold),
+       |agg AS (SELECT threshold,
+       |               CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       |               CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+       |        FROM e GROUP BY threshold)
+       |SELECT g.threshold AS threshold,
+       |       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(COALESCE(n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+       |       round(CAST(COALESCE(n_docs_affected, 0) AS DOUBLE) / n_docs, 6) AS dup_doc_frac
+       |FROM grid g LEFT JOIN agg ON g.threshold = agg.threshold
+       |CROSS JOIN nd
+       |ORDER BY threshold""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "dedup_lsh_calibration" -> lshCalibrationOracleSql,
+    "dedup_lsh_calibration" -> lshCalibrationOracleSql(),
+    // the SAME calibration chain over the splitmix64-hash-ordered
+    // document sample (sampledDocsCtes — the Ivf/Pq training-sample
+    // discipline, so the sample rule has ONE oracle mirror repo-wide)
+    "dedup_lsh_calibration_sampled" ->
+      lshCalibrationOracleSql("documents_s", sampledDocsCtes + ",\n"),
     "dedup_winnow" -> winnowPairsSql,
     // string-level mirror of the hashed-shingle profile: same distinct
     // trailing-space shingle construction as the minhash base hashes
@@ -1390,26 +1484,11 @@ object Dedup {
     // join mirrors the Spark explode (each pair contributes both
     // endpoints, so n_pairs = rows // 2) and zero-pair grid rows survive
     // via the left join
-    "dedup_threshold_sweep" -> {
-      val grid = SweepGrid.map(t => BigDecimal(t.toString).bigDecimal.toPlainString)
-        .mkString("[", ", ", "]")
-      s"""WITH ${jaccardPairsCte(SweepGrid.head)},
-         |nd AS (SELECT count(*) AS n_docs FROM documents),
-         |grid AS (SELECT CAST(unnest($grid) AS DOUBLE) AS threshold),
-         |e AS (SELECT g.threshold AS threshold, unnest([p.doc_a, p.doc_b]) AS d
-         |      FROM pairs p JOIN grid g ON p.jraw >= g.threshold),
-         |agg AS (SELECT threshold,
-         |               CAST(count(*) // 2 AS BIGINT) AS n_pairs,
-         |               CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
-         |        FROM e GROUP BY threshold)
-         |SELECT g.threshold AS threshold,
-         |       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
-         |       CAST(COALESCE(n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
-         |       round(CAST(COALESCE(n_docs_affected, 0) AS DOUBLE) / n_docs, 6) AS dup_doc_frac
-         |FROM grid g LEFT JOIN agg ON g.threshold = agg.threshold
-         |CROSS JOIN nd
-         |ORDER BY threshold""".stripMargin
-    },
+    "dedup_threshold_sweep" -> thresholdSweepOracleSql(),
+    // identical sweep over the hash-sample (the sample rule's ONE
+    // mirror, sampledDocsCtes); the fraction denominator is the sample
+    "dedup_threshold_sweep_sampled" ->
+      thresholdSweepOracleSql("documents_s", sampledDocsCtes + ",\n"),
     // the incremental run must emit exactly the pairs touching the new
     // batch (doc_id >= 250) — same exact truth, filtered
     "dedup_incremental" ->

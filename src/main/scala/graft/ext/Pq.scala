@@ -301,11 +301,98 @@ object Pq {
       .orderBy("subspace")
   }
 
+  /** Code-budget grid for [[annPqCurve]]: M subspaces = M bytes per
+    * vector at ksub=256 (64→16× / 8× / 4× compression). Unlike the IVF
+    * probe grid, the points do NOT nest — each M trains its own
+    * per-subspace codebooks — so nothing on this curve is monotone BY
+    * CONSTRUCTION; what the grid guarantees structurally is only that
+    * code_bytes = M and that every point is scored against the same
+    * exact truth. Distortion falling and recall rising with M is the
+    * EMPIRICAL readout (finer subspaces quantize less per block), and
+    * ExtSpec asserts the measured direction on the test corpus rather
+    * than pretending it is a theorem.
+    */
+  val PqCurveGrid: Array[Int] = Array(4, 8, 16)
+
+  /** PQ operating curve AS A QUERY — recall@k and mean reconstruction
+    * distortion at every code budget in [[PqCurveGrid]]: the measurement
+    * that answers "how small can the codes get before recall dies",
+    * extending the knob-sweep family (IVF nProbe → [[Ivf.annProbeCurve]],
+    * jaccard threshold → [[graft.ext.Dedup.thresholdSweepDf]]) to the
+    * PQ compression knob that [[annPqDistortion]] grades at one point.
+    *
+    * Exactness: per-(vector, subspace) reconstruction distances are the
+    * identical doubles in both engines (the [[annPqDistortion]] fold
+    * argument), quantized to DECIMAL(20,12) before the corpus sum;
+    * recall counts are integers against the exact 4-dp-rounded cosine
+    * top-k truth; the two final divisions are the only floats.
+    *
+    * Scale shape: per grid point, training is driver-side over the
+    * BOUNDED hash sample and scoring is one compiled encode pass + a
+    * broadcast-codebook explode join (distortion) and one codes scan
+    * against broadcast ADC tables (search) — each leg a single pruned
+    * corpus pass, DELIBERATELY not materialized across legs (the
+    * text_heaps rule: pinning a corpus-sized normalized-vector table in
+    * the block manager to save re-scans is the wrong trade at 100 TB);
+    * the exact truth is computed ONCE (query-block-sized, checkpointed)
+    * and shared by all grid points. Output is |grid| rows.
+    */
+  def annPqCurve(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val d2012 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 12)
+    val emb = Tables.embeddings(spark, dir)
+    // query-block-sized ground truth, consumed by every grid point
+    val exact = Similarity.annTopkBatch(spark, dir, nQueries = 5, k = k)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    val queriesDf = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    import spark.implicits._
+    val legs = PqCurveGrid.map { m =>
+      val codebooks = trainCodebooks(emb, m = m)
+      val subDim = 64 / m
+      val cbDf = broadcast(codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cent, kk) => (s, kk, cent) }
+      }.toDF("s", "code", "cvec"))
+      val dist = aggregate(
+        sequence(lit(0), lit(subDim - 1)), lit(0.0),
+        (acc, j) => {
+          val xd = element_at(col("xn"), col("s") * subDim + j + 1).cast("double")
+          val cd = element_at(col("cvec"), j + 1).cast("double")
+          acc + (xd - cd) * (xd - cd)
+        })
+      // distortion leg: one encode scan, rolled up to the corpus mean
+      // per-vector squared reconstruction error (the sum of the M
+      // per-subspace terms)
+      val distortion = emb
+        .select(col("vec_id"), normalizedCol(col("embedding")).as("xn"),
+          PqEncode(normalizedCol(col("embedding")), codebooks).as("codes"))
+        .select(col("vec_id"), col("xn"),
+          posexplode(col("codes")).as(Seq("s", "code")))
+        .join(cbDf, Seq("s", "code"))
+        .select(col("vec_id"), dist.cast(d2012).as("dist"))
+        .groupBy()
+        .agg(countDistinct(col("vec_id")).as("n_vectors"),
+          sum(col("dist")).as("dsum"))
+      // recall leg: ADC top-k per query vs the shared exact truth
+      val hits = search(encodeCorpus(emb, codebooks), queriesDf, codebooks, k)
+        .join(exact, Seq("query_id", "vec_id"))
+        .groupBy().agg(count(lit(1)).as("n_hits"))
+      val nExact = exact.groupBy().agg(count(lit(1)).as("n_exact"))
+      distortion.crossJoin(hits).crossJoin(nExact)
+        .select(lit(m).as("m"), lit(m).as("code_bytes"), col("n_vectors"),
+          round(col("dsum").cast("double") / col("n_vectors"), 8).as("mean_sq_err"),
+          col("n_hits"), col("n_exact"),
+          round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
+    }
+    legs.reduce(_.unionByName(_)).orderBy("m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_search" -> (annPqSearch _),
     "ann_pq_occupancy" -> (annPqOccupancy _),
     "ann_ivfpq_search" -> (annIvfPqSearch _),
     "ann_pq_distortion" -> (annPqDistortion _),
+    "ann_pq_curve" -> ((s: SparkSession, d: String) => annPqCurve(s, d)),
   )
 
   /** Per-subspace Lloyd's unrolled in SQL, the PQ twin of
@@ -324,63 +411,65 @@ object Pq {
     * Spark encode at sf0.01.
     */
   def pqCte(m: Int = M, ksub: Int = Ksub, iters: Int = Iters,
-      sampleN: Int = SampleN, subDim: Int = 8): String = {
+      sampleN: Int = SampleN, subDim: Int = 8, pfx: String = ""): String = {
+    val P = pfx // empty for the single-model oracles; "m4"/"m8"/"m16"
+    //            for the curve oracle's three coexisting instantiations
     val rounds = (1 to iters).map { r =>
-      val p = s"cb${r - 1}"
-      s"""pd$r AS (
+      val p = s"${P}cb${r - 1}"
+      s"""${P}pd$r AS (
          |  SELECT ps.vec_id, cb.s, cb.k,
          |    sum(CAST(CAST(CAST(ps.x - cb.v AS REAL) * CAST(ps.x - cb.v AS REAL) AS REAL) AS DOUBLE)) AS dist
-         |  FROM psub ps JOIN $p cb ON ps.s = cb.s AND ps.sj = cb.sj
+         |  FROM ${P}psub ps JOIN $p cb ON ps.s = cb.s AND ps.sj = cb.sj
          |  GROUP BY 1, 2, 3),
-         |pa$r AS MATERIALIZED (
+         |${P}pa$r AS MATERIALIZED (
          |  SELECT vec_id, s, k AS cl FROM (
          |    SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, k ASC) AS rn
-         |    FROM pd$r) WHERE rn = 1),
-         |cb$r AS MATERIALIZED (
+         |    FROM ${P}pd$r) WHERE rn = 1),
+         |${P}cb$r AS MATERIALIZED (
          |  SELECT p.s, p.k, p.sj, coalesce(CAST(m.mv AS REAL), p.v) AS v
          |  FROM $p p LEFT JOIN (
          |    SELECT a.s, a.cl AS k, ps.sj, avg(CAST(ps.x AS DOUBLE)) AS mv
-         |    FROM pa$r a JOIN psub ps ON ps.vec_id = a.vec_id AND ps.s = a.s
+         |    FROM ${P}pa$r a JOIN ${P}psub ps ON ps.vec_id = a.vec_id AND ps.s = a.s
          |    GROUP BY 1, 2, 3) m
          |  ON m.s = p.s AND m.k = p.k AND m.sj = p.sj)""".stripMargin
     }.mkString(",\n")
-    s"""pea AS MATERIALIZED (
+    s"""${P}pea AS MATERIALIZED (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
        |         CAST(CAST(unnest(embedding) AS REAL) AS DOUBLE) AS x FROM embeddings),
-       |pnrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pea GROUP BY vec_id),
-       |pn AS MATERIALIZED (
+       |${P}pnrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ${P}pea GROUP BY vec_id),
+       |${P}pn AS MATERIALIZED (
        |  SELECT pea.vec_id, pea.j,
        |         CASE WHEN nrm > 0 THEN CAST(pea.x / nrm AS REAL) ELSE CAST(pea.x AS REAL) END AS x
-       |  FROM pea JOIN pnrm USING (vec_id)),
-       |pallsub AS MATERIALIZED (
-       |  SELECT vec_id, j // $subDim AS s, j % $subDim AS sj, x FROM pn),
-       |${graft.functions.MixSql.hashSampleCtes("p", "embeddings", "vec_id", sampleN)},
-       |pns AS (SELECT count(*) AS n FROM psamp),
-       |psub AS MATERIALIZED (
-       |  SELECT p.vec_id, p.s, p.sj, p.x FROM pallsub p JOIN psamp USING (vec_id)),
-       |cb0 AS MATERIALIZED (
+       |  FROM ${P}pea pea JOIN ${P}pnrm USING (vec_id)),
+       |${P}pallsub AS MATERIALIZED (
+       |  SELECT vec_id, j // $subDim AS s, j % $subDim AS sj, x FROM ${P}pn),
+       |${graft.functions.MixSql.hashSampleCtes(s"${P}p", "embeddings", "vec_id", sampleN)},
+       |${P}pns AS (SELECT count(*) AS n FROM ${P}psamp),
+       |${P}psub AS MATERIALIZED (
+       |  SELECT p.vec_id, p.s, p.sj, p.x FROM ${P}pallsub p JOIN ${P}psamp USING (vec_id)),
+       |${P}cb0 AS MATERIALIZED (
        |  SELECT t.s, t.k, ps.sj, ps.x AS v
        |  FROM (SELECT a.s, b.k FROM (SELECT unnest(range($m)) AS s) a, (SELECT unnest(range($ksub)) AS k) b) t
-       |  JOIN psamp ON psamp.rk = (t.k * (SELECT n FROM pns)) // $ksub
-       |  JOIN psub ps ON ps.vec_id = psamp.vec_id AND ps.s = t.s),
+       |  JOIN ${P}psamp psamp ON psamp.rk = (t.k * (SELECT n FROM ${P}pns)) // $ksub
+       |  JOIN ${P}psub ps ON ps.vec_id = psamp.vec_id AND ps.s = t.s),
        |$rounds,
-       |enc_d AS (
+       |${P}enc_d AS (
        |  SELECT p.vec_id, cb.s, cb.k,
        |    sum((CAST(p.x AS DOUBLE) - CAST(cb.v AS DOUBLE)) * (CAST(p.x AS DOUBLE) - CAST(cb.v AS DOUBLE))) AS dist
-       |  FROM pallsub p JOIN cb$iters cb ON p.s = cb.s AND p.sj = cb.sj
+       |  FROM ${P}pallsub p JOIN ${P}cb$iters cb ON p.s = cb.s AND p.sj = cb.sj
        |  GROUP BY 1, 2, 3),
-       |codes AS MATERIALIZED (
+       |${P}codes AS MATERIALIZED (
        |  SELECT vec_id, s, k AS code FROM (
        |    SELECT vec_id, s, k, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, k ASC) AS rn
-       |    FROM enc_d) WHERE rn = 1),
-       |qtab AS MATERIALIZED (
+       |    FROM ${P}enc_d) WHERE rn = 1),
+       |${P}qtab AS MATERIALIZED (
        |  SELECT q.vec_id AS query_id, cb.s, cb.k,
        |         sum(CAST(q.x AS DOUBLE) * CAST(cb.v AS DOUBLE)) AS t
-       |  FROM pallsub q JOIN cb$iters cb ON q.s = cb.s AND q.sj = cb.sj
+       |  FROM ${P}pallsub q JOIN ${P}cb$iters cb ON q.s = cb.s AND q.sj = cb.sj
        |  WHERE q.vec_id < 5 GROUP BY 1, 2, 3),
-       |adc AS (
+       |${P}adc AS (
        |  SELECT qt.query_id, c.vec_id, round(sum(qt.t), 4) AS adc_score
-       |  FROM codes c JOIN qtab qt ON qt.s = c.s AND qt.k = c.code
+       |  FROM ${P}codes c JOIN ${P}qtab qt ON qt.s = c.s AND qt.k = c.code
        |  WHERE c.vec_id <> qt.query_id
        |  GROUP BY 1, 2)""".stripMargin
   }
@@ -418,6 +507,59 @@ object Pq {
       s"""WITH ${pqCte()}
          |SELECT CAST(s AS INT) AS subspace, count(DISTINCT code) AS codes_used, count(*) AS n
          |FROM codes GROUP BY s ORDER BY subspace""".stripMargin,
+    // three coexisting pqCte instantiations (prefixes m4/m8/m16), each
+    // mirrored by the ann_pq_distortion pivot-chain for its mean error
+    // and the ann_pq_search rank rule for its ADC top-k, all scored
+    // against ONE exact-cosine truth CTE (the probe-curve ex mirror)
+    "ann_pq_curve" -> {
+      val legs = PqCurveGrid
+        .map(m => pqCte(m = m, subDim = 64 / m, pfx = s"m$m")).mkString(",\n")
+      val perM = PqCurveGrid.map { m =>
+        val p = s"m$m"
+        val subDim = 64 / m
+        val ts = (0 until subDim)
+          .map(j => s"max(CASE WHEN sj = $j THEN t END) AS t$j").mkString(",\n         ")
+        val chain = (0 until subDim).map(j => s"t$j")
+          .foldLeft("CAST(0.0 AS DOUBLE)")((acc, t) => s"($acc + $t)")
+        s"""${p}term AS (
+           |  SELECT pp.vec_id, pp.s, pp.sj,
+           |         (CAST(pp.x AS DOUBLE) - CAST(cb.v AS DOUBLE)) *
+           |         (CAST(pp.x AS DOUBLE) - CAST(cb.v AS DOUBLE)) AS t
+           |  FROM ${p}pallsub pp
+           |  JOIN ${p}codes c ON c.vec_id = pp.vec_id AND c.s = pp.s
+           |  JOIN ${p}cb$Iters cb ON cb.s = pp.s AND cb.k = c.code AND cb.sj = pp.sj),
+           |${p}piv AS (
+           |  SELECT vec_id, s,
+           |         $ts
+           |  FROM ${p}term GROUP BY 1, 2),
+           |${p}d AS (SELECT vec_id, s, $chain AS dist FROM ${p}piv),
+           |${p}tk AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS rn
+           |    FROM ${p}adc) WHERE rn <= 5),
+           |${p}row AS (
+           |  SELECT $m AS m, $m AS code_bytes, nv.n AS n_vectors,
+           |         round(CAST((SELECT sum(CAST(dist AS DECIMAL(20,12))) FROM ${p}d) AS DOUBLE) / nv.n, 8) AS mean_sq_err,
+           |         (SELECT count(*) FROM ${p}tk JOIN ex USING (query_id, vec_id)) AS n_hits,
+           |         (SELECT count(*) FROM ex) AS n_exact,
+           |         round(CAST((SELECT count(*) FROM ${p}tk JOIN ex USING (query_id, vec_id)) AS DOUBLE) /
+           |               (SELECT count(*) FROM ex), 4) AS recall
+           |  FROM nv)""".stripMargin
+      }.mkString(",\n")
+      val unions = PqCurveGrid.map(m => s"SELECT * FROM m${m}row").mkString("\nUNION ALL ")
+      s"""WITH $legs,
+         |nv AS (SELECT count(*) AS n FROM embeddings),
+         |exq AS (SELECT vec_id AS query_id, embedding AS query_emb FROM embeddings WHERE vec_id < 5),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             round(list_cosine_similarity(e.embedding::DOUBLE[], q.query_emb::DOUBLE[]), 4) DESC,
+         |             e.vec_id) AS rn
+         |    FROM embeddings e, exq q WHERE e.vec_id <> q.query_id) WHERE rn <= 5),
+         |$perM
+         |$unions
+         |ORDER BY m""".stripMargin
+    },
     "ann_pq_search" ->
       s"""WITH ${pqCte()}
          |SELECT query_id, vec_id, adc_score, rn FROM (

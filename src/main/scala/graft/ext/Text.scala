@@ -72,8 +72,11 @@ object Text {
     * ([[graft.functions.LangScores]]) as exact IEEE quotients
     * hits/max(n_tokens,1), so grouping on the double is engine-portable;
     * the rank-sum runs in DOUBLED integer units (midrank = cum + (n+1)/2
-    * lives in halves, so 2·R⁺ = Σ n⁺·(2·cum + n + 1) is an exact BIGINT)
-    * and the only division is the final AUC — one IEEE op, rounded.
+    * lives in halves, so 2·R⁺ = Σ n⁺·(2·cum + n + 1) is an exact
+    * integer, accumulated in DECIMAL(38,0) — Spark — / HUGEINT — DuckDB
+    * — because it is O(n_docs²) and would wrap a BIGINT past ~1.7e9
+    * docs) and the only division is the final AUC — one IEEE op,
+    * rounded.
     *
     * Scale shape: the corpus-sized work is the single explode absorbed by
     * partial aggregation on (profile, score); distinct scores are
@@ -88,6 +91,13 @@ object Text {
 
   def langAucDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the doubled rank-sum runs in DECIMAL(38,0) (DuckDB: HUGEINT):
+    // r2 ≈ npos·2·cum with cum up to the per-profile row count, so the
+    // per-profile sum is O(n_docs²) — past ~1.7e9 docs a BIGINT r2sum
+    // wraps silently in Spark while DuckDB raises; 38 digits hold the
+    // rank-sum for any BIGINT-countable corpus (bound < 3·n² < 2.6e38
+    // only at n beyond 5.3e18 docs)
+    val d380 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val byScore = docs
       .select(col("lang"), explode(graft.functions.LangScores(col("text"))).as("ls"))
       .select(col("ls.lang").as("lang_profile"), col("ls.score").as("score"),
@@ -98,7 +108,8 @@ object Text {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byScore
       .withColumn("cum", sum(col("n")).over(asc) - col("n"))
-      .withColumn("r2", col("npos") * (lit(2L) * col("cum") + col("n") + lit(1L)))
+      .withColumn("r2",
+        col("npos").cast(d380) * (col("cum").cast(d380) * 2 + col("n") + 1))
       .groupBy(col("lang_profile"))
       .agg(
         sum(col("npos")).as("n_pos"),
@@ -107,7 +118,8 @@ object Text {
       .select(
         col("lang_profile").as("lang"), col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          round((col("r2sum") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
+          round((col("r2sum") - col("n_pos").cast(d380) * (col("n_pos") + lit(1L)))
+              .cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
       .orderBy("lang")
   }
@@ -763,6 +775,12 @@ object Text {
       .agg(
         max(when(col("rank") === 1, struct(col("score"), col("label")))).as("t1"),
         max(when(col("rank") === 2, col("score"))).as("s2"))
+      // population = docs WITH a top-2 margin: a doc with no rank-2
+      // score (reachable only when the model has a single class — the
+      // dense smoothed NB scores every class otherwise) has no margin
+      // to threshold, so it belongs in neither n_kept nor n_total; the
+      // oracle's rank-2 inner join draws the same line
+      .filter(col("s2").isNotNull)
       .select(
         (col("t1.score") - col("s2")).cast("double").as("margin"),
         when(col("t1.label") === col("label_declared"), 1L).otherwise(0L).as("ok"))
@@ -1734,11 +1752,11 @@ object Text {
          |a AS (SELECT lang_profile AS lang,
          |             CAST(sum(npos) AS BIGINT) AS n_pos,
          |             CAST(sum(n - npos) AS BIGINT) AS n_neg,
-         |             CAST(sum(npos * (2 * cum + n + 1)) AS BIGINT) AS r2
+         |             sum(CAST(npos AS HUGEINT) * (2 * CAST(cum AS HUGEINT) + n + 1)) AS r2
          |      FROM c GROUP BY 1)
          |SELECT lang, n_pos, n_neg,
          |       CASE WHEN n_pos > 0 AND n_neg > 0
-         |         THEN round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+         |         THEN round(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
          |       END AS auc
          |FROM a ORDER BY lang""".stripMargin
     },

@@ -1281,18 +1281,27 @@ object Streaming {
     * (bucket, source) char aggregate; everything after runs on ≤10×
     * sources rows.
     */
-  def qStreamMix(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamMix(spark: SparkSession, dir: String): DataFrame =
+    mixMonitorDf(graft.Tables.documents(spark, dir))
+
+  def mixMonitorDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
-    val docs = graft.Tables.documents(spark, dir)
     val target = graft.ext.Curation.mixtureWeights(docs, 0.5)
       .select(col("source"), col("target_share"))
     val byBucket = sourceMixSketch(graft.ext.Text.docBuckets(docs), "bucket")
     // dense bucket×source grid so a source absent from early buckets
-    // still contributes its full target share to the distance
+    // still contributes its full target share to the distance; the char
+    // join is null-SAFE (the splitReportDf discipline) — a NULL source
+    // is a real category whose arrived chars must land on its own
+    // target row, not coalesce to 0 while the target share still counts
     val grid = byBucket.select(col("bucket")).distinct()
       .crossJoin(target)
-      .join(byBucket, Seq("bucket", "source"), "left")
+      .join(byBucket.withColumnRenamed("bucket", "b_bucket")
+          .withColumnRenamed("source", "b_source"),
+        col("bucket") === col("b_bucket") && col("source") <=> col("b_source"),
+        "left")
+      .drop("b_bucket", "b_source")
       .withColumn("chars", coalesce(col("chars"), lit(0L)))
     val cumW = Window.partitionBy(col("source")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1332,10 +1341,14 @@ object Streaming {
   def runMixStream(
       spark: SparkSession, inputGlob: String, staticDir: String,
       statePath: String, outDir: String): Unit = {
-    val target: Map[String, Double] = graft.ext.Curation
+    // state and target key on Option[String]: a NULL source is a real
+    // category with its own target share and cumulative count (the
+    // null-safe rule the batch monitor applies), and Scala null keys
+    // would NPE the deterministic sorts below
+    val target: Map[Option[String], Double] = graft.ext.Curation
       .mixtureWeights(graft.Tables.documents(spark, staticDir), 0.5)
       .select(col("source"), col("target_share"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
     val q = docsFileStream(spark, inputGlob).writeStream
       .option("checkpointLocation", s"$statePath/_stream_checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1344,19 +1357,26 @@ object Streaming {
           val dir = Paths.get(statePath)
           val bCounts = sourceMixSketch(batch.toDF().withColumn("g", lit(1)), "g")
             .select(col("source"), col("chars"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
           def stateIds(): Seq[Long] = dir.toFile.list().toSeq
             .filter(f => f.startsWith("mix_") && f.endsWith(".tsv"))
             .map(_.stripPrefix("mix_").stripSuffix(".tsv").toLong)
           val prevId = stateIds().filter(_ < batchId).sorted.lastOption
-          val prev: Map[String, Long] = prevId.fold(Map.empty[String, Long]) { i =>
-            scala.io.Source.fromFile(dir.resolve(s"mix_$i.tsv").toFile).getLines()
-              .map(_.split("\t")).map(a => a(0) -> a(1).toLong).toMap
-          }
+          // tagged key encoding so NULL round-trips through the TSV
+          // state: "-" = the NULL-source category, "+<source>" = a
+          // real source (no real source can collide with the tag)
+          val prev: Map[Option[String], Long] =
+            prevId.fold(Map.empty[Option[String], Long]) { i =>
+              scala.io.Source.fromFile(dir.resolve(s"mix_$i.tsv").toFile).getLines()
+                .map(_.split("\t", 2))
+                .map(a => (if (a(0) == "-") None else Some(a(0).stripPrefix("+")))
+                  -> a(1).toLong).toMap
+            }
           val merged = (prev.keySet ++ bCounts.keySet).map(s =>
             s -> (prev.getOrElse(s, 0L) + bCounts.getOrElse(s, 0L))).toMap
           Files.write(dir.resolve(s"mix_$batchId.tsv"),
-            merged.toSeq.sorted.map { case (s, c) => s"$s\t$c" }
+            merged.toSeq.sortBy(_._1)
+              .map { case (s, c) => s"${s.fold("-")("+" + _)}\t$c" }
               .mkString("\n").getBytes("UTF-8"))
           prevId.foreach(pi => stateIds().filter(_ < pi)
             .foreach(i => Files.delete(dir.resolve(s"mix_$i.tsv"))))
@@ -1368,9 +1388,11 @@ object Streaming {
               .setScale(12, BigDecimal.RoundingMode.HALF_UP)
           }
           val tvd = (diffs.map(_._2).sum / 2).toDouble
+          // Option ordering (None first) mirrors the batch monitor's
+          // asc-nulls-first source tie-break
           val (worstS, worstD) = diffs.sortBy { case (s, d) => (-d, s) }.head
           import spark.implicits._
-          Seq((batchId, total, math.floor(tvd * 1e6 + 0.5) / 1e6, worstS,
+          Seq((batchId, total, math.floor(tvd * 1e6 + 0.5) / 1e6, worstS.orNull,
             math.floor(worstD.toDouble * 1e6 + 0.5) / 1e6))
             .toDF("batch_id", "cum_chars", "mix_tvd", "worst_source", "worst_gap")
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1530,7 +1552,8 @@ object Streaming {
          |  SELECT bk.bucket AS bucket, tgt.source AS source, tgt.target_share AS target_share,
          |         COALESCE(bb.chars, 0) AS chars
          |  FROM bk CROSS JOIN tgt
-         |  LEFT JOIN bb ON bb.bucket = bk.bucket AND bb.source = tgt.source),
+         |  LEFT JOIN bb ON bb.bucket = bk.bucket
+         |    AND bb.source IS NOT DISTINCT FROM tgt.source),
          |c AS (SELECT *, CAST(sum(chars) OVER (PARTITION BY source ORDER BY bucket
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |      FROM grid),
@@ -1538,7 +1561,8 @@ object Streaming {
          |d AS (SELECT bucket, source, cum_all,
          |             CAST(abs(CAST(cum AS DOUBLE) / cum_all - target_share) AS DECIMAL(18,12)) AS diff
          |      FROM c2),
-         |drk AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY diff DESC, source) AS rk
+         |drk AS (SELECT *, row_number() OVER (PARTITION BY bucket
+         |          ORDER BY diff DESC, source ASC NULLS FIRST) AS rk
          |        FROM d)
          |SELECT bucket, CAST(min(cum_all) AS BIGINT) AS cum_chars,
          |       round(CAST(sum(diff) AS DOUBLE) / 2.0, 6) AS mix_tvd,

@@ -1552,6 +1552,53 @@ class ExtSpec extends SparkSuite {
     assert(at08._3 === mh.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length.toLong)
   }
 
+  test("sampled sweep/calibration: exact when the sample covers the corpus; tracks the exact curve under real sampling") {
+    // sf0.001: 500 docs <= SweepSampleDocs, so the hash sample IS the
+    // corpus and both sampled variants must equal the exact queries row
+    // for row — pinning that the sampling plumbing changes nothing but
+    // the input population
+    val exSweep = Dedup.dedupThresholdSweep(spark, dir).collect().map(_.toString)
+    val saSweep = Dedup.dedupThresholdSweepSampled(spark, dir).collect().map(_.toString)
+    assert(saSweep.toSeq === exSweep.toSeq, "sample covering the corpus: sweep identical")
+    val exCal = Dedup.dedupLshCalibration(spark, dir).collect().map(_.toString)
+    val saCal = Dedup.dedupLshCalibrationSampled(spark, dir).collect().map(_.toString)
+    assert(saCal.toSeq === exCal.toSeq, "sample covering the corpus: calibration identical")
+
+    // sf0.1: 5000 docs, a real 1024-doc draw. The knob-picking signal is
+    // the SHAPE of the curve (where the near-dup band sits), so the pin
+    // is the threshold-survival curve n_pairs(t)/n_pairs(floor): with
+    // ~12 surviving sample pairs its binomial noise is ~sqrt(.5·.5/12)
+    // ≈ 0.14 one sigma at worst, so 0.25 is a ~2-sigma band that still
+    // fails on any systematic shape distortion (e.g. a sample rule
+    // biased toward one duplication cluster).
+    val big = "/root/testdata/sf0.1"
+    val ex = Dedup.dedupThresholdSweep(spark, big).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sa = Dedup.dedupThresholdSweepSampled(spark, big).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(sa(Dedup.SweepGrid.head) > 0, "the sample must surface duplicate pairs")
+    Dedup.SweepGrid.foreach { t =>
+      val exRel = ex(t).toDouble / ex(Dedup.SweepGrid.head)
+      val saRel = sa(t).toDouble / sa(Dedup.SweepGrid.head)
+      assert(math.abs(exRel - saRel) <= 0.25,
+        s"survival curve at $t: sampled $saRel vs exact $exRel")
+    }
+    // calibration: every sampled bin must exist in the exact truth with
+    // a catch-rate and estimator mean in the same regime (the banding
+    // curve is a per-pair property, so a uniform pair subset can only
+    // move a bin's mean by sampling noise)
+    val exBins = Dedup.dedupLshCalibration(spark, big).collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val saBins = Dedup.dedupLshCalibrationSampled(spark, big).collect()
+      .map(r => (r.getDouble(0), r.getDouble(3), r.getDouble(4)))
+    assert(saBins.nonEmpty)
+    saBins.foreach { case (b, rate, est) =>
+      val (exRate, exEst) = exBins(b)
+      assert(math.abs(rate - exRate) <= 0.15, s"bin $b catch rate")
+      assert(math.abs(est - exEst) <= 0.05, s"bin $b estimator mean")
+    }
+  }
+
   test("dedup_lsh_calibration: bins partition the exact truth, caught matches direct band agreement") {
     import spark.implicits._
     val baseToks = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +

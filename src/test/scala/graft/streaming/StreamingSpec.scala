@@ -703,6 +703,34 @@ class StreamingSpec extends SparkSuite {
     assert(readOut().toSeq === streamed.toSeq)
   }
 
+  test("mix monitor: a NULL source is a real category, not a fabricated zero") {
+    import spark.implicits._
+    // 1 of every 4 docs has a NULL source; under a null-UNSAFE char
+    // join the NULL category's chars would coalesce to 0 (dropping out
+    // of cum_all) while its target share still contributes to the TVD
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) null else "srcA", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val rows = Streaming.mixMonitorDf(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.length === 10)
+    // cum_chars must include the NULL source's arrivals
+    assert(rows.last._2 === 4000L, "NULL-source chars belong in cum_all")
+    // expected TVD from the same Option-keyed arithmetic the runner
+    // uses: arrived mix is 1/4 NULL / 3/4 srcA in every prefix
+    val target = graft.ext.Curation.mixtureWeights(docs, 0.5)
+      .select(col("source"), col("target_share"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    val diffs = Seq(Option.empty[String] -> 0.25, Some("srcA") -> 0.75).map {
+      case (s, share) => BigDecimal(math.abs(share - target(s)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = math.floor((diffs.sum / 2).toDouble * 1e6 + 0.5) / 1e6
+    rows.foreach { case (b, _, tvd) =>
+      assert(tvd === expected, s"bucket $b TVD must count the NULL category")
+    }
+  }
+
   test("streaming near-dup ingestion: union over micro-batches equals batch dedup_minhash") {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, dir)
