@@ -1649,6 +1649,40 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("ann_pq_curve: anchored at the M=8 operating point, empirical direction holds") {
+    val rows = Pq.annPqCurve(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq === Pq.PqCurveGrid.toSeq, "every grid row present")
+    val nVec = Tables.embeddings(spark, dir).count()
+    rows.foreach { case (m, bytes, n, _, hits, nEx, recall) =>
+      assert(bytes === m, "one byte per code at ksub=256")
+      assert(n === nVec)
+      assert(nEx === 25L && hits <= nEx)
+      assert(math.abs(recall - hits.toDouble / nEx) < 1e-6)
+    }
+    // the M=8 point must agree with the registered single-point graders:
+    // corpus mean per-VECTOR error = sum over subspaces of the
+    // per-subspace means (each vector contributes one term per subspace)
+    val perSub = Pq.annPqDistortion(spark, dir).collect().map(_.getDouble(2)).sum
+    val at8 = rows.find(_._1 == 8).get
+    assert(math.abs(at8._4 - perSub) < 1e-6, "m=8 distortion anchors ann_pq_distortion")
+    // and its hit count equals the registered ann_pq_search judged
+    // against the same exact truth
+    val exact = Similarity.annTopkBatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val directHits = Pq.annPqSearch(spark, dir).collect()
+      .count(r => exact((r.getLong(0), r.getLong(1)))).toLong
+    assert(at8._5 === directHits, "m=8 recall anchors ann_pq_search")
+    // NOT monotone by construction (independent codebooks per M) — this
+    // asserts the measured direction on the test corpus: finer subspaces
+    // quantize less, and the gained fidelity shows up in recall
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 < a._4, s"distortion must fall from M=${a._1} to M=${b._1}")
+      assert(b._7 >= a._7, s"recall must not fall from M=${a._1} to M=${b._1}")
+    }
+  }
+
   test("ann_probe_curve: each grid point equals the direct search at that nProbe, recall monotone") {
     val curve = Ivf.annProbeCurve(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
