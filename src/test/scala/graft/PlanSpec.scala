@@ -655,4 +655,66 @@ class PlanSpec extends SparkSuite {
     assert(!planOf(graft.ext.Curation.qSplitReport(spark, dir))
       .contains("CartesianProduct"))
   }
+
+  test("every unpartitioned window in the repo runs over a bounded intermediate (pinned allowlist)") {
+    // A Window with no partition key moves ALL its input to one task —
+    // the one shape that cannot survive a corpus-sized input. Every
+    // site below is deliberate and bounded; the WindowExec warnings in
+    // the logs are THESE sites and nothing else. The pin fails the
+    // build when a new unpartitioned window appears, forcing the author
+    // to either partition it or justify + register its bound here.
+    //
+    // Site justifications (input cardinality, independent of corpus):
+    //   streaming/Streaming.scala qStreamNovelty  — ≤10 bucket rows
+    //   ext/Text.scala heapsCurveDf               — ≤10 bucket rows
+    //   ext/Text.scala textZipf                   — limit(topK)=1000 rows
+    //                                               BEFORE the rank window
+    //   ext/Curation.scala mixtureWeights         — #domains rows
+    //   ext/Curation.scala mixtureWaterfill (×3)  — #languages rows
+    //   ext/Retrieval.scala rrfFusion (×2)        — depth=50 rows per leg
+    //   ext/Packing.scala packSequencesGlobalWindow — spec-only oracle for
+    //                                               the distributed rewrite,
+    //                                               never a driver query
+    //   queries/Parity.scala qKsGap               — nBins bucket rows
+    //   queries/Parity.scala qNtileGlobalWindow   — spec-only oracle for
+    //                                               qNtile's rank rewrite
+    //   queries/Parity.scala qSkyline (×2)        — price-range buckets;
+    //                                               frontier candidates
+    //   queries/Parity.scala qCusum               — one row per date
+    val pinned = Map(
+      "streaming/Streaming.scala" -> 1,
+      "ext/Text.scala" -> 2,
+      "ext/Curation.scala" -> 4,
+      "ext/Retrieval.scala" -> 2,
+      "ext/Packing.scala" -> 1,
+      "queries/Parity.scala" -> 5)
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val rel = root.relativize(p).toString
+        // String's UTF-8 constructor replaces malformed bytes instead
+        // of throwing (Source.fromFile dies on the first odd byte)
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.foreach { line =>
+          val t = line.trim
+          val isComment = t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
+          if (!isComment && re.findFirstIn(line).isDefined)
+            found(rel) = found.getOrElse(rel, 0) + 1
+        }
+      }
+    }
+    assert(found.toMap === pinned,
+      s"unpartitioned-window sites drifted from the pinned allowlist.\n" +
+        s"found:  ${found.toMap.toSeq.sorted}\npinned: ${pinned.toSeq.sorted}\n" +
+        "A NEW site means corpus-sized input may hit one task: partition " +
+        "it, or prove the input bounded and extend the justification " +
+        "table + pin in this spec.")
+    // and the two spec-only global-window oracles must never be on the
+    // driver surface (their distributed rewrites are)
+    val registered = SparkEntry.queries.keySet
+    assert(registered.contains("q_ntile") && registered.contains("q_pack_sequences"))
+    assert(!registered.exists(_.contains("global_window")))
+  }
 }
