@@ -176,7 +176,11 @@ object ScaleBench {
     // FIXED hash sample, so cost at x100 is the TakeOrdered sample draw
     // plus a constant — the form of these measurements that stays
     // runnable at 100 TB
-    "dedup_threshold_sweep_sampled", "dedup_lsh_calibration_sampled")
+    "dedup_threshold_sweep_sampled", "dedup_lsh_calibration_sampled",
+    // round-13: the ingest funnel rides dedup_minhash's pair pipeline +
+    // the gram join + one signal scan; the PQ curve is 3 bounded-sample
+    // trainings + per-M single-pass scoring
+    "q_stream_corpus_build", "ann_pq_curve")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

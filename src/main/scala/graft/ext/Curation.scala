@@ -72,7 +72,9 @@ object Curation {
     * by both [[qCurate]] and the [[qCorpusBuild]] funnel, so the
     * flagship can never drift from the standalone gates.
     */
-  private def curateSignals(docs: DataFrame): DataFrame = {
+  // private[graft]: the streaming corpus-build monitor folds the SAME
+  // signal/gate definitions, so batch and ingest funnels cannot drift
+  private[graft] def curateSignals(docs: DataFrame): DataFrame = {
     val st = TextStats(col("text"), Seq("the", "a", "of", "and", "to", "in"))
     val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
     docs
@@ -85,7 +87,7 @@ object Curation {
   }
 
   /** The quality gate over [[curateSignals]] columns. */
-  private def curateGate: Column =
+  private[graft] def curateGate: Column =
     col("punct_ratio") <= 0.2 &&
       col("mean_token_len").between(2.0, 15.0) &&
       col("lang_pred") === col("lang")
@@ -904,7 +906,7 @@ object Curation {
     * its dot, or "" when unqualified). ONE definition shared by the
     * q_curate oracle and the corpus-build funnel oracle.
     */
-  private def gateColsSql(a: String): String =
+  private[graft] def gateColsSql(a: String): String =
     s"""round(CAST(length(regexp_replace(${a}text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
        |               / length(${a}text), 4) AS punct_ratio,
        |         round(CAST(list_sum(list_transform(string_split_regex(trim(${a}text), '\\s+'),
@@ -915,7 +917,7 @@ object Curation {
     * scored on `$src`'s lowered token list `w`, as a CTE body ending in
     * `(l_doc_id, lang_pred)`. Shared like [[gateColsSql]].
     */
-  private def langPredCteBody(src: String): String =
+  private[graft] def langPredCteBody(src: String): String =
     s"""SELECT doc_id AS l_doc_id, (list_sort([
        |        $langStructs], 'DESC'))[1].lang AS lang_pred
        |      FROM $src""".stripMargin

@@ -89,8 +89,13 @@ object Dedup {
     * ≈ 1-2e-7 — the oracle computes exact all-pairs truth and the two
     * agree because the planted near-dups sit at j≥0.97.
     */
-  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    minhashPairsDf(Tables.documents(spark, dir), threshold)
+
+  /** [[dedupMinhash]]'s df-level core — consumed directly by the ingest
+    * corpus-build monitor ([[graft.streaming.Streaming.qStreamCorpusBuild]]).
+    */
+  def minhashPairsDf(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val banded = bandTable(docs)
     val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_idx").as("band_idx_b"), col("band_hash").as("band_hash_b"),

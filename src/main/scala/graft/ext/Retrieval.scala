@@ -363,7 +363,7 @@ object Retrieval {
     * q_contamination / q_quarantine oracles and the corpus-build funnel
     * ([[Curation]]), mirroring [[graft.functions.WordShingles]] at n=5.
     */
-  private[ext] def gram5Cte(src: String): String =
+  private[graft] def gram5Cte(src: String): String =
     s"""g AS (SELECT doc_id, unnest(list_distinct(
        |        CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
        |             ELSE list_transform(range(1, len(w) - 3),

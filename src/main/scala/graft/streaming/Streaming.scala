@@ -1404,6 +1404,217 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Ingest-time CORPUS-BUILD monitor — the flagship funnel
+    * ([[graft.ext.Curation.qCorpusBuild]]) recomputed cumulatively at
+    * every arrival checkpoint: per doc_id decile bucket (the shared
+    * [[graft.ext.Text.docBuckets]] rule), the docs and chars surviving
+    * each curation stage among everything arrived so far. This is how a
+    * real 100 TB corpus is actually assembled — data arrives in
+    * deliveries, and the funnel is the reading that says whether the
+    * latest delivery is worth its cost (a delivery whose rows die at
+    * near-dedup or quality buys nothing).
+    *
+    * Stage semantics are the INGEST-TIME (arrival-stable) forms, so each
+    * document's flags are fixed the moment it arrives and every
+    * checkpoint row is a prefix sum — exactly what the incremental
+    * runner ([[runCorpusBuildStream]]) maintains as bounded state:
+    *   - exact dedup: first arrival of a content hash survives (the
+    *     batch funnel's min-id rule — identical under id-ordered
+    *     ingestion);
+    *   - near-dedup: a document is dropped iff it has a verified
+    *     jaccard ≥ 0.8 pair with an EARLIER document — the pair's later
+    *     endpoint, exactly when [[graft.ext.Dedup.indexIncremental]]
+    *     emits it. (The batch funnel's connected-component rule can
+    *     differ on transitive chains: a cluster member whose only
+    *     direct pairs are LATER docs survives here but not there. The
+    *     ingest policy is the one an incremental pipeline can actually
+    *     enforce — membership never changes retroactively.)
+    *   - decontamination: the benchmark suite is STATIC (the
+    *     [[runQuarantineStream]] posture) — grams from the full
+    *     registered suite, probed per arriving document;
+    *   - quality: the stateless [[graft.ext.Curation.curateGate]].
+    *
+    * Scale shape: corpus-sized work is the one signal scan, the pair
+    * pipeline, and the gram join — each an existing scale-safe shape;
+    * the funnel aggregate groups to ≤10 buckets × 5 stages and the
+    * cumulative window runs on those rows.
+    */
+  def qStreamCorpusBuild(spark: SparkSession, dir: String): DataFrame =
+    corpusBuildMonitorDf(graft.Tables.documents(spark, dir))
+
+  def corpusBuildMonitorDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.{Curation, Dedup, Retrieval}
+    val base = graft.ext.Text.docBuckets(docs)
+    val corpus = base.filter(col("doc_id") % 100 =!= 0)
+    val flagged = Curation.curateSignals(corpus)
+      .select(col("doc_id"), col("bucket"), col("n_chars"),
+        (col("rn") === 1).as("e_ok"), Curation.curateGate.as("q_ok"))
+    // pairs over the FULL table (benchmark docs can be the earlier
+    // partner — the batch funnel's population); a doc is nd-dropped iff
+    // it is the later endpoint of any verified pair
+    val ndDropped = Dedup.minhashPairsDf(docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("nd", lit(true))
+    val contam = Retrieval.quarantine(docs, Retrieval.benchGramSet(docs))
+      .select(col("doc_id"), lit(true).as("ct"))
+    val f = flagged
+      .join(ndDropped, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("nd_ok", col("nd").isNull)
+      .withColumn("ct_ok", col("ct").isNull)
+    val conds = Seq(
+      "0_raw" -> lit(true),
+      "1_exact_dedup" -> col("e_ok"),
+      "2_near_dedup" -> (col("e_ok") && col("nd_ok")),
+      "3_decontaminated" -> (col("e_ok") && col("nd_ok") && col("ct_ok")),
+      "4_quality" -> (col("e_ok") && col("nd_ok") && col("ct_ok") && col("q_ok")))
+    val aggs = conds.flatMap { case (_, c) => Seq(
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(c, col("n_chars"))), lit(0L))) }
+      .zipWithIndex.map { case (a, i) => a.as(s"a$i") }
+    val perBucket = f.groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
+    // ≤10 aggregated rows — a pinned bounded-input global window
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = conds.indices.flatMap(i => Seq(
+      sum(col(s"a${2 * i}")).over(cum).as(s"c${2 * i}"),
+      sum(col(s"a${2 * i + 1}")).over(cum).as(s"c${2 * i + 1}")))
+    val rows = conds.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("stage"),
+        col(s"c${2 * i}").as("n_docs"), col(s"c${2 * i + 1}").as("n_chars"))
+    }
+    perBucket.select(col("bucket") +: cums: _*)
+      .select(col("bucket"), explode(array(rows: _*)).as("s"))
+      .select(col("bucket"), col("s.*"))
+      .orderBy("bucket", "stage")
+  }
+
+  /** Ingest-time corpus-build runner — [[qStreamCorpusBuild]] maintained
+    * incrementally per arriving file, composing the engine's persistent-
+    * state streaming pieces in their production order:
+    *
+    *   1. near-dup probe-and-append against the SAME MinHash index
+    *      format as [[runNearDupStream]] ([[graft.ext.Dedup
+    *      .indexIncremental]] — per-batch cost proportional to the
+    *      batch and its candidates, never the corpus; caller
+    *      initializes the index, empty for a fresh build);
+    *   2. exact-dedup against a persistent content-hash set, delta-
+    *      appended batch-keyed (`hashes/batch=N`, overwritten on
+    *      replay — a replayed batch reads only STRICTLY EARLIER
+    *      batches' hashes, so its flags are reproduced exactly);
+    *   3. decontamination against the STATIC benchmark gram set from
+    *      `staticDir` (the [[runQuarantineStream]] posture — bounded,
+    *      checkpointed once, re-read per batch);
+    *   4. the stateless [[graft.ext.Curation.curateGate]];
+    *   5. cumulative funnel totals in a batch-keyed TSV (the
+    *      [[runMixStream]] replay discipline: a replayed batch re-reads
+    *      its predecessor's totals and rewrites identical rows).
+    *
+    * Emits (batch_id, stage, n_docs, n_chars) per arrival — the same
+    * cumulative funnel the batch monitor reports per bucket, and
+    * StreamingSpec asserts row equality when arrivals align with the
+    * monitor's decile checkpoints, plus replay idempotence. Assumes
+    * id-ordered ingestion (the ingest-monitor family's standing
+    * arrival model: doc_id encodes arrival).
+    */
+  def runCorpusBuildStream(
+      spark: SparkSession, inputGlob: String, staticDir: String,
+      indexPath: String, statePath: String, outDir: String): Unit = {
+    import graft.ext.{Curation, Dedup, Retrieval}
+    val benchGrams = Retrieval
+      .benchGramSet(graft.Tables.documents(spark, staticDir))
+      .localCheckpoint()
+    val stageNames = Seq(
+      "0_raw", "1_exact_dedup", "2_near_dedup", "3_decontaminated", "4_quality")
+    val q = docsFileStream(spark, inputGlob).writeStream
+      .option("checkpointLocation", s"$statePath/_stream_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import java.nio.file.{Files, Paths}
+          val dir = Paths.get(statePath)
+          val b = batch.toDF().localCheckpoint()
+          // 1. probe-and-append: the pair SET is replay-stable (a
+          //    replayed batch probes its own appended sketches, but
+          //    same-id candidates are excluded and distinct() restores
+          //    the set; the duplicate sketches are the documented
+          //    benign inflation of the near-dup runner)
+          val ndDropped = Dedup.indexIncremental(b, indexPath)
+            .select(col("doc_b").as("doc_id")).distinct()
+            .withColumn("nd", lit(true))
+          // 2. content hashes from STRICTLY EARLIER batches
+          val hashesRoot = s"$statePath/hashes"
+          val seen =
+            if (new java.io.File(hashesRoot).exists())
+              spark.read.parquet(hashesRoot)
+                .filter(col("batch") < batchId).select(col("h")).distinct()
+                .withColumn("old", lit(true))
+            else
+              spark.range(0).select(col("id").cast("string").as("h"),
+                lit(true).as("old"))
+          val corpus = b.filter(col("doc_id") % 100 =!= 0)
+          val contam = Retrieval.quarantine(b, benchGrams)
+            .select(col("doc_id"), lit(true).as("ct"))
+          val f = Curation.curateSignals(corpus)
+            .withColumn("h", md5(col("text").cast("binary")))
+            .select(col("doc_id"), col("n_chars"), col("h"), col("rn"),
+              Curation.curateGate.as("q_ok"))
+            .join(seen, Seq("h"), "left")
+            .join(ndDropped, Seq("doc_id"), "left")
+            .join(contam, Seq("doc_id"), "left")
+            .withColumn("e_ok", col("rn") === 1 && col("old").isNull)
+            .withColumn("nd_ok", col("nd").isNull)
+            .withColumn("ct_ok", col("ct").isNull)
+          val conds = Seq(
+            lit(true),
+            col("e_ok"),
+            col("e_ok") && col("nd_ok"),
+            col("e_ok") && col("nd_ok") && col("ct_ok"),
+            col("e_ok") && col("nd_ok") && col("ct_ok") && col("q_ok"))
+          val aggs = conds.flatMap(c => Seq(
+            coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(c, col("n_chars"))), lit(0L))))
+            .zipWithIndex.map { case (a, i) => a.as(s"a$i") }
+          val incRow = f.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val inc = stageNames.indices
+            .map(i => (incRow.getLong(2 * i), incRow.getLong(2 * i + 1)))
+          // 3. delta-append this batch's hashes, batch-keyed overwrite
+          corpus.select(md5(col("text").cast("binary")).as("h")).distinct()
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$hashesRoot/batch=$batchId")
+          // 4. cumulative totals: predecessor + increments
+          def stateIds(): Seq[Long] = dir.toFile.list().toSeq
+            .filter(f => f.startsWith("funnel_") && f.endsWith(".tsv"))
+            .map(_.stripPrefix("funnel_").stripSuffix(".tsv").toLong)
+          val prevId = stateIds().filter(_ < batchId).sorted.lastOption
+          val prev: Map[String, (Long, Long)] =
+            prevId.fold(Map.empty[String, (Long, Long)]) { i =>
+              scala.io.Source.fromFile(dir.resolve(s"funnel_$i.tsv").toFile)
+                .getLines().map(_.split("\t"))
+                .map(a => a(0) -> (a(1).toLong, a(2).toLong)).toMap
+            }
+          val cum = stageNames.zip(inc).map { case (s, (d, c)) =>
+            val (pd, pc) = prev.getOrElse(s, (0L, 0L))
+            (s, pd + d, pc + c)
+          }
+          Files.write(dir.resolve(s"funnel_$batchId.tsv"),
+            cum.map { case (s, d, c) => s"$s\t$d\t$c" }
+              .mkString("\n").getBytes("UTF-8"))
+          prevId.foreach(pi => stateIds().filter(_ < pi)
+            .foreach(i => Files.delete(dir.resolve(s"funnel_$i.tsv"))))
+          // 5. batch-keyed output rows
+          import spark.implicits._
+          cum.map { case (s, d, c) => (batchId, s, d, c) }
+            .toDF("batch_id", "stage", "n_docs", "n_chars")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming NEAR-DUPLICATE detection — the ingest-time face of the
     * persistent MinHash index ([[graft.ext.Dedup.indexIncremental]]):
     * documents arrive as a file stream, each micro-batch sketches ONLY
@@ -1495,6 +1706,7 @@ object Streaming {
     "q_stream_hist" -> (qStreamHist _),
     "q_stream_novelty" -> (qStreamNovelty _),
     "q_stream_mix" -> (qStreamMix _),
+    "q_stream_corpus_build" -> (qStreamCorpusBuild _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_session_window" -> (qSessionWindow _),
@@ -1569,6 +1781,61 @@ object Streaming {
          |       max(CASE WHEN rk = 1 THEN source END) AS worst_source,
          |       round(CAST(max(CASE WHEN rk = 1 THEN diff END) AS DOUBLE), 6) AS worst_gap
          |FROM drk GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the ingest corpus-build funnel: the SAME shared fragments as the
+    // batch q_corpus_build oracle (minhashPairsCte, gram5Cte,
+    // langPredCteBody, gateColsSql, bucketSql — one definition each),
+    // with the arrival-stable nd rule (later endpoint of any pair) and
+    // per-bucket cumulative sums
+    "q_stream_corpus_build" -> {
+      import graft.ext.{Curation, Dedup, Retrieval}
+      val stages = Seq(
+        "0_raw" -> 0, "1_exact_dedup" -> 1, "2_near_dedup" -> 2,
+        "3_decontaminated" -> 3, "4_quality" -> 4)
+      val filters = Seq("", " FILTER (WHERE e_ok)",
+        " FILTER (WHERE e_ok AND nd_ok)",
+        " FILTER (WHERE e_ok AND nd_ok AND ct_ok)",
+        " FILTER (WHERE e_ok AND nd_ok AND ct_ok AND q_ok)")
+      val bkCols = filters.zipWithIndex.map { case (flt, i) =>
+        s"count(*)$flt AS d$i, coalesce(sum(n_chars)$flt, 0) AS c$i"
+      }.mkString(",\n         |        ".stripMargin)
+      val cumCols = stages.map { case (_, i) =>
+        s"sum(d$i) OVER cw AS d$i, sum(c$i) OVER cw AS c$i"
+      }.mkString(", ")
+      val unions = stages.map { case (name, i) =>
+        s"""SELECT bucket, '$name' AS stage, CAST(d$i AS BIGINT) AS n_docs,
+           |         CAST(c$i AS BIGINT) AS n_chars FROM cumb""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${Dedup.minhashPairsCte},
+         |${Retrieval.gram5Cte("t")},
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0),
+         |contam AS (SELECT DISTINCT c.doc_id FROM g c JOIN bench USING (g)
+         |           WHERE c.doc_id % 100 <> 0),
+         |mmcb AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |tl AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+         |       FROM documents WHERE doc_id % 100 <> 0),
+         |lp AS (${Curation.langPredCteBody("tl")}),
+         |tq AS (SELECT d.doc_id, ${graft.ext.Text.bucketSql("d.doc_id")} AS bucket,
+         |         d.n_chars, d.lang,
+         |         row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn,
+         |         ${Curation.gateColsSql("d.")}
+         |       FROM documents d CROSS JOIN mmcb WHERE d.doc_id % 100 <> 0),
+         |f AS (SELECT tq.bucket, tq.n_chars,
+         |        (tq.rn = 1) AS e_ok,
+         |        tq.doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs) AS nd_ok,
+         |        tq.doc_id NOT IN (SELECT doc_id FROM contam) AS ct_ok,
+         |        (tq.punct_ratio <= 0.2 AND tq.mean_token_len BETWEEN 2.0 AND 15.0
+         |          AND lp.lang_pred = tq.lang) AS q_ok
+         |      FROM tq JOIN lp ON tq.doc_id = lp.l_doc_id),
+         |bk AS (SELECT bucket,
+         |        $bkCols
+         |       FROM f GROUP BY bucket),
+         |cumb AS (SELECT bucket, $cumCols
+         |         FROM bk WINDOW cw AS (ORDER BY bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT * FROM (
+         |  $unions
+         |) ORDER BY bucket, stage""".stripMargin
+    },
     // register-level mirror of the deterministic HLL
     // (functions.HllSketch) per epoch-aligned hour window — the same
     // sketch the streaming path maintains as state, so hash-green here

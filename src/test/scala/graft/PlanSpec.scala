@@ -666,6 +666,7 @@ class PlanSpec extends SparkSuite {
     //
     // Site justifications (input cardinality, independent of corpus):
     //   streaming/Streaming.scala qStreamNovelty  — ≤10 bucket rows
+    //   streaming/Streaming.scala corpusBuildMonitorDf — ≤10 bucket rows
     //   ext/Text.scala heapsCurveDf               — ≤10 bucket rows
     //   ext/Text.scala textZipf                   — limit(topK)=1000 rows
     //                                               BEFORE the rank window
@@ -682,7 +683,7 @@ class PlanSpec extends SparkSuite {
     //                                               frontier candidates
     //   queries/Parity.scala qCusum               — one row per date
     val pinned = Map(
-      "streaming/Streaming.scala" -> 1,
+      "streaming/Streaming.scala" -> 2,
       "ext/Text.scala" -> 2,
       "ext/Curation.scala" -> 4,
       "ext/Retrieval.scala" -> 2,

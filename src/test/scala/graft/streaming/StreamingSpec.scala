@@ -731,6 +731,63 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming corpus build: per-batch funnels equal the batch monitor's decile rows; replay is a no-op") {
+    val docs = Tables.documents(spark, dir)
+    // arrivals aligned with the monitor's value-based decile buckets:
+    // after batch k the stream's cumulative funnel must equal the batch
+    // monitor's bucket-k row set exactly
+    val bucketed = graft.ext.Text.docBuckets(docs).localCheckpoint()
+    val inDir = java.nio.file.Files.createTempDirectory("docs_cbstream").toString
+    (0 until 10).foreach { k =>
+      bucketed.filter(col("bucket") === k).drop("bucket")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    // one file per bucket in arrival order (FileStreamSource picks the
+    // oldest-first under maxFilesPerTrigger=1)
+    val files = new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+    files.zipWithIndex.foreach { case (f, i) => f.setLastModified((i + 1) * 60000L) }
+    val idx = java.nio.file.Files.createTempDirectory("cb_stream_idx").toString
+    graft.ext.Dedup.indexInit(docs.limit(0), idx)
+    val statePath = java.nio.file.Files.createTempDirectory("cb_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cb_out").toString + "/rows"
+
+    Streaming.runCorpusBuildStream(spark, s"$inDir/*.parquet", dir, idx, statePath, outDir)
+
+    def readOut() = spark.read.parquet(outDir)
+      .select("batch_id", "stage", "n_docs", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val streamed = readOut()
+    assert(streamed.map(_._1).distinct.length === 10, "ten arrivals, ten funnels")
+    val monitor = Streaming.qStreamCorpusBuild(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.toSeq === monitor.toSeq,
+      "stream funnel must equal the batch monitor at every checkpoint")
+    // at-least-once replay over surviving state rewrites identical rows
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      java.nio.file.Paths.get(statePath, "_stream_checkpoint").toFile)
+    Streaming.runCorpusBuildStream(spark, s"$inDir/*.parquet", dir, idx, statePath, outDir)
+    assert(readOut().toSeq === streamed.toSeq)
+  }
+
+  test("corpus-build monitor: final checkpoint anchors the batch funnel; ingest nd policy only looser") {
+    // bucket-9 raw/exact rows equal q_corpus_build's (same population,
+    // same first-arrival rule); the arrival-stable near-dup policy can
+    // only keep MORE docs than the batch CC rule (a doc with an earlier
+    // direct partner is never its component's min)
+    val monitor = Streaming.qStreamCorpusBuild(spark, dir).collect()
+      .filter(_.getInt(0) == 9)
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val funnel = graft.ext.Curation.qCorpusBuild(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(monitor("0_raw") === funnel("0_raw"))
+    assert(monitor("1_exact_dedup") === funnel("1_exact_dedup"))
+    assert(monitor("2_near_dedup")._1 >= funnel("2_near_dedup")._1)
+    assert(monitor("4_quality")._1 >= funnel("4_quality")._1)
+  }
+
   test("streaming near-dup ingestion: union over micro-batches equals batch dedup_minhash") {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, dir)
