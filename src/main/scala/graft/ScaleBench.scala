@@ -180,7 +180,10 @@ object ScaleBench {
     // round-13: the ingest funnel rides dedup_minhash's pair pipeline +
     // the gram join + one signal scan; the PQ curve is 3 bounded-sample
     // trainings + per-M single-pass scoring
-    "q_stream_corpus_build", "ann_pq_curve")
+    "q_stream_corpus_build", "ann_pq_curve",
+    // round-13: index-aging report — one corpus assignment scan into a
+    // k-group aggregate; the base-cohort training sample stays bounded
+    "ann_ivf_drift")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

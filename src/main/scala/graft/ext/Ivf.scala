@@ -260,10 +260,112 @@ object Ivf {
       .orderBy("nprobe")
   }
 
+  /** Index-aging report for a FROZEN coarse quantizer — the maintenance
+    * question every serving IVF index at ingest eventually faces: the
+    * quantizer was trained once (on the corpus as it stood), new vectors
+    * keep arriving and are assigned to the frozen lists, and the operator
+    * must decide from a report — not a full rebuild — whether the model
+    * still fits the data. Per inverted list this emits the base/delta
+    * occupancy split, each side's share of its arrival cohort, the share
+    * SHIFT (delta share − base share: where the new data is piling up
+    * relative to the trained distribution), and each side's mean
+    * quantization distortion 1 − cosine(x, assigned centroid) — rising
+    * delta distortion with stable occupancy means the new data sits
+    * farther from every centroid (a new mode the quantizer has no cell
+    * for); a large positive shift concentrates probe cost on hot lists.
+    * Companion to [[graft.ext.Dedup.ensureIncrementalIndex]]'s
+    * probe-and-append discipline: this is the measurement that says when
+    * incremental assignment stops being good enough and retraining pays.
+    *
+    * `cut` splits the corpus into the trained-on cohort (vec_id < cut —
+    * the synthetic corpus has no ingest timestamp; vec_id is assignment
+    * order, so an id threshold IS the arrival prefix) and the arrivals.
+    * The quantizer trains on the hash-ordered sample OF THE BASE ONLY
+    * ([[trainCentroids]] over the filtered frame — the staleness under
+    * study), then ALL vectors are assigned by the one compiled
+    * [[graft.functions.NearestCentroids]] map.
+    *
+    * Exactness: centroids are bit-identical cross-engine (see
+    * [[kmeansCte]], here instantiated with `sampleTable` = the base
+    * cohort); per-vector cosines are the identical doubles
+    * ([[graft.functions.VectorFns.cosine]] ≡ DuckDB
+    * `list_cosine_similarity` on the same float arrays — the raw
+    * centroid, cosine is norm-invariant); distortions are quantized to
+    * DECIMAL(20,12) before the per-list sums (the [[graft.ext.Pq]]
+    * fold discipline) so only the final divisions are floats.
+    *
+    * 100 TB shape: training collects the bounded base sample; assignment
+    * + distortion is ONE corpus scan — a compiled map plus a broadcast
+    * join against the k-row centroid table — feeding a k-group partial
+    * aggregate; the k-row report then joins the 2-row cohort totals.
+    * Nothing after the scan is corpus-sized, and the scan itself is the
+    * same pass an ingest-time assigner already runs.
+    */
+  def ivfDriftDf(emb: DataFrame, cut: Long, k: Int = K, iters: Int = Iters,
+      sampleN: Int = SampleN): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d2012 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 12)
+    val cents = trainCentroids(emb.filter(col("vec_id") < cut), k, iters, sampleN)
+    val centDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list_id", "cent"))
+    val per = emb
+      .select(col("vec_id"), col("embedding"),
+        element_at(NearestCentroids(col("embedding"), cents, 1), 1).as("list_id"),
+        (col("vec_id") < cut).as("is_base"))
+      .join(centDf, Seq("list_id"))
+      .select(col("list_id"), col("is_base"),
+        (lit(1.0) - VectorFns.cosine(col("embedding"), col("cent")))
+          .cast(d2012).as("dist"))
+      .groupBy(col("list_id"))
+      .agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_delta"),
+        sum(when(col("is_base"), col("dist"))).as("dsum_base"),
+        sum(when(!col("is_base"), col("dist"))).as("dsum_delta"))
+      // k rows, consumed twice (report + cohort totals): without the
+      // checkpoint the totals leg RE-DERIVES the aggregate and the plan
+      // scans the corpus twice — measured 2 scan nodes in PLANS.md
+      .localCheckpoint()
+    // cohort totals: a 1-row aggregate broadcast under the k-row report
+    val tot = per.agg(sum(col("n_base")).as("tb"), sum(col("n_delta")).as("td"))
+    val grid = spark.range(0, k).select(col("id").cast("int").as("list_id"))
+    grid.join(per, Seq("list_id"), "left").crossJoin(broadcast(tot))
+      .select(
+        col("list_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        round(coalesce(col("n_base"), lit(0L)).cast("double") / col("tb"), 6)
+          .as("share_base"),
+        round(coalesce(col("n_delta"), lit(0L)).cast("double") / col("td"), 6)
+          .as("share_delta"),
+        round(coalesce(col("n_delta"), lit(0L)).cast("double") / col("td")
+          - coalesce(col("n_base"), lit(0L)).cast("double") / col("tb"), 6)
+          .as("share_shift"),
+        when(col("n_base") > 0,
+          round(col("dsum_base").cast("double") / col("n_base"), 8))
+          .as("mdist_base"),
+        when(col("n_delta") > 0,
+          round(col("dsum_delta").cast("double") / col("n_delta"), 8))
+          .as("mdist_delta"))
+      .orderBy("list_id")
+  }
+
+  /** Driver entry: base = the first ⌊4n/5⌋ ids — on the synthetic dense
+    * ids exactly the first 80% of arrivals; the count is the one
+    * driver-side scalar (ingest bookkeeping, same weight class as the
+    * training collect).
+    */
+  def annIvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfDriftDf(emb, cut = 4L * emb.count() / 5L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_lists" -> (annIvfLists _),
     "ann_probe_curve" -> ((s: SparkSession, d: String) => annProbeCurve(s, d)),
+    "ann_ivf_drift" -> (annIvfDrift _),
   )
 
   /** The LEARNED quantizer is oracle-checkable after all: Lloyd's is
@@ -280,8 +382,14 @@ object Ivf {
     * bit-identical centroids. CTE ends in `lists(vec_id, list_id)` (the
     * full-corpus assignment) and `fcn(c, j, v)` (normalized finals, for
     * probe ranking). Verified equal to the Spark assignment at sf0.01.
+    *
+    * `sampleTable` names the table the TRAINING sample is drawn from
+    * (default: the whole corpus); assignment always covers the full
+    * `embeddings` table — the [[annIvfDrift]] oracle passes the base
+    * cohort here to mirror the frozen-quantizer split.
     */
-  def kmeansCte(k: Int = K, iters: Int = Iters, sampleN: Int = SampleN): String = {
+  def kmeansCte(k: Int = K, iters: Int = Iters, sampleN: Int = SampleN,
+      sampleTable: String = "embeddings"): String = {
     val rounds = (1 to iters).map { r =>
       val p = s"c${r - 1}"
       s"""nrm$r AS (SELECT c, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
@@ -302,7 +410,7 @@ object Ivf {
          |    FROM asg$r a JOIN kee ON kee.vec_id = a.vec_id GROUP BY 1, 2) m
          |  ON m.c = p.c AND m.j = p.j)""".stripMargin
     }.mkString(",\n")
-    s"""${graft.functions.MixSql.hashSampleCtes("", "embeddings", "vec_id", sampleN)},
+    s"""${graft.functions.MixSql.hashSampleCtes("", sampleTable, "vec_id", sampleN)},
        |keeall AS MATERIALIZED (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
        |         CAST(CAST(unnest(embedding) AS REAL) AS DOUBLE) AS x FROM embeddings),
@@ -327,6 +435,48 @@ object Ivf {
   }
 
   val oracles: Map[String, String] = Map(
+    // frozen-quantizer aging: kmeansCte trains on the base cohort only
+    // (sampleTable), assigns the full corpus; per-vector distortion is
+    // 1 - cosine against the RAW final float centroid (c5 long form
+    // re-assembled in j order — cosine is norm-invariant, and the raw
+    // floats are the bit-identical cross-engine artifact), quantized to
+    // DECIMAL(20,12) before the per-list sums like ann_pq_distortion
+    "ann_ivf_drift" ->
+      s"""WITH embeddings_b AS (
+         |  SELECT * FROM embeddings
+         |  WHERE vec_id < (SELECT 4 * count(*) // 5 FROM embeddings)),
+         |${kmeansCte(sampleTable = "embeddings_b")},
+         |cvec AS (SELECT c AS list_id, list(v ORDER BY j) AS cent
+         |  FROM c$Iters GROUP BY c),
+         |dist AS (
+         |  SELECT l.list_id,
+         |         e.vec_id < (SELECT 4 * count(*) // 5 FROM embeddings) AS is_base,
+         |         CAST(1.0 - list_cosine_similarity(
+         |           e.embedding::DOUBLE[], cv.cent::DOUBLE[]) AS DECIMAL(20,12)) AS dist
+         |  FROM lists l JOIN embeddings e USING (vec_id)
+         |  JOIN cvec cv USING (list_id)),
+         |per AS (
+         |  SELECT list_id,
+         |         count(*) FILTER (is_base) AS n_base,
+         |         count(*) FILTER (NOT is_base) AS n_delta,
+         |         sum(dist) FILTER (is_base) AS dsum_base,
+         |         sum(dist) FILTER (NOT is_base) AS dsum_delta
+         |  FROM dist GROUP BY list_id),
+         |tot AS (SELECT sum(n_base) AS tb, sum(n_delta) AS td FROM per),
+         |grid AS (SELECT CAST(unnest(range($K)) AS INT) AS list_id)
+         |SELECT g.list_id,
+         |       CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+         |       CAST(coalesce(n_delta, 0) AS BIGINT) AS n_delta,
+         |       round(CAST(coalesce(n_base, 0) AS DOUBLE) / tb, 6) AS share_base,
+         |       round(CAST(coalesce(n_delta, 0) AS DOUBLE) / td, 6) AS share_delta,
+         |       round(CAST(coalesce(n_delta, 0) AS DOUBLE) / td
+         |             - CAST(coalesce(n_base, 0) AS DOUBLE) / tb, 6) AS share_shift,
+         |       CASE WHEN n_base > 0
+         |            THEN round(CAST(dsum_base AS DOUBLE) / n_base, 8) END AS mdist_base,
+         |       CASE WHEN n_delta > 0
+         |            THEN round(CAST(dsum_delta AS DOUBLE) / n_delta, 8) END AS mdist_delta
+         |FROM grid g LEFT JOIN per USING (list_id) CROSS JOIN tot
+         |ORDER BY g.list_id""".stripMargin,
     "ann_ivf_lists" ->
       s"""WITH ${kmeansCte()}
          |SELECT list_id, count(*) AS list_size FROM lists

@@ -561,6 +561,59 @@ class ExtSpec extends SparkSuite {
     assert(probed < Tables.embeddings(spark, dir).count())
   }
 
+  test("IVF drift report detects a new mode the frozen quantizer has no cell for") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def around(dir0: Int, sign: Float): Array[Float] = {
+      val v = Array.fill(64)((rnd.nextGaussian() * 0.05).toFloat)
+      v(dir0) += sign; v
+    }
+    // base cohort (ids < 60): two modes the quantizer trains on;
+    // delta cohort (ids >= 100): a NEW mode opposite the first
+    val base = (0 until 60).map(i => (i.toLong, around(i % 2, 1f)))
+    val delta = (0 until 30).map(i => (100L + i, around(0, -1f)))
+    val emb = (base ++ delta).toDF("vec_id", "embedding")
+    val got = Ivf.ivfDriftDf(emb, cut = 60L, k = 4, sampleN = 60).collect()
+    assert(got.length === 4, "one row per inverted list, empties included")
+    assert(got.map(_.getLong(1)).sum === 60L)
+    assert(got.map(_.getLong(2)).sum === 30L)
+    // each cohort's shares partition it (up to 6-dp rounding)
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(got.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    assert(math.abs(got.map(_.getDouble(5)).sum) < 1e-4, "shifts sum to zero")
+    // the new mode quantizes FAR worse than the trained-on data: its
+    // nearest trained centroid is ~orthogonal-to-opposite, so the
+    // occupancy-weighted mean distortion gap is large and unambiguous
+    def wmean(nIdx: Int, dIdx: Int) = {
+      val rows = got.filter(r => r.getLong(nIdx) > 0)
+      rows.map(r => r.getLong(nIdx) * r.getDouble(dIdx)).sum /
+        rows.map(_.getLong(nIdx)).sum
+    }
+    val (mb, md) = (wmean(1, 6), wmean(2, 7))
+    assert(md > mb + 0.5, s"drifted cohort must quantize worse: base=$mb delta=$md")
+    // the arrivals pile onto lists in a different proportion than the
+    // trained distribution: some list absorbs the mode
+    assert(got.map(_.getDouble(5)).max > 0.2, "a list must absorb the new mode")
+  }
+
+  test("IVF drift on the shared corpus: grid-complete, cohorts partition the table") {
+    val emb = Tables.embeddings(spark, dir)
+    val got = Ivf.annIvfDrift(spark, dir).collect()
+    assert(got.length === Ivf.K)
+    assert(got.map(r => r.getLong(1) + r.getLong(2)).sum === emb.count())
+    // iid synthetic arrivals: the frozen quantizer is NOT stale here, so
+    // the cohort-weighted mean distortions sit in one band — the control
+    // that says a real shift (previous test) is signal, not mechanism.
+    // (Per-list bands would be noise at this SF: single-vector lists.)
+    def wmean(nIdx: Int, dIdx: Int) = {
+      val rows = got.filter(r => r.getLong(nIdx) > 0 && !r.isNullAt(dIdx))
+      rows.map(r => r.getLong(nIdx) * r.getDouble(dIdx)).sum /
+        rows.map(_.getLong(nIdx)).sum
+    }
+    val (mb, md) = (wmean(1, 6), wmean(2, 7))
+    assert(math.abs(mb - md) < 0.2, s"no-drift control bands diverge: base=$mb delta=$md")
+  }
+
   test("ivf-partitioned corpus: probe search prunes the scan to the probed list directories") {
     val path = java.nio.file.Files.createTempDirectory("ivf_corpus").toString
     val e = Tables.embeddings(spark, dir)
