@@ -181,9 +181,10 @@ object ScaleBench {
     // the gram join + one signal scan; the PQ curve is 3 bounded-sample
     // trainings + per-M single-pass scoring
     "q_stream_corpus_build", "ann_pq_curve",
-    // round-13: index-aging report — one corpus assignment scan into a
-    // k-group aggregate; the base-cohort training sample stays bounded
-    "ann_ivf_drift")
+    // round-13: index-aging report + its ingest monitor — each ONE
+    // corpus assignment scan into a ≤10×k-group aggregate; the
+    // training sample stays bounded
+    "ann_ivf_drift", "q_stream_ivf_drift")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

@@ -1697,7 +1697,203 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** embeddings.parquet physical schema, for staged arrival feeds. */
+  val embRawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def embFileStream(spark: SparkSession, inputGlob: String): DataFrame =
+    spark.readStream
+      .schema(embRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputGlob)
+
+  /** Ingest-time EMBEDDING-DRIFT monitor — the vector-space member of the
+    * ingest-monitor family (novelty = content freshness, mix =
+    * composition, corpus build = the funnel; this = does the arriving
+    * embedding distribution still look like the one the ANN index was
+    * built for): per vec_id decile bucket (the [[graft.ext.Text.docBuckets]]
+    * rule on vec_id), the CUMULATIVE arrivals' mean quantization
+    * distortion 1 − cos(x, assigned centroid) under the frozen coarse
+    * quantizer, the total-variation distance between the cumulative
+    * arrived list-occupancy mix and the index's base occupancy, and the
+    * worst-deviating list. The alarm reading: occ_tvd spiking means
+    * arrivals concentrate on lists the index did not balance for (probe
+    * cost skews); mean_dist climbing with occ_tvd flat means a new mode
+    * far from EVERY centroid ([[graft.ext.Ivf.ivfDriftDf]]'s signal,
+    * here cumulative at every checkpoint). Bucket 9 (everything
+    * arrived) has occ_tvd exactly 0 against its own index — the
+    * baseline anchor, like the mix monitor's bucket-9 row.
+    *
+    * Exactness: per-vector distortions quantize to DECIMAL(20,12)
+    * before every sum (the [[graft.ext.Pq]] fold discipline; centroids
+    * are the bit-identical [[graft.ext.Ivf.kmeansCte]] artifact);
+    * occupancy shares are integer/IEEE divisions and per-list
+    * |share − base| quantizes to DECIMAL(18,12) before the sum/argmax
+    * (the [[mixMonitorDf]] discipline), so the curve is oracle-exact.
+    *
+    * Scale shape: corpus-sized work is ONE assignment scan (compiled
+    * [[graft.functions.NearestCentroids]] map + k-row broadcast
+    * centroid join) into a ≤10×k aggregate, checkpointed; every window
+    * below runs on those rows, partitioned — nothing unbounded is
+    * single-partition.
+    */
+  def qStreamIvfDrift(spark: SparkSession, dir: String): DataFrame =
+    ivfDriftMonitorDf(graft.Tables.embeddings(spark, dir))
+
+  def ivfDriftMonitorDf(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{NearestCentroids, VectorFns}
+    val d2012 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 12)
+    val d12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = graft.ext.Ivf.trainCentroids(emb)
+    val k = cents.length
+    val centDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list_id", "cent"))
+    val mm = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+    // ≤10×k rows, consumed twice (grid + base occupancy): checkpointed
+    // so the corpus assignment scan runs once (the ivfDriftDf lesson)
+    val pbl = emb.crossJoin(broadcast(mm))
+      .withColumn("bucket", expr("(vec_id - lo) * 10 div (hi - lo + 1)").cast("int"))
+      .withColumn("list_id", element_at(NearestCentroids(col("embedding"), cents, 1), 1))
+      .join(centDf, Seq("list_id"))
+      .select(col("bucket"), col("list_id"),
+        (lit(1.0) - VectorFns.cosine(col("embedding"), col("cent")))
+          .cast(d2012).as("dist"))
+      .groupBy(col("bucket"), col("list_id"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("ds"))
+      .localCheckpoint()
+    val base = pbl.groupBy(col("list_id")).agg(sum(col("n")).as("nb"))
+    val tot = pbl.agg(sum(col("n")).as("nt"))
+    val cumW = Window.partitionBy(col("list_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perB = Window.partitionBy(col("bucket"))
+    val rk = Window.partitionBy(col("bucket"))
+      .orderBy(col("diff").desc, col("list_id"))
+    pbl.select(col("bucket")).distinct()
+      .crossJoin(spark.range(0, k).select(col("id").cast("int").as("list_id")))
+      .join(pbl, Seq("bucket", "list_id"), "left")
+      .join(broadcast(base), Seq("list_id"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("ds", coalesce(col("ds"), lit(java.math.BigDecimal.ZERO).cast(d2012)))
+      .withColumn("cum_n", sum(col("n")).over(cumW))
+      .withColumn("cum_ds", sum(col("ds")).over(cumW))
+      .withColumn("cum_all", sum(col("cum_n")).over(perB))
+      .withColumn("cum_ds_all", sum(col("cum_ds")).over(perB))
+      .withColumn("diff",
+        abs(col("cum_n").cast("double") / col("cum_all")
+          - coalesce(col("nb"), lit(0L)).cast("double") / col("nt")).cast(d12))
+      .withColumn("rk", row_number().over(rk))
+      .groupBy(col("bucket"))
+      .agg(
+        first(col("cum_all")).as("arrived"),
+        first(col("cum_ds_all")).as("cds"),
+        sum(col("diff")).as("tvd2"),
+        max(when(col("rk") === 1, col("list_id"))).as("worst_list"),
+        max(when(col("rk") === 1, col("diff"))).as("worst_diff"))
+      .select(col("bucket"), col("arrived").as("cum_n"),
+        round(col("cds").cast("double") / col("arrived"), 8).as("mean_dist"),
+        // halve in DOUBLE (exact exponent shift), the mix rule
+        round(col("tvd2").cast("double") / 2.0, 6).as("occ_tvd"),
+        col("worst_list"),
+        round(col("worst_diff").cast("double"), 6).as("worst_gap"))
+      .orderBy("bucket")
+  }
+
+  /** Ingest runner for the embedding-drift monitor: the frozen model
+    * (centroids + base occupancy) trains ONCE on `staticDir`; each
+    * arriving file folds its per-list (count, DECIMAL(20,12) distortion
+    * sum) into a batch-keyed TSV state (the [[runMixStream]] replay
+    * discipline) and appends one report row against the static base
+    * occupancy. State is k rows at any corpus size.
+    */
+  def runIvfDriftStream(
+      spark: SparkSession, inputGlob: String, staticDir: String,
+      statePath: String, outDir: String): Unit = {
+    import graft.functions.{NearestCentroids, VectorFns}
+    val d2012 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 12)
+    val semb = graft.Tables.embeddings(spark, staticDir)
+    val cents = graft.ext.Ivf.trainCentroids(semb)
+    val k = cents.length
+    val baseCounts: Map[Int, Long] = semb
+      .select(element_at(NearestCentroids(col("embedding"), cents, 1), 1).as("list_id"))
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nt = baseCounts.values.sum
+    val q = embFileStream(spark, inputGlob).writeStream
+      .option("checkpointLocation", s"$statePath/_stream_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import java.nio.file.{Files, Paths}
+          val spark2 = batch.sparkSession
+          import spark2.implicits._
+          val dir = Paths.get(statePath)
+          val centDf = broadcast(
+            cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list_id", "cent"))
+          // the SAME compiled assignment+distortion pipeline the batch
+          // monitor runs, over the arriving file only
+          val bStats: Map[Int, (Long, java.math.BigDecimal)] = batch.toDF()
+            .select(col("embedding"),
+              element_at(NearestCentroids(col("embedding"), cents, 1), 1).as("list_id"))
+            .join(centDf, Seq("list_id"))
+            .select(col("list_id"),
+              (lit(1.0) - VectorFns.cosine(col("embedding"), col("cent")))
+                .cast(d2012).as("dist"))
+            .groupBy(col("list_id")).agg(count(lit(1)).as("n"), sum(col("dist")).as("ds"))
+            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+          def stateIds(): Seq[Long] = dir.toFile.list().toSeq
+            .filter(f => f.startsWith("drift_") && f.endsWith(".tsv"))
+            .map(_.stripPrefix("drift_").stripSuffix(".tsv").toLong)
+          val prevId = stateIds().filter(_ < batchId).sorted.lastOption
+          val prev: Map[Int, (Long, java.math.BigDecimal)] =
+            prevId.fold(Map.empty[Int, (Long, java.math.BigDecimal)]) { i =>
+              scala.io.Source.fromFile(dir.resolve(s"drift_$i.tsv").toFile).getLines()
+                .map(_.split("\t", 3))
+                .map(a => a(0).toInt -> (a(1).toLong, new java.math.BigDecimal(a(2))))
+                .toMap
+            }
+          val merged = (prev.keySet ++ bStats.keySet).map { l =>
+            val (pn, pd) = prev.getOrElse(l, (0L, java.math.BigDecimal.ZERO))
+            val (bn, bd) = bStats.getOrElse(l, (0L, java.math.BigDecimal.ZERO))
+            l -> (pn + bn, pd.add(bd))
+          }.toMap
+          Files.write(dir.resolve(s"drift_$batchId.tsv"),
+            merged.toSeq.sortBy(_._1)
+              .map { case (l, (n, d)) => s"$l\t$n\t${d.toPlainString}" }
+              .mkString("\n").getBytes("UTF-8"))
+          prevId.foreach(pi => stateIds().filter(_ < pi)
+            .foreach(i => Files.delete(dir.resolve(s"drift_$i.tsv"))))
+          val totalN = merged.values.map(_._1).sum
+          val dsum = merged.values.map(_._2)
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          def r(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+          val meanDist = r(dsum.doubleValue / totalN, 1e8)
+          // the d12 quantization the batch query applies to each |gap|
+          val diffs = (0 until k).map { l =>
+            val share = merged.get(l).map(_._1).getOrElse(0L).toDouble / totalN
+            val bshare = baseCounts.getOrElse(l, 0L).toDouble / nt
+            l -> BigDecimal(math.abs(share - bshare))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          }
+          val tvd = r((diffs.map(_._2).sum / 2).toDouble, 1e6)
+          val (wl, wd) = diffs.sortBy { case (l, d) => (-d, l) }.head
+          Seq((batchId, totalN, meanDist, tvd, wl, r(wd.toDouble, 1e6)))
+            .toDF("batch_id", "cum_n", "mean_dist", "occ_tvd", "worst_list", "worst_gap")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_ivf_drift" -> (qStreamIvfDrift _),
     "q_stream_window" -> (qStreamWindow _),
     // oracle-checked since the deterministic-HLL flip (register-level
     // DuckDB mirror); StreamingSpec additionally pins stream == batch
@@ -1721,6 +1917,57 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // the embedding-drift monitor: the bit-identical kmeansCte quantizer
+    // (lists + raw float centroids), the shared vec_id bucket rule,
+    // DECIMAL(20,12)-quantized per-vector distortions summed exactly,
+    // and the mix monitor's DECIMAL(18,12) |gap| quantization before
+    // the TVD sum/argmax — halving and the two means happen in double
+    "q_stream_ivf_drift" ->
+      s"""WITH ${graft.ext.Ivf.kmeansCte()},
+         |mmv AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM embeddings),
+         |cvec AS (SELECT c AS list_id, list(v ORDER BY j) AS cent
+         |  FROM c${graft.ext.Ivf.Iters} GROUP BY c),
+         |vdist AS (
+         |  SELECT ${graft.ext.Text.bucketSql("e.vec_id")} AS bucket, l.list_id,
+         |         CAST(1.0 - list_cosine_similarity(
+         |           e.embedding::DOUBLE[], cv.cent::DOUBLE[]) AS DECIMAL(20,12)) AS dist
+         |  FROM lists l JOIN embeddings e USING (vec_id)
+         |  JOIN cvec cv USING (list_id) CROSS JOIN mmv),
+         |pbl AS (SELECT bucket, list_id, count(*) AS n, sum(dist) AS ds
+         |  FROM vdist GROUP BY 1, 2),
+         |vbase AS (SELECT list_id, sum(n) AS nb FROM pbl GROUP BY 1),
+         |vtot AS (SELECT sum(n) AS nt FROM pbl),
+         |vgrid AS (
+         |  SELECT b.bucket, l.list_id
+         |  FROM (SELECT DISTINCT bucket FROM pbl) b
+         |  CROSS JOIN (SELECT CAST(unnest(range(${graft.ext.Ivf.K})) AS INT) AS list_id) l),
+         |vcum AS (
+         |  SELECT g.bucket, g.list_id,
+         |         sum(coalesce(p.n, 0)) OVER w AS cum_n,
+         |         sum(coalesce(p.ds, CAST(0 AS DECIMAL(20,12)))) OVER w AS cum_ds,
+         |         coalesce(b2.nb, 0) AS nb
+         |  FROM vgrid g LEFT JOIN pbl p USING (bucket, list_id)
+         |  LEFT JOIN vbase b2 USING (list_id)
+         |  WINDOW w AS (PARTITION BY g.list_id ORDER BY g.bucket
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |vper AS (
+         |  SELECT bucket, list_id, cum_n, cum_ds,
+         |         sum(cum_n) OVER pb AS cum_all,
+         |         sum(cum_ds) OVER pb AS cum_ds_all,
+         |         CAST(abs(CAST(cum_n AS DOUBLE) / sum(cum_n) OVER pb
+         |              - CAST(nb AS DOUBLE) / (SELECT nt FROM vtot))
+         |           AS DECIMAL(18,12)) AS diff
+         |  FROM vcum
+         |  WINDOW pb AS (PARTITION BY bucket)),
+         |vrk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY bucket ORDER BY diff DESC, list_id) AS rn FROM vper)
+         |SELECT bucket,
+         |       CAST(max(cum_all) AS BIGINT) AS cum_n,
+         |       round(CAST(max(cum_ds_all) AS DOUBLE) / max(cum_all), 8) AS mean_dist,
+         |       round(CAST(sum(diff) AS DOUBLE) / 2.0, 6) AS occ_tvd,
+         |       CAST(max(CASE WHEN rn = 1 THEN list_id END) AS INT) AS worst_list,
+         |       round(CAST(max(CASE WHEN rn = 1 THEN diff END) AS DOUBLE), 6) AS worst_gap
+         |FROM vrk GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the novelty sketch: the shared shingle-hash chain (Dedup's ONE
     // mirror of Sketches.shingleBaseHashes) feeds the register-level
     // HLL mirror per prefix scope — hash-green proves the per-bucket

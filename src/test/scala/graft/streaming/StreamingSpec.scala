@@ -788,6 +788,51 @@ class StreamingSpec extends SparkSuite {
     assert(monitor("4_quality")._1 >= funnel("4_quality")._1)
   }
 
+  test("streaming embedding drift: per-batch rows equal the batch monitor's decile rows; replay is a no-op") {
+    val emb = Tables.embeddings(spark, dir)
+    // one arrival file per value-based decile bucket (the monitor's own
+    // rule on vec_id), so checkpoint k must equal bucket-k row exactly
+    val mm = emb.agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+    val bucketed = emb.crossJoin(broadcast(mm))
+      .withColumn("bucket", expr("(vec_id - lo) * 10 div (hi - lo + 1)").cast("int"))
+      .localCheckpoint()
+    val inDir = java.nio.file.Files.createTempDirectory("emb_driftstream").toString
+    (0 until 10).foreach { k =>
+      bucketed.filter(col("bucket") === k).select("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val files = new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+    files.zipWithIndex.foreach { case (f, i) => f.setLastModified((i + 1) * 60000L) }
+    val statePath = java.nio.file.Files.createTempDirectory("drift_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("drift_out").toString + "/rows"
+
+    Streaming.runIvfDriftStream(spark, s"$inDir/*.parquet", dir, statePath, outDir)
+
+    def readOut() = spark.read.parquet(outDir)
+      .select("batch_id", "cum_n", "mean_dist", "occ_tvd", "worst_list", "worst_gap")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4), r.getDouble(5)))
+      .sortBy(_._1)
+    val streamed = readOut()
+    assert(streamed.length === 10, "ten arrivals, ten checkpoints")
+    val monitor = Streaming.qStreamIvfDrift(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(streamed.toSeq === monitor.toSeq,
+      "stream drift report must equal the batch monitor at every checkpoint")
+    // bucket 9 = everything arrived vs its own index: the TVD baseline
+    assert(monitor.last._4 === 0.0, "final occupancy TVD must anchor at 0")
+    assert(monitor.map(_._2).toSeq === monitor.map(_._2).sorted.toSeq, "cum_n monotone")
+    // at-least-once replay over surviving state rewrites identical rows
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      java.nio.file.Paths.get(statePath, "_stream_checkpoint").toFile)
+    Streaming.runIvfDriftStream(spark, s"$inDir/*.parquet", dir, statePath, outDir)
+    assert(readOut().toSeq === streamed.toSeq)
+  }
+
   test("streaming near-dup ingestion: union over micro-batches equals batch dedup_minhash") {
     import graft.ext.Dedup
     val docs = Tables.documents(spark, dir)
