@@ -184,7 +184,9 @@ object ScaleBench {
     // round-13: index-aging report + its ingest monitor — each ONE
     // corpus assignment scan into a ≤10×k-group aggregate; the
     // training sample stays bounded
-    "ann_ivf_drift", "q_stream_ivf_drift")
+    "ann_ivf_drift", "q_stream_ivf_drift",
+    // round-13: rides the checkpointed pair table + one corpus count join
+    "dedup_policy_gap")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

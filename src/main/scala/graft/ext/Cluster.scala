@@ -313,7 +313,59 @@ object Cluster {
       .orderBy("doc_id")
   }
 
+  /** Near-dup POLICY-GAP report — the measured cost of the divergence
+    * [[graft.streaming.Streaming.qStreamCorpusBuild]] documents and
+    * StreamingSpec bounds: the ingest-time drop rule (a document is
+    * dropped iff it is the LATER endpoint of a verified pair — the only
+    * rule an incremental pipeline can enforce without retroactive
+    * membership changes) versus the batch rule (non-min member of its
+    * connected component). Ingest-dropped ⊆ CC-dropped is a theorem
+    * (an earlier direct partner makes a doc non-min in its component),
+    * so the gap is one-sided: documents a batch rebuild would drop that
+    * ingest keeps — exactly the transitive-chain members whose every
+    * direct partner arrived LATER. Per decile bucket this emits both
+    * policies' drop counts, the gap count, and the gap documents' total
+    * chars — the data volume an ingest-built corpus carries beyond its
+    * batch-rebuilt twin, i.e. the price of never retracting an accept.
+    *
+    * 100 TB shape: both drop sets derive from the SAME verified pair
+    * table the dedup pipeline already produces (pair-table-sized, not
+    * corpus-sized); the corpus appears once, in the final per-bucket
+    * count join against two id sets AQE broadcasts when small and
+    * shuffles when not ([[dedupSurvivors]]'s reasoning).
+    */
+  def policyGapDf(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // pair-table-sized checkpoint: both drop rules read it, and without
+    // it the ingest leg re-executes the whole MinHash pipeline the CC
+    // leg already checkpoints (the connectedComponents lesson above)
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val ingestDropped = p.select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("ing", lit(1))
+    val ccDropped = connectedComponents(
+        p.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+      .withColumn("cc", lit(1))
+    Text.docBuckets(docs).select(col("doc_id"), col("n_chars"), col("bucket"))
+      .join(ingestDropped, Seq("doc_id"), "left")
+      .join(ccDropped, Seq("doc_id"), "left")
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("cc"), lit(0))).as("n_cc_dropped"),
+        sum(coalesce(col("ing"), lit(0))).as("n_ingest_dropped"),
+        sum(when(col("cc") === 1 && col("ing").isNull, 1).otherwise(0)).as("n_gap"),
+        sum(when(col("cc") === 1 && col("ing").isNull, col("n_chars"))
+          .otherwise(0L)).as("gap_chars"))
+      .orderBy("bucket")
+  }
+
+  def dedupPolicyGap(spark: SparkSession, dir: String): DataFrame =
+    policyGapDf(graft.Tables.documents(spark, dir),
+      Dedup.dedupMinhash(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_policy_gap" -> (dedupPolicyGap _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
     "q_pagerank" -> (qPageRank _),
@@ -389,6 +441,30 @@ object Cluster {
       |        FROM reach GROUP BY u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both drop rules recomputed over the one pair truth: ingest = the
+    // distinct later endpoints, batch = the closure's non-min members;
+    // the per-bucket join mirrors the shared decile rule
+    "dedup_policy_gap" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+         |$closureCtes,
+         |ing AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+         |ccd AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id),
+         |mmg AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |dbk AS (SELECT d.doc_id, d.n_chars,
+         |               ${graft.ext.Text.bucketSql("d.doc_id")} AS bucket
+         |        FROM documents d CROSS JOIN mmg)
+         |SELECT b.bucket,
+         |       count(*) AS n_docs,
+         |       CAST(count(c.doc_id) AS BIGINT) AS n_cc_dropped,
+         |       CAST(count(i.doc_id) AS BIGINT) AS n_ingest_dropped,
+         |       CAST(count(CASE WHEN c.doc_id IS NOT NULL AND i.doc_id IS NULL
+         |                       THEN 1 END) AS BIGINT) AS n_gap,
+         |       CAST(coalesce(sum(CASE WHEN c.doc_id IS NOT NULL AND i.doc_id IS NULL
+         |                    THEN b.n_chars ELSE 0 END), 0) AS BIGINT) AS gap_chars
+         |FROM dbk b
+         |LEFT JOIN ccd c ON c.doc_id = b.doc_id
+         |LEFT JOIN ing i ON i.doc_id = b.doc_id
+         |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin,
     "q_pagerank" -> pagerankSql,
     "q_kcore" -> kcoreSql,
     // transitive closure over the exact near-dup pair truth (the same

@@ -226,4 +226,42 @@ class ClusterSpec extends SparkSuite {
     (10L to 14L).foreach(v => assert(got(v) === 1L, s"chain node $v"))
     (20L to 23L).foreach(v => assert(got(v) === 3L, s"clique node $v"))
   }
+
+  test("policy gap isolates the chain member whose every partner arrived later") {
+    import spark.implicits._
+    // component {0,1,2} via pairs (0,2) and (1,2): doc 1 is non-min (CC
+    // drops it) but its only direct partner, 2, is LATER — ingest keeps
+    // it. Docs 2 (earlier partners 0 and 1) and 11 (earlier partner 10)
+    // are dropped by BOTH rules; 0, 10, 20 are kept by both.
+    val docs = Seq(0L, 1L, 2L, 10L, 11L, 20L)
+      .map(i => (i, s"doc $i", 100L + i)).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((0L, 2L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Cluster.policyGapDf(docs, pairs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // ids 0,1,2 -> bucket 0; 10,11 -> buckets 4,5; 20 -> bucket 9
+    assert(got(0) === ((3L, 2L, 1L, 1L, 101L)),
+      "bucket 0: CC drops {1,2}, ingest drops {2}, gap = {1} carrying 101 chars")
+    assert(got(5) === ((1L, 1L, 1L, 0L, 0L)), "doc 11: dropped by both, no gap")
+    assert(got(9) === ((1L, 0L, 0L, 0L, 0L)), "doc 20: untouched")
+    // the subset theorem, bucket-wise: gap = cc - ingest, never negative
+    got.values.foreach { case (_, cc, ing, gap, _) =>
+      assert(gap === cc - ing && gap >= 0L)
+    }
+  }
+
+  test("policy gap on the shared corpus: drop sets nest, totals anchor dedup_cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Cluster.dedupPolicyGap(spark, dir).collect()
+    val totCc = got.map(_.getLong(2)).sum
+    val totIng = got.map(_.getLong(3)).sum
+    val totGap = got.map(_.getLong(4)).sum
+    assert(totGap === totCc - totIng && totGap >= 0L)
+    // n_cc_dropped must equal the cluster query's non-canonical count
+    val nonCanon = Cluster.dedupCluster(spark, dir).collect()
+      .count(r => !r.getBoolean(3))
+    assert(totCc === nonCanon.toLong)
+    assert(got.map(_.getLong(1)).sum ===
+      graft.Tables.documents(spark, dir).count())
+  }
 }
