@@ -250,6 +250,43 @@ class ClusterSpec extends SparkSuite {
     }
   }
 
+  test("policy gap matches an independent reimplementation on random pair sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val n = 50
+      val docs = (0 until n).map(i => (i.toLong, s"d$i", 10L + i))
+        .toDF("doc_id", "text", "n_chars")
+      val pairs = Seq.fill(30)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .distinct
+      // independent reference: union-find CC + the direct later-endpoint rule
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inComp = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val compMin = inComp.map(v =>
+        v -> inComp.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+      val ccDrop = inComp.filter(v => compMin(v) != v).toSet
+      val ingDrop = pairs.map(_._2).toSet
+      def bucket(id: Long) = (id * 10 / n).toInt // lo=0, hi=n-1
+      val expected = (0 until 10).map { bkt =>
+        val ids = (0L until n.toLong).filter(id => bucket(id) == bkt)
+        val gap = ids.filter(id => ccDrop(id) && !ingDrop(id))
+        (bkt, ids.size.toLong, ids.count(ccDrop).toLong,
+          ids.count(ingDrop).toLong, gap.size.toLong, gap.map(10L + _).sum)
+      }
+      val got = Cluster.policyGapDf(docs, pairs.toDF("doc_a", "doc_b")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+      assert(got === expected, s"trial=$trial pairs=$pairs")
+    }
+  }
+
   test("policy gap on the shared corpus: drop sets nest, totals anchor dedup_cluster") {
     val dir = "/root/testdata/sf0.001"
     val got = Cluster.dedupPolicyGap(spark, dir).collect()
