@@ -186,7 +186,10 @@ object ScaleBench {
     // training sample stays bounded
     "ann_ivf_drift", "q_stream_ivf_drift",
     // round-13: rides the checkpointed pair table + one corpus count join
-    "dedup_policy_gap")
+    "dedup_policy_gap",
+    // round-13: one manifest prefix-sum pass + the pair pipeline; every
+    // metric leg is a bounded aggregate
+    "q_delete_impact")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

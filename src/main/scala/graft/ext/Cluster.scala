@@ -430,15 +430,17 @@ object Cluster {
     * ([[Curation]]), so the cluster semantics cannot drift between the
     * stage oracles and the composition that claims to reuse them.
     */
-  private[ext] val closureCtes: String =
-    """edges AS (
-      |  SELECT doc_a AS u, doc_b AS v FROM pairs
-      |  UNION SELECT doc_b, doc_a FROM pairs),
-      |reach AS (
-      |  SELECT u, v FROM edges
-      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-      |        FROM reach GROUP BY u)""".stripMargin
+  private[ext] def closureCtesFor(pairsSrc: String, p: String): String =
+    s"""${p}edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM $pairsSrc
+       |  UNION SELECT doc_b, doc_a FROM $pairsSrc),
+       |${p}reach AS (
+       |  SELECT u, v FROM ${p}edges
+       |  UNION SELECT r.u, e.v FROM ${p}reach r JOIN ${p}edges e ON r.v = e.u),
+       |${p}lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |        FROM ${p}reach GROUP BY u)""".stripMargin
+
+  private[ext] val closureCtes: String = closureCtesFor("pairs", "")
 
   val oracles: Map[String, String] = Map(
     // both drop rules recomputed over the one pair truth: ingest = the

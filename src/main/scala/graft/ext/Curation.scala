@@ -849,7 +849,100 @@ object Curation {
   def qFilterFunnel(spark: SparkSession, dir: String): DataFrame =
     filterFunnel(Tables.documents(spark, dir))
 
+  /** Delete-propagation (right-to-be-forgotten) BLAST-RADIUS report —
+    * the compliance question every shipped corpus eventually gets:
+    * given a delete set, what derived artifacts does the deletion
+    * invalidate, and how much rebuild does honoring it cost? One long
+    * (artifact, metric, value) row per impact:
+    *
+    *   - `documents`: docs and chars removed — the raw obligation.
+    *   - `pack_manifest`: training sequences whose token span overlaps
+    *     a deleted document (every such sequence must be re-emitted —
+    *     concat-and-chunk packing entangles neighbors, so the radius
+    *     exceeds the deleted docs themselves) and the tokens dropped.
+    *   - `dup_graph`: verified near-dup pairs removed; component count
+    *     before vs AFTER restricting to surviving endpoints (deleting a
+    *     bridge document can SPLIT a cluster — the survivors stop being
+    *     mutual duplicates, which changes every downstream survivor
+    *     election); canonical re-elections (components whose min member
+    *     is deleted while members survive — their cluster id, and any
+    *     key derived from it, changes).
+    *
+    * 100 TB shape: the delete list is checkpointed (delete-sized); the
+    * pack manifest is ONE corpus prefix-sum pass whose deleted-row join
+    * is checkpointed before the two manifest metrics read it; the pair
+    * table is computed once, checkpointed (pair-sized), and feeds all
+    * four graph metrics — the closure runs on pair-sized data twice
+    * (before/after), never on the corpus. Every output leg is a 1-row
+    * aggregate; the report is 8 rows.
+    */
+  def deleteImpactDf(docs: DataFrame, deletedIds: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val del = deletedIds.select(col("doc_id")).distinct().localCheckpoint()
+    def metric(artifact: String, name: String, v: DataFrame): DataFrame =
+      v.select(lit(artifact).as("artifact"), lit(name).as("metric"),
+        col(v.columns.head).cast("long").as("value"))
+    // documents: one scan, 1-row checkpoint read by both metrics
+    val dStats = docs.join(del, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("c"))
+      .localCheckpoint()
+    // pack manifest: one prefix-sum pass; the deleted-row slice is
+    // delete-sized, checkpointed before the two metrics that read it
+    val man = Packing.packSequences(docs).join(del, Seq("doc_id"))
+      .select("doc_id", "n_tok", "seq_id", "n_seqs").localCheckpoint()
+    val seqsInvalidated = man.filter(col("n_tok") > 0)
+      .select(explode(sequence(col("seq_id"),
+        col("seq_id") + col("n_seqs") - 1)).as("sq"))
+      .agg(countDistinct(col("sq")).as("v"))
+    val tokensDropped = man.agg(coalesce(sum(col("n_tok")), lit(0L)).as("v"))
+    // dup graph: the pair table computed once, read by all four metrics
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val marked = p
+      .join(del.select(col("doc_id").as("doc_a")).withColumn("da", lit(1)),
+        Seq("doc_a"), "left")
+      .join(del.select(col("doc_id").as("doc_b")).withColumn("db", lit(1)),
+        Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("da").isNotNull || col("db").isNotNull).as("touched"))
+    val pairsRemoved = marked.filter(col("touched")).agg(count(lit(1)).as("v"))
+    val lb = Cluster.connectedComponents(
+      p.select(col("doc_a").as("u"), col("doc_b").as("v"))).localCheckpoint()
+    val componentsBefore = lb.agg(countDistinct(col("label")).as("v"))
+    val componentsAfter = Cluster.connectedComponents(
+        marked.filter(!col("touched"))
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .agg(countDistinct(col("label")).as("v"))
+    val reelected = lb
+      .join(del.select(col("doc_id").as("label")).withColumn("cd", lit(1)),
+        Seq("label"), "left")
+      .join(del.select(col("doc_id").as("id")).withColumn("md", lit(1)),
+        Seq("id"), "left")
+      .filter(col("cd").isNotNull && col("md").isNull)
+      .agg(countDistinct(col("label")).as("v"))
+    metric("documents", "chars_deleted", dStats.select(col("c")))
+      .unionByName(metric("documents", "docs_deleted", dStats.select(col("n"))))
+      .unionByName(metric("dup_graph", "canonicals_reelected", reelected))
+      .unionByName(metric("dup_graph", "components_after", componentsAfter))
+      .unionByName(metric("dup_graph", "components_before", componentsBefore))
+      .unionByName(metric("dup_graph", "pairs_removed", pairsRemoved))
+      .unionByName(metric("pack_manifest", "seqs_invalidated", seqsInvalidated))
+      .unionByName(metric("pack_manifest", "tokens_dropped", tokensDropped))
+      .orderBy("artifact", "metric")
+  }
+
+  /** Driver entry: the registered delete set is one full source
+    * (`source = 'src7'`) — the realistic shape of a takedown (a
+    * provider, a domain, a license pool withdraws).
+    */
+  def qDeleteImpact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    deleteImpactDf(docs,
+      docs.filter(col("source") === "src7").select("doc_id"),
+      Dedup.dedupMinhash(spark, dir).select("doc_a", "doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delete_impact" -> (qDeleteImpact _),
     "q_filter_funnel" -> (qFilterFunnel _),
     "q_domain_cap" -> (qDomainCap _),
     "q_token_budget" -> (qTokenBudget _),
@@ -923,6 +1016,55 @@ object Curation {
        |      FROM $src""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // delete blast radius: the shared pair truth + BOTH closures (before
+    // = the dedup_cluster fragment; after = the same closure over pairs
+    // with both endpoints surviving, prefix 's'), the q_pack_sequences
+    // manifest CTE, and integer metrics throughout
+    "q_delete_impact" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+         |${Cluster.closureCtes},
+         |del AS (SELECT doc_id FROM documents WHERE source = 'src7'),
+         |spairs AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE doc_a NOT IN (SELECT doc_id FROM del)
+         |    AND doc_b NOT IN (SELECT doc_id FROM del)),
+         |${Cluster.closureCtesFor("spairs", "s")},
+         |${Packing.packCteBody("pk")}
+         |SELECT * FROM (
+         |  SELECT 'documents' AS artifact, 'chars_deleted' AS metric,
+         |         CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS value
+         |  FROM documents d JOIN del USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'documents', 'docs_deleted', CAST(count(*) AS BIGINT)
+         |  FROM documents d JOIN del USING (doc_id)
+         |  UNION ALL
+         |  SELECT 'dup_graph', 'canonicals_reelected',
+         |         CAST(count(DISTINCT l.cluster_id) AS BIGINT)
+         |  FROM lbl l
+         |  WHERE l.cluster_id IN (SELECT doc_id FROM del)
+         |    AND l.doc_id NOT IN (SELECT doc_id FROM del)
+         |  UNION ALL
+         |  SELECT 'dup_graph', 'components_after',
+         |         CAST(count(DISTINCT cluster_id) AS BIGINT) FROM slbl
+         |  UNION ALL
+         |  SELECT 'dup_graph', 'components_before',
+         |         CAST(count(DISTINCT cluster_id) AS BIGINT) FROM lbl
+         |  UNION ALL
+         |  SELECT 'dup_graph', 'pairs_removed', CAST(count(*) AS BIGINT)
+         |  FROM pairs
+         |  WHERE doc_a IN (SELECT doc_id FROM del)
+         |     OR doc_b IN (SELECT doc_id FROM del)
+         |  UNION ALL
+         |  SELECT 'pack_manifest', 'seqs_invalidated',
+         |         CAST(count(DISTINCT sq) AS BIGINT)
+         |  FROM (SELECT unnest(generate_series(pkp.seq_id,
+         |                pkp.seq_id + pkp.n_seqs - 1)) AS sq
+         |        FROM pkp JOIN del USING (doc_id) WHERE pkp.n_tok > 0)
+         |  UNION ALL
+         |  SELECT 'pack_manifest', 'tokens_dropped',
+         |         CAST(coalesce(sum(pkp.n_tok), 0) AS BIGINT)
+         |  FROM pkp JOIN del USING (doc_id))
+         |ORDER BY artifact, metric""".stripMargin,
     // gate comparisons run on RAW double ratios in both engines (same
     // IEEE divisions), so no round-tie hazard; fragments mirror the
     // text_quality / text_repetition / text_langid oracles exactly

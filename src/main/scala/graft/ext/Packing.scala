@@ -268,23 +268,29 @@ object Packing {
     "q_pack_by_lang" -> (qPackByLang _),
   )
 
-  private val packCte =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
-      |  FROM documents),
-      |c AS (
-      |  SELECT doc_id, n_tok,
-      |         CAST(sum(n_tok + 1) OVER (ORDER BY doc_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           - (n_tok + 1) AS BIGINT) AS t_off
-      |  FROM t),
-      |p AS (
-      |  SELECT doc_id, n_tok, t_off,
-      |         t_off // 512 AS seq_id,
-      |         CASE WHEN n_tok = 0 THEN 0
-      |              ELSE (t_off + n_tok - 1) // 512 - t_off // 512 + 1 END AS n_seqs
-      |  FROM c)""".stripMargin
+  /** The manifest CTE chain with prefixable names (`x` avoids CTE-name
+    * collisions when composed with other chains, e.g. the delete-impact
+    * oracle); ends in `${x}p(doc_id, n_tok, t_off, seq_id, n_seqs)`.
+    */
+  private[ext] def packCteBody(x: String): String =
+    s"""${x}t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |${x}c AS (
+       |  SELECT doc_id, n_tok,
+       |         CAST(sum(n_tok + 1) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - (n_tok + 1) AS BIGINT) AS t_off
+       |  FROM ${x}t),
+       |${x}p AS (
+       |  SELECT doc_id, n_tok, t_off,
+       |         t_off // 512 AS seq_id,
+       |         CASE WHEN n_tok = 0 THEN 0
+       |              ELSE (t_off + n_tok - 1) // 512 - t_off // 512 + 1 END AS n_seqs
+       |  FROM ${x}c)""".stripMargin
+
+  private[ext] val packCte = "WITH " + packCteBody("")
 
   val oracles: Map[String, String] = Map(
     "q_pack_sequences" ->

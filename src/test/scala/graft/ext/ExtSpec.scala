@@ -561,6 +561,35 @@ class ExtSpec extends SparkSuite {
     assert(probed < Tables.embeddings(spark, dir).count())
   }
 
+  test("delete impact: entangled sequences, split components, re-elected canonicals") {
+    import spark.implicits._
+    // token counts chosen so deletions cross pack boundaries: doc 0
+    // spans seqs {0,1}, doc 1 sits in seq 1, doc 2 spans {1,2},
+    // docs 3-4 sit in seq 2 (seqLen 512, cost = n_tok + 1)
+    val toks = Seq(600, 10, 600, 5, 5)
+    val docs = toks.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "), 100L + i)
+    }.toDF("doc_id", "text", "n_chars")
+    // dup graph: component {0,2,4} bridged by 2; component {1,3}
+    val pairs = Seq((0L, 2L), (2L, 4L), (1L, 3L)).toDF("doc_a", "doc_b")
+    // delete the bridge (2) and a canonical (1)
+    val del = Seq(1L, 2L).toDF("doc_id")
+    val got = Curation.deleteImpactDf(docs, del, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("documents", "docs_deleted")) === 2L)
+    assert(got(("documents", "chars_deleted")) === 203L)
+    // all three pairs touch a deleted endpoint; the bridge deletion
+    // dissolves {0,4} (no surviving pair connects them) and the {1,3}
+    // canonical deletion forces a re-election for survivor 3
+    assert(got(("dup_graph", "pairs_removed")) === 3L)
+    assert(got(("dup_graph", "components_before")) === 2L)
+    assert(got(("dup_graph", "components_after")) === 0L)
+    assert(got(("dup_graph", "canonicals_reelected")) === 1L)
+    // doc 1 invalidates seq 1, doc 2 invalidates seqs {1,2} -> {1,2}
+    assert(got(("pack_manifest", "seqs_invalidated")) === 2L)
+    assert(got(("pack_manifest", "tokens_dropped")) === 610L)
+  }
+
   test("IVF drift report detects a new mode the frozen quantizer has no cell for") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
