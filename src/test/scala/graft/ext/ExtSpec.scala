@@ -590,6 +590,62 @@ class ExtSpec extends SparkSuite {
     assert(got(("pack_manifest", "tokens_dropped")) === 610L)
   }
 
+  test("delete impact matches an independent reimplementation on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val toks = Array.fill(n)(rnd.nextInt(700)) // some docs cross the 512 boundary
+      val docs = (0 until n).map(i =>
+        (i.toLong, Seq.fill(toks(i))("w").mkString(" "), 50L + i))
+        .toDF("doc_id", "text", "n_chars")
+      val pairs = Seq.fill(12)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .distinct
+      val delSet = (0 until n).filter(_ => rnd.nextDouble() < 0.25).map(_.toLong).toSet
+      // reference: prefix-sum pack manifest in doc_id order (cost = n_tok+1)
+      var off = 0L
+      val spans = (0 until n).map { i =>
+        val t = toks(i).toLong
+        val seqs = if (t == 0) Seq.empty[Long]
+          else (off / 512L) to ((off + t - 1) / 512L)
+        off += t + 1
+        i.toLong -> (t, seqs)
+      }.toMap
+      // reference: union-find over all pairs, and over surviving pairs
+      def components(es: Seq[(Long, Long)]): Map[Long, Long] = {
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+        def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        nodes.map(v => v -> nodes.filter(u => find(u) == find(v)).min).toMap
+      }
+      val before = components(pairs)
+      val after = components(pairs.filter(p => !delSet(p._1) && !delSet(p._2)))
+      val expected = Map(
+        ("documents", "docs_deleted") -> delSet.size.toLong,
+        ("documents", "chars_deleted") -> delSet.toSeq.map(50L + _).sum,
+        ("dup_graph", "pairs_removed") ->
+          pairs.count(p => delSet(p._1) || delSet(p._2)).toLong,
+        ("dup_graph", "components_before") -> before.values.toSeq.distinct.size.toLong,
+        ("dup_graph", "components_after") -> after.values.toSeq.distinct.size.toLong,
+        ("dup_graph", "canonicals_reelected") -> before.groupBy(_._2)
+          .count { case (min, members) =>
+            delSet(min) && members.keys.exists(!delSet(_)) }.toLong,
+        ("pack_manifest", "tokens_dropped") -> delSet.toSeq.map(spans(_)._1).sum,
+        ("pack_manifest", "seqs_invalidated") ->
+          delSet.toSeq.flatMap(spans(_)._2).distinct.size.toLong)
+      val got = Curation.deleteImpactDf(docs, delSet.toSeq.toDF("doc_id"),
+          pairs.toDF("doc_a", "doc_b")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"trial=$trial del=$delSet pairs=$pairs")
+    }
+  }
+
   test("IVF drift report detects a new mode the frozen quantizer has no cell for") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
