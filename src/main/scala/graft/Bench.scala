@@ -33,6 +33,25 @@ object Bench {
     catch { case _: Throwable => () }
     try { ext.Multimodal.ensureGvidStage(sfDir) }
     catch { case _: Throwable => () }
+    // Host-state calibration anchor (r13 verdict item 5): the same
+    // synthetic CPU-bound query — no I/O, fixed row count, hash agg —
+    // timed immediately after warmup (calib_first) and after the last
+    // query (calib_last). Identical builds on this VM drifted 217→316 s
+    // in one day with zero code change; the anchor pair lets readers
+    // host-normalize totals (rule in BASELINE.md: divide a total by
+    // mean(calib_first, calib_last) before comparing across sessions,
+    // and distrust any comparison where calib_last/calib_first > 1.5).
+    def calibrate(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("xxhash64(id) % 4096 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // one untimed run: codegen-compiles the anchor itself
+    val calibFirst = calibrate()
     // Dev loop: SPARK_GRAFT_ONLY=q1,q2 times a subset (driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
@@ -70,6 +89,8 @@ object Bench {
     // "qdropped" count records what was cut. The FULL map at centisecond
     // precision always lands in BENCH_FULL.json next to the build, which the
     // end-of-round snapshot commits.
+    val calibLast = calibrate()
+    val calib = f""","calib_first":$calibFirst%.3f,"calib_last":$calibLast%.3f"""
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
@@ -92,7 +113,7 @@ object Bench {
       }
       .getOrElse("")
     val fullLine =
-      f"""{"queries":$fullQs,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${results.size},"nerr":${errors.size}$note}"""
+      f"""{"queries":$fullQs,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${results.size},"nerr":${errors.size}$calib$note}"""
     // Dev-loop subset runs (SPARK_GRAFT_ONLY set) must NOT clobber the
     // committed full-surface snapshot — a 1-query artifact replacing the
     // 180-query baseline is exactly the stale-snapshot failure the
@@ -106,14 +127,14 @@ object Bench {
     // broken query must be visible even in the truncated tail.
     val errNames = errors.toSeq.map(_._1).sorted
       .map(n => s""""$n"""").mkString("[", ",", "]")
-    val wrapper = s""","errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":00000.000,"qdropped":00}""".length + 13
+    val wrapper = s""","errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":00000.000,"qdropped":00$calib}""".length + 13
     var used = 0
     val kept = results.toSeq.sortBy(-_._2).iterator
       .map { case (k, v) => f"""\"$k\":$v%.2f""" }
       .takeWhile { e => used += e.length + 1; used + wrapper <= lineBudget }
       .toSeq
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"queries":$qs,"errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"qdropped":${results.size - kept.size}}""")
+    println(f"""{"queries":$qs,"errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"qdropped":${results.size - kept.size}$calib}""")
     spark.stop()
   }
 }

@@ -337,8 +337,18 @@ object Cluster {
   def policyGapDf(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // pair-table-sized checkpoint: both drop rules read it, and without
     // it the ingest leg re-executes the whole MinHash pipeline the CC
-    // leg already checkpoints (the connectedComponents lesson above)
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // leg already checkpoints (the connectedComponents lesson above).
+    // Canonicalize the orientation HERE (least/greatest + distinct, the
+    // probeFrom rule): the later-endpoint drop rule and the ingest ⊆ CC
+    // theorem both require doc_a < doc_b, and while every internal
+    // producer complies, this is a public df-level API — a reversed or
+    // symmetric pair frame would otherwise yield silently wrong gaps.
+    val p = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+      .localCheckpoint()
     val ingestDropped = p.select(col("doc_b").as("doc_id")).distinct()
       .withColumn("ing", lit(1))
     val ccDropped = connectedComponents(

@@ -327,8 +327,18 @@ object Ivf {
       // checkpoint the totals leg RE-DERIVES the aggregate and the plan
       // scans the corpus twice — measured 2 scan nodes in PLANS.md
       .localCheckpoint()
-    // cohort totals: a 1-row aggregate broadcast under the k-row report
+    // cohort totals: a 1-row aggregate broadcast under the k-row report.
+    // Fail fast on an empty cohort (cut at/below min vec_id or above
+    // max): a 0 total would turn the share columns into NULL/Infinity
+    // rows instead of an error (r13 ADVICE). The check reads the
+    // CHECKPOINTED k-row aggregate — one bounded driver scalar, no
+    // extra corpus scan.
     val tot = per.agg(sum(col("n_base")).as("tb"), sum(col("n_delta")).as("td"))
+    val totRow = tot.collect()(0)
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0L,
+      s"ivfDriftDf: base cohort (vec_id < $cut) is empty — pick a cut above the min vec_id")
+    require(!totRow.isNullAt(1) && totRow.getLong(1) > 0L,
+      s"ivfDriftDf: delta cohort (vec_id >= $cut) is empty — pick a cut at or below the max vec_id")
     val grid = spark.range(0, k).select(col("id").cast("int").as("list_id"))
     grid.join(per, Seq("list_id"), "left").crossJoin(broadcast(tot))
       .select(

@@ -337,11 +337,15 @@ object Pq {
     * the exact truth is computed ONCE (query-block-sized, checkpointed)
     * and shared by all grid points. Output is |grid| rows.
     */
-  def annPqCurve(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def annPqCurve(spark: SparkSession, dir: String): DataFrame = {
+    // k is deliberately NOT a parameter: the DuckDB oracle hard-codes
+    // rn <= 5 and vec_id < 5 in its top-k and truth CTEs, so a caller-
+    // supplied k would silently break oracle parity (r13 ADVICE).
+    val k = 5
     val d2012 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 12)
     val emb = Tables.embeddings(spark, dir)
     // query-block-sized ground truth, consumed by every grid point
-    val exact = Similarity.annTopkBatch(spark, dir, nQueries = 5, k = k)
+    val exact = Similarity.annTopkBatch(spark, dir, nQueries = 5, k = 5)
       .select(col("query_id"), col("vec_id"))
       .localCheckpoint()
     val queriesDf = emb.filter(col("vec_id") < 5)

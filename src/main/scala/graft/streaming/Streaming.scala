@@ -1358,28 +1358,40 @@ object Streaming {
           val bCounts = sourceMixSketch(batch.toDF().withColumn("g", lit(1)), "g")
             .select(col("source"), col("chars"))
             .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
-          def stateIds(): Seq[Long] = dir.toFile.list().toSeq
+          // state format v2: the "mix2_" filename prefix VERSIONS the
+          // tagged key encoding below. An unversioned "mix_<id>.tsv"
+          // (the pre-tagging release wrote raw keys, where a source
+          // literally equal to "-" is ambiguous with NULL) is detected
+          // and refused rather than silently reinterpreted (r13 ADVICE)
+          // — a live-upgrade operator must drain or migrate old state.
+          val legacy = dir.toFile.list().toSeq
             .filter(f => f.startsWith("mix_") && f.endsWith(".tsv"))
-            .map(_.stripPrefix("mix_").stripSuffix(".tsv").toLong)
+          require(legacy.isEmpty,
+            s"runMixStream: unversioned v1 mix state found (${legacy.mkString(", ")}); " +
+              "v1 raw keys are ambiguous under the v2 tagged encoding — " +
+              "migrate them to mix2_<id>.tsv with '+'-prefixed sources first")
+          def stateIds(): Seq[Long] = dir.toFile.list().toSeq
+            .filter(f => f.startsWith("mix2_") && f.endsWith(".tsv"))
+            .map(_.stripPrefix("mix2_").stripSuffix(".tsv").toLong)
           val prevId = stateIds().filter(_ < batchId).sorted.lastOption
           // tagged key encoding so NULL round-trips through the TSV
           // state: "-" = the NULL-source category, "+<source>" = a
           // real source (no real source can collide with the tag)
           val prev: Map[Option[String], Long] =
             prevId.fold(Map.empty[Option[String], Long]) { i =>
-              scala.io.Source.fromFile(dir.resolve(s"mix_$i.tsv").toFile).getLines()
+              scala.io.Source.fromFile(dir.resolve(s"mix2_$i.tsv").toFile).getLines()
                 .map(_.split("\t", 2))
                 .map(a => (if (a(0) == "-") None else Some(a(0).stripPrefix("+")))
                   -> a(1).toLong).toMap
             }
           val merged = (prev.keySet ++ bCounts.keySet).map(s =>
             s -> (prev.getOrElse(s, 0L) + bCounts.getOrElse(s, 0L))).toMap
-          Files.write(dir.resolve(s"mix_$batchId.tsv"),
+          Files.write(dir.resolve(s"mix2_$batchId.tsv"),
             merged.toSeq.sortBy(_._1)
               .map { case (s, c) => s"${s.fold("-")("+" + _)}\t$c" }
               .mkString("\n").getBytes("UTF-8"))
           prevId.foreach(pi => stateIds().filter(_ < pi)
-            .foreach(i => Files.delete(dir.resolve(s"mix_$i.tsv"))))
+            .foreach(i => Files.delete(dir.resolve(s"mix2_$i.tsv"))))
           val total = merged.values.sum
           val diffs = (target.keySet ++ merged.keySet).toSeq.map { s =>
             val share = merged.getOrElse(s, 0L).toDouble / total

@@ -690,22 +690,30 @@ class PlanSpec extends SparkSuite {
       "ext/Packing.scala" -> 1,
       "queries/Parity.scala" -> 5)
     val root = java.nio.file.Paths.get("src/main/scala/graft")
+    // \s spans newlines, so a line-wrapped `Window\n  .orderBy(...)`
+    // cannot escape the pin (r13 ADVICE); comments are stripped from
+    // the whole content first (block then line) instead of per-line
+    // prefix-sniffing
     val re = """Window\s*\.\s*(orderBy|partitionBy\(\))""".r
+    val blockComment = """(?s)/\*.*?\*/""".r
+    val lineComment = """//[^\n]*""".r
     val found = scala.collection.mutable.Map.empty[String, Int]
-    java.nio.file.Files.walk(root).forEach { p =>
-      if (p.toString.endsWith(".scala")) {
-        val rel = root.relativize(p).toString
-        // String's UTF-8 constructor replaces malformed bytes instead
-        // of throwing (Source.fromFile dies on the first odd byte)
-        new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8).linesIterator.foreach { line =>
-          val t = line.trim
-          val isComment = t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
-          if (!isComment && re.findFirstIn(line).isDefined)
-            found(rel) = found.getOrElse(rel, 0) + 1
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      walk.forEach { p =>
+        if (p.toString.endsWith(".scala")) {
+          val rel = root.relativize(p).toString
+          // String's UTF-8 constructor replaces malformed bytes instead
+          // of throwing (Source.fromFile dies on the first odd byte)
+          val raw = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val code = lineComment.replaceAllIn(
+            blockComment.replaceAllIn(raw, ""), "")
+          val n = re.findAllIn(code).size
+          if (n > 0) found(rel) = n
         }
       }
-    }
+    } finally walk.close()
     assert(found.toMap === pinned,
       s"unpartitioned-window sites drifted from the pinned allowlist.\n" +
         s"found:  ${found.toMap.toSeq.sorted}\npinned: ${pinned.toSeq.sorted}\n" +
