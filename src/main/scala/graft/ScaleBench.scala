@@ -296,6 +296,11 @@ object ScaleBench {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         System.err.println(s"[scale x$f] shuffle.partitions = $parts")
       }
+      // ingest-maintained state, staged untimed (the Bench discipline):
+      // derived graph/report entries read the pair artifact
+      try ext.Dedup.ensurePairsArtifact(spark, dir)
+      catch { case e: Throwable =>
+        System.err.println(s"[scale x$f] pairs artifact staging FAILED: ${e.toString.take(200)}") }
       val entries = heavy.flatMap { q =>
         System.gc()
         val t0 = System.nanoTime()

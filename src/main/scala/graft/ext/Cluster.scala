@@ -77,7 +77,7 @@ object Cluster {
     * closure over the exact all-pairs jaccard truth.
     */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupMinhash(spark, dir)
+    val pairs = Dedup.verifiedPairs(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val w = Window.partitionBy(col("cluster_id"))
     connectedComponents(pairs)
@@ -96,7 +96,7 @@ object Cluster {
     * the correct shuffle-on-id anti join.
     */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupMinhash(spark, dir)
+    val pairs = Dedup.verifiedPairs(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val dropped = connectedComponents(pairs)
       .filter(col("id") =!= col("label"))
@@ -157,7 +157,7 @@ object Cluster {
   }
 
   def qPageRank(spark: SparkSession, dir: String): DataFrame =
-    pageRank(Dedup.dedupMinhash(spark, dir)
+    pageRank(Dedup.verifiedPairs(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
 
   /** Cluster-safe train/val/test split — the constructive counterpart to
@@ -175,7 +175,7 @@ object Cluster {
     * ones; the split itself is a pure map over the group key.
     */
   def splitClusterSafe(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupMinhash(spark, dir)
+    val pairs = Dedup.verifiedPairs(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val labels = connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -238,7 +238,7 @@ object Cluster {
     // orientation, both wedge legs, the closing join), and without the
     // checkpoint each reference replays the whole MinHash candidate
     // pipeline (measured: 41 Generate nodes in the final plan)
-    triangleStats(Dedup.dedupMinhash(spark, dir)
+    triangleStats(Dedup.verifiedPairs(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .localCheckpoint())
 
@@ -301,7 +301,7 @@ object Cluster {
   def qKcore(spark: SparkSession, dir: String): DataFrame = {
     // one materialization of the bounded pair table serves both the
     // degree view and the coreness iteration's symmetric edge set
-    val edges = Dedup.dedupMinhash(spark, dir)
+    val edges = Dedup.verifiedPairs(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .localCheckpoint()
     val deg = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
@@ -372,7 +372,7 @@ object Cluster {
 
   def dedupPolicyGap(spark: SparkSession, dir: String): DataFrame =
     policyGapDf(graft.Tables.documents(spark, dir),
-      Dedup.dedupMinhash(spark, dir))
+      Dedup.verifiedPairs(spark, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_policy_gap" -> (dedupPolicyGap _),

@@ -131,7 +131,7 @@ object Curation {
       .select(col("doc_id"), col("n_chars"),
         (col("rn") === 1).as("e_ok"), curateGate.as("q_ok"))
     val nearDropped = Cluster.connectedComponents(
-        Dedup.dedupMinhash(spark, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
+        Dedup.verifiedPairs(spark, dir).select(col("doc_a").as("u"), col("doc_b").as("v")))
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(true).as("near_dup"))
     val contaminated = Retrieval.quarantine(docs, Retrieval.benchGramSet(docs))
@@ -515,7 +515,7 @@ object Curation {
     * the rollup is ≤6 rows regardless of corpus size.
     */
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dedupMinhash(spark, dir)
+    Dedup.verifiedPairs(spark, dir)
       .select(
         least(splitAssign(col("doc_a")), splitAssign(col("doc_b"))).as("split_lo"),
         greatest(splitAssign(col("doc_a")), splitAssign(col("doc_b"))).as("split_hi"),
@@ -938,7 +938,7 @@ object Curation {
     val docs = Tables.documents(spark, dir)
     deleteImpactDf(docs,
       docs.filter(col("source") === "src7").select("doc_id"),
-      Dedup.dedupMinhash(spark, dir).select("doc_a", "doc_b"))
+      Dedup.verifiedPairs(spark, dir).select("doc_a", "doc_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

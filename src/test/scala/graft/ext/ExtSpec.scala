@@ -135,6 +135,55 @@ class ExtSpec extends SparkSuite {
     assert(rerun === (full -- batch1Internal))
   }
 
+  test("verified-pair artifact: artifact ≡ recompute, append-maintenance ≡ rebuild, derived report unchanged") {
+    import org.apache.spark.sql.functions.col
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = graft.Tables.documents(spark, dir)
+    val full = toSet(Dedup.dedupMinhash(spark, dir))
+    assert(full.nonEmpty)
+    // 1. the driver-surface artifact (what every derived graph/report
+    //    query now reads) equals the recompute path row for row
+    assert(toSet(Dedup.verifiedPairs(spark, dir)) === full)
+    // 2. maintenance: bootstrap on a prefix, append each later batch's
+    //    incremental probe output — the MAINTAINED artifact equals a
+    //    from-scratch rebuild (exactly-once pair emission makes the
+    //    union of deltas the full pair set, independent of batch cuts)
+    val idx = java.nio.file.Files.createTempDirectory("pairs_idx").toString
+    val artPath = java.nio.file.Files.createTempDirectory("pairs_art")
+      .resolve("pairs").toString
+    Dedup.indexInit(docs.filter(col("doc_id") < 250), idx)
+    Dedup.pairsArtifactInit(docs.filter(col("doc_id") < 250), artPath)
+    Seq((250L, 375L), (375L, Long.MaxValue)).foreach { case (lo, hi) =>
+      val delta = Dedup.indexIncremental(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), idx)
+      Dedup.pairsArtifactAppend(delta, artPath)
+    }
+    assert(toSet(Dedup.pairsArtifactRead(spark, artPath)) === full)
+    // 3. a derived report fed from the maintained artifact equals the
+    //    same report fed from the recompute pipeline
+    def report(pairs: org.apache.spark.sql.DataFrame) =
+      Cluster.policyGapDf(docs, pairs).collect().map(_.toString).toSeq
+    assert(report(Dedup.pairsArtifactRead(spark, artPath)) ===
+      report(Dedup.dedupMinhash(spark, dir)))
+  }
+
+  test("policyGapDf canonicalizes arbitrary pair orientation (reversed/symmetric inputs agree)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val pairs = Dedup.dedupMinhash(spark, dir).select("doc_a", "doc_b")
+    val canonical = Cluster.policyGapDf(docs, pairs).collect().map(_.toString).toSeq
+    // fully reversed orientation
+    val reversed = pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+    assert(Cluster.policyGapDf(docs, reversed).collect().map(_.toString).toSeq
+      === canonical)
+    // symmetric (both orientations present) + a self-pair to discard
+    val symmetric = pairs.unionByName(reversed)
+      .unionByName(pairs.limit(1).select(col("doc_a"), col("doc_a").as("doc_b")))
+    assert(Cluster.policyGapDf(docs, symmetric).collect().map(_.toString).toSeq
+      === canonical)
+  }
+
   test("trigram LM score: negative log-probs, one score per trigram-bearing doc, deterministic") {
     val got = Text.textLmScore(spark, dir).collect()
     val docs = Tables.documents(spark, dir)
