@@ -374,7 +374,51 @@ object Cluster {
     policyGapDf(graft.Tables.documents(spark, dir),
       Dedup.verifiedPairs(spark, dir))
 
+  /** Ingest→batch RECONCILIATION — the operator that CLOSES the gap
+    * [[policyGapDf]] prices: the retraction list an ingest pipeline
+    * applies periodically so its corpus converges to the batch rebuild.
+    * One row per GAP document — a transitive-chain member whose every
+    * direct partner arrived later, so the ingest-time later-endpoint
+    * rule kept it while a batch rebuild's connected-component rule
+    * drops it — with its cluster id (the canonical member whose
+    * election the retraction restores) and chars (the reclaimed
+    * volume). Because ingest-dropped ⊆ CC-dropped (the [[policyGapDf]]
+    * theorem), applying exactly these retractions makes
+    * ingest-kept == batch survivors — ExtSpec asserts the identity at
+    * every decile of a replayed arrival, with the pair table maintained
+    * incrementally ([[Dedup.pairsArtifactAppend]]).
+    *
+    * 100 TB shape: the closure and the anti join run on the (pair-sized,
+    * canonicalized, checkpointed) pair table; the corpus appears once,
+    * in the final inner join fetching n_chars for the gap-sized result
+    * — AQE broadcasts the gap side when small and shuffles when not.
+    */
+  def reconcileDf(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // same orientation canonicalization + checkpoint as [[policyGapDf]]
+    // — both drop rules must read one pair table with doc_a < doc_b
+    val p = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val ingestDropped = p.select(col("doc_b").as("doc_id")).distinct()
+    val gap = connectedComponents(
+        p.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(ingestDropped, Seq("doc_id"), "left_anti")
+    gap.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  def qReconcile(spark: SparkSession, dir: String): DataFrame =
+    reconcileDf(graft.Tables.documents(spark, dir),
+      Dedup.verifiedPairs(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_reconcile" -> (qReconcile _),
     "dedup_policy_gap" -> (dedupPolicyGap _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
@@ -453,6 +497,17 @@ object Cluster {
   private[ext] val closureCtes: String = closureCtesFor("pairs", "")
 
   val oracles: Map[String, String] = Map(
+    // the gap documents themselves: the closure's non-min members that
+    // are NOT later endpoints of any pair, labeled with their cluster
+    "q_reconcile" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+         |$closureCtes,
+         |ing AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         |SELECT l.doc_id, l.cluster_id, d.n_chars
+         |FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+         |WHERE l.doc_id <> l.cluster_id
+         |  AND l.doc_id NOT IN (SELECT doc_id FROM ing)
+         |ORDER BY l.doc_id""".stripMargin,
     // both drop rules recomputed over the one pair truth: ingest = the
     // distinct later endpoints, batch = the closure's non-min members;
     // the per-bucket join mirrors the shared decile rule

@@ -292,10 +292,21 @@ object Dedup {
 
   /** The artifact-reading form every derived query consumes: a plain
     * parquet scan of (doc_a, doc_b, jaccard) — column-pruned and
-    * filter-pushed like any other source, never a recompute.
+    * filter-pushed like any other source, never a recompute. The schema
+    * is pinned explicitly so a freshly-bootstrapped EMPTY artifact (a
+    * zero-pair corpus prefix writes no part files) still reads as an
+    * empty frame instead of failing inference.
     */
   def pairsArtifactRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.schema(pairsArtifactSchema).parquet(path)
+
+  private val pairsArtifactSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_a",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("doc_b",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("jaccard",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
 
   /** Per-(JVM, corpus) artifact cache for the driver entries: built once
     * on first use (ingest cost, amortized over every derived report —

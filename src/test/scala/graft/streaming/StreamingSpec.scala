@@ -865,4 +865,82 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$idx/bands").count() ===
       Dedup.bandTable(docs).count())
   }
+
+  test("ingest-then-reconcile equals the batch rebuild at every decile") {
+    import graft.ext.{Cluster, Dedup}
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    val n = docs.count()
+    // ingest replay: decile batches through the incremental index, the
+    // pair ARTIFACT maintained by appending each batch's probe delta —
+    // exactly the state a production ingest pipeline carries
+    val idx = java.nio.file.Files.createTempDirectory("reconcile_idx").toString
+    val art = java.nio.file.Files.createTempDirectory("reconcile_art")
+      .resolve("pairs").toString
+    Dedup.indexInit(docs.limit(0), idx)
+    Dedup.pairsArtifactInit(docs.limit(0), art)
+    var checkedGap = false
+    var prevHi = 0L
+    (1 to 10).foreach { i =>
+      val hi = if (i == 10) Long.MaxValue else i * n / 10
+      Dedup.pairsArtifactAppend(
+        Dedup.indexIncremental(
+          docs.filter(col("doc_id") >= prevHi && col("doc_id") < hi), idx),
+        art)
+      prevHi = hi
+      val arrived = docs.filter(col("doc_id") < hi)
+      val arrivedIds = arrived.select("doc_id").collect().map(_.getLong(0)).toSet
+      val pairs = Dedup.pairsArtifactRead(spark, art)
+      // ingest policy kept everything but later endpoints; the
+      // reconciliation retracts the gap documents on top
+      val ingestDropped = pairs.select(col("doc_b")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val retract = Cluster.reconcileDf(arrived, pairs)
+        .collect().map(_.getLong(0)).toSet
+      // retraction list is one-sided: never re-drops an ingest drop
+      assert(retract.intersect(ingestDropped).isEmpty, s"decile $i")
+      // batch-rebuild survivors on the arrived prefix
+      val ccDropped = Cluster.connectedComponents(
+          Dedup.minhashPairsDf(arrived)
+            .select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .filter(col("id") =!= col("label"))
+        .collect().map(_.getLong(0)).toSet
+      assert((arrivedIds -- ingestDropped -- retract) === (arrivedIds -- ccDropped),
+        s"ingest-then-reconcile must equal the batch rebuild at decile $i")
+      if (retract.nonEmpty) checkedGap = true
+    }
+    // the shared corpus's planted near-dups form complete cliques, so
+    // its gap — hence every retraction list above — is legitimately
+    // empty; the nonempty case is pinned by the planted chain below
+    assert(!checkedGap)
+  }
+
+  test("reconcile retracts a planted transitive chain the ingest policy kept") {
+    import graft.ext.{Cluster, Dedup}
+    import spark.implicits._
+    // doc3 bridges docs 1 and 2: j(1,3), j(2,3) ≥ 0.8 but j(1,2) < 0.8
+    // (40 unique words; 1 and 2 perturb opposite 3-word ends). With
+    // doc3 arriving LAST, ingest drops only 3 (the later endpoint of
+    // both pairs) while a batch rebuild also drops 2 (non-min member of
+    // the {1,2,3} component) — doc 2 IS the gap, and the retraction
+    // must be exactly it.
+    val base = (1 to 40).map(i => s"w$i")
+    val docs = Seq(
+      (1L, (base.take(37) ++ Seq("x1", "x2", "x3")).mkString(" ")),
+      (2L, (Seq("y1", "y2", "y3") ++ base.drop(3)).mkString(" ")),
+      (3L, base.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val pairs = Dedup.minhashPairsDf(docs)
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 3L), (2L, 3L)), s"planted topology drifted: $got")
+    val retract = Cluster.reconcileDf(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(retract === Set((2L, 1L)),
+      "the gap document must be retracted, labeled with its canonical")
+    // applying it closes the gap: ingest-kept minus retraction equals
+    // the batch survivors {1}
+    val ingestKept = Set(1L, 2L)
+    assert((ingestKept -- retract.map(_._1)) === Set(1L))
+  }
 }
