@@ -332,6 +332,129 @@ object Dedup {
   def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
     pairsArtifactRead(spark, ensurePairsArtifact(spark, dir))
 
+  // --- delete APPLY -----------------------------------------------------------
+  //
+  // q_delete_impact measures the right-to-be-forgotten blast radius;
+  // this EXECUTES it: the delete set propagates through every piece of
+  // persistent near-dup state the ingest pipeline maintains — the
+  // MinHash sketch index (bands + shingles), the verified-pair
+  // artifact, and the corpus-build content-hash delta store — and the
+  // apply emits the re-election delta downstream consumers need (every
+  // surviving document whose duplicate-cluster id changed, because its
+  // canonical was deleted or its component split). All three stores are
+  // keyed per document and every derived row's existence depends only
+  // on its own endpoints, so FILTERING equals a from-scratch rebuild on
+  // the surviving corpus — the stream==batch discipline, asserted
+  // row-for-row by ExtSpec.
+
+  /** Rewrites a parquet store through a staging directory + atomic
+    * rename (the [[graft.ops.Scale.compact]] publish discipline — a
+    * reader never observes a half-written store).
+    */
+  private def rewriteStore(spark: SparkSession, path: String,
+      f: DataFrame => DataFrame): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val staging = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__rewrite")
+    f(spark.read.parquet(path))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(p, true)
+    fs.rename(staging, p)
+  }
+
+  /** Applies a delete set to the persistent near-dup state and returns
+    * the RE-ELECTION DELTA: one row per surviving previously-clustered
+    * document whose cluster id changes — to the new min member when the
+    * old canonical is deleted, to a sub-component min when a bridge
+    * deletion splits the cluster, to itself when its whole cluster
+    * dissolves. Deletion only removes edges, so labels only move; no
+    * new clustering can appear, and the delta is bounded by the
+    * CLUSTERED doc count, not the corpus.
+    *
+    *   - `indexPath/bands`, `indexPath/shingles`: per-doc sketch rows →
+    *     anti-join on doc_id (≡ [[indexInit]] on survivors);
+    *   - `pairsPath`: pairs with a deleted endpoint → anti-join on both
+    *     (≡ [[pairsArtifactInit]] on survivors — a pair's emission
+    *     depends only on its own two documents);
+    *   - `hashesRoot` (when given): the corpus-build stream's
+    *     content-hash delta store, (h, doc_id) batch-keyed → anti-join
+    *     on doc_id (the per-doc schema exists exactly so retraction is
+    *     possible; the pre-r14 hash-only format cannot be
+    *     delete-applied and fails fast).
+    *
+    * 100 TB shape: the delete set is checkpointed (delete-sized) and
+    * broadcast into anti joins over each store scan — one pass per
+    * store, no shuffle on the store side; both closures for the delta
+    * run on the (pair-sized) before/after pair tables.
+    */
+  def deleteApply(deletedIds: DataFrame, indexPath: String, pairsPath: String,
+      hashesRoot: Option[String] = None): DataFrame = {
+    val spark = deletedIds.sparkSession
+    val del = deletedIds.select(col("doc_id")).distinct().localCheckpoint()
+    def survivors(df: DataFrame): DataFrame =
+      df.join(broadcast(del), Seq("doc_id"), "left_anti")
+    rewriteStore(spark, s"$indexPath/bands", survivors)
+    rewriteStore(spark, s"$indexPath/shingles", survivors)
+    hashesRoot.foreach { root =>
+      val schema = spark.read.parquet(root).schema
+      require(schema.fieldNames.contains("doc_id"),
+        s"deleteApply: hash store at $root lacks doc_id — the hash-only " +
+          "format cannot be retracted; rebuild it with the per-doc schema")
+      rewriteStore(spark, root,
+        df => survivors(df).select(col("h"), col("doc_id"), col("batch")))
+    }
+    val before = pairsArtifactRead(spark, pairsPath).localCheckpoint()
+    val after = before
+      .join(broadcast(del.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+      .join(broadcast(del.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint()
+    after.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(pairsPath.stripSuffix("/") + "__rewrite")
+    val fs = new org.apache.hadoop.fs.Path(pairsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(pairsPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(pairsPath.stripSuffix("/") + "__rewrite"),
+      new org.apache.hadoop.fs.Path(pairsPath))
+    // re-election delta from the two pair-sized closures
+    def labels(pairs: DataFrame): DataFrame = Cluster.connectedComponents(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    labels(before)
+      .select(col("id").as("doc_id"), col("label").as("old_cluster_id"))
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .join(labels(after)
+          .select(col("id").as("doc_id"), col("label").as("nl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("old_cluster_id"),
+        coalesce(col("nl"), col("doc_id")).as("new_cluster_id"))
+      .filter(col("old_cluster_id") =!= col("new_cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver entry: stages fresh scratch state for `dir` (index + pair
+    * artifact + a one-batch hash store — the from-scratch writers, so
+    * repeated invocations are independent and idempotent), applies the
+    * standing src7 takedown ([[graft.ext.Curation.qDeleteImpact]]'s
+    * delete set), and returns the re-election delta. At 100 TB the
+    * staging step is the ingest pipeline's existing state; only the
+    * apply runs per takedown.
+    */
+  def qDeleteApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("delete_apply")
+    val idx = root.resolve("index").toString
+    val pairs = root.resolve("pairs").toString
+    val hashes = root.resolve("hashes").toString
+    indexInit(docs, idx)
+    pairsArtifactInit(docs, pairs)
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .write.parquet(s"$hashes/batch=0")
+    deleteApply(docs.filter(col("source") === "src7").select("doc_id"),
+      idx, pairs, Some(hashes))
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   val SimhashBits = 64
@@ -1247,6 +1370,7 @@ object Dedup {
     "dedup_novelty" -> (dedupNovelty _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
+    "q_delete_apply" -> (qDeleteApply _),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),

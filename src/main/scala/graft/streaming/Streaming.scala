@@ -1590,8 +1590,12 @@ object Streaming {
           val incRow = f.agg(aggs.head, aggs.tail: _*).collect()(0)
           val inc = stageNames.indices
             .map(i => (incRow.getLong(2 * i), incRow.getLong(2 * i + 1)))
-          // 3. delta-append this batch's hashes, batch-keyed overwrite
-          corpus.select(md5(col("text").cast("binary")).as("h")).distinct()
+          // 3. delta-append this batch's hashes, batch-keyed overwrite.
+          //    Per-doc (h, doc_id) rows — doc-keyed state is what makes
+          //    the store RETRACTABLE (graft.ext.Dedup.deleteApply
+          //    anti-joins on doc_id); the read path above still takes
+          //    DISTINCT h, so flag semantics are unchanged
+          corpus.select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$hashesRoot/batch=$batchId")
           // 4. cumulative totals: predecessor + increments
@@ -1618,6 +1622,52 @@ object Streaming {
           import spark.implicits._
           cum.map { case (s, d, c) => (batchId, s, d, c) }
             .toDF("batch_id", "stage", "n_docs", "n_chars")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outDir/batch=$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming DELETE APPLY — the right-to-be-forgotten loop closed:
+    * delete requests arrive as a file stream of doc_id parquet files (a
+    * takedown feed), and each micro-batch propagates its delete set
+    * through every persistent store the ingest pipeline maintains — the
+    * MinHash sketch index, the verified-pair artifact, and (when the
+    * corpus-build stream's state path is given) the content-hash delta
+    * store — via [[graft.ext.Dedup.deleteApply]], then emits the batch's
+    * re-election delta batch-keyed to `outDir`. Because every store is
+    * document-keyed and filtering equals a rebuild on survivors, the
+    * post-stream state equals a from-scratch rebuild on the surviving
+    * corpus REGARDLESS of how the delete set splits across batches
+    * (StreamingSpec asserts store-level row equality and that the
+    * composed per-batch deltas land on the rebuild's cluster labels).
+    *
+    * Replay semantics: the state apply is naturally idempotent (ids
+    * already removed filter to a no-op); a REPLAYED batch's re-emitted
+    * delta is empty (its label changes already happened), which the
+    * batch-keyed overwrite records honestly — downstream consumers of
+    * the delta feed must treat it as at-least-once applied, exactly the
+    * contract of the near-dup stream's index appends.
+    */
+  def runDeleteApply(
+      spark: SparkSession, inputGlob: String, indexPath: String,
+      pairsPath: String, hashesRoot: Option[String], outDir: String,
+      checkpointDir: String): Unit = {
+    val deleteSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val q = spark.readStream
+      .schema(deleteSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.deleteApply(batch.toDF(), indexPath, pairsPath, hashesRoot)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$outDir/batch=$batchId")
         }

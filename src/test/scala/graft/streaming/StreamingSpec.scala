@@ -914,6 +914,81 @@ class StreamingSpec extends SparkSuite {
     assert(!checkedGap)
   }
 
+  test("delete apply: post-stream state equals a from-scratch rebuild on the surviving corpus") {
+    import graft.ext.{Cluster, Dedup}
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    // live state as the ingest pipeline maintains it
+    val root = java.nio.file.Files.createTempDirectory("delapply")
+    val idx = root.resolve("index").toString
+    val pairs = root.resolve("pairs").toString
+    val hashes = root.resolve("hashes").toString
+    Dedup.indexInit(docs, idx)
+    Dedup.pairsArtifactInit(docs, pairs)
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .write.parquet(s"$hashes/batch=0")
+    val oldLabels = Cluster.connectedComponents(
+        Dedup.pairsArtifactRead(spark, pairs)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // takedown feed: the src7 delete set split across two arrivals,
+    // plus one cluster CANONICAL (min member of a cluster with ≥2
+    // surviving members) so the feed provably forces a re-election at
+    // this SF (src7 alone happens not to delete any canonical here)
+    val srcIds = docs.filter(col("source") === "src7").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val canonical = oldLabels.groupBy(_._2).collect {
+      case (l, m) if !srcIds.contains(l) &&
+        m.keys.count(d => d != l && !srcIds.contains(d)) >= 1 => l
+    }.min
+    val ids = (srcIds :+ canonical).sorted
+    val (h1, h2) = ids.splitAt(ids.length / 2)
+    val inDir = java.nio.file.Files.createTempDirectory("del_feed").toString
+    h1.toSeq.toDF("doc_id").coalesce(1).write.mode("append").parquet(inDir)
+    h2.toSeq.toDF("doc_id").coalesce(1).write.mode("append").parquet(inDir)
+    val delIds = ids.toSeq.toDF("doc_id")
+    val outDir = java.nio.file.Files.createTempDirectory("del_out").toString + "/delta"
+    val ckpt = java.nio.file.Files.createTempDirectory("del_ckpt").toString
+    Streaming.runDeleteApply(spark, s"$inDir/*.parquet", idx, pairs,
+      Some(hashes), outDir, ckpt)
+    // from-scratch rebuild on the survivors
+    val survivors = docs.join(delIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val r2 = java.nio.file.Files.createTempDirectory("delapply_rebuild")
+    val idx2 = r2.resolve("index").toString
+    val pairs2 = r2.resolve("pairs").toString
+    Dedup.indexInit(survivors, idx2)
+    Dedup.pairsArtifactInit(survivors, pairs2)
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$idx/bands") === rows(s"$idx2/bands"))
+    assert(rows(s"$idx/shingles") === rows(s"$idx2/shingles"))
+    assert(rows(pairs) === rows(pairs2))
+    assert(rows(pairs).nonEmpty, "surviving pairs must be nonempty")
+    val hashTruth = survivors.filter(col("doc_id") % 100 =!= 0)
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.read.parquet(hashes).select("h", "doc_id")
+      .collect().map(_.toString).sorted.toSeq === hashTruth)
+    // composing the per-batch re-election deltas onto the original
+    // labels lands exactly on the rebuild's cluster labels
+    val newLabels = Cluster.connectedComponents(
+        Dedup.pairsArtifactRead(spark, pairs2)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deltas = spark.read.parquet(outDir)
+      .select(col("batch").cast("long"), col("doc_id"), col("new_cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(deltas.nonEmpty, "the takedown must force at least one re-election")
+    var composed = oldLabels.filter { case (d, _) => !ids.contains(d) }
+    deltas.foreach { case (_, d, nl) => composed = composed + (d -> nl) }
+    composed.foreach { case (d, l) =>
+      assert(l === newLabels.getOrElse(d, d),
+        s"composed label for doc $d must match the rebuild")
+    }
+  }
+
   test("reconcile retracts a planted transitive chain the ingest policy kept") {
     import graft.ext.{Cluster, Dedup}
     import spark.implicits._
