@@ -371,11 +371,90 @@ object Ivf {
     ivfDriftDf(emb, cut = 4L * emb.count() / 5L)
   }
 
+  /** IVF RETRAIN-DELTA report — [[ivfDriftDf]] says WHEN retraining the
+    * coarse quantizer pays; this prices what the retrain COSTS and
+    * buys: train a fresh quantizer on the full corpus next to the
+    * frozen one, and emit per-(old) list how much of its population a
+    * re-ingest would move (`n_moved`, `moved_share` — every moved
+    * vector is a row rewrite in the list-partitioned serving layout)
+    * against the distortion the move recovers (`recovered` = mean
+    * old-minus-new assignment distortion over the list). A list with
+    * high moved_share and near-zero recovered is churn; high recovered
+    * is the drift the aging report flagged, now priced.
+    *
+    * Exactness: both quantizers are the deterministic [[trainCentroids]]
+    * artifact (bit-identical cross-engine — the [[kmeansCte]] scaladoc
+    * argument, instantiated twice via its `pfx` discipline); per-vector
+    * distortions quantize to DECIMAL(20,12) before the per-list sums;
+    * the three final divisions are the only floats.
+    *
+    * 100 TB shape: two bounded-sample trainings (driver-side, k·dim
+    * floats each) and ONE corpus scan — a compiled double assignment
+    * plus two broadcast k-row centroid joins — into a k-group partial
+    * aggregate; the report is k rows. The scan is the same pass a
+    * re-ingest assigner would run, so the report's cost IS the retrain
+    * decision's unit cost.
+    */
+  def retrainDeltaDf(emb: DataFrame, cut: Long, k: Int = K, iters: Int = Iters,
+      sampleN: Int = SampleN): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d2012 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 12)
+    val centsOld = trainCentroids(emb.filter(col("vec_id") < cut), k, iters, sampleN)
+    val centsNew = trainCentroids(emb, k, iters, sampleN)
+    val oldDf = broadcast(
+      centsOld.zipWithIndex.map { case (c, i) => (i, c) }.toDF("old_list", "ocent"))
+    val newDf = broadcast(
+      centsNew.zipWithIndex.map { case (c, i) => (i, c) }.toDF("new_list", "ncent"))
+    val per = emb
+      .select(col("embedding"),
+        element_at(NearestCentroids(col("embedding"), centsOld, 1), 1).as("old_list"),
+        element_at(NearestCentroids(col("embedding"), centsNew, 1), 1).as("new_list"))
+      .join(oldDf, Seq("old_list"))
+      .join(newDf, Seq("new_list"))
+      .select(col("old_list"), col("new_list"),
+        (lit(1.0) - VectorFns.cosine(col("embedding"), col("ocent")))
+          .cast(d2012).as("d_old"),
+        (lit(1.0) - VectorFns.cosine(col("embedding"), col("ncent")))
+          .cast(d2012).as("d_new"))
+      .groupBy(col("old_list"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("new_list") =!= col("old_list"), 1L).otherwise(0L)).as("n_moved"),
+        sum(col("d_old")).as("dsum_old"),
+        sum(col("d_new")).as("dsum_new"))
+    val grid = spark.range(0, k).select(col("id").cast("int").as("list_id"))
+    grid.join(per.withColumnRenamed("old_list", "list_id"), Seq("list_id"), "left")
+      .select(
+        col("list_id"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_moved"), lit(0L)).as("n_moved"),
+        when(col("n") > 0,
+          round(col("n_moved").cast("double") / col("n"), 6)).as("moved_share"),
+        when(col("n") > 0,
+          round(col("dsum_old").cast("double") / col("n"), 8)).as("mdist_old"),
+        when(col("n") > 0,
+          round(col("dsum_new").cast("double") / col("n"), 8)).as("mdist_new"),
+        when(col("n") > 0,
+          round((col("dsum_old") - col("dsum_new")).cast("double") / col("n"), 8))
+          .as("recovered"))
+      .orderBy("list_id")
+  }
+
+  /** Driver entry: frozen quantizer trained on the first ⌊4n/5⌋
+    * arrivals (the [[annIvfDrift]] cohort rule), candidate quantizer on
+    * everything.
+    */
+  def annRetrainDelta(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    retrainDeltaDf(emb, cut = 4L * emb.count() / 5L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_lists" -> (annIvfLists _),
     "ann_probe_curve" -> ((s: SparkSession, d: String) => annProbeCurve(s, d)),
     "ann_ivf_drift" -> (annIvfDrift _),
+    "ann_retrain_delta" -> (annRetrainDelta _),
   )
 
   /** The LEARNED quantizer is oracle-checkable after all: Lloyd's is
@@ -399,52 +478,94 @@ object Ivf {
     * cohort here to mirror the frozen-quantizer split.
     */
   def kmeansCte(k: Int = K, iters: Int = Iters, sampleN: Int = SampleN,
-      sampleTable: String = "embeddings"): String = {
+      sampleTable: String = "embeddings", pfx: String = ""): String = {
+    val P = pfx // empty for the single-model oracles; e.g. "n" for the
+    //            retrain-delta oracle's SECOND coexisting quantizer
+    //            (the pqCte pfx discipline)
     val rounds = (1 to iters).map { r =>
-      val p = s"c${r - 1}"
-      s"""nrm$r AS (SELECT c, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+      val p = s"${P}c${r - 1}"
+      s"""${P}nrm$r AS (SELECT c, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
          |  FROM $p GROUP BY c),
-         |cn$r AS MATERIALIZED (
+         |${P}cn$r AS MATERIALIZED (
          |  SELECT $p.c, $p.j, CASE WHEN nrm > 0 THEN CAST(v AS DOUBLE) / nrm ELSE 0.0 END AS v
-         |  FROM $p JOIN nrm$r USING (c)),
-         |sc$r AS (SELECT kee.vec_id, cn.c, sum(kee.x * cn.v) AS s
-         |  FROM kee JOIN cn$r cn ON kee.j = cn.j GROUP BY 1, 2),
-         |asg$r AS MATERIALIZED (
+         |  FROM $p JOIN ${P}nrm$r USING (c)),
+         |${P}sc$r AS (SELECT kee.vec_id, cn.c, sum(kee.x * cn.v) AS s
+         |  FROM ${P}kee kee JOIN ${P}cn$r cn ON kee.j = cn.j GROUP BY 1, 2),
+         |${P}asg$r AS MATERIALIZED (
          |  SELECT vec_id, c AS cl FROM (
          |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-         |    FROM sc$r) WHERE rn = 1),
-         |c$r AS MATERIALIZED (
+         |    FROM ${P}sc$r) WHERE rn = 1),
+         |${P}c$r AS MATERIALIZED (
          |  SELECT p.c, p.j, coalesce(CAST(m.mv AS REAL), p.v) AS v
          |  FROM $p p LEFT JOIN (
          |    SELECT a.cl AS c, kee.j, avg(kee.x) AS mv
-         |    FROM asg$r a JOIN kee ON kee.vec_id = a.vec_id GROUP BY 1, 2) m
+         |    FROM ${P}asg$r a JOIN ${P}kee kee ON kee.vec_id = a.vec_id GROUP BY 1, 2) m
          |  ON m.c = p.c AND m.j = p.j)""".stripMargin
     }.mkString(",\n")
-    s"""${graft.functions.MixSql.hashSampleCtes("", sampleTable, "vec_id", sampleN)},
-       |keeall AS MATERIALIZED (
+    s"""${graft.functions.MixSql.hashSampleCtes(P, sampleTable, "vec_id", sampleN)},
+       |${P}keeall AS MATERIALIZED (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
        |         CAST(CAST(unnest(embedding) AS REAL) AS DOUBLE) AS x FROM embeddings),
-       |kee AS MATERIALIZED (SELECT k.* FROM keeall k JOIN samp USING (vec_id)),
-       |nsamp AS (SELECT count(*) AS n FROM samp),
-       |c0 AS MATERIALIZED (
+       |${P}kee AS MATERIALIZED (SELECT k.* FROM ${P}keeall k JOIN ${P}samp USING (vec_id)),
+       |${P}nsamp AS (SELECT count(*) AS n FROM ${P}samp),
+       |${P}c0 AS MATERIALIZED (
        |  SELECT CAST(t.c AS INT) AS c, kee.j, CAST(kee.x AS REAL) AS v
        |  FROM (SELECT unnest(range($k)) AS c) t
-       |  JOIN samp ON samp.rk = (t.c * (SELECT n FROM nsamp)) // $k
-       |  JOIN kee ON kee.vec_id = samp.vec_id),
+       |  JOIN ${P}samp samp ON samp.rk = (t.c * (SELECT n FROM ${P}nsamp)) // $k
+       |  JOIN ${P}kee kee ON kee.vec_id = samp.vec_id),
        |$rounds,
-       |fnrm AS (SELECT c, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm FROM c$iters GROUP BY c),
-       |fcn AS MATERIALIZED (
-       |  SELECT c$iters.c, c$iters.j, CASE WHEN nrm > 0 THEN CAST(v AS DOUBLE) / nrm ELSE 0.0 END AS v
-       |  FROM c$iters JOIN fnrm USING (c)),
-       |fsc AS (SELECT e.vec_id, cn.c, sum(e.x * cn.v) AS s
-       |  FROM keeall e JOIN fcn cn ON e.j = cn.j GROUP BY 1, 2),
-       |lists AS MATERIALIZED (
+       |${P}fnrm AS (SELECT c, sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm FROM ${P}c$iters GROUP BY c),
+       |${P}fcn AS MATERIALIZED (
+       |  SELECT fc.c, fc.j, CASE WHEN nrm > 0 THEN CAST(v AS DOUBLE) / nrm ELSE 0.0 END AS v
+       |  FROM ${P}c$iters fc JOIN ${P}fnrm USING (c)),
+       |${P}fsc AS (SELECT e.vec_id, cn.c, sum(e.x * cn.v) AS s
+       |  FROM ${P}keeall e JOIN ${P}fcn cn ON e.j = cn.j GROUP BY 1, 2),
+       |${P}lists AS MATERIALIZED (
        |  SELECT vec_id, CAST(c AS INT) AS list_id FROM (
        |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-       |    FROM fsc) WHERE rn = 1)""".stripMargin
+       |    FROM ${P}fsc) WHERE rn = 1)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
+    // two coexisting kmeansCte instantiations via the pfx discipline:
+    // unprefixed = frozen quantizer (trained on the base cohort),
+    // "r"-prefixed = candidate (trained on everything); one dist CTE
+    // carries both assignments and both raw-float-centroid distortions
+    "ann_retrain_delta" ->
+      s"""WITH embeddings_b AS (
+         |  SELECT * FROM embeddings
+         |  WHERE vec_id < (SELECT 4 * count(*) // 5 FROM embeddings)),
+         |${kmeansCte(sampleTable = "embeddings_b")},
+         |${kmeansCte(pfx = "r")},
+         |ocv AS (SELECT c AS list_id, list(v ORDER BY j) AS cent
+         |  FROM c$Iters GROUP BY c),
+         |ncv AS (SELECT c AS list_id, list(v ORDER BY j) AS cent
+         |  FROM rc$Iters GROUP BY c),
+         |d AS (
+         |  SELECT l.list_id AS list_id, nl.list_id AS new_list,
+         |         CAST(1.0 - list_cosine_similarity(
+         |           e.embedding::DOUBLE[], oc.cent::DOUBLE[]) AS DECIMAL(20,12)) AS d_old,
+         |         CAST(1.0 - list_cosine_similarity(
+         |           e.embedding::DOUBLE[], nc.cent::DOUBLE[]) AS DECIMAL(20,12)) AS d_new
+         |  FROM lists l JOIN rlists nl USING (vec_id)
+         |  JOIN embeddings e USING (vec_id)
+         |  JOIN ocv oc ON oc.list_id = l.list_id
+         |  JOIN ncv nc ON nc.list_id = nl.list_id),
+         |per AS (
+         |  SELECT list_id, count(*) AS n,
+         |         count(*) FILTER (new_list <> list_id) AS n_moved,
+         |         sum(d_old) AS dsum_old, sum(d_new) AS dsum_new
+         |  FROM d GROUP BY list_id),
+         |grid AS (SELECT CAST(unnest(range($K)) AS INT) AS list_id)
+         |SELECT g.list_id,
+         |       CAST(coalesce(n, 0) AS BIGINT) AS n,
+         |       CAST(coalesce(n_moved, 0) AS BIGINT) AS n_moved,
+         |       CASE WHEN n > 0 THEN round(CAST(n_moved AS DOUBLE) / n, 6) END AS moved_share,
+         |       CASE WHEN n > 0 THEN round(CAST(dsum_old AS DOUBLE) / n, 8) END AS mdist_old,
+         |       CASE WHEN n > 0 THEN round(CAST(dsum_new AS DOUBLE) / n, 8) END AS mdist_new,
+         |       CASE WHEN n > 0 THEN round(CAST(dsum_old - dsum_new AS DOUBLE) / n, 8) END AS recovered
+         |FROM grid g LEFT JOIN per USING (list_id)
+         |ORDER BY g.list_id""".stripMargin,
     // frozen-quantizer aging: kmeansCte trains on the base cohort only
     // (sampleTable), assigns the full corpus; per-vector distortion is
     // 1 - cosine against the RAW final float centroid (c5 long form

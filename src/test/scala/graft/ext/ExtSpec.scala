@@ -135,6 +135,40 @@ class ExtSpec extends SparkSuite {
     assert(rerun === (full -- batch1Internal))
   }
 
+  test("ann_retrain_delta: counts partition the corpus, moves match an independent recompute, same-cohort cut is a fixed point") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val cut = 4L * n / 5L
+    val rows = Ivf.retrainDeltaDf(emb, cut).collect()
+    assert(rows.map(_.getLong(1)).sum === n)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // n_moved per old list recomputed through the serving-path assigner
+    val centsOld = Ivf.trainCentroids(emb.filter(col("vec_id") < cut))
+    val centsNew = Ivf.trainCentroids(emb)
+    val moved = Ivf.assignLists(emb, centsOld)
+      .select(col("vec_id"), col("list_id").as("ol"))
+      .join(Ivf.assignLists(emb, centsNew)
+        .select(col("vec_id"), col("list_id").as("nl")), "vec_id")
+      .filter(col("ol") =!= col("nl"))
+      .groupBy("ol").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) === moved.getOrElse(r.getInt(0), 0L),
+      s"list ${r.getInt(0)}"))
+    // same training cohort on both sides: nothing moves, nothing recovers
+    val fp = Ivf.retrainDeltaDf(emb, cut = n + 1).collect()
+    fp.foreach { r =>
+      assert(r.getLong(2) === 0L)
+      if (r.getLong(1) > 0) assert(r.getDouble(6) === 0.0, s"list ${r.getInt(0)}")
+    }
+    // the drift report's cohort guard fails fast instead of emitting
+    // NULL/Infinity shares (r13 ADVICE)
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.ivfDriftDf(emb, cut = 10L * n)
+    }
+    assert(ex.getMessage.contains("delta cohort"))
+  }
+
   test("verified-pair artifact: artifact ≡ recompute, append-maintenance ≡ rebuild, derived report unchanged") {
     import org.apache.spark.sql.functions.col
     def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
