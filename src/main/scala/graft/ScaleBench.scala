@@ -189,7 +189,14 @@ object ScaleBench {
     "dedup_policy_gap",
     // round-13: one manifest prefix-sum pass + the pair pipeline; every
     // metric leg is a bounded aggregate
-    "q_delete_impact")
+    "q_delete_impact",
+    // round-14: the artifact readers (policy gap / delete impact /
+    // split_cluster_safe / corpus build above now read the staged pair
+    // artifact — their curves measure REPORT cost); reconcile is
+    // pair-sized closure work; delete apply stages + rewrites the
+    // stores (one anti-join pass each); retrain delta is two bounded
+    // trainings + one double-assignment corpus scan
+    "q_reconcile", "q_delete_apply", "ann_retrain_delta")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

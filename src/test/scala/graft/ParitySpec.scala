@@ -16,10 +16,25 @@ class ParitySpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  // Queries whose result is LEGITIMATELY empty on the shared sf0.001
+  // corpus: its planted near-dups form complete cliques, so the
+  // ingest-vs-batch reconciliation gap is empty, and the registered
+  // src7 takedown deletes no cluster canonical there. The smoke check
+  // pins them EXACTLY EMPTY — corpus or semantics drift still trips —
+  // and their nonempty cases are pinned by dedicated specs
+  // (StreamingSpec's planted transitive chain / forced canonical
+  // delete; q_delete_apply is additionally nonempty at the sf0.1 gate).
+  private val emptyOnSf0001 = Set("q_reconcile", "q_delete_apply")
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"$name runs non-empty on sf0.001") {
-      assert(fn(spark, sfDir).count() > 0)
-    }
+    if (emptyOnSf0001(name))
+      test(s"$name runs empty on sf0.001 (documented; nonempty case spec-pinned)") {
+        assert(fn(spark, sfDir).count() === 0)
+      }
+    else
+      test(s"$name runs non-empty on sf0.001") {
+        assert(fn(spark, sfDir).count() > 0)
+      }
   }
 
   test("approximate sketches track the exact aggregates within tolerance") {
