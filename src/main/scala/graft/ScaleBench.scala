@@ -196,7 +196,9 @@ object ScaleBench {
     // pair-sized closure work; delete apply stages + rewrites the
     // stores (one anti-join pass each); retrain delta is two bounded
     // trainings + one double-assignment corpus scan
-    "q_reconcile", "q_delete_apply", "ann_retrain_delta")
+    "q_reconcile", "q_delete_apply", "ann_retrain_delta",
+    // round-14: two corpus-scan aggregates, no window, 1-row output
+    "q_repack_delta")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

@@ -389,13 +389,20 @@ object Dedup {
     * run on the (pair-sized) before/after pair tables.
     */
   def deleteApply(deletedIds: DataFrame, indexPath: String, pairsPath: String,
-      hashesRoot: Option[String] = None): DataFrame = {
+      hashesRoot: Option[String] = None,
+      manifestPath: Option[String] = None): DataFrame = {
     val spark = deletedIds.sparkSession
     val del = deletedIds.select(col("doc_id")).distinct().localCheckpoint()
     def survivors(df: DataFrame): DataFrame =
       df.join(broadcast(del), Seq("doc_id"), "left_anti")
     rewriteStore(spark, s"$indexPath/bands", survivors)
     rewriteStore(spark, s"$indexPath/shingles", survivors)
+    // pack manifest: offsets re-derived from the SURVIVING rows' own
+    // token counts — no corpus access (Packing.repackManifest); the
+    // re-emitted span is priced by q_repack_delta
+    manifestPath.foreach { mp =>
+      rewriteStore(spark, mp, df => Packing.repackManifest(survivors(df)))
+    }
     hashesRoot.foreach { root =>
       val schema = spark.read.parquet(root).schema
       require(schema.fieldNames.contains("doc_id"),
@@ -446,13 +453,15 @@ object Dedup {
     val idx = root.resolve("index").toString
     val pairs = root.resolve("pairs").toString
     val hashes = root.resolve("hashes").toString
+    val manifest = root.resolve("manifest").toString
     indexInit(docs, idx)
     pairsArtifactInit(docs, pairs)
     docs.filter(col("doc_id") % 100 =!= 0)
       .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
       .write.parquet(s"$hashes/batch=0")
+    Packing.packSequences(docs).write.parquet(manifest)
     deleteApply(docs.filter(col("source") === "src7").select("doc_id"),
-      idx, pairs, Some(hashes))
+      idx, pairs, Some(hashes), Some(manifest))
   }
 
   // --- SimHash -------------------------------------------------------------

@@ -57,9 +57,25 @@ object Packing {
     * more than one bucket's rows.
     */
   def packSequences(docs: DataFrame, seqLen: Long = 512L, buckets: Int = 64,
+      base: Long = 0L): DataFrame =
+    packFromCosts(tokenCosts(docs), seqLen, buckets, base)
+
+  /** The manifest recomputed from a stored manifest's own (doc_id,
+    * n_tok) rows — NO corpus access: a delete retraction drops rows and
+    * re-derives every offset from the surviving token counts
+    * ([[graft.ext.Dedup.deleteApply]]'s manifest leg; PackingSpec pins
+    * repack-of-survivor-rows ≡ packSequences over the surviving docs).
+    */
+  def repackManifest(manifest: DataFrame, seqLen: Long = 512L,
+      buckets: Int = 64): DataFrame =
+    packFromCosts(
+      manifest.select(col("doc_id"), col("n_tok"))
+        .withColumn("cost", col("n_tok") + lit(1L)),
+      seqLen, buckets)
+
+  private def packFromCosts(costs: DataFrame, seqLen: Long, buckets: Int,
       base: Long = 0L): DataFrame = {
-    val spark = docs.sparkSession
-    val costs = tokenCosts(docs)
+    val spark = costs.sparkSession
     val bounds = costs.agg(min("doc_id"), max("doc_id")).head()
     if (bounds.isNullAt(0))
       return spark.emptyDataFrame
@@ -123,6 +139,65 @@ object Packing {
     val (total, maxId) =
       if (st.isNullAt(0)) (0L, Long.MinValue) else (st.getLong(0), st.getLong(1))
     packSequences(newDocs.filter(col("doc_id") > maxId), seqLen, buckets, base = total)
+  }
+
+  /** REPACK-DELTA report — the pack-manifest leg of the delete loop,
+    * priced: given a delete set, how much of the packed corpus a
+    * retraction re-emits. Concat-and-chunk packing shifts every token
+    * offset after the FIRST deleted document, so the new manifest is
+    * byte-identical up to `first_affected_seq` (the sequence holding
+    * the first deleted token) and everything from there to
+    * `n_seqs_after` must be rewritten (`n_seqs_reemitted`);
+    * `docs_shifted` counts the surviving documents whose offsets move
+    * (every survivor after the first deleted id — deletion removes
+    * cost ≥ 1, so all of them shift). One row.
+    *
+    * Everything derives arithmetically from token counts — NO prefix
+    * sum, NO window: total cost, the deleted slice's scalars, and the
+    * pre-deletion prefix cost are three 1-row aggregates (two corpus
+    * scans: the broadcast-semi deleted slice, then one fused pass).
+    * The identity n_seqs_after = ceil((total − cost_dropped)/seqLen)
+    * holds because repacking survivors preserves their relative order.
+    */
+  def repackDeltaDf(docs: DataFrame, deletedIds: DataFrame,
+      seqLen: Long = 512L): DataFrame = {
+    val spark = docs.sparkSession
+    val del = deletedIds.select(col("doc_id")).distinct().localCheckpoint()
+    val t = docs.select(col("doc_id"), nTok.as("n_tok"))
+    val dd = t.join(broadcast(del), Seq("doc_id"))
+      .agg(min(col("doc_id")).as("min_del_id"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("tokens_dropped"),
+        coalesce(sum(col("n_tok") + 1), lit(0L)).as("cost_dropped"))
+      .localCheckpoint()
+    t.join(broadcast(del.withColumn("d", lit(1))), Seq("doc_id"), "left")
+      .crossJoin(broadcast(dd))
+      .agg(
+        first(col("min_del_id")).as("min_del_id"),
+        first(col("tokens_dropped")).as("tokens_dropped"),
+        first(col("cost_dropped")).as("cost_dropped"),
+        sum(col("n_tok") + 1).as("total"),
+        coalesce(sum(when(col("doc_id") < col("min_del_id"), col("n_tok") + 1)),
+          lit(0L)).as("prefix_cost"),
+        sum(when(col("doc_id") > col("min_del_id") && col("d").isNull, 1L)
+          .otherwise(0L)).as("docs_shifted"))
+      .select(
+        when(col("min_del_id").isNull,
+          expr(s"(total + ${seqLen - 1}) div $seqLen"))
+          .otherwise(expr(s"prefix_cost div $seqLen")).as("first_affected_seq"),
+        expr(s"(total + ${seqLen - 1}) div $seqLen").as("n_seqs_before"),
+        when(col("total") - col("cost_dropped") <= 0, 0L)
+          .otherwise(expr(s"(total - cost_dropped + ${seqLen - 1}) div $seqLen"))
+          .as("n_seqs_after"),
+        col("docs_shifted"), col("tokens_dropped"))
+      .withColumn("n_seqs_reemitted", col("n_seqs_after") - col("first_affected_seq"))
+      .select("first_affected_seq", "n_seqs_before", "n_seqs_after",
+        "n_seqs_reemitted", "docs_shifted", "tokens_dropped")
+  }
+
+  /** Driver entry: the standing src7 takedown (the delete-family rule). */
+  def qRepackDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    repackDeltaDf(docs, docs.filter(col("source") === "src7").select("doc_id"))
   }
 
   /** The documents drop-file schema, for the streaming reader. */
@@ -264,6 +339,7 @@ object Packing {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (qPackSequences _),
+    "q_repack_delta" -> (qRepackDelta _),
     "q_pack_profile" -> (qPackProfile _),
     "q_pack_by_lang" -> (qPackByLang _),
   )
@@ -293,6 +369,37 @@ object Packing {
   private[ext] val packCte = "WITH " + packCteBody("")
 
   val oracles: Map[String, String] = Map(
+    // the same closed-form arithmetic over token counts (no closure,
+    // no window): deleted-slice scalars + one fused total/prefix pass
+    "q_repack_delta" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |del AS (SELECT doc_id FROM documents WHERE source = 'src7'),
+        |dd AS (SELECT min(t.doc_id) AS min_del_id,
+        |              CAST(coalesce(sum(t.n_tok), 0) AS BIGINT) AS tokens_dropped,
+        |              CAST(coalesce(sum(t.n_tok + 1), 0) AS BIGINT) AS cost_dropped
+        |       FROM t JOIN del USING (doc_id)),
+        |agg AS (SELECT
+        |          CAST(sum(n_tok + 1) AS BIGINT) AS total,
+        |          CAST(coalesce(sum(CASE WHEN t.doc_id < dd.min_del_id
+        |                                 THEN n_tok + 1 END), 0) AS BIGINT) AS prefix_cost,
+        |          CAST(count(CASE WHEN t.doc_id > dd.min_del_id
+        |                           AND t.doc_id NOT IN (SELECT doc_id FROM del)
+        |                          THEN 1 END) AS BIGINT) AS docs_shifted
+        |        FROM t CROSS JOIN dd)
+        |SELECT CASE WHEN dd.min_del_id IS NULL THEN (total + 511) // 512
+        |            ELSE prefix_cost // 512 END AS first_affected_seq,
+        |       (total + 511) // 512 AS n_seqs_before,
+        |       CASE WHEN total - cost_dropped <= 0 THEN 0
+        |            ELSE (total - cost_dropped + 511) // 512 END AS n_seqs_after,
+        |       CASE WHEN total - cost_dropped <= 0 THEN 0
+        |            ELSE (total - cost_dropped + 511) // 512 END
+        |         - CASE WHEN dd.min_del_id IS NULL THEN (total + 511) // 512
+        |                ELSE prefix_cost // 512 END AS n_seqs_reemitted,
+        |       docs_shifted, tokens_dropped
+        |FROM agg CROSS JOIN dd""".stripMargin,
     "q_pack_sequences" ->
       s"""$packCte
          |SELECT doc_id, n_tok, t_off, seq_id, n_seqs FROM p ORDER BY doc_id""".stripMargin,

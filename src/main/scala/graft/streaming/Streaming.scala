@@ -1635,9 +1635,9 @@ object Streaming {
     * delete requests arrive as a file stream of doc_id parquet files (a
     * takedown feed), and each micro-batch propagates its delete set
     * through every persistent store the ingest pipeline maintains — the
-    * MinHash sketch index, the verified-pair artifact, and (when the
-    * corpus-build stream's state path is given) the content-hash delta
-    * store — via [[graft.ext.Dedup.deleteApply]], then emits the batch's
+    * MinHash sketch index, the verified-pair artifact, and (when their
+    * paths are given) the corpus-build content-hash delta store and the
+    * pack manifest — via [[graft.ext.Dedup.deleteApply]], then emits the batch's
     * re-election delta batch-keyed to `outDir`. Because every store is
     * document-keyed and filtering equals a rebuild on survivors, the
     * post-stream state equals a from-scratch rebuild on the surviving
@@ -1655,7 +1655,7 @@ object Streaming {
   def runDeleteApply(
       spark: SparkSession, inputGlob: String, indexPath: String,
       pairsPath: String, hashesRoot: Option[String], outDir: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String, manifestPath: Option[String] = None): Unit = {
     val deleteSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false)))
@@ -1667,7 +1667,8 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.ext.Dedup.deleteApply(batch.toDF(), indexPath, pairsPath, hashesRoot)
+          graft.ext.Dedup.deleteApply(batch.toDF(), indexPath, pairsPath,
+              hashesRoot, manifestPath)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$outDir/batch=$batchId")
         }

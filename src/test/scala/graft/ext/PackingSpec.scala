@@ -135,4 +135,55 @@ class PackingSpec extends SparkSuite {
     assert(grouped.nonEmpty)
     assert(grouped === flat)
   }
+
+  test("repackManifest over surviving rows equals packSequences over the surviving docs") {
+    val docs = Tables.documents(spark, dir)
+    val manifest = Packing.packSequences(docs)
+    val deleted = docs.filter(col("source") === "src7").select("doc_id")
+    val repacked = Packing.repackManifest(
+        manifest.join(deleted, Seq("doc_id"), "left_anti"))
+      .collect().map(_.toString).toSeq
+    val rebuilt = Packing.packSequences(
+        docs.join(deleted, Seq("doc_id"), "left_anti"))
+      .collect().map(_.toString).toSeq
+    assert(repacked.nonEmpty)
+    assert(repacked === rebuilt,
+      "offsets re-derived from stored token counts must equal a from-scratch pack")
+  }
+
+  test("repack delta: closed-form report matches the actual before/after manifests") {
+    val docs = Tables.documents(spark, dir)
+    val deleted = docs.filter(col("source") === "src7").select("doc_id")
+    val r = Packing.repackDeltaDf(docs, deleted).head()
+    val before = Packing.packSequences(docs).collect()
+    val after = Packing.packSequences(
+      docs.join(deleted, Seq("doc_id"), "left_anti")).collect()
+    def nSeqs(m: Array[org.apache.spark.sql.Row]): Long =
+      m.filter(_.getLong(1) > 0).map(x => x.getLong(3) + x.getLong(4) - 1).max + 1
+    assert(r.getLong(1) === nSeqs(before), "n_seqs_before")
+    assert(r.getLong(2) === nSeqs(after), "n_seqs_after")
+    // first_affected_seq is the first deleted token's sequence in the
+    // OLD manifest, and the new manifest is byte-identical before it:
+    // every row fully inside [0, first_affected) is unchanged
+    val delIds = deleted.collect().map(_.getLong(0)).toSet
+    val firstAffected = before.filter(x => delIds(x.getLong(0)))
+      .map(_.getLong(3)).min
+    assert(r.getLong(0) === firstAffected, "first_affected_seq")
+    val beforeRows = before.filterNot(x => delIds(x.getLong(0)))
+      .filter(x => x.getLong(3) + x.getLong(4) - 1 < firstAffected)
+      .map(_.toString).toSet
+    val afterRows = after.map(_.toString).toSet
+    assert(beforeRows.subsetOf(afterRows),
+      "rows fully before the first affected sequence must be unchanged")
+    assert(r.getLong(3) === r.getLong(2) - r.getLong(0), "n_seqs_reemitted")
+    // docs_shifted: every survivor after the first deleted id moves
+    val minDel = delIds.min
+    assert(r.getLong(4) ===
+      before.count(x => !delIds(x.getLong(0)) && x.getLong(0) > minDel).toLong)
+    // empty delete set: nothing affected, nothing re-emitted
+    val none = Packing.repackDeltaDf(docs, deleted.limit(0)).head()
+    assert(none.getLong(0) === none.getLong(1))
+    assert(none.getLong(2) === none.getLong(1))
+    assert(none.getLong(3) === 0L && none.getLong(4) === 0L && none.getLong(5) === 0L)
+  }
 }

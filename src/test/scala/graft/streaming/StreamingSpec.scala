@@ -923,11 +923,13 @@ class StreamingSpec extends SparkSuite {
     val idx = root.resolve("index").toString
     val pairs = root.resolve("pairs").toString
     val hashes = root.resolve("hashes").toString
+    val manifest = root.resolve("manifest").toString
     Dedup.indexInit(docs, idx)
     Dedup.pairsArtifactInit(docs, pairs)
     docs.filter(col("doc_id") % 100 =!= 0)
       .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
       .write.parquet(s"$hashes/batch=0")
+    graft.ext.Packing.packSequences(docs).write.parquet(manifest)
     val oldLabels = Cluster.connectedComponents(
         Dedup.pairsArtifactRead(spark, pairs)
           .select(col("doc_a").as("u"), col("doc_b").as("v")))
@@ -951,7 +953,7 @@ class StreamingSpec extends SparkSuite {
     val outDir = java.nio.file.Files.createTempDirectory("del_out").toString + "/delta"
     val ckpt = java.nio.file.Files.createTempDirectory("del_ckpt").toString
     Streaming.runDeleteApply(spark, s"$inDir/*.parquet", idx, pairs,
-      Some(hashes), outDir, ckpt)
+      Some(hashes), outDir, ckpt, Some(manifest))
     // from-scratch rebuild on the survivors
     val survivors = docs.join(delIds, Seq("doc_id"), "left_anti").localCheckpoint()
     val r2 = java.nio.file.Files.createTempDirectory("delapply_rebuild")
@@ -970,6 +972,11 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(spark.read.parquet(hashes).select("h", "doc_id")
       .collect().map(_.toString).sorted.toSeq === hashTruth)
+    // pack manifest: offsets re-derived from surviving rows equal a
+    // from-scratch pack of the surviving corpus
+    assert(rows(manifest) ===
+      graft.ext.Packing.packSequences(survivors)
+        .collect().map(_.toString).sorted.toSeq)
     // composing the per-batch re-election deltas onto the original
     // labels lands exactly on the rebuild's cluster labels
     val newLabels = Cluster.connectedComponents(
