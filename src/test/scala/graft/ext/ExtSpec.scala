@@ -202,6 +202,39 @@ class ExtSpec extends SparkSuite {
       report(Dedup.dedupMinhash(spark, dir)))
   }
 
+  test("deleteApply is idempotent: a replayed takedown leaves state unchanged and emits an empty delta") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = graft.Tables.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("delapply_idem")
+    val idx = root.resolve("index").toString
+    val pairs = root.resolve("pairs").toString
+    val hashes = root.resolve("hashes").toString
+    val manifest = root.resolve("manifest").toString
+    Dedup.indexInit(docs, idx)
+    Dedup.pairsArtifactInit(docs, pairs)
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .write.parquet(s"$hashes/batch=0")
+    Packing.packSequences(docs).write.parquet(manifest)
+    val del = docs.filter(col("source") === "src7").select("doc_id")
+    def snapshot(): Map[String, Seq[String]] =
+      Seq("bands" -> s"$idx/bands", "shingles" -> s"$idx/shingles",
+        "pairs" -> pairs, "hashes" -> hashes, "manifest" -> manifest)
+        .map { case (k, p) =>
+          k -> spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+        }.toMap
+    val first = Dedup.deleteApply(del, idx, pairs, Some(hashes), Some(manifest))
+      .collect()
+    val afterFirst = snapshot()
+    val second = Dedup.deleteApply(del, idx, pairs, Some(hashes), Some(manifest))
+      .collect()
+    assert(second.isEmpty,
+      "a replayed takedown's re-election delta must be empty")
+    assert(snapshot() === afterFirst,
+      "a replayed takedown must leave every store unchanged")
+    assert(first.length >= 0) // the first delta's size is corpus-dependent
+  }
+
   test("policyGapDf canonicalizes arbitrary pair orientation (reversed/symmetric inputs agree)") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, dir)
