@@ -306,10 +306,14 @@ object ScaleBench {
         System.err.println(s"[scale x$f] shuffle.partitions = $parts")
       }
       // ingest-maintained state, staged untimed (the Bench discipline):
-      // derived graph/report entries read the pair artifact
+      // derived graph/report entries read the pair artifact; IVF/PQ
+      // entries read the persisted quantizer models
       try ext.Dedup.ensurePairsArtifact(spark, dir)
       catch { case e: Throwable =>
         System.err.println(s"[scale x$f] pairs artifact staging FAILED: ${e.toString.take(200)}") }
+      try { ext.Ivf.ensureModel(spark, dir); ext.Pq.ensureModel(spark, dir) }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale x$f] model staging FAILED: ${e.toString.take(200)}") }
       val entries = heavy.flatMap { q =>
         System.gc()
         val t0 = System.nanoTime()

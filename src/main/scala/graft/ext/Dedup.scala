@@ -1045,7 +1045,7 @@ object Dedup {
       tau: Double = 0.92, maxCluster: Int = MaxExactBlock): DataFrame = {
     import graft.functions.VectorFns
     val emb = Tables.embeddings(spark, dir)
-    val cents = Ivf.trainCentroids(emb)
+    val cents = Ivf.ensureModel(spark, dir)
     val e = Ivf.assignLists(emb, cents)
       .select(col("list_id"), col("vec_id"), col("embedding"),
         VectorFns.l2norm(col("embedding")).as("nrm"))

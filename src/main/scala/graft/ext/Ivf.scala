@@ -74,6 +74,45 @@ object Ivf {
     cents.toSeq.map(_.toSeq)
   }
 
+  // --- learned-model ARTIFACT ------------------------------------------------
+  //
+  // The quantizer is a MODEL: trained once at ingest, persisted, and
+  // read by every assignment/search/report after — the pair-artifact
+  // discipline applied to learned state. Re-training per query (the
+  // pre-r14 shape) repeats the sample draw + driver Lloyd's on every
+  // report; at 100 TB the sample draw alone is a corpus pass.
+
+  /** Persists a trained coarse quantizer as a k-row parquet table
+    * (list_id, cent float array — exact bit round-trip).
+    */
+  def modelArtifactWrite(spark: SparkSession, cents: Seq[Seq[Float]],
+      path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def modelArtifactRead(spark: SparkSession, path: String): Seq[Seq[Float]] =
+    spark.read.parquet(path).orderBy("list_id")
+      .collect().map(_.getSeq[Float](1)).toSeq
+
+  /** Per-(JVM, corpus) default-parameter quantizer: trained + persisted
+    * on first use, the loaded k·dim-float model (exactly what a serving
+    * process pins in memory) reused by every default-model entry.
+    * Training is deterministic, so artifact ≡ fresh training (ExtSpec
+    * pins the bit equality).
+    */
+  def ensureModel(spark: SparkSession, dir: String): Seq[Seq[Float]] =
+    loadedModels.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("ivf_model")
+        .resolve("model").toString
+      modelArtifactWrite(spark, trainCentroids(Tables.embeddings(spark, dir)), path)
+      modelArtifactRead(spark, path)
+    })
+
+  private val loadedModels =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Float]]]
+
   /** Ingest-time assignment: one compiled map, no shuffle. */
   def assignLists(emb: DataFrame, centroids: Seq[Seq[Float]]): DataFrame =
     emb.withColumn("list_id",
@@ -153,7 +192,7 @@ object Ivf {
     */
   def annIvfSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = trainCentroids(emb)
+    val centroids = ensureModel(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
     search(emb, queries, centroids, k = 5)
@@ -164,7 +203,7 @@ object Ivf {
     */
   def annIvfLists(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    assignLists(emb, trainCentroids(emb))
+    assignLists(emb, ensureModel(spark, dir))
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("list_size"))
       .orderBy("list_id")
@@ -200,7 +239,7 @@ object Ivf {
   def annProbeCurve(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val d84 = org.apache.spark.sql.types.DataTypes.createDecimalType(8, 4)
     val emb = Tables.embeddings(spark, dir)
-    val centroids = trainCentroids(emb)
+    val centroids = ensureModel(spark, dir)
     val pmax = ProbeGrid.max
     val assigned = assignLists(emb, centroids)
       .select(col("vec_id"), col("embedding"), col("list_id"),

@@ -88,6 +88,41 @@ object Pq {
     }
   }
 
+  // --- learned-model ARTIFACT (the [[Ivf.ensureModel]] discipline) -----------
+
+  /** Persists trained codebooks as an m·ksub-row parquet table
+    * (s, code, cvec float array — exact bit round-trip).
+    */
+  def modelArtifactWrite(spark: SparkSession, codebooks: Seq[Seq[Seq[Float]]],
+      path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (cent, k) => (s, k, cent) }
+    }.toDF("s", "code", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def modelArtifactRead(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] =
+    spark.read.parquet(path).orderBy("s", "code")
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq)
+
+  /** Per-(JVM, corpus) default-parameter codebooks: trained + persisted
+    * once, reused by every default-model PQ entry (artifact ≡ fresh
+    * training, spec-pinned).
+    */
+  def ensureModel(spark: SparkSession, dir: String): Seq[Seq[Seq[Float]]] =
+    loadedModels.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("pq_model")
+        .resolve("model").toString
+      modelArtifactWrite(spark, trainCodebooks(Tables.embeddings(spark, dir)), path)
+      modelArtifactRead(spark, path)
+    })
+
+  private val loadedModels =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
+
   /** L2-normalized copy of a float-array column (norm computed once). */
   private def normalizedCol(v: Column): Column = {
     val nrm = VectorFns.l2norm(v)
@@ -151,7 +186,7 @@ object Pq {
     */
   def annPqSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val codebooks = trainCodebooks(emb)
+    val codebooks = ensureModel(spark, dir)
     val corpus = encodeCorpus(emb, codebooks)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
@@ -223,8 +258,8 @@ object Pq {
     */
   def annIvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = Ivf.trainCentroids(emb)
-    val codebooks = trainCodebooks(emb)
+    val cents = Ivf.ensureModel(spark, dir)
+    val codebooks = ensureModel(spark, dir)
     val corpus = Ivf.assignLists(emb, cents)
       .select(col("vec_id"), col("list_id"),
         PqEncode(normalizedCol(col("embedding")), codebooks).as("codes"))
@@ -239,7 +274,7 @@ object Pq {
     */
   def annPqOccupancy(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val corpus = encodeCorpus(emb, trainCodebooks(emb))
+    val corpus = encodeCorpus(emb, ensureModel(spark, dir))
     corpus.select(posexplode(col("codes")).as(Seq("subspace", "code")))
       .groupBy(col("subspace"))
       .agg(countDistinct(col("code")).as("codes_used"), count(lit(1)).as("n"))
@@ -273,7 +308,7 @@ object Pq {
   def annPqDistortion(spark: SparkSession, dir: String): DataFrame = {
     val d2012 = org.apache.spark.sql.types.DataTypes.createDecimalType(20, 12)
     val emb = Tables.embeddings(spark, dir)
-    val codebooks = trainCodebooks(emb)
+    val codebooks = ensureModel(spark, dir)
     val subDim = 64 / M
     import spark.implicits._
     val cbDf = broadcast(codebooks.zipWithIndex.flatMap { case (cb, s) =>

@@ -135,6 +135,20 @@ class ExtSpec extends SparkSuite {
     assert(rerun === (full -- batch1Internal))
   }
 
+  test("quantizer model artifacts: parquet round-trip is bit-exact and equals fresh training") {
+    val emb = Tables.embeddings(spark, dir)
+    // IVF: the ensure-cached model every default-model entry reads
+    assert(Ivf.ensureModel(spark, dir) === Ivf.trainCentroids(emb))
+    // PQ codebooks likewise
+    assert(Pq.ensureModel(spark, dir) === Pq.trainCodebooks(emb))
+    // explicit write/read round-trip preserves float bits
+    val cents = Ivf.trainCentroids(emb, k = 4, iters = 2, sampleN = 64)
+    val p = java.nio.file.Files.createTempDirectory("model_rt")
+      .resolve("m").toString
+    Ivf.modelArtifactWrite(spark, cents, p)
+    assert(Ivf.modelArtifactRead(spark, p) === cents)
+  }
+
   test("ann_retrain_delta: counts partition the corpus, moves match an independent recompute, same-cohort cut is a fixed point") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, dir)
