@@ -40,6 +40,8 @@ object Bench {
     // IVF/PQ entries read the persisted artifact.
     try { ext.Ivf.ensureModel(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { ext.Ivf.ensureLayout(spark, sfDir) }
+    catch { case _: Throwable => () }
     try { ext.Pq.ensureModel(spark, sfDir) }
     catch { case _: Throwable => () }
     try { ext.Multimodal.ensureGvidStage(sfDir) }

@@ -198,7 +198,10 @@ object ScaleBench {
     // trainings + one double-assignment corpus scan
     "q_reconcile", "q_delete_apply", "ann_retrain_delta",
     // round-14: two corpus-scan aggregates, no window, 1-row output
-    "q_repack_delta")
+    "q_repack_delta",
+    // round-14: the served IVF search — probe-pruned reads of the
+    // staged list-partitioned layout (the point-lookup scale shape)
+    "ann_ivf_search_served")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves
@@ -311,7 +314,8 @@ object ScaleBench {
       try ext.Dedup.ensurePairsArtifact(spark, dir)
       catch { case e: Throwable =>
         System.err.println(s"[scale x$f] pairs artifact staging FAILED: ${e.toString.take(200)}") }
-      try { ext.Ivf.ensureModel(spark, dir); ext.Pq.ensureModel(spark, dir) }
+      try { ext.Ivf.ensureModel(spark, dir); ext.Pq.ensureModel(spark, dir)
+            ext.Ivf.ensureLayout(spark, dir) }
       catch { case e: Throwable =>
         System.err.println(s"[scale x$f] model staging FAILED: ${e.toString.take(200)}") }
       val entries = heavy.flatMap { q =>

@@ -198,6 +198,37 @@ object Ivf {
     search(emb, queries, centroids, k = 5)
   }
 
+  /** Per-(JVM, corpus) serving layout: the corpus written ONCE
+    * hive-partitioned by inverted list under the ensure-cached model
+    * ([[writeIvfPartitioned]] — ingest cost, staged untimed by Bench).
+    */
+  def ensureLayout(spark: SparkSession, dir: String): String =
+    scratchLayouts.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("ivf_layout")
+        .resolve("corpus").toString
+      writeIvfPartitioned(Tables.embeddings(spark, dir),
+        ensureModel(spark, dir), path)
+      path
+    })
+
+  private val scratchLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The SERVED form of [[annIvfSearch]]: identical results (same
+    * oracle), but the probe reads the [[writeIvfPartitioned]] layout —
+    * PartitionFilters prune the scan to the probed nProbe/k inverted
+    * lists at file-listing time, and the per-vector norm comes
+    * precomputed from ingest. The timed difference between this entry
+    * and `ann_ivf_search` IS the serving story: point-lookup reads vs
+    * a full-corpus assignment pass per query block.
+    */
+  def annIvfSearchServed(spark: SparkSession, dir: String): DataFrame = {
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    ivfSearchPartitioned(spark, ensureLayout(spark, dir), queries,
+      ensureModel(spark, dir), k = 5)
+  }
+
   /** Inverted-list occupancy: how balanced the learned partition is —
     * the quantity that determines probe cost.
     */
@@ -490,6 +521,7 @@ object Ivf {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_search" -> (annIvfSearch _),
+    "ann_ivf_search_served" -> (annIvfSearchServed _),
     "ann_ivf_lists" -> (annIvfLists _),
     "ann_probe_curve" -> ((s: SparkSession, d: String) => annProbeCurve(s, d)),
     "ann_ivf_drift" -> (annIvfDrift _),
@@ -564,6 +596,24 @@ object Ivf {
        |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
        |    FROM ${P}fsc) WHERE rn = 1)""".stripMargin
   }
+
+  private lazy val ivfSearchOracle: String =
+    s"""WITH ${kmeansCte()},
+       |probes AS (
+       |  SELECT vec_id AS query_id, CAST(c AS INT) AS list_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+       |    FROM fsc WHERE vec_id < 5) WHERE rn <= $NProbe),
+       |cand AS (
+       |  SELECT p.query_id, l.vec_id,
+       |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
+       |  FROM probes p JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+       |  JOIN embeddings eq ON eq.vec_id = p.query_id
+       |  JOIN embeddings ec ON ec.vec_id = l.vec_id),
+       |rk AS (SELECT query_id, vec_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
+       |  FROM cand)
+       |SELECT query_id, vec_id, cosine, rn FROM rk
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // two coexisting kmeansCte instantiations via the pfx discipline:
@@ -653,24 +703,10 @@ object Ivf {
          |GROUP BY list_id ORDER BY list_id""".stripMargin,
     // probes = the NProbe best centroids per query by the same ranked
     // score table the assignment uses; exact-cosine re-rank mirrors the
-    // Spark window
-    "ann_ivf_search" ->
-      s"""WITH ${kmeansCte()},
-         |probes AS (
-         |  SELECT vec_id AS query_id, CAST(c AS INT) AS list_id FROM (
-         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-         |    FROM fsc WHERE vec_id < 5) WHERE rn <= $NProbe),
-         |cand AS (
-         |  SELECT p.query_id, l.vec_id,
-         |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
-         |  FROM probes p JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.query_id
-         |  JOIN embeddings eq ON eq.vec_id = p.query_id
-         |  JOIN embeddings ec ON ec.vec_id = l.vec_id),
-         |rk AS (SELECT query_id, vec_id, cosine,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rn
-         |  FROM cand)
-         |SELECT query_id, vec_id, cosine, rn FROM rk
-         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // Spark window. The SERVED entry reads the partitioned layout but
+    // returns the identical rows, so it shares the oracle verbatim.
+    "ann_ivf_search" -> ivfSearchOracle,
+    "ann_ivf_search_served" -> ivfSearchOracle,
     // the same lists/probe machinery with the probe RANK kept: each grid
     // point re-ranks the probe_rank<=p slice of the one candidate set;
     // bests go through DECIMAL(8,4) so the micro-averages are exact
