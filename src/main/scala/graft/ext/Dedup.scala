@@ -352,13 +352,18 @@ object Dedup {
     * reader never observes a half-written store).
     */
   private def rewriteStore(spark: SparkSession, path: String,
-      f: DataFrame => DataFrame): Unit = {
+      f: DataFrame => DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hadoopConf)
     val staging = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__rewrite")
-    f(spark.read.parquet(path))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging.toString)
+    val w = f(spark.read.parquet(path))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // a hive-partitioned store must be rewritten hive-partitioned: a
+    // flat rewrite would leave later batch-keyed appends (batch=N
+    // subdirs) mixed with root-level files — a layout Spark refuses
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staging.toString)
     fs.delete(p, true)
     fs.rename(staging, p)
   }
@@ -409,7 +414,8 @@ object Dedup {
         s"deleteApply: hash store at $root lacks doc_id — the hash-only " +
           "format cannot be retracted; rebuild it with the per-doc schema")
       rewriteStore(spark, root,
-        df => survivors(df).select(col("h"), col("doc_id"), col("batch")))
+        df => survivors(df).select(col("h"), col("doc_id"), col("batch")),
+        partitionBy = Seq("batch"))
     }
     val before = pairsArtifactRead(spark, pairsPath).localCheckpoint()
     val after = before

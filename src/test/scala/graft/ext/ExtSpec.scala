@@ -249,6 +249,36 @@ class ExtSpec extends SparkSuite {
     assert(first.length >= 0) // the first delta's size is corpus-dependent
   }
 
+  test("deleteApply preserves the hash store's hive layout: ingest continues after a takedown") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = graft.Tables.documents(spark, dir).filter(col("doc_id") % 100 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("delapply_layout")
+    val idx = root.resolve("index").toString
+    val pairs = root.resolve("pairs").toString
+    val hashes = root.resolve("hashes").toString
+    Dedup.indexInit(docs.limit(0), idx)
+    Dedup.pairsArtifactInit(docs.limit(0), pairs)
+    def hashRows(d: org.apache.spark.sql.DataFrame) =
+      d.select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+    hashRows(docs.filter(col("doc_id") < 250)).write.parquet(s"$hashes/batch=0")
+    val del = docs.filter(col("doc_id") < 30).select("doc_id")
+    Dedup.deleteApply(del, idx, pairs, Some(hashes))
+    // deleted docs' hashes are gone: a re-arriving copy reads as NEW
+    val delIds = del.collect().map(_.getLong(0)).toSet
+    val afterApply = spark.read.parquet(hashes)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(afterApply.intersect(delIds).isEmpty)
+    // the store stays hive-partitioned, so the NEXT ingest batch
+    // appends batch-keyed and the union read (with its batch filter —
+    // the corpus-build stream's read path) still works
+    hashRows(docs.filter(col("doc_id") >= 250)).write
+      .parquet(s"$hashes/batch=1")
+    val all = spark.read.parquet(hashes)
+    assert(all.filter(col("batch") < 2).count() === all.count())
+    assert(all.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      (docs.collect().map(_.getLong(0)).toSet -- delIds))
+  }
+
   test("policyGapDf canonicalizes arbitrary pair orientation (reversed/symmetric inputs agree)") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, dir)
