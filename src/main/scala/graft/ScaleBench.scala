@@ -201,7 +201,10 @@ object ScaleBench {
     "q_repack_delta",
     // round-14: the served IVF search — probe-pruned reads of the
     // staged list-partitioned layout (the point-lookup scale shape)
-    "ann_ivf_search_served")
+    "ann_ivf_search_served",
+    // round-14: sample²-bounded recompute + one endpoint-filtered
+    // artifact scan — the constant-cost audit shape
+    "dedup_artifact_audit")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

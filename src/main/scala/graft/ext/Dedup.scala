@@ -332,6 +332,46 @@ object Dedup {
   def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
     pairsArtifactRead(spark, ensurePairsArtifact(spark, dir))
 
+  /** ARTIFACT AUDIT — the check an operator runs before trusting
+    * maintained state: at 100 TB the pair artifact cannot be validated
+    * by recompute, but it CAN be sample-audited. Pairs are recomputed
+    * exactly within the fixed splitmix64 hash sample (the sampled-sweep
+    * draw) and compared against the artifact restricted to
+    * sample-internal endpoints — sound because pair emission is
+    * pairwise (a pair's existence depends only on its own two
+    * documents), so a HEALTHY artifact's sample-internal slice equals
+    * the sample recompute exactly. One row: sample size, both pair
+    * counts, and the missing/extra drift (0/0 when healthy — which is
+    * what the DuckDB oracle pins, so any artifact corruption or
+    * staleness fails the hash gate). Cost is sample²-bounded plus one
+    * artifact scan with broadcast-semi endpoint filters — constant in
+    * corpus size except the sample draw, the sampled-sweep shape.
+    */
+  def artifactAuditDf(docs: DataFrame, artifact: DataFrame,
+      n: Int = SweepSampleDocs): DataFrame = {
+    val sample = hashSampleDocs(docs, n)
+    val ids = sample.select(col("doc_id")).localCheckpoint()
+    val recomputed = minhashPairsDf(sample)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val inArtifact = artifact
+      .join(broadcast(ids.withColumnRenamed("doc_id", "doc_a")),
+        Seq("doc_a"), "left_semi")
+      .join(broadcast(ids.withColumnRenamed("doc_id", "doc_b")),
+        Seq("doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nSample = ids.agg(count(lit(1)).as("n_sample_docs"))
+    val nArt = inArtifact.agg(count(lit(1)).as("n_artifact_pairs"))
+    val nRec = recomputed.agg(count(lit(1)).as("n_recomputed_pairs"))
+    val nMissing = recomputed.join(inArtifact, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val nExtra = inArtifact.join(recomputed, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    nSample.crossJoin(nArt).crossJoin(nRec).crossJoin(nMissing).crossJoin(nExtra)
+  }
+
+  def dedupArtifactAudit(spark: SparkSession, dir: String): DataFrame =
+    artifactAuditDf(Tables.documents(spark, dir), verifiedPairs(spark, dir))
+
   // --- delete APPLY -----------------------------------------------------------
   //
   // q_delete_impact measures the right-to-be-forgotten blast radius;
@@ -1386,6 +1426,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "q_delete_apply" -> (qDeleteApply _),
+    "dedup_artifact_audit" -> (dedupArtifactAudit _),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
@@ -1642,6 +1683,21 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // the healthy-state expectation: a maintained artifact's
+    // sample-internal slice equals the sample recompute exactly (pair
+    // emission is pairwise), so both counts agree and drift is 0/0 —
+    // any artifact corruption fails the Spark side's hash against this
+    "dedup_artifact_audit" ->
+      s"""WITH $sampledDocsCtes,
+         |${jaccardPairsCte(0.8, "documents_s")},
+         |ns AS (SELECT count(*) AS n FROM documents_s),
+         |np AS (SELECT count(*) AS p FROM pairs)
+         |SELECT CAST(n AS BIGINT) AS n_sample_docs,
+         |       CAST(p AS BIGINT) AS n_artifact_pairs,
+         |       CAST(p AS BIGINT) AS n_recomputed_pairs,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_extra
+         |FROM ns CROSS JOIN np""".stripMargin,
     "dedup_lsh_calibration" -> lshCalibrationOracleSql(),
     // the SAME calibration chain over the splitmix64-hash-ordered
     // document sample (sampledDocsCtes — the Ivf/Pq training-sample

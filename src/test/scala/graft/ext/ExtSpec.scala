@@ -216,6 +216,38 @@ class ExtSpec extends SparkSuite {
       report(Dedup.dedupMinhash(spark, dir)))
   }
 
+  test("artifact audit: healthy artifact shows zero drift; injected drift is reported exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    // healthy: sample covers the whole sf0.001 corpus, so the artifact
+    // slice and the recompute agree completely
+    val healthy = row(Dedup.artifactAuditDf(docs, Dedup.verifiedPairs(spark, dir)))
+    assert(healthy._1 === docs.count())
+    assert(healthy._2 === healthy._3 && healthy._2 > 0)
+    assert(healthy._4 === 0L && healthy._5 === 0L)
+    // corrupt the artifact: drop one real pair (→ missing), add one
+    // fabricated pair between sample docs (→ extra)
+    val pairs = Dedup.verifiedPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dropped = pairs.head
+    val pairedIds = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val loner = docs.select("doc_id").collect().map(_.getLong(0))
+      .filterNot(pairedIds).min
+    val corrupted = (pairs.tail :+ ((dropped._1, loner, 0.9))).toSeq
+      .toDF("doc_a", "doc_b", "jaccard")
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+    val bad = row(Dedup.artifactAuditDf(docs, corrupted))
+    assert(bad._2 === healthy._2, "corrupted count: one dropped, one added")
+    assert(bad._4 === 1L, s"exactly the dropped pair is missing: $bad")
+    assert(bad._5 === 1L, s"exactly the fabricated pair is extra: $bad")
+  }
+
   test("deleteApply is idempotent: a replayed takedown leaves state unchanged and emits an empty delta") {
     import org.apache.spark.sql.functions.{col, md5}
     val docs = graft.Tables.documents(spark, dir)
