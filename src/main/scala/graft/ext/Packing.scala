@@ -328,6 +328,137 @@ object Packing {
       .orderBy(group, "doc_id")
   }
 
+  // --- Manifest audit ------------------------------------------------------
+  //
+  // The pack manifest is MAINTAINED state (packStream appends deltas,
+  // deleteApply rewrites it from survivor rows) — and maintained state
+  // must be auditable without the full recompute that maintenance
+  // exists to avoid. This is the pack-manifest member of the store-audit
+  // family (pair artifact: Dedup.artifactAuditDf): the manifest's own
+  // INVARIANTS are checkable from one linear pass each, and the only
+  // corpus-dependent fact (a row's token count) is checkable on a fixed
+  // hash sample — so the audit stays store-sized + sample-bounded at
+  // any corpus scale, never a repack.
+
+  /** Per-(JVM, corpus) staged pack manifest — the maintained artifact
+    * the audit entry reads (built once at ingest cost; Bench pre-builds
+    * it untimed, so the timed entry measures audit cost only).
+    */
+  def ensureManifest(spark: SparkSession, dir: String): String =
+    scratchManifests.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("pack_manifest")
+        .resolve("manifest").toString
+      packSequences(Tables.documents(spark, dir)).write.parquet(p)
+      p
+    })
+
+  private val scratchManifests =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** MANIFEST AUDIT — one health row for a stored pack manifest, from
+    * four bounded legs (none of which repacks the corpus):
+    *
+    *   - `n_formula_bad`: rows whose (seq_id, n_seqs) disagree with
+    *     their own (t_off, n_tok) — the per-row arithmetic invariant;
+    *     one manifest scan, fused with `n_rows`/`total_cost`.
+    *   - `n_adjacency_bad`: the prefix-sum invariant t_off(next) =
+    *     t_off + n_tok + 1 in doc_id order. Checked WITHOUT a global
+    *     window (corpus-sized single-task input — the shape the
+    *     unpartitioned-window pin forbids): rows bucket by a doc_id
+    *     range split exactly as [[packSequences]] packs, adjacency runs
+    *     as a per-bucket `lead`, and the ≤`buckets` bucket summaries
+    *     (first offset via `min_by`, last end via `max_by`) close the
+    *     chain across boundaries on a driver-bounded frame — including
+    *     t_off(first) = 0.
+    *   - `n_missing` / `n_orphans`: corpus docs absent from the
+    *     manifest / manifest rows whose document is gone (a delete
+    *     apply that rewrote the corpus but not the manifest) — two
+    *     anti-join counts.
+    *   - `n_tok_mismatch`: token counts recomputed on the fixed
+    *     splitmix64 hash sample (the [[graft.ext.Dedup.artifactAuditDf]]
+    *     draw) vs the stored rows — sound because n_tok depends only on
+    *     the row's own document, so a healthy manifest's sample slice
+    *     matches exactly.
+    *
+    * All violation counts are 0 on a healthy store — which is what the
+    * DuckDB oracle pins, so any corruption, staleness, or drift fails
+    * the hash gate. PackingSpec plants each corruption class and
+    * asserts the audit catches it.
+    */
+  def manifestAuditDf(docs: DataFrame, manifest: DataFrame, seqLen: Long = 512L,
+      buckets: Int = 64, sampleN: Int = 1024): DataFrame = {
+    val m = manifest.select(col("doc_id"), col("n_tok"), col("t_off"),
+      col("seq_id"), col("n_seqs"))
+    // leg 1: per-row arithmetic + totals, one fused scan
+    val rowLeg = m.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col("n_tok") + 1), lit(0L)).as("total_cost"),
+      coalesce(sum(when(
+        col("n_tok") < 0 || col("t_off") < 0 ||
+        col("seq_id") =!= expr(s"t_off div $seqLen") ||
+        col("n_seqs") =!= when(col("n_tok") === 0L, lit(0L))
+          .otherwise(expr(s"(t_off + n_tok - 1) div $seqLen") - col("seq_id") + lit(1L)),
+        1L)), lit(0L)).as("n_formula_bad"))
+    // leg 2: prefix-sum adjacency, bucketed (the packSequences split)
+    val bounds = m.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val adjLeg =
+      if (bounds.isNullAt(0))
+        docs.sparkSession.range(1).select(lit(0L).as("n_adjacency_bad"))
+      else {
+        val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+        val width = math.max(1L, (hi - lo) / buckets + 1L)
+        val b = m.withColumn("bucket",
+            ((col("doc_id") - lit(lo)) / lit(width)).cast("long"))
+          .withColumn("nd", col("t_off") + col("n_tok") + lit(1L))
+        val wB = Window.partitionBy("bucket").orderBy("doc_id")
+        val inBucket = b
+          .withColumn("nxt", lead(col("t_off"), 1).over(wB))
+          .agg(coalesce(sum(when(
+            col("nxt").isNotNull && col("nxt") =!= col("nd"), 1L)), lit(0L))
+            .as("bad_in"))
+        // ≤`buckets` summary rows: the one place an unpartitioned window
+        // is sound (driver-bounded frame; pinned in PlanSpec's allowlist)
+        val boundary = b.groupBy(col("bucket"))
+          .agg(min_by(col("t_off"), col("doc_id")).as("first_off"),
+            max_by(col("nd"), col("doc_id")).as("last_end"))
+          .withColumn("prev_end", lag(col("last_end"), 1)
+            .over(Window.orderBy(col("bucket"))))
+          .agg(coalesce(sum(when(
+            coalesce(col("prev_end"), lit(0L)) =!= col("first_off"), 1L)),
+            lit(0L)).as("bad_boundary"))
+        inBucket.crossJoin(boundary)
+          .select((col("bad_in") + col("bad_boundary")).as("n_adjacency_bad"))
+      }
+    // leg 3: coverage, two anti-join counts
+    val ids = docs.select(col("doc_id"))
+    val mids = m.select(col("doc_id"))
+    val missLeg = ids.join(mids, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val orphanLeg = mids.join(ids, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    // leg 4: sample-bounded token-count recompute
+    val sample = docs
+      .orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
+      .limit(sampleN)
+      .select(col("doc_id"), nTok.as("n_tok_re"))
+      .localCheckpoint()
+    val sampLeg = sample
+      .join(m.select(col("doc_id"), col("n_tok")), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("sample_n"),
+        coalesce(sum(when(col("n_tok").isNull ||
+          col("n_tok") =!= col("n_tok_re"), 1L)), lit(0L)).as("n_tok_mismatch"))
+    rowLeg.crossJoin(adjLeg).crossJoin(missLeg).crossJoin(orphanLeg)
+      .crossJoin(sampLeg)
+      .select(col("n_rows"), col("total_cost"), col("n_formula_bad"),
+        col("n_adjacency_bad"), col("n_missing"), col("n_orphans"),
+        col("sample_n"), col("n_tok_mismatch"))
+  }
+
+  /** Driver entry: audit the staged (healthy) manifest artifact. */
+  def qManifestAudit(spark: SparkSession, dir: String): DataFrame =
+    manifestAuditDf(Tables.documents(spark, dir),
+      spark.read.parquet(ensureManifest(spark, dir)))
+
   def qPackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir))
 
@@ -342,6 +473,7 @@ object Packing {
     "q_repack_delta" -> (qRepackDelta _),
     "q_pack_profile" -> (qPackProfile _),
     "q_pack_by_lang" -> (qPackByLang _),
+    "q_manifest_audit" -> (qManifestAudit _),
   )
 
   /** The manifest CTE chain with prefixable names (`x` avoids CTE-name
@@ -425,5 +557,21 @@ object Packing {
         |       CASE WHEN n_tok = 0 THEN 0
         |            ELSE (t_off + n_tok - 1) // 512 - t_off // 512 + 1 END AS n_seqs
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    // a healthy maintained manifest audits to all-zero violation counts
+    // (pinned literals: any Spark-side nonzero fails the hash gate); the
+    // corpus-derived columns and the sample rule are computed, mirroring
+    // the Spark legs
+    "q_manifest_audit" ->
+      s"""WITH ${packCteBody("")},
+         |${graft.functions.MixSql.hashSampleCtes("sw", "documents", "doc_id", 1024)}
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(coalesce(sum(n_tok + 1), 0) AS BIGINT) AS total_cost,
+         |       CAST(0 AS BIGINT) AS n_formula_bad,
+         |       CAST(0 AS BIGINT) AS n_adjacency_bad,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_orphans,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM swsamp) AS sample_n,
+         |       CAST(0 AS BIGINT) AS n_tok_mismatch
+         |FROM p""".stripMargin,
   )
 }

@@ -676,6 +676,8 @@ class PlanSpec extends SparkSuite {
     //   ext/Packing.scala packSequencesGlobalWindow — spec-only oracle for
     //                                               the distributed rewrite,
     //                                               never a driver query
+    //   ext/Packing.scala manifestAuditDf boundary  — ≤`buckets`(=64)
+    //                                               bucket-summary rows
     //   queries/Parity.scala qKsGap               — nBins bucket rows
     //   queries/Parity.scala qNtileGlobalWindow   — spec-only oracle for
     //                                               qNtile's rank rewrite
@@ -687,7 +689,7 @@ class PlanSpec extends SparkSuite {
       "ext/Text.scala" -> 2,
       "ext/Curation.scala" -> 4,
       "ext/Retrieval.scala" -> 2,
-      "ext/Packing.scala" -> 1,
+      "ext/Packing.scala" -> 2,
       "queries/Parity.scala" -> 5)
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     // \s spans newlines, so a line-wrapped `Window\n  .orderBy(...)`

@@ -186,4 +186,73 @@ class PackingSpec extends SparkSuite {
     assert(none.getLong(2) === none.getLong(1))
     assert(none.getLong(3) === 0L && none.getLong(4) === 0L && none.getLong(5) === 0L)
   }
+
+  test("manifest audit: a healthy manifest audits to all-zero violations") {
+    val docs = Tables.documents(spark, dir)
+    val m = Packing.packSequences(docs)
+    val r = Packing.manifestAuditDf(docs, m).head()
+    assert(r.getAs[Long]("n_rows") === docs.count())
+    assert(r.getAs[Long]("n_formula_bad") === 0L)
+    assert(r.getAs[Long]("n_adjacency_bad") === 0L)
+    assert(r.getAs[Long]("n_missing") === 0L)
+    assert(r.getAs[Long]("n_orphans") === 0L)
+    assert(r.getAs[Long]("n_tok_mismatch") === 0L)
+    assert(r.getAs[Long]("sample_n") === math.min(1024L, docs.count()))
+    // total_cost is the stream length the next packDelta resumes from
+    val total = m.agg(max(col("t_off") + col("n_tok") + 1L)).head().getLong(0)
+    assert(r.getAs[Long]("total_cost") === total)
+  }
+
+  test("manifest audit catches every planted corruption class") {
+    val docs = Tables.documents(spark, dir)
+    val m = Packing.packSequences(docs).localCheckpoint()
+    val someId = m.orderBy("doc_id").limit(50).orderBy(col("doc_id").desc)
+      .head().getAs[Long]("doc_id")
+    // (a) one shifted offset: the prefix-sum chain breaks around it
+    val shifted = m.withColumn("t_off",
+      when(col("doc_id") === someId, col("t_off") + 1L).otherwise(col("t_off")))
+    assert(Packing.manifestAuditDf(docs, shifted).head()
+      .getAs[Long]("n_adjacency_bad") >= 1L)
+    // (b) a dropped row: coverage AND adjacency both fire
+    val dropped = m.filter(col("doc_id") =!= someId)
+    val rd = Packing.manifestAuditDf(docs, dropped).head()
+    assert(rd.getAs[Long]("n_missing") === 1L)
+    assert(rd.getAs[Long]("n_adjacency_bad") >= 1L)
+    // (c) an orphan row (manifest kept a deleted doc)
+    val orphan = m.unionByName(m.filter(col("doc_id") === someId)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+    assert(Packing.manifestAuditDf(docs, orphan).head()
+      .getAs[Long]("n_orphans") === 1L)
+    // (d) a stale token count, caught by the sampled recompute when the
+    // row is in the sample (sampleN = corpus size ⇒ always sampled)
+    val stale = m.withColumn("n_tok",
+      when(col("doc_id") === someId, col("n_tok") + 3L).otherwise(col("n_tok")))
+    assert(Packing.manifestAuditDf(docs, stale, sampleN = docs.count().toInt)
+      .head().getAs[Long]("n_tok_mismatch") === 1L)
+    // (e) broken per-row arithmetic
+    val badSeq = m.withColumn("seq_id",
+      when(col("doc_id") === someId, col("seq_id") + 1L).otherwise(col("seq_id")))
+    assert(Packing.manifestAuditDf(docs, badSeq).head()
+      .getAs[Long]("n_formula_bad") === 1L)
+  }
+
+  test("manifest audit boundary leg catches a whole-bucket shift the in-bucket lead misses") {
+    val docs = Tables.documents(spark, dir)
+    val m = Packing.packSequences(docs).localCheckpoint()
+    val bounds = m.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val buckets = 8
+    val width = math.max(1L, (hi - lo) / buckets + 1L)
+    // shift EVERY row of one interior bucket: offsets stay mutually
+    // consistent inside it, so only the cross-bucket chain can notice
+    val b2lo = lo + 2 * width; val b2hi = lo + 3 * width
+    val shifted = m.withColumn("t_off",
+      when(col("doc_id") >= b2lo && col("doc_id") < b2hi, col("t_off") + 7L)
+        .otherwise(col("t_off")))
+    assert(shifted.filter(col("doc_id") >= b2lo && col("doc_id") < b2hi).count() > 0,
+      "test needs a populated interior bucket")
+    val r = Packing.manifestAuditDf(docs, shifted, buckets = buckets).head()
+    assert(r.getAs[Long]("n_adjacency_bad") === 2L,
+      "exactly the two boundaries of the shifted bucket must fire")
+  }
 }
