@@ -44,11 +44,15 @@ object Bench {
     catch { case _: Throwable => () }
     try { ext.Pq.ensureModel(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { ext.Pq.ensureCodes(spark, sfDir) }
+    catch { case _: Throwable => () }
     try { ext.Multimodal.ensureGvidStage(sfDir) }
     catch { case _: Throwable => () }
-    // The pack manifest is likewise ingest-maintained; the audit entry
-    // measures audit cost, not the pack.
+    // The pack manifest and content-hash store are likewise
+    // ingest-maintained; the audit entries measure audit cost only.
     try { ext.Packing.ensureManifest(spark, sfDir) }
+    catch { case _: Throwable => () }
+    try { ext.Dedup.ensureHashStore(spark, sfDir) }
     catch { case _: Throwable => () }
     // Host-state calibration anchor (r13 verdict item 5): the same
     // synthetic CPU-bound query — no I/O, fixed row count, hash agg —

@@ -34,6 +34,7 @@ object SparkEntry {
       (ext.Pq.queries, ext.Pq.oracles),
       (ext.Curation.queries, ext.Curation.oracles),
       (ext.Packing.queries, ext.Packing.oracles),
+      (ext.Backfill.queries, ext.Backfill.oracles),
       (ext.Pca.queries, ext.Pca.oracles),
       (ext.Centroid.queries, ext.Centroid.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),

@@ -372,6 +372,80 @@ object Dedup {
   def dedupArtifactAudit(spark: SparkSession, dir: String): DataFrame =
     artifactAuditDf(Tables.documents(spark, dir), verifiedPairs(spark, dir))
 
+  /** HASH-STORE AUDIT — the content-hash delta store member of the
+    * store-audit family (pairs: [[artifactAuditDf]]; pack manifest:
+    * [[graft.ext.Packing.manifestAuditDf]]). The store is the
+    * corpus-build stream's exact-dup state: one (h, doc_id) row per
+    * ingested document, hive-partitioned by arrival batch
+    * ([[graft.streaming.Streaming.runDeleteApply]]'s third store). Its
+    * health facts, each one bounded pass:
+    *
+    *   - `n_store` / `n_batches`: volume and batch spread (one agg);
+    *   - `n_multi`: doc_ids present in MORE than one row — an
+    *     at-least-once replay that the idempotent append failed to
+    *     swallow (group-count, partial-aggregated);
+    *   - `n_missing` / `n_orphans`: coverage vs the corpus — a missed
+    *     batch / a delete apply that skipped this store (anti-joins);
+    *   - `n_hash_mismatch`: md5 recomputed on the fixed splitmix64
+    *     hash sample vs the stored h — sound because a row's hash
+    *     depends only on its own document (the pairwise-local audit
+    *     argument), so a healthy store's sample slice matches exactly.
+    *
+    * Healthy = all-zero violation counts; the oracle pins the zeros, so
+    * corruption, staleness, or replay duplication fails the hash gate.
+    */
+  def hashStoreAuditDf(docs: DataFrame, store: DataFrame,
+      sampleN: Int = SweepSampleDocs): DataFrame = {
+    val s = store.select(col("h"), col("doc_id"))
+    val volLeg = store.agg(count(lit(1)).as("n_store"),
+      countDistinct(col("batch")).as("n_batches"))
+    val multiLeg = s.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_multi"))
+    val ids = docs.select(col("doc_id"))
+    val missLeg = ids.join(s, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val orphanLeg = s.select(col("doc_id")).join(ids, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val sample = docs
+      .orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
+      .limit(sampleN)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h_re"))
+      .localCheckpoint()
+    val sampLeg = sample.join(s, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("sample_n"),
+        coalesce(sum(when(col("h").isNull || col("h") =!= col("h_re"), 1L)),
+          lit(0L)).as("n_hash_mismatch"))
+    volLeg.crossJoin(multiLeg).crossJoin(missLeg).crossJoin(orphanLeg)
+      .crossJoin(sampLeg)
+      .select(col("n_store"), col("n_batches"), col("n_multi"),
+        col("n_missing"), col("n_orphans"), col("sample_n"),
+        col("n_hash_mismatch"))
+  }
+
+  /** Per-(JVM, corpus) staged content-hash store: the per-doc schema
+    * the stream maintains, three deterministic arrival batches
+    * (doc_id mod 3 — the rule the oracle mirrors for `n_batches`).
+    * Ingest cost; Bench pre-builds it untimed.
+    */
+  def ensureHashStore(spark: SparkSession, dir: String): String =
+    scratchHashStores.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("hash_store")
+        .resolve("hashes").toString
+      Tables.documents(spark, dir)
+        .select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+          (col("doc_id") % 3).as("batch"))
+        .write.partitionBy("batch").parquet(p)
+      p
+    })
+
+  private val scratchHashStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def qHashStoreAudit(spark: SparkSession, dir: String): DataFrame =
+    hashStoreAuditDf(Tables.documents(spark, dir),
+      spark.read.parquet(ensureHashStore(spark, dir)))
+
   // --- delete APPLY -----------------------------------------------------------
   //
   // q_delete_impact measures the right-to-be-forgotten blast radius;
@@ -1427,6 +1501,7 @@ object Dedup {
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "q_delete_apply" -> (qDeleteApply _),
     "dedup_artifact_audit" -> (dedupArtifactAudit _),
+    "dedup_hashstore_audit" -> (qHashStoreAudit _),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
@@ -1698,6 +1773,19 @@ object Dedup {
          |       CAST(0 AS BIGINT) AS n_missing,
          |       CAST(0 AS BIGINT) AS n_extra
          |FROM ns CROSS JOIN np""".stripMargin,
+    // healthy maintained state audits to all-zero violations (pinned
+    // literals); volume, the batch rule (doc_id mod 3), and the sample
+    // rule are computed, mirroring the Spark legs
+    "dedup_hashstore_audit" ->
+      s"""WITH ${graft.functions.MixSql.hashSampleCtes("sw", "documents", "doc_id", SweepSampleDocs)}
+         |SELECT CAST(count(*) AS BIGINT) AS n_store,
+         |       CAST(count(DISTINCT doc_id % 3) AS BIGINT) AS n_batches,
+         |       CAST(0 AS BIGINT) AS n_multi,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_orphans,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM swsamp) AS sample_n,
+         |       CAST(0 AS BIGINT) AS n_hash_mismatch
+         |FROM documents""".stripMargin,
     "dedup_lsh_calibration" -> lshCalibrationOracleSql(),
     // the SAME calibration chain over the splitmix64-hash-ordered
     // document sample (sampledDocsCtes — the Ivf/Pq training-sample

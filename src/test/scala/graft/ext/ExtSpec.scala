@@ -248,6 +248,49 @@ class ExtSpec extends SparkSuite {
     assert(bad._5 === 1L, s"exactly the fabricated pair is extra: $bad")
   }
 
+  test("served PQ search over stored codes equals the fresh-encode search row for row") {
+    val got = Pq.annPqSearchServed(spark, dir).collect().toSeq
+    val ref = Pq.annPqSearch(spark, dir).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === ref)
+  }
+
+  test("hash-store audit: healthy store is all-zero; every corruption class is caught") {
+    import org.apache.spark.sql.functions.{col, lit, md5, when}
+    val docs = graft.Tables.documents(spark, dir)
+    val n = docs.count()
+    val store = docs
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+        (col("doc_id") % 3).as("batch"))
+      .localCheckpoint()
+    def audit(s: org.apache.spark.sql.DataFrame) =
+      Dedup.hashStoreAuditDf(docs, s, sampleN = n.toInt).head()
+    val healthy = audit(store)
+    assert(healthy.getAs[Long]("n_store") === n)
+    assert(healthy.getAs[Long]("n_batches") === 3L)
+    assert(healthy.getAs[Long]("n_multi") === 0L)
+    assert(healthy.getAs[Long]("n_missing") === 0L)
+    assert(healthy.getAs[Long]("n_orphans") === 0L)
+    assert(healthy.getAs[Long]("sample_n") === n)
+    assert(healthy.getAs[Long]("n_hash_mismatch") === 0L)
+    val someId = store.agg(org.apache.spark.sql.functions.min(col("doc_id")))
+      .head().getLong(0)
+    // replayed batch: one doc_id twice
+    val replayed = store.unionByName(store.filter(col("doc_id") === someId)
+      .withColumn("batch", lit(9L)))
+    assert(audit(replayed).getAs[Long]("n_multi") === 1L)
+    // missed row / stale orphan
+    assert(audit(store.filter(col("doc_id") =!= someId))
+      .getAs[Long]("n_missing") === 1L)
+    assert(audit(store.unionByName(store.filter(col("doc_id") === someId)
+        .withColumn("doc_id", col("doc_id") + 5000000L)))
+      .getAs[Long]("n_orphans") === 1L)
+    // bit rot: one stored hash no longer matches its document
+    val rotten = store.withColumn("h",
+      when(col("doc_id") === someId, lit("0" * 32)).otherwise(col("h")))
+    assert(audit(rotten).getAs[Long]("n_hash_mismatch") === 1L)
+  }
+
   test("deleteApply is idempotent: a replayed takedown leaves state unchanged and emits an empty delta") {
     import org.apache.spark.sql.functions.{col, md5}
     val docs = graft.Tables.documents(spark, dir)
