@@ -462,6 +462,64 @@ object Curation {
   def qMixExpand(spark: SparkSession, dir: String): DataFrame =
     mixtureExpand(Tables.documents(spark, dir))
 
+  /** SAMPLED ESTIMATOR WITH CONFIDENCE INTERVAL — the measurement
+    * discipline behind every sampled operator in this repo (sampled
+    * sweep, artifact audits, quantizer training), stated as a query: at
+    * 100 TB, corpus statistics are ESTIMATED from the fixed splitmix64
+    * hash sample, not scanned — and an estimate without an interval is
+    * a guess. Per metric (mean tokens / mean chars per document) this
+    * emits the sample estimate, the 95% normal-approximation interval
+    * (z = 1.96, infinite-population form — the corpus dwarfs the
+    * sample), and — in this demonstration form only — the exact corpus
+    * mean with its within-interval flag, so the driver's oracle gate
+    * re-verifies the estimator's honesty at every SF.
+    *
+    * Determinism across engines: the sample legs aggregate INTEGER
+    * sums (count, Σx, Σx²), so mean and variance derive from exact
+    * integers through an identical double expression tree on both
+    * sides — no float-reduction-order hazard; outputs round to 4 dp and
+    * the within flag compares the ROUNDED values, so both engines make
+    * the identical comparison.
+    */
+  def sampleCiDf(docs: DataFrame, n: Int = Dedup.SweepSampleDocs): DataFrame = {
+    val sample = docs
+      .orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
+      .limit(n)
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("v_tok"),
+        col("n_chars").as("v_chars"))
+      .localCheckpoint()
+    val exact = docs.select(
+      size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("v_tok"),
+      col("n_chars").as("v_chars"))
+    def metricRow(name: String, c: String): DataFrame = {
+      val s = sample.agg(count(lit(1)).as("n"), sum(col(c)).as("s"),
+        sum(col(c) * col(c)).as("ss"))
+      val e = exact.agg(count(lit(1)).as("ne"), sum(col(c)).as("se"))
+      s.crossJoin(e).select(
+        lit(name).as("metric"), col("n").as("n_sample"),
+        col("n"), col("s"), col("ss"), col("ne"), col("se"))
+        .withColumn("mean", col("s").cast("double") / col("n"))
+        .withColumn("sd", sqrt(greatest(
+          (col("ss").cast("double") - col("s").cast("double") * col("s").cast("double")
+            / col("n")) / (col("n") - 1), lit(0.0))))
+        .withColumn("half", lit(1.96) * col("sd") / sqrt(col("n").cast("double")))
+        .select(
+          col("metric"), col("n_sample"),
+          round(col("mean"), 4).as("est_mean"),
+          round(col("mean") - col("half"), 4).as("ci_lo"),
+          round(col("mean") + col("half"), 4).as("ci_hi"),
+          round(col("se").cast("double") / col("ne"), 4).as("exact_mean"))
+        .withColumn("within_ci",
+          col("exact_mean") >= col("ci_lo") && col("exact_mean") <= col("ci_hi"))
+    }
+    metricRow("chars", "v_chars").unionByName(metricRow("tok", "v_tok"))
+      .orderBy("metric")
+  }
+
+  def qSampleCi(spark: SparkSession, dir: String): DataFrame =
+    sampleCiDf(Tables.documents(spark, dir))
+
   /** Corpus snapshot delta — the audit a daily corpus build runs between
     * yesterday's and today's versions: full outer join on the stable doc
     * id, rows classified added / removed / changed / unchanged by
@@ -953,6 +1011,7 @@ object Curation {
     "q_mix_expand" -> (qMixExpand _),
     "q_mix_waterfill" -> (qMixWaterfill _),
     "q_corpus_fingerprint" -> (qCorpusFingerprint _),
+    "q_sample_ci" -> (qSampleCi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_split_assign" -> (qSplitAssign _),
@@ -1016,6 +1075,37 @@ object Curation {
        |      FROM $src""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical double expression tree over exact integer sums (count,
+    // Σx, Σx²) on both engines — the sample rule is the repo-wide
+    // hash-sample chain; within_ci compares the rounded emissions
+    "q_sample_ci" -> {
+      def row(name: String, vexpr: String) =
+        s"""SELECT '$name' AS metric, n AS n_sample,
+           |       round(mean, 4) AS est_mean,
+           |       round(mean - half, 4) AS ci_lo,
+           |       round(mean + half, 4) AS ci_hi,
+           |       round(CAST(se AS DOUBLE) / ne, 4) AS exact_mean,
+           |       round(CAST(se AS DOUBLE) / ne, 4) >= round(mean - half, 4) AND
+           |       round(CAST(se AS DOUBLE) / ne, 4) <= round(mean + half, 4) AS within_ci
+           |FROM (
+           |  SELECT n, s, ss, ne, se,
+           |         CAST(s AS DOUBLE) / n AS mean,
+           |         1.96 * sqrt(greatest(
+           |           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           |             / (n - 1), 0.0)) / sqrt(CAST(n AS DOUBLE)) AS half
+           |  FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+           |               CAST(sum(v) AS BIGINT) AS s,
+           |               CAST(sum(v * v) AS BIGINT) AS ss
+           |        FROM (SELECT $vexpr AS v FROM documents d JOIN swsamp USING (doc_id)))
+           |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS ne,
+           |                     CAST(sum($vexpr) AS BIGINT) AS se
+           |              FROM documents d))""".stripMargin
+      s"""WITH ${graft.functions.MixSql.hashSampleCtes("sw", "documents", "doc_id", Dedup.SweepSampleDocs)}
+         |${row("chars", "d.n_chars")}
+         |UNION ALL
+         |${row("tok", raw"CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)")}
+         |ORDER BY metric""".stripMargin
+    },
     // delete blast radius: the shared pair truth + BOTH closures (before
     // = the dedup_cluster fragment; after = the same closure over pairs
     // with both endpoints surviving, prefix 's'), the q_pack_sequences

@@ -248,6 +248,37 @@ class ExtSpec extends SparkSuite {
     assert(bad._5 === 1L, s"exactly the fabricated pair is extra: $bad")
   }
 
+  test("sample CI: estimator matches a driver-side recompute; full-corpus sample collapses to exact") {
+    import org.apache.spark.sql.functions.{col, size}
+    val docs = graft.Tables.documents(spark, dir)
+    // full-coverage sample (sf0.001 has 500 docs < default 1024): the
+    // estimate IS the exact mean and the interval must contain it
+    Curation.sampleCiDf(docs).collect().foreach { r =>
+      assert(r.getAs[Long]("n_sample") === docs.count())
+      assert(r.getAs[Double]("est_mean") === r.getAs[Double]("exact_mean"))
+      assert(r.getAs[Boolean]("within_ci"))
+      assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi"))
+    }
+    // true subsample: recompute mean and the 95% half-width driver-side
+    // from the identical sampled rows (same integer sums, same doubles)
+    val n = 100
+    val sampled = docs
+      .orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
+      .limit(n)
+      .select(size(graft.functions.TextFns.tokens(col("text"))).cast("long"))
+      .collect().map(_.getLong(0))
+    val s = sampled.sum.toDouble
+    val ss = sampled.map(v => v * v).sum.toDouble
+    val mean = s / n
+    val half = 1.96 * math.sqrt(math.max((ss - s * s / n) / (n - 1), 0.0)) / math.sqrt(n.toDouble)
+    val tokRow = Curation.sampleCiDf(docs, n = n)
+      .filter(col("metric") === "tok").head()
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(tokRow.getAs[Double]("est_mean") === r4(mean))
+    assert(tokRow.getAs[Double]("ci_lo") === r4(mean - half))
+    assert(tokRow.getAs[Double]("ci_hi") === r4(mean + half))
+  }
+
   test("served PQ search over stored codes equals the fresh-encode search row for row") {
     val got = Pq.annPqSearchServed(spark, dir).collect().toSeq
     val ref = Pq.annPqSearch(spark, dir).collect().toSeq
