@@ -46,6 +46,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { ext.Pq.ensureCodes(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { ext.Pq.ensureIvfPqLayout(spark, sfDir) }
+    catch { case _: Throwable => () }
     try { ext.Multimodal.ensureGvidStage(sfDir) }
     catch { case _: Throwable => () }
     // The pack manifest and content-hash store are likewise

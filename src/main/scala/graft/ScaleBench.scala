@@ -204,7 +204,15 @@ object ScaleBench {
     "ann_ivf_search_served",
     // round-14: sample²-bounded recompute + one endpoint-filtered
     // artifact scan — the constant-cost audit shape
-    "dedup_artifact_audit")
+    "dedup_artifact_audit",
+    // round-14 late: the other two store audits (store-sized linear
+    // passes + sample-bounded recomputes), the partition-granular
+    // backfill (delta-sized work after a listing-level diff), the two
+    // code-table serving searches (code bytes instead of floats; the
+    // IVFPQ form adds partition pruning), and the sampled CI (sample
+    // legs constant; the demo exact leg is the one linear term)
+    "q_manifest_audit", "dedup_hashstore_audit", "q_backfill",
+    "ann_pq_search_served", "ann_ivfpq_search_served", "q_sample_ci")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves
@@ -321,6 +329,10 @@ object ScaleBench {
             ext.Ivf.ensureLayout(spark, dir) }
       catch { case e: Throwable =>
         System.err.println(s"[scale x$f] model staging FAILED: ${e.toString.take(200)}") }
+      try { ext.Pq.ensureCodes(spark, dir); ext.Pq.ensureIvfPqLayout(spark, dir)
+            ext.Packing.ensureManifest(spark, dir); ext.Dedup.ensureHashStore(spark, dir) }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale x$f] serving/store staging FAILED: ${e.toString.take(200)}") }
       val entries = heavy.flatMap { q =>
         System.gc()
         val t0 = System.nanoTime()

@@ -304,6 +304,53 @@ object Pq {
     ivfPqSearch(corpus, queries, cents, codebooks, k = 5)
   }
 
+  /** Per-(JVM, corpus) persisted IVFADC layout: the PQ code table
+    * hive-partitioned by inverted list — BOTH serving levers in one
+    * artifact (a probed query reads nProbe/K of the directories at
+    * file-listing time, and what it reads is M code bytes per vector,
+    * not 64 floats). Encoded + assigned once at ingest under the
+    * ensure-cached quantizers; Bench pre-builds it untimed.
+    */
+  def ensureIvfPqLayout(spark: SparkSession, dir: String): String =
+    scratchIvfPqLayouts.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("ivfpq_layout")
+        .resolve("codes").toString
+      val emb = Tables.embeddings(spark, dir)
+      Ivf.assignLists(emb, Ivf.ensureModel(spark, dir))
+        .select(col("vec_id"),
+          PqEncode(normalizedCol(col("embedding")), ensureModel(spark, dir)).as("codes"),
+          col("list_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("list_id").parquet(p)
+      p
+    })
+
+  private val scratchIvfPqLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The SERVED form of [[annIvfPqSearch]]: identical results (same
+    * oracle), but the scan reads the [[ensureIvfPqLayout]] directories
+    * selected by a STATIC partition filter built from the driver-side
+    * probe lists (the [[Ivf.ivfSearchPartitioned]] discipline — probe
+    * ids are query metadata, so PartitionFilters prune at listing
+    * time; ExtSpec asserts both the pruning and row equality).
+    */
+  def annIvfPqSearchServed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ivf.ensureModel(spark, dir)
+    val codebooks = ensureModel(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val probeKeys = queries
+      .select(explode(graft.functions.NearestCentroids(
+        col("query_emb"), cents, Ivf.NProbe)).as("list_id"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(ensureIvfPqLayout(spark, dir))
+      .filter(col("list_id").isin(probeKeys: _*))
+      .select(col("vec_id"), col("list_id"), col("codes"))
+    ivfPqSearch(corpus, queries, cents, codebooks, k = 5)
+  }
+
   /** Code-space occupancy: distinct codes used per subspace — the
     * quantity that says whether the codebook is actually spreading the
     * corpus (a collapsed subspace means wasted bits).
@@ -467,6 +514,7 @@ object Pq {
     "ann_pq_search_served" -> (annPqSearchServed _),
     "ann_pq_occupancy" -> (annPqOccupancy _),
     "ann_ivfpq_search" -> (annIvfPqSearch _),
+    "ann_ivfpq_search_served" -> (annIvfPqSearchServed _),
     "ann_pq_distortion" -> (annPqDistortion _),
     "ann_pq_curve" -> ((s: SparkSession, d: String) => annPqCurve(s, d)),
   )
@@ -648,7 +696,12 @@ object Pq {
     "ann_pq_search_served" -> pqSearchOracleSql,
     // IVFADC: same learned lists (Ivf.kmeansCte) restrict the ADC
     // ranking to each query's nProbe probed lists
-    "ann_ivfpq_search" ->
+    "ann_ivfpq_search" -> ivfPqSearchOracleSql,
+    // the served layout must return the same rows
+    "ann_ivfpq_search_served" -> ivfPqSearchOracleSql,
+  )
+
+  private lazy val ivfPqSearchOracleSql: String =
       s"""WITH ${Ivf.kmeansCte()},
          |${pqCte()},
          |iprobes AS (
@@ -662,6 +715,5 @@ object Pq {
          |SELECT query_id, vec_id, list_id, adc_score, rn FROM (
          |  SELECT query_id, vec_id, list_id, adc_score,
          |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vec_id) AS INT) AS rn
-         |  FROM probed) WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
-  )
+         |  FROM probed) WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 }

@@ -988,6 +988,17 @@ class ExtSpec extends SparkSuite {
     assert(got.collect().map(_.toString).toSeq === want)
   }
 
+  test("served IVFPQ layout: same rows as the unserved search, scan pruned to probed lists") {
+    val got = Pq.annIvfPqSearchServed(spark, dir)
+    val plan = got.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("list_id"), s"probe keys must prune partitions:\n$plan")
+    assert(pf.contains(" IN") || pf.contains("INSET"), s"expected static IN/INSET partition filter: $pf")
+    val want = Pq.annIvfPqSearch(spark, dir).collect().map(_.toString).toSeq
+    assert(want.nonEmpty)
+    assert(got.collect().map(_.toString).toSeq === want)
+  }
+
   test("PQ codes: M byte-range ints per vector, deterministic encode") {
     val e = Tables.embeddings(spark, dir)
     val books = Pq.trainCodebooks(e)
