@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   * The same shape serves schema EVOLUTION (drop the artifact column-
   * wise and backfill everything) and late data (a reopened partition is
   * "missing" after its artifact slice is retracted).
+  *
+  * Caveat (shared by every plain-parquet sink in this repo): the
+  * partition-level diff treats ANY artifact rows for a source as "that
+  * partition is covered", so a crash that published a partition's rows
+  * partially leaves it incomplete-but-covered. A writer closes this
+  * with the staging-directory + atomic-rename publish discipline
+  * ([[graft.ext.Dedup.deleteApply]]'s `rewriteStore`), or by retracting
+  * the suspect partition's rows first (which makes it "missing" again).
   */
 object Backfill {
 

@@ -374,6 +374,12 @@ object Packing {
     *     manifest / manifest rows whose document is gone (a delete
     *     apply that rewrote the corpus but not the manifest) — two
     *     anti-join counts.
+    *   - `n_dup_rows`: doc_ids holding MORE than one manifest row — a
+    *     replayed [[packDelta]] append that the max-doc_id idempotence
+    *     guard failed to swallow (one group-count pass; also the reason
+    *     the adjacency verdict can be trusted: with duplicates present
+    *     the per-bucket `lead` order is ambiguous, so dup detection is
+    *     its own explicit column, not a side effect).
     *   - `n_tok_mismatch`: token counts recomputed on the fixed
     *     splitmix64 hash sample (the [[graft.ext.Dedup.artifactAuditDf]]
     *     draw) vs the stored rows — sound because n_tok depends only on
@@ -429,13 +435,16 @@ object Packing {
         inBucket.crossJoin(boundary)
           .select((col("bad_in") + col("bad_boundary")).as("n_adjacency_bad"))
       }
-    // leg 3: coverage, two anti-join counts
+    // leg 3: coverage, two anti-join counts + replay duplicates
     val ids = docs.select(col("doc_id"))
     val mids = m.select(col("doc_id"))
     val missLeg = ids.join(mids, Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_missing"))
     val orphanLeg = mids.join(ids, Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
+    val dupLeg = mids.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_dup_rows"))
     // leg 4: sample-bounded token-count recompute
     val sample = docs
       .orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
@@ -448,10 +457,10 @@ object Packing {
         coalesce(sum(when(col("n_tok").isNull ||
           col("n_tok") =!= col("n_tok_re"), 1L)), lit(0L)).as("n_tok_mismatch"))
     rowLeg.crossJoin(adjLeg).crossJoin(missLeg).crossJoin(orphanLeg)
-      .crossJoin(sampLeg)
+      .crossJoin(dupLeg).crossJoin(sampLeg)
       .select(col("n_rows"), col("total_cost"), col("n_formula_bad"),
         col("n_adjacency_bad"), col("n_missing"), col("n_orphans"),
-        col("sample_n"), col("n_tok_mismatch"))
+        col("n_dup_rows"), col("sample_n"), col("n_tok_mismatch"))
   }
 
   /** Driver entry: audit the staged (healthy) manifest artifact. */
@@ -570,6 +579,7 @@ object Packing {
          |       CAST(0 AS BIGINT) AS n_adjacency_bad,
          |       CAST(0 AS BIGINT) AS n_missing,
          |       CAST(0 AS BIGINT) AS n_orphans,
+         |       CAST(0 AS BIGINT) AS n_dup_rows,
          |       (SELECT CAST(count(*) AS BIGINT) FROM swsamp) AS sample_n,
          |       CAST(0 AS BIGINT) AS n_tok_mismatch
          |FROM p""".stripMargin,

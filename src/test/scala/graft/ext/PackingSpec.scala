@@ -234,6 +234,10 @@ class PackingSpec extends SparkSuite {
       when(col("doc_id") === someId, col("seq_id") + 1L).otherwise(col("seq_id")))
     assert(Packing.manifestAuditDf(docs, badSeq).head()
       .getAs[Long]("n_formula_bad") === 1L)
+    // (f) a replayed append: one doc_id holds two rows
+    val replayed = m.unionByName(m.filter(col("doc_id") === someId))
+    assert(Packing.manifestAuditDf(docs, replayed).head()
+      .getAs[Long]("n_dup_rows") === 1L)
   }
 
   test("manifest audit boundary leg catches a whole-bucket shift the in-bucket lead misses") {
