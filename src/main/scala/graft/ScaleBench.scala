@@ -212,7 +212,9 @@ object ScaleBench {
     // IVFPQ form adds partition pruning), and the sampled CI (sample
     // legs constant; the demo exact leg is the one linear term)
     "q_manifest_audit", "dedup_hashstore_audit", "q_backfill",
-    "ann_pq_search_served", "ann_ivfpq_search_served", "q_sample_ci")
+    "ann_pq_search_served", "ann_ivfpq_search_served", "q_sample_ci",
+    // round-14 late: three store-frame anti-joins, corpus never read
+    "q_store_consistency")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

@@ -446,6 +446,55 @@ object Dedup {
     hashStoreAuditDf(Tables.documents(spark, dir),
       spark.read.parquet(ensureHashStore(spark, dir)))
 
+  /** CROSS-STORE CONSISTENCY — the check that completes the audit
+    * family: each store audits healthy in isolation
+    * ([[artifactAuditDf]] / [[hashStoreAuditDf]] /
+    * [[graft.ext.Packing.manifestAuditDf]]), but the three are
+    * maintained by DIFFERENT code paths (stream appends, backfills,
+    * [[deleteApply]] rewrites) and drift independently — a delete apply
+    * that crashed between store rewrites leaves every store
+    * individually plausible and mutually wrong. All three are keyed by
+    * doc_id, so consistency is three anti-join counts over store-sized
+    * frames (the corpus is never read):
+    *
+    *   - `n_manifest_not_hash` / `n_hash_not_manifest`: the pack
+    *     manifest and the content-hash registry must cover the same
+    *     documents (both are written per ingested doc);
+    *   - `n_pair_endpoints_unregistered`: every verified-pair endpoint
+    *     must be a registered document (a retraction that rewrote the
+    *     hash store but not the pair artifact shows here).
+    *
+    * Healthy = all-zero, oracle-pinned; ExtSpec stages a partial
+    * delete apply and asserts the drift is reported exactly.
+    */
+  def storeConsistencyDf(hashes: DataFrame, manifest: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val h = hashes.select(col("doc_id"))
+    val m = manifest.select(col("doc_id"))
+    val nH = h.agg(count(lit(1)).as("n_hash"))
+    val nM = m.agg(count(lit(1)).as("n_manifest"))
+    val nP = pairs.agg(count(lit(1)).as("n_pairs"))
+    val mNotH = m.join(h, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_manifest_not_hash"))
+    val hNotM = h.join(m, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_hash_not_manifest"))
+    val endpoints = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val orphanEp = endpoints.join(h, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_pair_endpoints_unregistered"))
+    nH.crossJoin(nM).crossJoin(nP).crossJoin(mNotH).crossJoin(hNotM)
+      .crossJoin(orphanEp)
+      .select(col("n_hash"), col("n_manifest"), col("n_pairs"),
+        col("n_manifest_not_hash"), col("n_hash_not_manifest"),
+        col("n_pair_endpoints_unregistered"))
+  }
+
+  def qStoreConsistency(spark: SparkSession, dir: String): DataFrame =
+    storeConsistencyDf(
+      spark.read.parquet(ensureHashStore(spark, dir)),
+      spark.read.parquet(graft.ext.Packing.ensureManifest(spark, dir)),
+      verifiedPairs(spark, dir))
+
   // --- delete APPLY -----------------------------------------------------------
   //
   // q_delete_impact measures the right-to-be-forgotten blast radius;
@@ -1502,6 +1551,7 @@ object Dedup {
     "q_delete_apply" -> (qDeleteApply _),
     "dedup_artifact_audit" -> (dedupArtifactAudit _),
     "dedup_hashstore_audit" -> (qHashStoreAudit _),
+    "q_store_consistency" -> (qStoreConsistency _),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
@@ -1786,6 +1836,17 @@ object Dedup {
          |       (SELECT CAST(count(*) AS BIGINT) FROM swsamp) AS sample_n,
          |       CAST(0 AS BIGINT) AS n_hash_mismatch
          |FROM documents""".stripMargin,
+    // cross-store drift is 0 on healthy state (pinned); volumes are
+    // computed — hash store and manifest both cover every document,
+    // and the pair count is the standing 0.8 verified-pair truth
+    "q_store_consistency" ->
+      s"""WITH $minhashPairsCte
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_hash,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_manifest,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+         |       CAST(0 AS BIGINT) AS n_manifest_not_hash,
+         |       CAST(0 AS BIGINT) AS n_hash_not_manifest,
+         |       CAST(0 AS BIGINT) AS n_pair_endpoints_unregistered""".stripMargin,
     "dedup_lsh_calibration" -> lshCalibrationOracleSql(),
     // the SAME calibration chain over the splitmix64-hash-ordered
     // document sample (sampledDocsCtes — the Ivf/Pq training-sample

@@ -322,6 +322,37 @@ class ExtSpec extends SparkSuite {
     assert(audit(rotten).getAs[Long]("n_hash_mismatch") === 1L)
   }
 
+  test("cross-store consistency: healthy zeros; a partial delete apply is reported exactly") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = graft.Tables.documents(spark, dir)
+    val hashes = docs
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+        (col("doc_id") % 3).as("batch")).localCheckpoint()
+    val manifest = Packing.packSequences(docs).localCheckpoint()
+    val pairs = Dedup.minhashPairsDf(docs).localCheckpoint()
+    val healthy = Dedup.storeConsistencyDf(hashes, manifest, pairs).head()
+    assert(healthy.getAs[Long]("n_hash") === docs.count())
+    assert(healthy.getAs[Long]("n_manifest") === docs.count())
+    assert(healthy.getAs[Long]("n_pairs") === pairs.count())
+    assert(healthy.getAs[Long]("n_manifest_not_hash") === 0L)
+    assert(healthy.getAs[Long]("n_hash_not_manifest") === 0L)
+    assert(healthy.getAs[Long]("n_pair_endpoints_unregistered") === 0L)
+    // crash window: the takedown rewrote the hash store, then died
+    // before the manifest and pair rewrites — every store still audits
+    // healthy alone; only the cross-check sees it
+    val del = pairs.select(col("doc_a")).head().getLong(0)
+    val partial = hashes.filter(col("doc_id") =!= del)
+    val r = Dedup.storeConsistencyDf(partial, manifest, pairs).head()
+    assert(r.getAs[Long]("n_manifest_not_hash") === 1L)
+    assert(r.getAs[Long]("n_hash_not_manifest") === 0L)
+    assert(r.getAs[Long]("n_pair_endpoints_unregistered") === 1L)
+    // the reverse direction: manifest lost a row the registry kept
+    val r2 = Dedup.storeConsistencyDf(hashes,
+      manifest.filter(col("doc_id") =!= del), pairs).head()
+    assert(r2.getAs[Long]("n_hash_not_manifest") === 1L)
+    assert(r2.getAs[Long]("n_manifest_not_hash") === 0L)
+  }
+
   test("deleteApply is idempotent: a replayed takedown leaves state unchanged and emits an empty delta") {
     import org.apache.spark.sql.functions.{col, md5}
     val docs = graft.Tables.documents(spark, dir)
