@@ -37,6 +37,11 @@ import org.apache.spark.sql.functions._
   * with the staging-directory + atomic-rename publish discipline
   * ([[graft.ext.Dedup.deleteApply]]'s `rewriteStore`), or by retracting
   * the suspect partition's rows first (which makes it "missing" again).
+  * Symmetrically, backfill only ADDS: an artifact carrying rows for
+  * partitions the corpus no longer has keeps them (the union preserves
+  * stored rows) — deletions flow through the delete path, not the
+  * backfill (retract the dropped partition's rows, as a delete apply
+  * does for the other stores).
   */
 object Backfill {
 

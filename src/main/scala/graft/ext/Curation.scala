@@ -500,9 +500,11 @@ object Curation {
         lit(name).as("metric"), col("n").as("n_sample"),
         col("n"), col("s"), col("ss"), col("ne"), col("se"))
         .withColumn("mean", col("s").cast("double") / col("n"))
-        .withColumn("sd", sqrt(greatest(
+        // n ≤ 1 has no sample variance: emit a zero-width interval
+        // instead of NaN (0/0) so the report stays readable
+        .withColumn("sd", when(col("n") > 1, sqrt(greatest(
           (col("ss").cast("double") - col("s").cast("double") * col("s").cast("double")
-            / col("n")) / (col("n") - 1), lit(0.0))))
+            / col("n")) / (col("n") - 1), lit(0.0)))).otherwise(lit(0.0)))
         .withColumn("half", lit(1.96) * col("sd") / sqrt(col("n").cast("double")))
         .select(
           col("metric"), col("n_sample"),

@@ -277,6 +277,12 @@ class ExtSpec extends SparkSuite {
     assert(tokRow.getAs[Double]("est_mean") === r4(mean))
     assert(tokRow.getAs[Double]("ci_lo") === r4(mean - half))
     assert(tokRow.getAs[Double]("ci_hi") === r4(mean + half))
+    // degenerate sample: no variance estimate — zero-width interval,
+    // never NaN
+    Curation.sampleCiDf(docs, n = 1).collect().foreach { r =>
+      assert(r.getAs[Double]("ci_lo") === r.getAs[Double]("ci_hi"))
+      assert(!r.getAs[Double]("ci_lo").isNaN)
+    }
   }
 
   test("served PQ search over stored codes equals the fresh-encode search row for row") {
