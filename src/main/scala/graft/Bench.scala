@@ -56,6 +56,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { ext.Dedup.ensureHashStore(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { ext.Backfill.ensureFeatureArtifact(spark, sfDir) }
+    catch { case _: Throwable => () }
     // Host-state calibration anchor (r13 verdict item 5): the same
     // synthetic CPU-bound query — no I/O, fixed row count, hash agg —
     // timed immediately after warmup (calib_first) and after the last

@@ -332,7 +332,8 @@ object ScaleBench {
       catch { case e: Throwable =>
         System.err.println(s"[scale x$f] model staging FAILED: ${e.toString.take(200)}") }
       try { ext.Pq.ensureCodes(spark, dir); ext.Pq.ensureIvfPqLayout(spark, dir)
-            ext.Packing.ensureManifest(spark, dir); ext.Dedup.ensureHashStore(spark, dir) }
+            ext.Packing.ensureManifest(spark, dir); ext.Dedup.ensureHashStore(spark, dir)
+            ext.Backfill.ensureFeatureArtifact(spark, dir) }
       catch { case e: Throwable =>
         System.err.println(s"[scale x$f] serving/store staging FAILED: ${e.toString.take(200)}") }
       val entries = heavy.flatMap { q =>

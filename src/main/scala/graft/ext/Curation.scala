@@ -482,20 +482,23 @@ object Curation {
     * the identical comparison.
     */
   def sampleCiDf(docs: DataFrame, n: Int = Dedup.SweepSampleDocs): DataFrame = {
-    val sample = docs
-      .orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
-      .limit(n)
+    // the ONE shared splitmix64 draw (Dedup.hashSampleDocs — already
+    // checkpointed; both metric legs aggregate the same 1024 rows)
+    val sample = Dedup.hashSampleDocs(docs, n)
       .select(col("doc_id"),
         size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("v_tok"),
         col("n_chars").as("v_chars"))
-      .localCheckpoint()
-    val exact = docs.select(
-      size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("v_tok"),
-      col("n_chars").as("v_chars"))
+    // ONE fused exact pass serves both metrics (the demonstration
+    // form's only corpus-sized work)
+    val exact = docs.agg(
+      count(lit(1)).as("ne"),
+      sum(size(graft.functions.TextFns.tokens(col("text"))).cast("long")).as("se_tok"),
+      sum(col("n_chars")).as("se_chars")).localCheckpoint()
     def metricRow(name: String, c: String): DataFrame = {
       val s = sample.agg(count(lit(1)).as("n"), sum(col(c)).as("s"),
         sum(col(c) * col(c)).as("ss"))
-      val e = exact.agg(count(lit(1)).as("ne"), sum(col(c)).as("se"))
+      val e = exact.select(col("ne"),
+        (if (c == "v_tok") col("se_tok") else col("se_chars")).as("se"))
       s.crossJoin(e).select(
         lit(name).as("metric"), col("n").as("n_sample"),
         col("n"), col("s"), col("ss"), col("ne"), col("se"))
@@ -1092,9 +1095,10 @@ object Curation {
            |FROM (
            |  SELECT n, s, ss, ne, se,
            |         CAST(s AS DOUBLE) / n AS mean,
-           |         1.96 * sqrt(greatest(
+           |         CASE WHEN n > 1 THEN 1.96 * sqrt(greatest(
            |           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-           |             / (n - 1), 0.0)) / sqrt(CAST(n AS DOUBLE)) AS half
+           |             / (n - 1), 0.0)) / sqrt(CAST(n AS DOUBLE))
+           |              ELSE 0.0 END AS half
            |  FROM (SELECT CAST(count(*) AS BIGINT) AS n,
            |               CAST(sum(v) AS BIGINT) AS s,
            |               CAST(sum(v * v) AS BIGINT) AS ss

@@ -407,11 +407,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_missing"))
     val orphanLeg = s.select(col("doc_id")).join(ids, Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
-    val sample = docs
-      .orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
-      .limit(sampleN)
+    val sample = hashSampleDocs(docs, sampleN)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h_re"))
-      .localCheckpoint()
     val sampLeg = sample.join(s, Seq("doc_id"), "left")
       .agg(count(lit(1)).as("sample_n"),
         coalesce(sum(when(col("h").isNull || col("h") =!= col("h_re"), 1L)),
@@ -747,7 +744,11 @@ object Dedup {
     * global sort), and the sample is locally checkpointed because the
     * sweep pipelines consume it from several branches.
     */
-  private def hashSampleDocs(docs: DataFrame, n: Int = SweepSampleDocs): DataFrame =
+  // private[ext]: the ONE Spark-side copy of the sampling rule — every
+  // sampled leg in the ext package (audits, sampled sweeps, the CI
+  // estimator) must draw through here so the rule can never drift from
+  // its oracle mirror (MixSql.hashSampleCtes) one callsite at a time
+  private[ext] def hashSampleDocs(docs: DataFrame, n: Int = SweepSampleDocs): DataFrame =
     docs.orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
       .limit(n)
       .localCheckpoint()

@@ -445,12 +445,9 @@ object Packing {
     val dupLeg = mids.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
       .agg(count(lit(1)).as("n_dup_rows"))
-    // leg 4: sample-bounded token-count recompute
-    val sample = docs
-      .orderBy(graft.functions.VectorFns.mix64(col("doc_id")), col("doc_id"))
-      .limit(sampleN)
+    // leg 4: sample-bounded token-count recompute (the ONE shared draw)
+    val sample = Dedup.hashSampleDocs(docs, sampleN)
       .select(col("doc_id"), nTok.as("n_tok_re"))
-      .localCheckpoint()
     val sampLeg = sample
       .join(m.select(col("doc_id"), col("n_tok")), Seq("doc_id"), "left")
       .agg(count(lit(1)).as("sample_n"),

@@ -240,6 +240,23 @@ object Pq {
     * exactly one list so no candidate dedup is needed, and ranking is
     * the same per-query ADC window top-k as the flat PQ search.
     */
+  /** The ONE probe-list rule (normalized query → nProbe nearest lists
+    * via the NearestCentroids evaluator) — shared by [[ivfPqSearch]]'s
+    * broadcast probes and [[annIvfPqSearchServed]]'s static partition
+    * filter, so the filter can never prune a directory the join still
+    * expects.
+    */
+  private def driverProbes(queries: Array[(Long, Array[Float])],
+      centroids: Seq[Seq[Float]], nProbe: Int): Seq[(Long, Int)] = {
+    val probeEval = new graft.functions.NearestCentroids.Evaluator(
+      centroids.map(_.toArray).toArray, nProbe)
+    queries.toSeq.flatMap { case (qid, q) =>
+      val lists = probeEval.eval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
+      (0 until nProbe).map(i => (qid, lists.getInt(i)))
+    }
+  }
+
   def ivfPqSearch(
       corpusCodes: DataFrame, queryVecs: DataFrame, centroids: Seq[Seq[Float]],
       codebooks: Seq[Seq[Seq[Float]]], k: Int, nProbe: Int = Ivf.NProbe): DataFrame = {
@@ -251,13 +268,7 @@ object Pq {
       .collect().map(r => r.getLong(0) -> normalize(r.getSeq[Float](1).toArray))
     // probe lists + ADC tables, both driver-computed from the bounded
     // query block (the corpus is never touched before the list join)
-    val probeEval = new graft.functions.NearestCentroids.Evaluator(
-      centroids.map(_.toArray).toArray, nProbe)
-    val probes = queries.flatMap { case (qid, q) =>
-      val lists = probeEval.eval(
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
-      (0 until nProbe).map(i => (qid, lists.getInt(i)))
-    }.toSeq
+    val probes = driverProbes(queries, centroids, nProbe)
     val tables = queries.map { case (qid, q) =>
       val subDim = q.length / m
       val t = new Array[Double](m * ksub)
@@ -341,10 +352,11 @@ object Pq {
     val codebooks = ensureModel(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
-    val probeKeys = queries
-      .select(explode(graft.functions.NearestCentroids(
-        col("query_emb"), cents, Ivf.NProbe)).as("list_id"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // static filter keys from the SAME driver-side probe rule the join
+    // uses (no extra Spark job, no scoring-rule coupling)
+    val qArr = queries.collect()
+      .map(r => r.getLong(0) -> normalize(r.getSeq[Float](1).toArray))
+    val probeKeys = driverProbes(qArr, cents, Ivf.NProbe).map(_._2).distinct
     val corpus = spark.read.parquet(ensureIvfPqLayout(spark, dir))
       .filter(col("list_id").isin(probeKeys: _*))
       .select(col("vec_id"), col("list_id"), col("codes"))
