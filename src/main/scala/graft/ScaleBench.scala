@@ -214,7 +214,13 @@ object ScaleBench {
     "q_manifest_audit", "dedup_hashstore_audit", "q_backfill",
     "ann_pq_search_served", "ann_ivfpq_search_served", "q_sample_ci",
     // round-14 late: three store-frame anti-joins, corpus never read
-    "q_store_consistency")
+    "q_store_consistency",
+    // round-14 late: the repair PLAN over the same stores — store-keyed
+    // groupBys + two distinct-id sets + semi/anti joins, corpus never read
+    "q_store_repair",
+    // round-14 late: the serving-layout audit — store-sized linear legs
+    // + the fixed-sample reassignment check
+    "ann_layout_audit")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

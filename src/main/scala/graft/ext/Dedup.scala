@@ -492,6 +492,139 @@ object Dedup {
       spark.read.parquet(graft.ext.Packing.ensureManifest(spark, dir)),
       verifiedPairs(spark, dir))
 
+  // --- store REPAIR -----------------------------------------------------------
+  //
+  // The audit family DETECTS state damage ([[hashStoreAuditDf]] replay
+  // duplicates, [[storeConsistencyDf]] cross-store drift); this REPAIRS
+  // the store-local classes without touching the corpus:
+  //
+  //   - replay duplicates (an at-least-once append the idempotence
+  //     guard failed to swallow): collapse to ONE deterministic winner
+  //     per key — min (batch, h) per doc_id in the hash store, min
+  //     payload per doc_id in the manifest, max jaccard per (doc_a,
+  //     doc_b) in the pair artifact;
+  //   - membership drift (a [[deleteApply]] that crashed between store
+  //     rewrites): DELETE-DOMINANCE roll-forward — the stores' only
+  //     remover is a takedown, so a doc_id absent from EITHER
+  //     membership store (hash registry / pack manifest) is an
+  //     in-flight delete, and repair completes it everywhere. Even when
+  //     the asymmetry was really a lost append, removal is still the
+  //     safe direction: re-ingest of a dropped doc is an idempotent
+  //     append, while a half-applied takedown is a compliance
+  //     violation;
+  //   - orphan pairs: after membership settles, pairs with an
+  //     unregistered endpoint are dropped (the pair's own endpoints are
+  //     its whole dependency — the pairwise-local argument).
+  //
+  // Out of scope, deliberately: bit rot (`n_hash_mismatch` in the
+  // audit) needs the document text to fix — that is a re-ingest
+  // ([[graft.ext.Backfill]] discipline), not a store-local repair.
+  //
+  // 100 TB shape: every leg is store-sized — groupBys on the stores'
+  // own keys, two distinct-id sets, anti/semi joins on doc_id. The
+  // corpus is never read. The manifest is re-packed after removals
+  // ([[graft.ext.Packing.repackManifest]] — offsets re-derived from the
+  // surviving rows' own token counts), which is a no-op on a healthy
+  // manifest, so repair is idempotent: a second run reports all zeros.
+
+  /** One-row repair REPORT over the three maintained stores: what a
+    * repair would remove (replay duplicates per store, delete-dominance
+    * drift per membership store, orphan pairs) and the post-repair
+    * store sizes. Healthy stores report all-zero removals — which is
+    * what the DuckDB oracle pins, so the repair plan itself sits under
+    * the hash gate. [[storeRepair]] is the writer form; ExtSpec pins
+    * report == writer effect on staged corruptions.
+    */
+  def storeRepairDf(hashes: DataFrame, manifest: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val hIds = hashes.select(col("doc_id")).distinct()
+    val mIds = manifest.select(col("doc_id")).distinct()
+    val member = hIds.join(mIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    val dupH = hashes.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("n_hash_dups_removed"))
+    val dupM = manifest.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("n_manifest_dups_removed"))
+    val dupP = pairs.agg(
+      (count(lit(1)) - countDistinct(col("doc_a"), col("doc_b")))
+        .as("n_pair_dups_removed"))
+    val driftH = hIds.join(mIds, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_hash_drift_removed"))
+    val driftM = mIds.join(hIds, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_manifest_drift_removed"))
+    val pDistinct = pairs.select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint()
+    val pKept = pDistinct
+      .join(member.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(member.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_pairs"))
+    val pAll = pDistinct.agg(count(lit(1)).as("n_pair_distinct"))
+    val nMember = member.agg(count(lit(1)).as("n_member"))
+    dupH.crossJoin(dupM).crossJoin(dupP).crossJoin(driftH).crossJoin(driftM)
+      .crossJoin(pAll).crossJoin(pKept).crossJoin(nMember)
+      .select(col("n_hash_dups_removed"), col("n_manifest_dups_removed"),
+        col("n_pair_dups_removed"), col("n_hash_drift_removed"),
+        col("n_manifest_drift_removed"),
+        (col("n_pair_distinct") - col("n_pairs")).as("n_pair_orphans_removed"),
+        col("n_member").as("n_hash"), col("n_member").as("n_manifest"),
+        col("n_pairs"))
+  }
+
+  /** The repaired store contents (hash store, manifest, pairs) under the
+    * [[storeRepairDf]] rules — factored so the writer and the specs
+    * share one definition of the repair semantics.
+    */
+  private[graft] def storeRepairFrames(hashes: DataFrame, manifest: DataFrame,
+      pairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val h1 = hashes.groupBy(col("doc_id"))
+      .agg(min(struct(col("batch"), col("h"))).as("w"))
+      .select(col("w.h").as("h"), col("doc_id"), col("w.batch").as("batch"))
+    val m1 = manifest.groupBy(col("doc_id"))
+      .agg(min(struct(col("n_tok"), col("t_off"), col("seq_id"), col("n_seqs")))
+        .as("w"))
+      .select(col("doc_id"), col("w.n_tok").as("n_tok"))
+    val p1 = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+    val member = h1.select(col("doc_id"))
+      .join(m1.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val h2 = h1.join(member, Seq("doc_id"), "left_semi")
+    val m2 = Packing.repackManifest(
+      m1.join(member, Seq("doc_id"), "left_semi"))
+    val p2 = p1
+      .join(member.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(member.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (h2, m2, p2)
+  }
+
+  /** WRITER form: repairs the three on-disk stores in place (staging +
+    * atomic rename per store — the [[rewriteStore]] publish discipline,
+    * hive layout preserved for the batch-keyed hash store) and returns
+    * the [[storeRepairDf]] report computed over the PRE-repair state.
+    * Idempotent: a second run rewrites nothing semantically and reports
+    * all-zero removals.
+    */
+  def storeRepair(spark: SparkSession, hashesRoot: String,
+      manifestPath: String, pairsPath: String): DataFrame = {
+    val hashes = spark.read.parquet(hashesRoot)
+    val manifest = spark.read.parquet(manifestPath)
+    val pairs = pairsArtifactRead(spark, pairsPath)
+    val report = storeRepairDf(hashes, manifest, pairs).localCheckpoint()
+    val (h2, m2, p2) = storeRepairFrames(hashes, manifest, pairs)
+    val (h2c, m2c, p2c) = (h2.localCheckpoint(), m2.localCheckpoint(),
+      p2.localCheckpoint())
+    rewriteStore(spark, hashesRoot, _ => h2c, partitionBy = Seq("batch"))
+    rewriteStore(spark, manifestPath, _ => m2c)
+    rewriteStore(spark, pairsPath, _ => p2c)
+    report
+  }
+
+  def qStoreRepair(spark: SparkSession, dir: String): DataFrame =
+    storeRepairDf(
+      spark.read.parquet(ensureHashStore(spark, dir)),
+      spark.read.parquet(graft.ext.Packing.ensureManifest(spark, dir)),
+      verifiedPairs(spark, dir))
+
   // --- delete APPLY -----------------------------------------------------------
   //
   // q_delete_impact measures the right-to-be-forgotten blast radius;
@@ -526,6 +659,11 @@ object Dedup {
       .parquet(staging.toString)
     fs.delete(p, true)
     fs.rename(staging, p)
+    // the rename bypasses Spark's writers: re-cache any persisted plans
+    // over this path so they don't keep serving the pre-rewrite files.
+    // (Un-cached readers are safe — each new spark.read lists afresh —
+    // but a reader must not reuse a Dataset created before the rewrite.)
+    spark.catalog.refreshByPath(path)
   }
 
   /** Applies a delete set to the persistent near-dup state and returns
@@ -590,6 +728,7 @@ object Dedup {
     fs.delete(new org.apache.hadoop.fs.Path(pairsPath), true)
     fs.rename(new org.apache.hadoop.fs.Path(pairsPath.stripSuffix("/") + "__rewrite"),
       new org.apache.hadoop.fs.Path(pairsPath))
+    spark.catalog.refreshByPath(pairsPath)
     // re-election delta from the two pair-sized closures
     def labels(pairs: DataFrame): DataFrame = Cluster.connectedComponents(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
@@ -1553,6 +1692,7 @@ object Dedup {
     "dedup_artifact_audit" -> (dedupArtifactAudit _),
     "dedup_hashstore_audit" -> (qHashStoreAudit _),
     "q_store_consistency" -> (qStoreConsistency _),
+    "q_store_repair" -> (qStoreRepair _),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
@@ -1848,6 +1988,20 @@ object Dedup {
          |       CAST(0 AS BIGINT) AS n_manifest_not_hash,
          |       CAST(0 AS BIGINT) AS n_hash_not_manifest,
          |       CAST(0 AS BIGINT) AS n_pair_endpoints_unregistered""".stripMargin,
+    // the repair PLAN over the same healthy staged stores: all removal
+    // legs pin to zero and the post-repair sizes equal the store sizes,
+    // so a repair that would touch a healthy store fails the hash gate
+    "q_store_repair" ->
+      s"""WITH $minhashPairsCte
+         |SELECT CAST(0 AS BIGINT) AS n_hash_dups_removed,
+         |       CAST(0 AS BIGINT) AS n_manifest_dups_removed,
+         |       CAST(0 AS BIGINT) AS n_pair_dups_removed,
+         |       CAST(0 AS BIGINT) AS n_hash_drift_removed,
+         |       CAST(0 AS BIGINT) AS n_manifest_drift_removed,
+         |       CAST(0 AS BIGINT) AS n_pair_orphans_removed,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_hash,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_manifest,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs""".stripMargin,
     "dedup_lsh_calibration" -> lshCalibrationOracleSql(),
     // the SAME calibration chain over the splitmix64-hash-ordered
     // document sample (sampledDocsCtes — the Ivf/Pq training-sample

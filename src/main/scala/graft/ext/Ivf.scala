@@ -240,6 +240,70 @@ object Ivf {
       .orderBy("list_id")
   }
 
+  /** LAYOUT AUDIT — the serving-state member of the store-audit family
+    * ([[graft.ext.Dedup.artifactAuditDf]] pairs /
+    * [[graft.ext.Dedup.hashStoreAuditDf]] hashes /
+    * [[graft.ext.Packing.manifestAuditDf]] manifest): the
+    * [[writeIvfPartitioned]] layout is MAINTAINED state (ingest writes,
+    * [[retrainApply]] rewrites, a delete apply filters), and a serving
+    * process must be able to check it without re-deriving it. Health
+    * facts, each one bounded pass:
+    *
+    *   - `n_layout` / `n_lists`: volume and how many inverted lists are
+    *     occupied (one aggregate);
+    *   - `n_multi`: vec_ids present in MORE than one layout row — a
+    *     replayed ingest append or a retrain apply that crashed after
+    *     staging (group-count);
+    *   - `n_missing` / `n_orphans`: coverage vs the corpus — a dropped
+    *     batch / a takedown that skipped this store (anti-joins);
+    *   - `n_misassigned` / `n_norm_mismatch`: assignment and stored
+    *     norm recomputed under the LIVE model on the fixed
+    *     splitmix64-hash sample (the [[trainCentroids]] draw) vs the
+    *     layout's rows — sound because a row's list_id and nrm depend
+    *     only on its own vector and the model (the pairwise-local audit
+    *     argument), so a healthy layout's sample slice matches exactly.
+    *
+    * Healthy = all-zero violation counts, which is what the DuckDB
+    * oracle pins (assignments from the kmeansCte mirror), so layout
+    * corruption, staleness after a retrain, or replay duplication fails
+    * the hash gate.
+    */
+  def ivfLayoutAuditDf(emb: DataFrame, layout: DataFrame,
+      cents: Seq[Seq[Float]], sampleN: Int = SampleN): DataFrame = {
+    val lay = layout.select(col("vec_id"), col("list_id").cast("int").as("list_id"),
+      col("nrm"))
+    val volLeg = lay.agg(count(lit(1)).as("n_layout"),
+      countDistinct(col("list_id")).as("n_lists"))
+    val multiLeg = lay.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_multi"))
+    val ids = emb.select(col("vec_id"))
+    val missLeg = ids.join(lay, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val orphanLeg = lay.select(col("vec_id")).join(ids, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val sample = emb
+      .orderBy(VectorFns.mix64(col("vec_id")), col("vec_id")).limit(sampleN)
+      .select(col("vec_id"),
+        element_at(NearestCentroids(col("embedding"), cents, 1), 1).as("list_re"),
+        VectorFns.l2norm(col("embedding")).as("nrm_re"))
+    val sampLeg = sample.join(lay, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("sample_n"),
+        coalesce(sum(when(col("list_id").isNull ||
+          col("list_id") =!= col("list_re"), 1L)), lit(0L)).as("n_misassigned"),
+        coalesce(sum(when(col("nrm").isNull ||
+          col("nrm") =!= col("nrm_re"), 1L)), lit(0L)).as("n_norm_mismatch"))
+    volLeg.crossJoin(multiLeg).crossJoin(missLeg).crossJoin(orphanLeg)
+      .crossJoin(sampLeg)
+      .select(col("n_layout"), col("n_lists"), col("n_multi"),
+        col("n_missing"), col("n_orphans"), col("sample_n"),
+        col("n_misassigned"), col("n_norm_mismatch"))
+  }
+
+  def annLayoutAudit(spark: SparkSession, dir: String): DataFrame =
+    ivfLayoutAuditDf(Tables.embeddings(spark, dir),
+      spark.read.parquet(ensureLayout(spark, dir)), ensureModel(spark, dir))
+
   /** nProbe grid for [[annProbeCurve]] — doubling from "cheapest possible"
     * to half the centroid count; the candidate sets nest, so recall is
     * monotone along the grid by construction.
@@ -519,6 +583,99 @@ object Ivf {
     retrainDeltaDf(emb, cut = 4L * emb.count() / 5L)
   }
 
+  // --- retrain APPLY ----------------------------------------------------------
+  //
+  // [[annIvfDrift]] says WHEN retraining pays, [[annRetrainDelta]] what
+  // it COSTS; this EXECUTES it against the serving state: the model
+  // artifact is replaced and the hive-partitioned inverted-list layout
+  // ([[writeIvfPartitioned]]) is rewritten under the new quantizer
+  // through the staging + atomic-rename publish discipline, so a
+  // serving process never observes a half-moved layout. The report is
+  // the PHYSICAL data movement the apply performed — per inverted list,
+  // rows before, rows moved out/in, rows after — i.e. the I/O bill of
+  // the retrain, complementing the delta report's distortion economics.
+  //
+  // 100 TB shape: two passes over the layout (report, rewrite), each a
+  // compiled nearest-centroid map over one scan — no shuffle beyond the
+  // partitioned write; the quantizers are broadcast-sized (k·dim
+  // floats). [[NearestCentroids]] is deterministic, so the two passes
+  // agree. Applying the same quantizer twice moves nothing (ExtSpec
+  // pins idempotence, post-apply ≡ from-scratch layout, and served
+  // search equality).
+
+  /** Rewrites `layoutPath` (a [[writeIvfPartitioned]] layout) and
+    * `modelPath` under `newCents`, returning the per-list movement
+    * report: `(list_id, n_before, n_moved_out, n_moved_in, n_after)`
+    * over the 0..k-1 grid.
+    */
+  def retrainApply(spark: SparkSession, layoutPath: String,
+      modelPath: String, newCents: Seq[Seq[Float]]): DataFrame = {
+    def assigned() = spark.read.parquet(layoutPath)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("list_id").cast("int").as("old_list"),
+        element_at(NearestCentroids(col("embedding"), newCents, 1), 1)
+          .as("new_list"))
+    val mv = assigned().select(col("old_list"), col("new_list"))
+    val outAgg = mv.groupBy(col("old_list").as("list_id"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("new_list") =!= col("old_list"), 1L).otherwise(0L))
+          .as("n_moved_out"))
+    val inAgg = mv.groupBy(col("new_list").as("list_id"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("new_list") =!= col("old_list"), 1L).otherwise(0L))
+          .as("n_moved_in"))
+    val grid = spark.range(0, newCents.size.toLong)
+      .select(col("id").cast("int").as("list_id"))
+    val report = grid
+      .join(outAgg, Seq("list_id"), "left")
+      .join(inAgg, Seq("list_id"), "left")
+      .select(col("list_id"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_moved_out"), lit(0L)).as("n_moved_out"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("list_id")
+      .localCheckpoint() // k rows, pinned before the stores mutate
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(layoutPath)
+    val fs = p.getFileSystem(hadoopConf)
+    val staging = new org.apache.hadoop.fs.Path(
+      layoutPath.stripSuffix("/") + "__rewrite")
+    assigned()
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("new_list").as("list_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id").parquet(staging.toString)
+    fs.delete(p, true)
+    fs.rename(staging, p)
+    // the rename bypasses Spark's writers: re-cache persisted plans over
+    // the layout path (new reads list afresh; pre-rewrite Datasets must
+    // not be reused — the rewriteStore contract)
+    spark.catalog.refreshByPath(layoutPath)
+    modelArtifactWrite(spark, newCents, modelPath)
+    report
+  }
+
+  /** Driver entry: stages scratch serving state (model + layout) under
+    * the FROZEN ⌊4n/5⌋-cohort quantizer — at 100 TB this is the ingest
+    * pipeline's existing state; only the apply runs per retrain — then
+    * applies the full-corpus retrain [[annRetrainDelta]] recommends and
+    * returns the movement bill. Fresh temp state per invocation, so the
+    * entry never mutates the shared [[ensureLayout]]/[[ensureModel]]
+    * caches and repeated runs are independent.
+    */
+  def annRetrainApply(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cut = 4L * emb.count() / 5L
+    val root = java.nio.file.Files.createTempDirectory("retrain_apply")
+    val modelPath = root.resolve("model").toString
+    val layoutPath = root.resolve("corpus").toString
+    val centsOld = trainCentroids(emb.filter(col("vec_id") < cut))
+    modelArtifactWrite(spark, centsOld, modelPath)
+    writeIvfPartitioned(emb, centsOld, layoutPath)
+    retrainApply(spark, layoutPath, modelPath, trainCentroids(emb))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_search_served" -> (annIvfSearchServed _),
@@ -526,6 +683,8 @@ object Ivf {
     "ann_probe_curve" -> ((s: SparkSession, d: String) => annProbeCurve(s, d)),
     "ann_ivf_drift" -> (annIvfDrift _),
     "ann_retrain_delta" -> (annRetrainDelta _),
+    "ann_retrain_apply" -> (annRetrainApply _),
+    "ann_layout_audit" -> (annLayoutAudit _),
   )
 
   /** The LEARNED quantizer is oracle-checkable after all: Lloyd's is
@@ -655,6 +814,46 @@ object Ivf {
          |       CASE WHEN n > 0 THEN round(CAST(dsum_old - dsum_new AS DOUBLE) / n, 8) END AS recovered
          |FROM grid g LEFT JOIN per USING (list_id)
          |ORDER BY g.list_id""".stripMargin,
+    // the apply's movement bill over the same two quantizers: old
+    // assignment = frozen base-cohort model (the staged layout's
+    // list_id), new = full-corpus retrain; out-legs grouped by the old
+    // list, in-legs by the new
+    "ann_retrain_apply" ->
+      s"""WITH embeddings_b AS (
+         |  SELECT * FROM embeddings
+         |  WHERE vec_id < (SELECT 4 * count(*) // 5 FROM embeddings)),
+         |${kmeansCte(sampleTable = "embeddings_b")},
+         |${kmeansCte(pfx = "r")},
+         |mv AS (SELECT l.list_id AS ol, rl.list_id AS nl
+         |  FROM lists l JOIN rlists rl USING (vec_id)),
+         |o AS (SELECT ol AS list_id, count(*) AS n_before,
+         |             count(*) FILTER (nl <> ol) AS n_moved_out
+         |      FROM mv GROUP BY 1),
+         |i AS (SELECT nl AS list_id, count(*) AS n_after,
+         |             count(*) FILTER (nl <> ol) AS n_moved_in
+         |      FROM mv GROUP BY 1),
+         |grid AS (SELECT CAST(unnest(range($K)) AS INT) AS list_id)
+         |SELECT g.list_id,
+         |       CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+         |       CAST(coalesce(n_moved_out, 0) AS BIGINT) AS n_moved_out,
+         |       CAST(coalesce(n_moved_in, 0) AS BIGINT) AS n_moved_in,
+         |       CAST(coalesce(n_after, 0) AS BIGINT) AS n_after
+         |FROM grid g LEFT JOIN o USING (list_id) LEFT JOIN i USING (list_id)
+         |ORDER BY g.list_id""".stripMargin,
+    // the serving layout's healthy expectation: volume = the corpus,
+    // occupied lists from the kmeansCte assignment mirror, all
+    // violation legs zero — layout corruption or post-retrain staleness
+    // fails the Spark side's hash against this
+    "ann_layout_audit" ->
+      s"""WITH ${kmeansCte()}
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_layout,
+         |       (SELECT CAST(count(DISTINCT list_id) AS BIGINT) FROM lists) AS n_lists,
+         |       CAST(0 AS BIGINT) AS n_multi,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_orphans,
+         |       (SELECT CAST(least(count(*), $SampleN) AS BIGINT) FROM embeddings) AS sample_n,
+         |       CAST(0 AS BIGINT) AS n_misassigned,
+         |       CAST(0 AS BIGINT) AS n_norm_mismatch""".stripMargin,
     // frozen-quantizer aging: kmeansCte trains on the base cohort only
     // (sampleTable), assigns the full corpus; per-vector distortion is
     // 1 - cosine against the RAW final float centroid (c5 long form

@@ -183,6 +183,103 @@ class ExtSpec extends SparkSuite {
     assert(ex.getMessage.contains("delta cohort"))
   }
 
+  test("retrain apply: post-apply state ≡ from-scratch serving state, movement bill balances, idempotent") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val n = emb.count()
+    val cut = 4L * n / 5L
+    val centsOld = Ivf.trainCentroids(emb.filter(col("vec_id") < cut))
+    val centsNew = Ivf.trainCentroids(emb)
+    val root = java.nio.file.Files.createTempDirectory("retrain_apply_spec")
+    val modelPath = root.resolve("model").toString
+    val layoutPath = root.resolve("corpus").toString
+    Ivf.modelArtifactWrite(spark, centsOld, modelPath)
+    Ivf.writeIvfPartitioned(emb, centsOld, layoutPath)
+    val rep = Ivf.retrainApply(spark, layoutPath, modelPath, centsNew)
+      .collect()
+    // the bill balances: counts partition the corpus on both sides,
+    // per-list conservation, out-total == in-total == the delta
+    // report's move total (same deterministic trainings)
+    assert(rep.map(_.getAs[Long]("n_before")).sum === n)
+    assert(rep.map(_.getAs[Long]("n_after")).sum === n)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_after") === r.getAs[Long]("n_before") -
+        r.getAs[Long]("n_moved_out") + r.getAs[Long]("n_moved_in"),
+        s"list ${r.getInt(0)}")
+    }
+    val outTotal = rep.map(_.getAs[Long]("n_moved_out")).sum
+    assert(outTotal === rep.map(_.getAs[Long]("n_moved_in")).sum)
+    assert(outTotal ===
+      Ivf.retrainDeltaDf(emb, cut).collect().map(_.getAs[Long]("n_moved")).sum)
+    // post-apply artifacts equal the from-scratch serving state
+    assert(Ivf.modelArtifactRead(spark, modelPath) === centsNew)
+    val fresh = root.resolve("fresh").toString
+    Ivf.writeIvfPartitioned(emb, centsNew, fresh)
+    def rows(p: String): Seq[String] = spark.read.parquet(p)
+      .select(col("vec_id"), col("nrm"), col("list_id").cast("int"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(layoutPath) === rows(fresh))
+    // served search over the applied layout == search over fresh state
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    assert(
+      Ivf.ivfSearchPartitioned(spark, layoutPath, queries, centsNew, k = 5)
+        .collect().map(_.toString).toSeq ===
+      Ivf.ivfSearchPartitioned(spark, fresh, queries, centsNew, k = 5)
+        .collect().map(_.toString).toSeq)
+    // idempotence: re-applying the live quantizer moves nothing
+    val rep2 = Ivf.retrainApply(spark, layoutPath, modelPath, centsNew)
+      .collect()
+    rep2.foreach { r =>
+      assert(r.getAs[Long]("n_moved_out") === 0L)
+      assert(r.getAs[Long]("n_moved_in") === 0L)
+    }
+    assert(rows(layoutPath) === rows(fresh))
+  }
+
+  test("ivf layout audit: healthy layout all-zero; dup, missing, orphan, misassignment, and norm rot reported exactly") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val n = emb.count()
+    val cents = Ivf.ensureModel(spark, dir)
+    val layout = spark.read.parquet(Ivf.ensureLayout(spark, dir))
+      .localCheckpoint()
+    def audit(l: org.apache.spark.sql.DataFrame) =
+      Ivf.ivfLayoutAuditDf(emb, l, cents).head()
+    val healthy = audit(layout)
+    assert(healthy.getAs[Long]("n_layout") === n)
+    assert(healthy.getAs[Long]("n_lists") ===
+      layout.select("list_id").distinct().count())
+    assert(healthy.getAs[Long]("sample_n") === math.min(n, Ivf.SampleN.toLong))
+    for (c <- Seq("n_multi", "n_missing", "n_orphans", "n_misassigned",
+        "n_norm_mismatch"))
+      assert(healthy.getAs[Long](c) === 0L, c)
+    // the first hash-sample vector — the one the sample legs must see
+    val top = emb.orderBy(graft.functions.VectorFns.mix64(col("vec_id")),
+      col("vec_id")).limit(1).select("vec_id").head().getLong(0)
+    // replayed append: one vec twice
+    assert(audit(layout.unionByName(layout.filter(col("vec_id") === top)))
+      .getAs[Long]("n_multi") === 1L)
+    // dropped row: missing from coverage AND from the sample slice
+    val dropped = audit(layout.filter(col("vec_id") =!= top))
+    assert(dropped.getAs[Long]("n_missing") === 1L)
+    assert(dropped.getAs[Long]("n_misassigned") === 1L)
+    // stale orphan after a takedown that skipped this store
+    assert(audit(layout.unionByName(layout.filter(col("vec_id") === top)
+        .withColumn("vec_id", col("vec_id") + 5000000L)))
+      .getAs[Long]("n_orphans") === 1L)
+    // a retrain apply that crashed after moving this row: wrong list
+    val k = cents.size
+    assert(audit(layout.withColumn("list_id",
+        when(col("vec_id") === top, (col("list_id") + 1) % k)
+          .otherwise(col("list_id"))))
+      .getAs[Long]("n_misassigned") === 1L)
+    // bit rot in the precomputed norm
+    assert(audit(layout.withColumn("nrm",
+        when(col("vec_id") === top, lit(-1.0)).otherwise(col("nrm"))))
+      .getAs[Long]("n_norm_mismatch") === 1L)
+  }
+
   test("verified-pair artifact: artifact ≡ recompute, append-maintenance ≡ rebuild, derived report unchanged") {
     import org.apache.spark.sql.functions.col
     def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -357,6 +454,92 @@ class ExtSpec extends SparkSuite {
       manifest.filter(col("doc_id") =!= del), pairs).head()
     assert(r2.getAs[Long]("n_hash_not_manifest") === 1L)
     assert(r2.getAs[Long]("n_manifest_not_hash") === 0L)
+  }
+
+  test("store repair: healthy stores untouched; replay dups and partial-apply drift repaired to audit-green, idempotently") {
+    import org.apache.spark.sql.functions.{col, lit, md5}
+    val docs = graft.Tables.documents(spark, dir).localCheckpoint()
+    val nDocs = docs.count()
+    val healthyH = docs
+      .select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+        (col("doc_id") % 3).as("batch")).localCheckpoint()
+    val healthyM = Packing.packSequences(docs).localCheckpoint()
+    val healthyP = Dedup.minhashPairsDf(docs).localCheckpoint()
+    // healthy: the repair plan is a no-op with exact post sizes
+    val clean = Dedup.storeRepairDf(healthyH, healthyM, healthyP).head()
+    for (c <- Seq("n_hash_dups_removed", "n_manifest_dups_removed",
+        "n_pair_dups_removed", "n_hash_drift_removed",
+        "n_manifest_drift_removed", "n_pair_orphans_removed"))
+      assert(clean.getAs[Long](c) === 0L, c)
+    assert(clean.getAs[Long]("n_hash") === nDocs)
+    assert(clean.getAs[Long]("n_manifest") === nDocs)
+    assert(clean.getAs[Long]("n_pairs") === healthyP.count())
+    // corruption staging: docA vanished from the hash store only (a
+    // takedown that crashed after its first rewrite), docC vanished
+    // from the manifest only (the reverse crash window), docB's row
+    // replayed in both row stores, one pair row replayed
+    val pRows = healthyP.orderBy("doc_a", "doc_b").limit(2).collect()
+    val docA = pRows(0).getAs[Long]("doc_a")
+    val docB = pRows(0).getAs[Long]("doc_b")
+    val docC = docs.filter(col("doc_id") =!= docA && col("doc_id") =!= docB)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+    val dupPair = healthyP // a replayed pair not touching docA/docC
+      .filter(col("doc_a") =!= docA && col("doc_b") =!= docA &&
+        col("doc_a") =!= docC && col("doc_b") =!= docC)
+      .limit(1)
+    assert(dupPair.count() === 1L)
+    val stagedH = healthyH.filter(col("doc_id") =!= docA)
+      .unionByName(healthyH.filter(col("doc_id") === docB)
+        .withColumn("batch", lit(9L)))
+    val stagedM = healthyM.filter(col("doc_id") =!= docC)
+      .unionByName(healthyM.filter(col("doc_id") === docB))
+    val stagedP = healthyP.unionByName(dupPair)
+    val root = java.nio.file.Files.createTempDirectory("store_repair")
+    val (hP, mP, pP) = (root.resolve("hashes").toString,
+      root.resolve("manifest").toString, root.resolve("pairs").toString)
+    stagedH.write.partitionBy("batch").parquet(hP)
+    stagedM.write.parquet(mP)
+    stagedP.write.parquet(pP)
+    val nOrphan = healthyP
+      .filter(col("doc_a") === docA || col("doc_b") === docA ||
+        col("doc_a") === docC || col("doc_b") === docC).count()
+    assert(nOrphan >= 1L)
+    val rep = Dedup.storeRepair(spark, hP, mP, pP).head()
+    assert(rep.getAs[Long]("n_hash_dups_removed") === 1L)
+    assert(rep.getAs[Long]("n_manifest_dups_removed") === 1L)
+    assert(rep.getAs[Long]("n_pair_dups_removed") === 1L)
+    assert(rep.getAs[Long]("n_hash_drift_removed") === 1L)    // docC
+    assert(rep.getAs[Long]("n_manifest_drift_removed") === 1L) // docA
+    assert(rep.getAs[Long]("n_pair_orphans_removed") === nOrphan)
+    assert(rep.getAs[Long]("n_hash") === nDocs - 2L)
+    assert(rep.getAs[Long]("n_pairs") === healthyP.count() - nOrphan)
+    // post-repair state: audit-green, hive layout kept, and EQUAL to a
+    // from-scratch rebuild on the survivor corpus (delete-dominance)
+    val (h2, m2, p2) = (spark.read.parquet(hP), spark.read.parquet(mP),
+      Dedup.pairsArtifactRead(spark, pP))
+    val cons = Dedup.storeConsistencyDf(h2, m2, p2).head()
+    assert(cons.getAs[Long]("n_manifest_not_hash") === 0L)
+    assert(cons.getAs[Long]("n_hash_not_manifest") === 0L)
+    assert(cons.getAs[Long]("n_pair_endpoints_unregistered") === 0L)
+    assert(new java.io.File(hP).listFiles().exists(_.getName.startsWith("batch=")))
+    val survivors = docs.filter(col("doc_id") =!= docA && col("doc_id") =!= docC)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val h2rows = rows(h2.select("h", "doc_id", "batch"))
+    assert(h2rows === rows(
+      healthyH.filter(col("doc_id") =!= docA && col("doc_id") =!= docC)))
+    assert(rows(m2) === rows(Packing.packSequences(survivors)))
+    assert(rows(p2) === rows(healthyP
+      .filter(col("doc_a") =!= docA && col("doc_b") =!= docA &&
+        col("doc_a") =!= docC && col("doc_b") =!= docC)))
+    // idempotence: a second repair reports all zeros and rewrites nothing
+    val rep2 = Dedup.storeRepair(spark, hP, mP, pP).head()
+    for (c <- Seq("n_hash_dups_removed", "n_manifest_dups_removed",
+        "n_pair_dups_removed", "n_hash_drift_removed",
+        "n_manifest_drift_removed", "n_pair_orphans_removed"))
+      assert(rep2.getAs[Long](c) === 0L, c)
+    assert(rows(spark.read.parquet(hP).select("h", "doc_id", "batch")) ===
+      h2rows)
   }
 
   test("deleteApply is idempotent: a replayed takedown leaves state unchanged and emits an empty delta") {

@@ -86,5 +86,38 @@ class LifecycleSpec extends SparkSuite {
     assert(survivors.count() < docs.count(), "the takedown must delete something")
 
     allAuditsGreen(survivors, "post-takedown")
+
+    // day 3: a SECOND takedown crashes after its first store rewrite —
+    // the hash registry loses the delete set (plus one replayed append
+    // from the at-least-once retry), the manifest and pair artifact
+    // keep it. Consistency sees the drift; storeRepair rolls the delete
+    // FORWARD (delete-dominance) and every audit is green again on the
+    // day-3 surviving corpus. (The sketch index is deleteApply's job —
+    // repair's documented three-store scope.)
+    val del2 = survivors.filter(col("source") === "src3")
+      .select("doc_id").localCheckpoint()
+    val nDel2 = del2.count()
+    assert(nDel2 > 0, "day-3 takedown must delete something")
+    val replayed = spark.read.parquet(hashes)
+      .join(del2, Seq("doc_id"), "left_anti").limit(1)
+      .withColumn("batch", lit(9L)).localCheckpoint()
+    val crashed = spark.read.parquet(hashes)
+      .join(del2, Seq("doc_id"), "left_anti")
+      .unionByName(replayed.select(col("h"), col("doc_id"), col("batch")))
+      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(hashes)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(hashes), true)
+    crashed.write.partitionBy("batch").parquet(hashes)
+    val drift = Dedup.storeConsistencyDf(spark.read.parquet(hashes),
+      spark.read.parquet(manifest), Dedup.pairsArtifactRead(spark, pairs)).head()
+    assert(drift.getAs[Long]("n_manifest_not_hash") === nDel2)
+    val rep = Dedup.storeRepair(spark, hashes, manifest, pairs).head()
+    assert(rep.getAs[Long]("n_hash_dups_removed") === 1L)
+    assert(rep.getAs[Long]("n_manifest_drift_removed") === nDel2)
+    assert(rep.getAs[Long]("n_hash_drift_removed") === 0L)
+    val survivors2 = survivors.join(del2, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    allAuditsGreen(survivors2, "post-repair")
   }
 }
