@@ -220,7 +220,14 @@ object ScaleBench {
     "q_store_repair",
     // round-14 late: the serving-layout audit — store-sized linear legs
     // + the fixed-sample reassignment check
-    "ann_layout_audit")
+    "ann_layout_audit",
+    // round-14 late: retrain executed against scratch serving state —
+    // the registered entry times staging (layout write) + two
+    // assignment passes + the partitioned rewrite, all corpus-linear
+    "ann_retrain_apply",
+    // round-14 late: the PQ code-table audit — linear store legs + the
+    // fixed-sample re-encode check
+    "ann_codes_audit")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

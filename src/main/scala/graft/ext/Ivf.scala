@@ -270,6 +270,7 @@ object Ivf {
     */
   def ivfLayoutAuditDf(emb: DataFrame, layout: DataFrame,
       cents: Seq[Seq[Float]], sampleN: Int = SampleN): DataFrame = {
+    require(cents.nonEmpty, "ivfLayoutAuditDf: empty quantizer")
     val lay = layout.select(col("vec_id"), col("list_id").cast("int").as("list_id"),
       col("nrm"))
     val volLeg = lay.agg(count(lit(1)).as("n_layout"),
@@ -610,6 +611,7 @@ object Ivf {
     */
   def retrainApply(spark: SparkSession, layoutPath: String,
       modelPath: String, newCents: Seq[Seq[Float]]): DataFrame = {
+    require(newCents.nonEmpty, "retrainApply: empty quantizer")
     def assigned() = spark.read.parquet(layoutPath)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("list_id").cast("int").as("old_list"),

@@ -229,6 +229,54 @@ object Pq {
     search(corpus, queries, codebooks, k = 5)
   }
 
+  /** CODE-TABLE AUDIT — the PQ member of the store-audit family
+    * ([[graft.ext.Ivf.ivfLayoutAuditDf]] is the IVF twin): the
+    * persisted code table ([[ensureCodes]]) is what serving reads, so
+    * it needs the same trust check as every other maintained store.
+    * Bounded legs: volume; replay duplicates (vec_ids in >1 row);
+    * coverage anti-joins vs the corpus; rows whose code vector is not
+    * exactly M codes (a torn write — one linear size() pass); and codes
+    * re-derived under the live codebooks on the fixed splitmix64 hash
+    * sample vs the stored rows ([[graft.functions.PqEncode]] is
+    * deterministic and a row's codes depend only on its own vector and
+    * the model — the pairwise-local audit argument). Healthy = all-zero
+    * violations, oracle-pinned, so bit rot, a crashed re-encode, or
+    * staleness after retraining fails the hash gate.
+    */
+  def codesAuditDf(emb: DataFrame, codes: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]], sampleN: Int = SampleN): DataFrame = {
+    require(codebooks.nonEmpty, "codesAuditDf: empty codebooks")
+    val c = codes.select(col("vec_id"), col("codes"))
+    val volLeg = c.agg(count(lit(1)).as("n_codes"))
+    val multiLeg = c.groupBy(col("vec_id")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1)
+      .agg(count(lit(1)).as("n_multi"))
+    val ids = emb.select(col("vec_id"))
+    val missLeg = ids.join(c, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val orphanLeg = c.select(col("vec_id")).join(ids, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val lenLeg = c.filter(size(col("codes")) =!= codebooks.size)
+      .agg(count(lit(1)).as("n_len_bad"))
+    val sample = emb
+      .orderBy(VectorFns.mix64(col("vec_id")), col("vec_id")).limit(sampleN)
+      .select(col("vec_id"),
+        PqEncode(normalizedCol(col("embedding")), codebooks).as("codes_re"))
+    val sampLeg = sample.join(c, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("sample_n"),
+        coalesce(sum(when(col("codes").isNull ||
+          col("codes") =!= col("codes_re"), 1L)), lit(0L)).as("n_code_mismatch"))
+    volLeg.crossJoin(multiLeg).crossJoin(missLeg).crossJoin(orphanLeg)
+      .crossJoin(lenLeg).crossJoin(sampLeg)
+      .select(col("n_codes"), col("n_multi"), col("n_missing"),
+        col("n_orphans"), col("n_len_bad"), col("sample_n"),
+        col("n_code_mismatch"))
+  }
+
+  def annCodesAudit(spark: SparkSession, dir: String): DataFrame =
+    codesAuditDf(Tables.embeddings(spark, dir),
+      spark.read.parquet(ensureCodes(spark, dir)), ensureModel(spark, dir))
+
   /** IVF+PQ (IVFADC, Jégou et al. §IV) — the composition that serves
     * billion-vector corpora: the IVF coarse quantizer restricts each
     * query to its nProbe nearest inverted lists (at 100 TB, with the
@@ -529,6 +577,7 @@ object Pq {
     "ann_ivfpq_search_served" -> (annIvfPqSearchServed _),
     "ann_pq_distortion" -> (annPqDistortion _),
     "ann_pq_curve" -> ((s: SparkSession, d: String) => annPqCurve(s, d)),
+    "ann_codes_audit" -> (annCodesAudit _),
   )
 
   /** Per-subspace Lloyd's unrolled in SQL, the PQ twin of
@@ -703,6 +752,17 @@ object Pq {
          |$unions
          |ORDER BY m""".stripMargin
     },
+    // the code table's healthy expectation: volume = the corpus, every
+    // violation leg zero — the audit needs no SQL re-derivation of the
+    // codes because health is pinned, and any corruption fails the hash
+    "ann_codes_audit" ->
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_codes,
+         |       CAST(0 AS BIGINT) AS n_multi,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_orphans,
+         |       CAST(0 AS BIGINT) AS n_len_bad,
+         |       (SELECT CAST(least(count(*), $SampleN) AS BIGINT) FROM embeddings) AS sample_n,
+         |       CAST(0 AS BIGINT) AS n_code_mismatch""".stripMargin,
     "ann_pq_search" -> pqSearchOracleSql,
     // the served form scans stored codes but MUST return the same rows
     "ann_pq_search_served" -> pqSearchOracleSql,

@@ -280,6 +280,49 @@ class ExtSpec extends SparkSuite {
       .getAs[Long]("n_norm_mismatch") === 1L)
   }
 
+  test("pq codes audit: healthy table all-zero; dup, missing, orphan, torn write, and code rot reported exactly") {
+    import org.apache.spark.sql.functions.{col, slice, when}
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val n = emb.count()
+    val cb = Pq.ensureModel(spark, dir)
+    val codes = spark.read.parquet(Pq.ensureCodes(spark, dir)).localCheckpoint()
+    def audit(c: org.apache.spark.sql.DataFrame) =
+      Pq.codesAuditDf(emb, c, cb).head()
+    val healthy = audit(codes)
+    assert(healthy.getAs[Long]("n_codes") === n)
+    assert(healthy.getAs[Long]("sample_n") === math.min(n, Pq.SampleN.toLong))
+    for (c <- Seq("n_multi", "n_missing", "n_orphans", "n_len_bad",
+        "n_code_mismatch"))
+      assert(healthy.getAs[Long](c) === 0L, c)
+    val top = emb.orderBy(graft.functions.VectorFns.mix64(col("vec_id")),
+      col("vec_id")).limit(1).select("vec_id").head().getLong(0)
+    assert(audit(codes.unionByName(codes.filter(col("vec_id") === top)))
+      .getAs[Long]("n_multi") === 1L)
+    val dropped = audit(codes.filter(col("vec_id") =!= top))
+    assert(dropped.getAs[Long]("n_missing") === 1L)
+    assert(dropped.getAs[Long]("n_code_mismatch") === 1L)
+    assert(audit(codes.unionByName(codes.filter(col("vec_id") === top)
+        .withColumn("vec_id", col("vec_id") + 5000000L)))
+      .getAs[Long]("n_orphans") === 1L)
+    // torn write: a truncated code vector trips BOTH the linear length
+    // leg and (for a sampled row) the re-encode comparison
+    val torn = audit(codes.withColumn("codes",
+      when(col("vec_id") === top, slice(col("codes"), 1, 3))
+        .otherwise(col("codes"))))
+    assert(torn.getAs[Long]("n_len_bad") === 1L)
+    assert(torn.getAs[Long]("n_code_mismatch") === 1L)
+    // code rot: same length, different first code
+    val rot = audit(codes.withColumn("codes",
+      when(col("vec_id") === top,
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.array(
+            (col("codes")(0) + 1) % Pq.Ksub),
+          slice(col("codes"), 2, Pq.M - 1)))
+        .otherwise(col("codes"))))
+    assert(rot.getAs[Long]("n_len_bad") === 0L)
+    assert(rot.getAs[Long]("n_code_mismatch") === 1L)
+  }
+
   test("verified-pair artifact: artifact ≡ recompute, append-maintenance ≡ rebuild, derived report unchanged") {
     import org.apache.spark.sql.functions.col
     def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
