@@ -256,7 +256,8 @@ object Pq {
       .agg(count(lit(1)).as("n_missing"))
     val orphanLeg = c.select(col("vec_id")).join(ids, Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
-    val lenLeg = c.filter(size(col("codes")) =!= codebooks.size)
+    val lenLeg = c.filter(col("codes").isNull ||
+        size(col("codes")) =!= codebooks.size)
       .agg(count(lit(1)).as("n_len_bad"))
     val sample = emb
       .orderBy(VectorFns.mix64(col("vec_id")), col("vec_id")).limit(sampleN)

@@ -235,6 +235,22 @@ class ExtSpec extends SparkSuite {
       assert(r.getAs[Long]("n_moved_in") === 0L)
     }
     assert(rows(layoutPath) === rows(fresh))
+    // SHRINKING retrain: old list ids above the new k-1 must still
+    // appear in the bill (full-outer grid), or conservation breaks
+    val cents4 = Ivf.trainCentroids(emb, k = 4)
+    val rep3 = Ivf.retrainApply(spark, layoutPath, modelPath, cents4)
+      .collect()
+    assert(rep3.exists(r => r.getInt(0) >= 4 && r.getAs[Long]("n_before") > 0L),
+      "shrink case must exercise old lists beyond the new grid")
+    assert(rep3.map(_.getAs[Long]("n_before")).sum === n)
+    assert(rep3.map(_.getAs[Long]("n_after")).sum === n)
+    assert(rep3.map(_.getAs[Long]("n_moved_out")).sum ===
+      rep3.map(_.getAs[Long]("n_moved_in")).sum)
+    rep3.foreach { r =>
+      assert(r.getAs[Long]("n_after") === r.getAs[Long]("n_before") -
+        r.getAs[Long]("n_moved_out") + r.getAs[Long]("n_moved_in"))
+      if (r.getInt(0) >= 4) assert(r.getAs[Long]("n_after") === 0L)
+    }
   }
 
   test("ivf layout audit: healthy layout all-zero; dup, missing, orphan, misassignment, and norm rot reported exactly") {
@@ -311,6 +327,13 @@ class ExtSpec extends SparkSuite {
         .otherwise(col("codes"))))
     assert(torn.getAs[Long]("n_len_bad") === 1L)
     assert(torn.getAs[Long]("n_code_mismatch") === 1L)
+    // the NULL form of a torn write must hit the linear leg too
+    val nulled = audit(codes.withColumn("codes",
+      when(col("vec_id") === top,
+        org.apache.spark.sql.functions.lit(null).cast("array<int>"))
+        .otherwise(col("codes"))))
+    assert(nulled.getAs[Long]("n_len_bad") === 1L)
+    assert(nulled.getAs[Long]("n_code_mismatch") === 1L)
     // code rot: same length, different first code
     val rot = audit(codes.withColumn("codes",
       when(col("vec_id") === top,
