@@ -227,7 +227,9 @@ object ScaleBench {
     "ann_retrain_apply",
     // round-14 late: the PQ code-table audit — linear store legs + the
     // fixed-sample re-encode check
-    "ann_codes_audit")
+    "ann_codes_audit",
+    // round-14 late: the decide layer — all six audits in one query
+    "q_maintenance_plan")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

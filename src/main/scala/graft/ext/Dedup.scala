@@ -625,6 +625,86 @@ object Dedup {
       spark.read.parquet(graft.ext.Packing.ensureManifest(spark, dir)),
       verifiedPairs(spark, dir))
 
+  // --- maintenance PLAN -------------------------------------------------------
+  //
+  // The DECIDE layer that ties the operate loop together: the audits
+  // OBSERVE ([[artifactAuditDf]] / [[hashStoreAuditDf]] /
+  // [[graft.ext.Packing.manifestAuditDf]] / [[storeConsistencyDf]] /
+  // [[graft.ext.Ivf.ivfLayoutAuditDf]] / [[graft.ext.Pq.codesAuditDf]]),
+  // the reports PRICE (`q_delete_impact`, `ann_retrain_delta`,
+  // `q_repack_delta`), and the apply operators EXECUTE ([[storeRepair]],
+  // [[deleteApply]], [[graft.ext.Ivf.retrainApply]]); this emits what an
+  // operator's cron actually consumes — per maintained store, the
+  // violation totals split by REMEDY CLASS and the action to schedule:
+  //
+  //   - `n_structural`: damage fixable from the stores themselves —
+  //     replay duplicates, membership drift, offset-chain breaks,
+  //     misassignment → `repair` (the three doc stores / cross-store)
+  //     or `rebuild`/`reencode` (the serving artifacts, whose repair IS
+  //     re-derivation under the live model);
+  //   - `n_rot`: damage whose fix needs the source data — stored
+  //     hashes/token counts that no longer match their documents →
+  //     `reingest` (the [[graft.ext.Backfill]] discipline).
+  //
+  // Healthy stores plan six `none` rows, which is what the DuckDB
+  // oracle pins — a plan that would touch a healthy store fails the
+  // hash gate. Cost = the six audits (store-sized legs + fixed-sample
+  // recomputes) in one query.
+
+  /** The plan over six explicit audit rows — factored so the spec can
+    * stage corrupted audits and pin the action routing.
+    */
+  def maintenancePlanDf(pairsAudit: DataFrame, hashAudit: DataFrame,
+      manifestAudit: DataFrame, consistency: DataFrame,
+      layoutAudit: DataFrame, codesAudit: DataFrame): DataFrame = {
+    def rowOf(df: DataFrame, store: String, structural: Column, rot: Column,
+        fixAction: String, rotAction: String): DataFrame =
+      df.select(lit(store).as("store"),
+        structural.cast("long").as("n_structural"),
+        rot.cast("long").as("n_rot"),
+        when(structural > 0, lit(fixAction))
+          .when(rot > 0, lit(rotAction))
+          .otherwise(lit("none")).as("action"))
+    rowOf(pairsAudit, "pairs",
+        col("n_missing") + col("n_extra"), lit(0L), "rebuild", "rebuild")
+      .unionByName(rowOf(hashAudit, "hashes",
+        col("n_multi") + col("n_missing") + col("n_orphans"),
+        col("n_hash_mismatch"), "repair", "reingest"))
+      .unionByName(rowOf(manifestAudit, "manifest",
+        col("n_formula_bad") + col("n_adjacency_bad") + col("n_dup_rows") +
+          col("n_missing") + col("n_orphans"),
+        col("n_tok_mismatch"), "repair", "reingest"))
+      .unionByName(rowOf(consistency, "xstore",
+        col("n_manifest_not_hash") + col("n_hash_not_manifest") +
+          col("n_pair_endpoints_unregistered"), lit(0L), "repair", "repair"))
+      .unionByName(rowOf(layoutAudit, "layout",
+        col("n_multi") + col("n_missing") + col("n_orphans") +
+          col("n_misassigned"), col("n_norm_mismatch"), "rebuild", "rebuild"))
+      .unionByName(rowOf(codesAudit, "codes",
+        col("n_multi") + col("n_missing") + col("n_orphans") + col("n_len_bad"),
+        col("n_code_mismatch"), "reencode", "reencode"))
+      .orderBy("store")
+  }
+
+  def qMaintenancePlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = verifiedPairs(spark, dir)
+    val hashes = spark.read.parquet(ensureHashStore(spark, dir))
+    val manifest = spark.read.parquet(graft.ext.Packing.ensureManifest(spark, dir))
+    maintenancePlanDf(
+      artifactAuditDf(docs, pairs),
+      hashStoreAuditDf(docs, hashes),
+      graft.ext.Packing.manifestAuditDf(docs, manifest),
+      storeConsistencyDf(hashes, manifest, pairs),
+      Ivf.ivfLayoutAuditDf(emb,
+        spark.read.parquet(Ivf.ensureLayout(spark, dir)),
+        Ivf.ensureModel(spark, dir)),
+      Pq.codesAuditDf(emb,
+        spark.read.parquet(Pq.ensureCodes(spark, dir)),
+        Pq.ensureModel(spark, dir)))
+  }
+
   // --- delete APPLY -----------------------------------------------------------
   //
   // q_delete_impact measures the right-to-be-forgotten blast radius;
@@ -1693,6 +1773,7 @@ object Dedup {
     "dedup_hashstore_audit" -> (qHashStoreAudit _),
     "q_store_consistency" -> (qStoreConsistency _),
     "q_store_repair" -> (qStoreRepair _),
+    "q_maintenance_plan" -> (qMaintenancePlan _),
     "dedup_prefix" -> ((s: SparkSession, d: String) => dedupPrefix(s, d)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_lsh_calibration" -> (dedupLshCalibration _),
@@ -2002,6 +2083,19 @@ object Dedup {
          |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_hash,
          |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_manifest,
          |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs""".stripMargin,
+    // the decide layer's healthy expectation: six maintained stores,
+    // zero violations in both remedy classes, nothing scheduled — a
+    // plan that would touch a healthy store fails the hash gate
+    "q_maintenance_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('codes',    CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+        |  ('hashes',   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+        |  ('layout',   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+        |  ('manifest', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+        |  ('pairs',    CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+        |  ('xstore',   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'))
+        |  AS t(store, n_structural, n_rot, action)
+        |ORDER BY store""".stripMargin,
     "dedup_lsh_calibration" -> lshCalibrationOracleSql(),
     // the SAME calibration chain over the splitmix64-hash-ordered
     // document sample (sampledDocsCtes — the Ivf/Pq training-sample

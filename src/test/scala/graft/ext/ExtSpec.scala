@@ -346,6 +346,54 @@ class ExtSpec extends SparkSuite {
     assert(rot.getAs[Long]("n_code_mismatch") === 1L)
   }
 
+  test("maintenance plan: healthy stores schedule nothing; each violation class routes to its remedy") {
+    import spark.implicits._
+    // healthy end-to-end: six stores, zero violations, all 'none'
+    val plan = Dedup.qMaintenancePlan(spark, dir).collect()
+    assert(plan.map(_.getString(0)).toSeq ===
+      Seq("codes", "hashes", "layout", "manifest", "pairs", "xstore"))
+    plan.foreach { r =>
+      assert(r.getAs[Long]("n_structural") === 0L, r.getString(0))
+      assert(r.getAs[Long]("n_rot") === 0L, r.getString(0))
+      assert(r.getAs[String]("action") === "none", r.getString(0))
+    }
+    // routing: synthesized audit rows exercise every action branch
+    def pairsA(miss: Long, extra: Long) =
+      Seq((miss, extra)).toDF("n_missing", "n_extra")
+    def hashA(multi: Long, rotN: Long) = Seq((multi, 0L, 0L, rotN))
+      .toDF("n_multi", "n_missing", "n_orphans", "n_hash_mismatch")
+    def manA(dup: Long, tok: Long) = Seq((0L, 0L, dup, 0L, 0L, tok))
+      .toDF("n_formula_bad", "n_adjacency_bad", "n_dup_rows",
+        "n_missing", "n_orphans", "n_tok_mismatch")
+    def consA(d: Long) = Seq((d, 0L, 0L))
+      .toDF("n_manifest_not_hash", "n_hash_not_manifest",
+        "n_pair_endpoints_unregistered")
+    def layA(mis: Long, nrm: Long) = Seq((0L, 0L, 0L, mis, nrm))
+      .toDF("n_multi", "n_missing", "n_orphans", "n_misassigned",
+        "n_norm_mismatch")
+    def codA(len: Long, rotN: Long) = Seq((0L, 0L, 0L, len, rotN))
+      .toDF("n_multi", "n_missing", "n_orphans", "n_len_bad",
+        "n_code_mismatch")
+    def actions(p: org.apache.spark.sql.DataFrame): Map[String, String] =
+      p.collect().map(r => r.getString(0) -> r.getAs[String]("action")).toMap
+    val routed = actions(Dedup.maintenancePlanDf(
+      pairsA(1, 0), hashA(1, 5), manA(0, 2), consA(3), layA(0, 1), codA(0, 4)))
+    assert(routed("pairs") === "rebuild")
+    assert(routed("hashes") === "repair")   // structural outranks rot
+    assert(routed("manifest") === "reingest") // rot only
+    assert(routed("xstore") === "repair")
+    assert(routed("layout") === "rebuild")  // norm rot rebuilds the layout
+    assert(routed("codes") === "reencode")
+    val rotOnly = actions(Dedup.maintenancePlanDf(
+      pairsA(0, 0), hashA(0, 7), manA(1, 0), consA(0), layA(2, 0), codA(1, 0)))
+    assert(rotOnly("hashes") === "reingest")
+    assert(rotOnly("manifest") === "repair")
+    assert(rotOnly("layout") === "rebuild")
+    assert(rotOnly("codes") === "reencode")
+    assert(rotOnly("pairs") === "none")
+    assert(rotOnly("xstore") === "none")
+  }
+
   test("verified-pair artifact: artifact ≡ recompute, append-maintenance ≡ rebuild, derived report unchanged") {
     import org.apache.spark.sql.functions.col
     def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
