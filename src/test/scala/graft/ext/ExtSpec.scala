@@ -394,6 +394,61 @@ class ExtSpec extends SparkSuite {
     assert(rotOnly("xstore") === "none")
   }
 
+  test("store repair report matches an independent set-arithmetic reimplementation on randomized corruptions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val rnd = new scala.util.Random(20260816L)
+    val n = 80
+    val ids = (0L until n.toLong).toSet
+    val docs = ids.toSeq.sorted.map(i => (i, s"doc $i body " * 3)).toDF("doc_id", "text")
+    val healthyH = docs.select(
+      org.apache.spark.sql.functions.md5(col("text").cast("binary")).as("h"),
+      col("doc_id"), (col("doc_id") % 3).as("batch")).localCheckpoint()
+    val healthyM = Packing.packSequences(docs).localCheckpoint()
+    for (trial <- 1 to 4) {
+      def randomSubset(p: Double): Set[Long] = ids.filter(_ => rnd.nextDouble() < p)
+      val a = randomSubset(0.12) // vanished from the hash store
+      val b = randomSubset(0.12) // vanished from the manifest
+      val dupH = randomSubset(0.08) -- a // replayed hash rows
+      val dupM = randomSubset(0.08) -- b // replayed manifest rows
+      // arbitrary canonical pairs over the id space (the repair reads
+      // pairs structurally; no similarity semantics involved)
+      val pairSet = (1 to 40).map { _ =>
+        val x = rnd.nextInt(n).toLong; val y = rnd.nextInt(n).toLong
+        (math.min(x, y), math.max(x, y))
+      }.filter(p => p._1 != p._2).distinct
+      val dupP = pairSet.take(3)
+      val pairs = (pairSet ++ dupP).map { case (x, y) => (x, y, 0.9) }
+        .toDF("doc_a", "doc_b", "jaccard")
+      val stagedH = healthyH.filter(!col("doc_id").isin(a.toSeq: _*))
+        .unionByName(healthyH.filter(col("doc_id").isin(dupH.toSeq: _*))
+          .withColumn("batch", lit(9L)))
+      val stagedM = healthyM.filter(!col("doc_id").isin(b.toSeq: _*))
+        .unionByName(healthyM.filter(col("doc_id").isin(dupM.toSeq: _*)))
+      val r = Dedup.storeRepairDf(stagedH, stagedM, pairs).head()
+      // the independent model: pure set arithmetic
+      val member = ids -- a -- b
+      val orphanPairs = pairSet.count(p => !member(p._1) || !member(p._2))
+      assert(r.getAs[Long]("n_hash_dups_removed") === dupH.size.toLong, s"t$trial dupH")
+      assert(r.getAs[Long]("n_manifest_dups_removed") === dupM.size.toLong, s"t$trial dupM")
+      assert(r.getAs[Long]("n_pair_dups_removed") === dupP.size.toLong, s"t$trial dupP")
+      assert(r.getAs[Long]("n_hash_drift_removed") === (b -- a).size.toLong, s"t$trial driftH")
+      assert(r.getAs[Long]("n_manifest_drift_removed") === (a -- b).size.toLong, s"t$trial driftM")
+      assert(r.getAs[Long]("n_pair_orphans_removed") === orphanPairs.toLong, s"t$trial orphans")
+      assert(r.getAs[Long]("n_hash") === member.size.toLong, s"t$trial nH")
+      assert(r.getAs[Long]("n_manifest") === member.size.toLong, s"t$trial nM")
+      assert(r.getAs[Long]("n_pairs") ===
+        (pairSet.size - orphanPairs).toLong, s"t$trial nP")
+      // and the repaired frames obey the same model
+      val (h2, m2, p2) = Dedup.storeRepairFrames(stagedH, stagedM, pairs)
+      assert(h2.select("doc_id").collect().map(_.getLong(0)).toSet === member)
+      assert(m2.select("doc_id").collect().map(_.getLong(0)).toSet === member)
+      assert(p2.select("doc_a", "doc_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet ===
+        pairSet.filter(p => member(p._1) && member(p._2)).toSet)
+    }
+  }
+
   test("verified-pair artifact: artifact ≡ recompute, append-maintenance ≡ rebuild, derived report unchanged") {
     import org.apache.spark.sql.functions.col
     def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
