@@ -642,9 +642,14 @@ object Dedup {
   //     misassignment → `repair` (the three doc stores / cross-store)
   //     or `rebuild`/`reencode` (the serving artifacts, whose repair IS
   //     re-derivation under the live model);
-  //   - `n_rot`: damage whose fix needs the source data — stored
-  //     hashes/token counts that no longer match their documents →
-  //     `reingest` (the [[graft.ext.Backfill]] discipline).
+  //   - `n_rot`: damage whose fix needs the SOURCE data — rows missing
+  //     vs the corpus (a store cannot restore a row from itself) and
+  //     stored hashes/token counts that no longer match their
+  //     documents → `reingest` (the [[graft.ext.Backfill]] discipline).
+  //     The corpus table is the membership truth here: a real takedown
+  //     removes the document from the corpus too ([[deleteApply]]'s
+  //     survivors), so delete-dominance repair and coverage reingest
+  //     never fight over the same document.
   //
   // Healthy stores plan six `none` rows, which is what the DuckDB
   // oracle pins — a plan that would touch a healthy store fails the
@@ -668,12 +673,12 @@ object Dedup {
     rowOf(pairsAudit, "pairs",
         col("n_missing") + col("n_extra"), lit(0L), "rebuild", "rebuild")
       .unionByName(rowOf(hashAudit, "hashes",
-        col("n_multi") + col("n_missing") + col("n_orphans"),
-        col("n_hash_mismatch"), "repair", "reingest"))
+        col("n_multi") + col("n_orphans"),
+        col("n_missing") + col("n_hash_mismatch"), "repair", "reingest"))
       .unionByName(rowOf(manifestAudit, "manifest",
         col("n_formula_bad") + col("n_adjacency_bad") + col("n_dup_rows") +
-          col("n_missing") + col("n_orphans"),
-        col("n_tok_mismatch"), "repair", "reingest"))
+          col("n_orphans"),
+        col("n_missing") + col("n_tok_mismatch"), "repair", "reingest"))
       .unionByName(rowOf(consistency, "xstore",
         col("n_manifest_not_hash") + col("n_hash_not_manifest") +
           col("n_pair_endpoints_unregistered"), lit(0L), "repair", "repair"))
@@ -684,6 +689,86 @@ object Dedup {
         col("n_multi") + col("n_missing") + col("n_orphans") + col("n_len_bad"),
         col("n_code_mismatch"), "reencode", "reencode"))
       .orderBy("store")
+  }
+
+  /** EXECUTES a maintenance plan to convergence: compute the plan over
+    * the on-disk stores, run each scheduled remedy, re-plan, repeat
+    * until every store plans `none` (or `maxRounds` — the plan's
+    * one-action-per-store priority means a store with BOTH structural
+    * damage and rot takes two rounds: repair first, reingest second).
+    * Remedies, all through the staged atomic-swap publish discipline:
+    *
+    *   - `repair` (hashes / manifest / cross-store): ONE [[storeRepair]]
+    *     pass over the three doc stores;
+    *   - `reingest` (hash or token-count rot): payloads recomputed from
+    *     the source corpus for the surviving store keys — the hash
+    *     store keeps its arrival batches, the manifest is re-packed
+    *     from re-tokenized counts;
+    *   - `rebuild` (pairs / layout): the artifact re-derived from the
+    *     corpus under the live model;
+    *   - `reencode` (codes): one [[graft.ext.Pq.encodeCorpus]] pass.
+    *
+    * Returns the FINAL plan — all `none` on success (spec-pinned, with
+    * idempotence: a second call executes nothing). This is the
+    * operate-loop capstone: observe (audits) → decide (plan) → act
+    * (this) → re-observe, as a single bounded call.
+    */
+  def runMaintenance(docs: DataFrame, emb: DataFrame,
+      hashesRoot: String, manifestPath: String, pairsPath: String,
+      layoutPath: String, cents: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]], codesPath: String,
+      maxRounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    def plan(): DataFrame = maintenancePlanDf(
+      artifactAuditDf(docs, pairsArtifactRead(spark, pairsPath)),
+      hashStoreAuditDf(docs, spark.read.parquet(hashesRoot)),
+      graft.ext.Packing.manifestAuditDf(docs, spark.read.parquet(manifestPath)),
+      storeConsistencyDf(spark.read.parquet(hashesRoot),
+        spark.read.parquet(manifestPath), pairsArtifactRead(spark, pairsPath)),
+      Ivf.ivfLayoutAuditDf(emb, spark.read.parquet(layoutPath), cents),
+      Pq.codesAuditDf(emb, spark.read.parquet(codesPath), codebooks))
+      .localCheckpoint()
+    var current = plan()
+    var round = 0
+    while (round < maxRounds &&
+        current.filter(col("action") =!= "none").count() > 0) {
+      val act = current.collect()
+        .map(r => r.getString(0) -> r.getAs[String]("action")).toMap
+      if (act("hashes") == "repair" || act("manifest") == "repair" ||
+          act("xstore") == "repair")
+        storeRepair(spark, hashesRoot, manifestPath, pairsPath)
+      if (act("hashes") == "reingest")
+        // corpus-covering: payloads recomputed from source for EVERY
+        // corpus doc; existing rows keep their arrival batch, restored
+        // rows land in the explicit backfill batch -1
+        rewriteStore(spark, hashesRoot,
+          df => docs.join(df.select(col("doc_id"), col("batch")),
+              Seq("doc_id"), "left")
+            .select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+              coalesce(col("batch"), lit(-1L)).as("batch")),
+          partitionBy = Seq("batch"))
+      if (act("manifest") == "reingest")
+        // the manifest is fully derived from (doc_id, text): re-pack
+        // the corpus — token counts and offsets come back re-derived
+        rewriteStore(spark, manifestPath,
+          _ => graft.ext.Packing.packSequences(docs))
+      if (act("pairs") == "rebuild")
+        rewriteStore(spark, pairsPath,
+          _ => minhashPairsDf(docs).select(col("doc_a"), col("doc_b"),
+            col("jaccard")))
+      if (act("layout") == "rebuild")
+        rewriteStore(spark, layoutPath,
+          _ => Ivf.assignLists(emb, cents)
+            .select(col("vec_id"), col("embedding"),
+              graft.functions.VectorFns.l2norm(col("embedding")).as("nrm"),
+              col("list_id")),
+          partitionBy = Seq("list_id"))
+      if (act("codes") == "reencode")
+        rewriteStore(spark, codesPath, _ => Pq.encodeCorpus(emb, codebooks))
+      current = plan()
+      round += 1
+    }
+    current
   }
 
   def qMaintenancePlan(spark: SparkSession, dir: String): DataFrame = {

@@ -394,6 +394,76 @@ class ExtSpec extends SparkSuite {
     assert(rotOnly("xstore") === "none")
   }
 
+  test("runMaintenance converges: mixed corruption across all six stores plans all-none within bounded rounds") {
+    import org.apache.spark.sql.functions.{col, lit, md5, when}
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = Ivf.trainCentroids(emb)
+    val codebooks = Pq.trainCodebooks(emb)
+    val healthyP = Dedup.minhashPairsDf(docs).localCheckpoint()
+    val docM = healthyP.orderBy("doc_a", "doc_b").head().getLong(0) // vanished
+    val two = docs.filter(col("doc_id") =!= docM).orderBy("doc_id")
+      .limit(2).collect().map(_.getAs[Long]("doc_id"))
+    val docB = two(0) // replayed
+    val docR = two(1) // rotten hash
+    val root = java.nio.file.Files.createTempDirectory("run_maint")
+    val (hP, mP, pP) = (root.resolve("hashes").toString,
+      root.resolve("manifest").toString, root.resolve("pairs").toString)
+    val (lP, cP) = (root.resolve("layout").toString, root.resolve("codes").toString)
+    val healthyH = docs.select(md5(col("text").cast("binary")).as("h"),
+      col("doc_id"), (col("doc_id") % 3).as("batch"))
+    healthyH.filter(col("doc_id") =!= docM)
+      .unionByName(healthyH.filter(col("doc_id") === docB)
+        .withColumn("batch", lit(9L)))
+      .withColumn("h", when(col("doc_id") === docR, lit("0" * 32))
+        .otherwise(col("h")))
+      .write.partitionBy("batch").parquet(hP)
+    Packing.packSequences(docs).write.parquet(mP)
+    healthyP.write.parquet(pP)
+    // layout with one misassigned row; codes with one rotten code
+    Ivf.assignLists(emb, cents)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFns.l2norm(col("embedding")).as("nrm"),
+        when(col("vec_id") === 0L, (col("list_id") + 1) % cents.size)
+          .otherwise(col("list_id")).as("list_id"))
+      .write.partitionBy("list_id").parquet(lP)
+    Pq.encodeCorpus(emb, codebooks)
+      .withColumn("codes", when(col("vec_id") === 0L,
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.array((col("codes")(0) + 1) % Pq.Ksub),
+          org.apache.spark.sql.functions.slice(col("codes"), 2, Pq.M - 1)))
+        .otherwise(col("codes")))
+      .write.parquet(cP)
+    val finalPlan = Dedup.runMaintenance(docs, emb, hP, mP, pP, lP,
+      cents, codebooks, cP).collect()
+    finalPlan.foreach { r =>
+      assert(r.getAs[String]("action") === "none",
+        s"${r.getString(0)} still plans ${r.getAs[String]("action")}")
+      assert(r.getAs[Long]("n_structural") === 0L, r.getString(0))
+      assert(r.getAs[Long]("n_rot") === 0L, r.getString(0))
+    }
+    // converged state equals the from-scratch derivation of every store
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.read.parquet(hP).select(col("h"), col("doc_id"))) ===
+      rows(healthyH.select(col("h"), col("doc_id"))))
+    // the restored row landed in the explicit backfill batch
+    assert(spark.read.parquet(hP).filter(col("doc_id") === docM)
+      .head().getAs[Number]("batch").longValue === -1L)
+    assert(rows(spark.read.parquet(mP)) === rows(Packing.packSequences(docs)))
+    assert(rows(Dedup.pairsArtifactRead(spark, pP)) === rows(healthyP))
+    assert(rows(spark.read.parquet(cP)) === rows(Pq.encodeCorpus(emb, codebooks)))
+    assert(rows(spark.read.parquet(lP)
+        .select(col("vec_id"), col("nrm"), col("list_id").cast("int"))) ===
+      rows(Ivf.assignLists(emb, cents).select(col("vec_id"),
+        graft.functions.VectorFns.l2norm(col("embedding")).as("nrm"),
+        col("list_id").cast("int"))))
+    // idempotence: a healthy state plans nothing and nothing is rewritten
+    val again = Dedup.runMaintenance(docs, emb, hP, mP, pP, lP,
+      cents, codebooks, cP).collect()
+    again.foreach(r => assert(r.getAs[String]("action") === "none"))
+  }
+
   test("store repair report matches an independent set-arithmetic reimplementation on randomized corruptions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
