@@ -613,9 +613,9 @@ object Dedup {
     val (h2, m2, p2) = storeRepairFrames(hashes, manifest, pairs)
     val (h2c, m2c, p2c) = (h2.localCheckpoint(), m2.localCheckpoint(),
       p2.localCheckpoint())
-    rewriteStore(spark, hashesRoot, _ => h2c, partitionBy = Seq("batch"))
-    rewriteStore(spark, manifestPath, _ => m2c)
-    rewriteStore(spark, pairsPath, _ => p2c)
+    publishStore(spark, hashesRoot, h2c, partitionBy = Seq("batch"))
+    publishStore(spark, manifestPath, m2c)
+    publishStore(spark, pairsPath, p2c)
     report
   }
 
@@ -642,14 +642,18 @@ object Dedup {
   //     misassignment → `repair` (the three doc stores / cross-store)
   //     or `rebuild`/`reencode` (the serving artifacts, whose repair IS
   //     re-derivation under the live model);
-  //   - `n_rot`: damage whose fix needs the SOURCE data — rows missing
-  //     vs the corpus (a store cannot restore a row from itself) and
-  //     stored hashes/token counts that no longer match their
-  //     documents → `reingest` (the [[graft.ext.Backfill]] discipline).
-  //     The corpus table is the membership truth here: a real takedown
-  //     removes the document from the corpus too ([[deleteApply]]'s
-  //     survivors), so delete-dominance repair and coverage reingest
-  //     never fight over the same document.
+  //   - `n_rot`: damage whose fix needs the SOURCE corpus — rows
+  //     missing vs the corpus (a store cannot restore a row from
+  //     itself), store rows for documents the corpus no longer has
+  //     (orphans: [[storeRepair]] never reads the corpus, so an orphan
+  //     present in BOTH membership stores survives every repair — only
+  //     the corpus-covering reingest drops it), and stored hashes /
+  //     token counts that no longer match their documents → `reingest`
+  //     (the [[graft.ext.Backfill]] discipline). The corpus table is
+  //     the membership truth: a real takedown removes the document
+  //     from the corpus too ([[deleteApply]]'s survivors), so
+  //     delete-dominance repair and coverage reingest never fight over
+  //     the same document.
   //
   // Healthy stores plan six `none` rows, which is what the DuckDB
   // oracle pins — a plan that would touch a healthy store fails the
@@ -673,12 +677,13 @@ object Dedup {
     rowOf(pairsAudit, "pairs",
         col("n_missing") + col("n_extra"), lit(0L), "rebuild", "rebuild")
       .unionByName(rowOf(hashAudit, "hashes",
-        col("n_multi") + col("n_orphans"),
-        col("n_missing") + col("n_hash_mismatch"), "repair", "reingest"))
+        col("n_multi"),
+        col("n_missing") + col("n_orphans") + col("n_hash_mismatch"),
+        "repair", "reingest"))
       .unionByName(rowOf(manifestAudit, "manifest",
-        col("n_formula_bad") + col("n_adjacency_bad") + col("n_dup_rows") +
-          col("n_orphans"),
-        col("n_missing") + col("n_tok_mismatch"), "repair", "reingest"))
+        col("n_formula_bad") + col("n_adjacency_bad") + col("n_dup_rows"),
+        col("n_missing") + col("n_orphans") + col("n_tok_mismatch"),
+        "repair", "reingest"))
       .unionByName(rowOf(consistency, "xstore",
         col("n_manifest_not_hash") + col("n_hash_not_manifest") +
           col("n_pair_endpoints_unregistered"), lit(0L), "repair", "repair"))
@@ -696,16 +701,22 @@ object Dedup {
     * until every store plans `none` (or `maxRounds` — the plan's
     * one-action-per-store priority means a store with BOTH structural
     * damage and rot takes two rounds: repair first, reingest second).
-    * Remedies, all through the staged atomic-swap publish discipline:
+    * Remedies, all through the staged atomic-swap publish discipline,
+    * with reingest ORDERED BEFORE repair inside a round (a coverage gap
+    * looks like an interrupted takedown to the cross-store check;
+    * restoring coverage first keeps delete-dominance repair from
+    * deleting the healthy stores' rows for the doc being restored):
     *
+    *   - `reingest` (coverage gaps, orphans, hash or token-count rot):
+    *     payloads recomputed from the source corpus, corpus-covering —
+    *     the hash store keeps its arrival batches and restored rows
+    *     land in the explicit backfill batch -1; the manifest is
+    *     re-packed from re-tokenized counts;
     *   - `repair` (hashes / manifest / cross-store): ONE [[storeRepair]]
     *     pass over the three doc stores;
-    *   - `reingest` (hash or token-count rot): payloads recomputed from
-    *     the source corpus for the surviving store keys — the hash
-    *     store keeps its arrival batches, the manifest is re-packed
-    *     from re-tokenized counts;
     *   - `rebuild` (pairs / layout): the artifact re-derived from the
-    *     corpus under the live model;
+    *     corpus under the live model — the [[pairsArtifactInit]] /
+    *     [[graft.ext.Ivf.layoutFrame]] definitions, published atomically;
     *   - `reencode` (codes): one [[graft.ext.Pq.encodeCorpus]] pass.
     *
     * Returns the FINAL plan — all `none` on success (spec-pinned, with
@@ -734,13 +745,19 @@ object Dedup {
         current.filter(col("action") =!= "none").count() > 0) {
       val act = current.collect()
         .map(r => r.getString(0) -> r.getAs[String]("action")).toMap
-      if (act("hashes") == "repair" || act("manifest") == "repair" ||
-          act("xstore") == "repair")
-        storeRepair(spark, hashesRoot, manifestPath, pairsPath)
+      // REINGEST legs run BEFORE repair: a coverage gap in one
+      // membership store reads, to the cross-store check, exactly like
+      // an interrupted takedown — if delete-dominance repair ran first
+      // it would delete the healthy stores' rows for the doc the
+      // reingest is about to restore, and the two remedies would undo
+      // each other round after round. Restoring coverage first makes
+      // the subsequent repair a no-op on those docs (the corpus is the
+      // membership truth).
       if (act("hashes") == "reingest")
         // corpus-covering: payloads recomputed from source for EVERY
         // corpus doc; existing rows keep their arrival batch, restored
-        // rows land in the explicit backfill batch -1
+        // rows land in the explicit backfill batch -1; orphans (docs
+        // the corpus no longer has) drop out of the join
         rewriteStore(spark, hashesRoot,
           df => docs.join(df.select(col("doc_id"), col("batch")),
               Seq("doc_id"), "left")
@@ -750,21 +767,20 @@ object Dedup {
       if (act("manifest") == "reingest")
         // the manifest is fully derived from (doc_id, text): re-pack
         // the corpus — token counts and offsets come back re-derived
-        rewriteStore(spark, manifestPath,
-          _ => graft.ext.Packing.packSequences(docs))
+        publishStore(spark, manifestPath,
+          graft.ext.Packing.packSequences(docs))
+      if (act("hashes") == "repair" || act("manifest") == "repair" ||
+          act("xstore") == "repair")
+        storeRepair(spark, hashesRoot, manifestPath, pairsPath)
       if (act("pairs") == "rebuild")
-        rewriteStore(spark, pairsPath,
-          _ => minhashPairsDf(docs).select(col("doc_a"), col("doc_b"),
-            col("jaccard")))
+        // ONE definition of the artifact: the pairsArtifactInit frame,
+        // published through the staged swap
+        publishStore(spark, pairsPath, minhashPairsDf(docs))
       if (act("layout") == "rebuild")
-        rewriteStore(spark, layoutPath,
-          _ => Ivf.assignLists(emb, cents)
-            .select(col("vec_id"), col("embedding"),
-              graft.functions.VectorFns.l2norm(col("embedding")).as("nrm"),
-              col("list_id")),
+        publishStore(spark, layoutPath, Ivf.layoutFrame(emb, cents),
           partitionBy = Seq("list_id"))
       if (act("codes") == "reencode")
-        rewriteStore(spark, codesPath, _ => Pq.encodeCorpus(emb, codebooks))
+        publishStore(spark, codesPath, Pq.encodeCorpus(emb, codebooks))
       current = plan()
       round += 1
     }
@@ -810,13 +826,23 @@ object Dedup {
     * reader never observes a half-written store).
     */
   private def rewriteStore(spark: SparkSession, path: String,
-      f: DataFrame => DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+      f: DataFrame => DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    publishStore(spark, path, f(spark.read.parquet(path)), partitionBy)
+
+  /** Publishes a prepared frame to `path` via staging + atomic rename —
+    * the [[rewriteStore]] discipline WITHOUT reading the existing
+    * store, for callers that replace rather than transform (a
+    * legitimately empty pairs artifact has no part files, so a bare
+    * `spark.read.parquet` of it fails schema inference — the rebuild
+    * must not read what it is about to discard).
+    */
+  private def publishStore(spark: SparkSession, path: String,
+      frame: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hadoopConf)
     val staging = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__rewrite")
-    val w = f(spark.read.parquet(path))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    val w = frame.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
     // a hive-partitioned store must be rewritten hive-partitioned: a
     // flat rewrite would leave later batch-keyed appends (batch=N
     // subdirs) mixed with root-level files — a layout Spark refuses

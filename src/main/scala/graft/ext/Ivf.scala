@@ -150,10 +150,18 @@ object Ivf {
     * [[Similarity.writeBucketedCorpus]]. A probe then reads nProbe of k
     * directories instead of the corpus.
     */
-  def writeIvfPartitioned(emb: DataFrame, centroids: Seq[Seq[Float]], path: String): Unit =
+  /** The serving layout's frame — ONE definition shared by the ingest
+    * writer ([[writeIvfPartitioned]]) and the maintenance rebuild
+    * ([[graft.ext.Dedup.runMaintenance]]), so a schema change cannot
+    * silently diverge the two.
+    */
+  def layoutFrame(emb: DataFrame, centroids: Seq[Seq[Float]]): DataFrame =
     assignLists(emb, centroids)
       .select(col("vec_id"), col("embedding"),
         VectorFns.l2norm(col("embedding")).as("nrm"), col("list_id"))
+
+  def writeIvfPartitioned(emb: DataFrame, centroids: Seq[Seq[Float]], path: String): Unit =
+    layoutFrame(emb, centroids)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(path)
 

@@ -392,6 +392,17 @@ class ExtSpec extends SparkSuite {
     assert(rotOnly("codes") === "reencode")
     assert(rotOnly("pairs") === "none")
     assert(rotOnly("xstore") === "none")
+    // corpus-orphans cannot be fixed store-locally (storeRepair keeps
+    // any doc present in both stores): they must route to reingest
+    val orphans = actions(Dedup.maintenancePlanDf(
+      pairsA(0, 0),
+      Seq((0L, 0L, 3L, 0L)).toDF("n_multi", "n_missing", "n_orphans",
+        "n_hash_mismatch"),
+      Seq((0L, 0L, 0L, 0L, 2L, 0L)).toDF("n_formula_bad", "n_adjacency_bad",
+        "n_dup_rows", "n_missing", "n_orphans", "n_tok_mismatch"),
+      consA(0), layA(0, 0), codA(0, 0)))
+    assert(orphans("hashes") === "reingest")
+    assert(orphans("manifest") === "reingest")
   }
 
   test("runMaintenance converges: mixed corruption across all six stores plans all-none within bounded rounds") {
@@ -462,6 +473,46 @@ class ExtSpec extends SparkSuite {
     val again = Dedup.runMaintenance(docs, emb, hP, mP, pP, lP,
       cents, codebooks, cP).collect()
     again.foreach(r => assert(r.getAs[String]("action") === "none"))
+
+    // LOST APPEND: the hash store alone is missing a pair endpoint.
+    // Reingest must restore it WITHOUT delete-dominance first deleting
+    // the healthy manifest/pair rows for the same doc (the reingest-
+    // before-repair ordering) — the pair artifact must come out
+    // UNTOUCHED, not rebuilt-after-deletion.
+    val root2 = java.nio.file.Files.createTempDirectory("run_maint_lost")
+    val (hP2, mP2, pP2) = (root2.resolve("hashes").toString,
+      root2.resolve("manifest").toString, root2.resolve("pairs").toString)
+    healthyH.filter(col("doc_id") =!= docM)
+      .write.partitionBy("batch").parquet(hP2)
+    Packing.packSequences(docs).write.parquet(mP2)
+    healthyP.write.parquet(pP2)
+    val fp2 = Dedup.runMaintenance(docs, emb, hP2, mP2, pP2, lP,
+      cents, codebooks, cP).collect()
+    fp2.foreach(r => assert(r.getAs[String]("action") === "none",
+      s"lost-append: ${r.getString(0)}"))
+    assert(rows(spark.read.parquet(hP2).select(col("h"), col("doc_id"))) ===
+      rows(healthyH.select(col("h"), col("doc_id"))))
+    assert(rows(Dedup.pairsArtifactRead(spark, pP2)) === rows(healthyP))
+
+    // CORPUS ORPHAN: the corpus lost a doc but every store still holds
+    // it — store-local repair can never fix this (member = hIds ∩ mIds
+    // keeps it), so the plan must route it to the corpus-covering
+    // reingest, and the doc's pairs fall to the cross-store pass.
+    val docs2 = docs.filter(col("doc_id") =!= docM).localCheckpoint()
+    val root3 = java.nio.file.Files.createTempDirectory("run_maint_orphan")
+    val (hP3, mP3, pP3) = (root3.resolve("hashes").toString,
+      root3.resolve("manifest").toString, root3.resolve("pairs").toString)
+    healthyH.write.partitionBy("batch").parquet(hP3)
+    Packing.packSequences(docs).write.parquet(mP3)
+    healthyP.write.parquet(pP3)
+    val fp3 = Dedup.runMaintenance(docs2, emb, hP3, mP3, pP3, lP,
+      cents, codebooks, cP).collect()
+    fp3.foreach(r => assert(r.getAs[String]("action") === "none",
+      s"orphan: ${r.getString(0)}"))
+    assert(spark.read.parquet(hP3).filter(col("doc_id") === docM).count() === 0L)
+    assert(spark.read.parquet(mP3).filter(col("doc_id") === docM).count() === 0L)
+    assert(Dedup.pairsArtifactRead(spark, pP3)
+      .filter(col("doc_a") === docM || col("doc_b") === docM).count() === 0L)
   }
 
   test("store repair report matches an independent set-arithmetic reimplementation on randomized corruptions") {
