@@ -165,6 +165,29 @@ object Ivf {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(path)
 
+  /** Incremental layout maintenance — the daily-cadence form: an
+    * arriving embedding batch is assigned under the LIVE model (one
+    * compiled map) and appended into the hive directories, so the
+    * serving layout is maintained at ingest instead of rebuilt per
+    * batch. Already-present vec_ids are filtered out first (one
+    * anti-join against the layout's id column), which makes batch
+    * REPLAY idempotent — the same at-least-once discipline as the
+    * incremental near-dup index and the pack-manifest `packDelta`.
+    * Union over appended batches equals the from-scratch
+    * [[writeIvfPartitioned]] (assignment is per-row under a frozen
+    * model — spec-pinned), and [[ivfLayoutAuditDf]] gates the result;
+    * when [[ivfDriftDf]] says the frozen model has aged,
+    * [[retrainApply]] is the rebuild path.
+    */
+  def layoutAppend(embBatch: DataFrame, centroids: Seq[Seq[Float]],
+      path: String): Unit = {
+    val spark = embBatch.sparkSession
+    val existing = spark.read.parquet(path).select(col("vec_id"))
+    layoutFrame(embBatch.join(existing, Seq("vec_id"), "left_anti"), centroids)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list_id").parquet(path)
+  }
+
   /** Probe + exact re-rank against the [[writeIvfPartitioned]] layout.
     * The probe list ids (nProbe ints per query — query metadata, not
     * corpus data) are collected driver-side and become a STATIC partition

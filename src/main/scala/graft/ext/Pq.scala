@@ -138,6 +138,21 @@ object Pq {
     emb.select(col("vec_id"),
       PqEncode(normalizedCol(col("embedding")), codebooks).as("codes"))
 
+  /** Incremental code-table maintenance — the [[graft.ext.Ivf.layoutAppend]]
+    * twin: an arriving batch is encoded under the live codebooks and
+    * appended, already-present vec_ids filtered first so batch replay
+    * is idempotent. Union over batches equals the from-scratch
+    * [[encodeCorpus]] (encoding is per-row under a frozen model);
+    * [[codesAuditDf]] gates the result.
+    */
+  def codesAppend(embBatch: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
+      path: String): Unit = {
+    val spark = embBatch.sparkSession
+    val existing = spark.read.parquet(path).select(col("vec_id"))
+    encodeCorpus(embBatch.join(existing, Seq("vec_id"), "left_anti"), codebooks)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
+
   /** ADC search: per-query lookup tables (flat m·ksub doubles,
     * table[m·ksub + k] = dot(query_sub_m, centroid_mk)) are computed
     * driver-side from the BOUNDED query block and broadcast; scoring is

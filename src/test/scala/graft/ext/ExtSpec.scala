@@ -296,6 +296,47 @@ class ExtSpec extends SparkSuite {
       .getAs[Long]("n_norm_mismatch") === 1L)
   }
 
+  test("serving-artifact maintenance: layout/codes appends over batches equal the from-scratch build, replay-idempotent, audit-green") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = Ivf.ensureModel(spark, dir)
+    val cb = Pq.ensureModel(spark, dir)
+    val cut1 = 200L; val cut2 = 350L
+    val root = java.nio.file.Files.createTempDirectory("serving_append")
+    val lP = root.resolve("layout").toString
+    val cP = root.resolve("codes").toString
+    // bootstrap on the first arrivals, then two incremental waves —
+    // wave 1 APPLIED TWICE (at-least-once replay)
+    Ivf.writeIvfPartitioned(emb.filter(col("vec_id") < cut1), cents, lP)
+    Pq.encodeCorpus(emb.filter(col("vec_id") < cut1), cb).write.parquet(cP)
+    val wave1 = emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2)
+    val wave2 = emb.filter(col("vec_id") >= cut2)
+    Ivf.layoutAppend(wave1, cents, lP)
+    Ivf.layoutAppend(wave1, cents, lP) // replay
+    Ivf.layoutAppend(wave2, cents, lP)
+    Pq.codesAppend(wave1, cb, cP)
+    Pq.codesAppend(wave1, cb, cP) // replay
+    Pq.codesAppend(wave2, cb, cP)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val fresh = root.resolve("fresh").toString
+    Ivf.writeIvfPartitioned(emb, cents, fresh)
+    assert(rows(spark.read.parquet(lP)
+        .select(col("vec_id"), col("nrm"), col("list_id").cast("int"))) ===
+      rows(spark.read.parquet(fresh)
+        .select(col("vec_id"), col("nrm"), col("list_id").cast("int"))))
+    assert(rows(spark.read.parquet(cP)) === rows(Pq.encodeCorpus(emb, cb)))
+    // and the audits gate the maintained artifacts directly
+    val la = Ivf.ivfLayoutAuditDf(emb, spark.read.parquet(lP), cents).head()
+    for (c <- Seq("n_multi", "n_missing", "n_orphans", "n_misassigned",
+        "n_norm_mismatch"))
+      assert(la.getAs[Long](c) === 0L, s"layout $c")
+    val ca = Pq.codesAuditDf(emb, spark.read.parquet(cP), cb).head()
+    for (c <- Seq("n_multi", "n_missing", "n_orphans", "n_len_bad",
+        "n_code_mismatch"))
+      assert(ca.getAs[Long](c) === 0L, s"codes $c")
+  }
+
   test("pq codes audit: healthy table all-zero; dup, missing, orphan, torn write, and code rot reported exactly") {
     import org.apache.spark.sql.functions.{col, slice, when}
     val emb = Tables.embeddings(spark, dir).localCheckpoint()
