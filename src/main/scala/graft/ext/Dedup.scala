@@ -662,28 +662,45 @@ object Dedup {
 
   /** The plan over six explicit audit rows — factored so the spec can
     * stage corrupted audits and pin the action routing.
+    *
+    * Priority per store: for the MEMBERSHIP stores (hashes, manifest)
+    * rot outranks structural — a coverage gap reads, to the cross-store
+    * check, exactly like an interrupted takedown, so scheduling `repair`
+    * first would let delete-dominance remove the missing docs' rows from
+    * the healthy stores before the reingest restores them (and the
+    * corpus-covering reingest subsumes the structural fixes anyway: it
+    * re-derives one row per corpus doc, clearing replay duplicates and
+    * orphans in the same pass). The serving artifacts route both classes
+    * to the same re-derivation, so priority is moot there.
     */
   def maintenancePlanDf(pairsAudit: DataFrame, hashAudit: DataFrame,
       manifestAudit: DataFrame, consistency: DataFrame,
       layoutAudit: DataFrame, codesAudit: DataFrame): DataFrame = {
     def rowOf(df: DataFrame, store: String, structural: Column, rot: Column,
-        fixAction: String, rotAction: String): DataFrame =
+        fixAction: String, rotAction: String,
+        rotOutranks: Boolean = false): DataFrame = {
+      val action =
+        if (rotOutranks)
+          when(rot > 0, lit(rotAction)).when(structural > 0, lit(fixAction))
+            .otherwise(lit("none"))
+        else
+          when(structural > 0, lit(fixAction)).when(rot > 0, lit(rotAction))
+            .otherwise(lit("none"))
       df.select(lit(store).as("store"),
         structural.cast("long").as("n_structural"),
         rot.cast("long").as("n_rot"),
-        when(structural > 0, lit(fixAction))
-          .when(rot > 0, lit(rotAction))
-          .otherwise(lit("none")).as("action"))
+        action.as("action"))
+    }
     rowOf(pairsAudit, "pairs",
         col("n_missing") + col("n_extra"), lit(0L), "rebuild", "rebuild")
       .unionByName(rowOf(hashAudit, "hashes",
         col("n_multi"),
         col("n_missing") + col("n_orphans") + col("n_hash_mismatch"),
-        "repair", "reingest"))
+        "repair", "reingest", rotOutranks = true))
       .unionByName(rowOf(manifestAudit, "manifest",
         col("n_formula_bad") + col("n_adjacency_bad") + col("n_dup_rows"),
         col("n_missing") + col("n_orphans") + col("n_tok_mismatch"),
-        "repair", "reingest"))
+        "repair", "reingest", rotOutranks = true))
       .unionByName(rowOf(consistency, "xstore",
         col("n_manifest_not_hash") + col("n_hash_not_manifest") +
           col("n_pair_endpoints_unregistered"), lit(0L), "repair", "repair"))
@@ -757,9 +774,14 @@ object Dedup {
         // corpus-covering: payloads recomputed from source for EVERY
         // corpus doc; existing rows keep their arrival batch, restored
         // rows land in the explicit backfill batch -1; orphans (docs
-        // the corpus no longer has) drop out of the join
+        // the corpus no longer has) drop out of the join. The carried
+        // batches are aggregated to min(batch) per doc_id FIRST, so a
+        // replay-duplicated store row can never fan the left join out
+        // into duplicate rewritten rows — the leg is safe regardless of
+        // which action the routing scheduled alongside
         rewriteStore(spark, hashesRoot,
-          df => docs.join(df.select(col("doc_id"), col("batch")),
+          df => docs.join(df.select(col("doc_id"), col("batch"))
+              .groupBy(col("doc_id")).agg(min(col("batch")).as("batch")),
               Seq("doc_id"), "left")
             .select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
               coalesce(col("batch"), lit(-1L)).as("batch")),

@@ -319,12 +319,20 @@ object Ivf {
       .select(col("vec_id"),
         element_at(NearestCentroids(col("embedding"), cents, 1), 1).as("list_re"),
         VectorFns.l2norm(col("embedding")).as("nrm_re"))
+    // per-vec_id aggregate between join and count: a replay-duplicated
+    // store row for a sampled vec_id must neither inflate sample_n
+    // beyond least(n, sampleN) nor double-count its mismatches (n_multi
+    // already flags the dup itself) — a vec_id counts misassigned once
+    // if ANY of its rows disagrees with the recompute
     val sampLeg = sample.join(lay, Seq("vec_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("list_id").isNull ||
+          col("list_id") =!= col("list_re"), 1L).otherwise(0L)).as("mis"),
+        max(when(col("nrm").isNull ||
+          col("nrm") =!= col("nrm_re"), 1L).otherwise(0L)).as("nmm"))
       .agg(count(lit(1)).as("sample_n"),
-        coalesce(sum(when(col("list_id").isNull ||
-          col("list_id") =!= col("list_re"), 1L)), lit(0L)).as("n_misassigned"),
-        coalesce(sum(when(col("nrm").isNull ||
-          col("nrm") =!= col("nrm_re"), 1L)), lit(0L)).as("n_norm_mismatch"))
+        coalesce(sum(col("mis")), lit(0L)).as("n_misassigned"),
+        coalesce(sum(col("nmm")), lit(0L)).as("n_norm_mismatch"))
     volLeg.crossJoin(multiLeg).crossJoin(missLeg).crossJoin(orphanLeg)
       .crossJoin(sampLeg)
       .select(col("n_layout"), col("n_lists"), col("n_multi"),
@@ -705,24 +713,25 @@ object Ivf {
     val emb = Tables.embeddings(spark, dir)
     val cut = 4L * emb.count() / 5L
     val root = java.nio.file.Files.createTempDirectory("retrain_apply")
-    val modelPath = root.resolve("model").toString
-    val layoutPath = root.resolve("corpus").toString
-    val centsOld = trainCentroids(emb.filter(col("vec_id") < cut))
-    modelArtifactWrite(spark, centsOld, modelPath)
-    writeIvfPartitioned(emb, centsOld, layoutPath)
-    // the candidate quantizer is the MAINTAINED full-corpus model —
-    // deterministic training makes ensureModel ≡ trainCentroids(emb)
-    // bit-exact (spec-pinned), so reuse the cached artifact instead of
-    // paying the sample draw + Lloyd's per invocation
-    val report = retrainApply(spark, layoutPath, modelPath,
-      ensureModel(spark, dir))
     // the scratch serving state is per-call (two corpus-sized layouts);
-    // the report is checkpointed, so drop it rather than leak a
-    // layout pair into /tmp per bench iteration
-    val fs = new org.apache.hadoop.fs.Path(root.toString)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
-    report
+    // the report is checkpointed, so drop the scratch root even when the
+    // apply throws — a failed bench iteration must not leak layouts
+    try {
+      val modelPath = root.resolve("model").toString
+      val layoutPath = root.resolve("corpus").toString
+      val centsOld = trainCentroids(emb.filter(col("vec_id") < cut))
+      modelArtifactWrite(spark, centsOld, modelPath)
+      writeIvfPartitioned(emb, centsOld, layoutPath)
+      // the candidate quantizer is the MAINTAINED full-corpus model —
+      // deterministic training makes ensureModel ≡ trainCentroids(emb)
+      // bit-exact (spec-pinned), so reuse the cached artifact instead of
+      // paying the sample draw + Lloyd's per invocation
+      retrainApply(spark, layoutPath, modelPath, ensureModel(spark, dir))
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(root.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -278,10 +278,16 @@ object Pq {
       .orderBy(VectorFns.mix64(col("vec_id")), col("vec_id")).limit(sampleN)
       .select(col("vec_id"),
         PqEncode(normalizedCol(col("embedding")), codebooks).as("codes_re"))
+    // per-vec_id aggregate between join and count (the ivfLayoutAuditDf
+    // discipline): a replay-duplicated store row must neither inflate
+    // sample_n nor double-count n_code_mismatch — a vec_id counts once
+    // if ANY of its rows disagrees with the recompute
     val sampLeg = sample.join(c, Seq("vec_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("codes").isNull ||
+          col("codes") =!= col("codes_re"), 1L).otherwise(0L)).as("mm"))
       .agg(count(lit(1)).as("sample_n"),
-        coalesce(sum(when(col("codes").isNull ||
-          col("codes") =!= col("codes_re"), 1L)), lit(0L)).as("n_code_mismatch"))
+        coalesce(sum(col("mm")), lit(0L)).as("n_code_mismatch"))
     volLeg.crossJoin(multiLeg).crossJoin(missLeg).crossJoin(orphanLeg)
       .crossJoin(lenLeg).crossJoin(sampLeg)
       .select(col("n_codes"), col("n_multi"), col("n_missing"),

@@ -273,9 +273,19 @@ class ExtSpec extends SparkSuite {
     // the first hash-sample vector — the one the sample legs must see
     val top = emb.orderBy(graft.functions.VectorFns.mix64(col("vec_id")),
       col("vec_id")).limit(1).select("vec_id").head().getLong(0)
-    // replayed append: one vec twice
-    assert(audit(layout.unionByName(layout.filter(col("vec_id") === top)))
-      .getAs[Long]("n_multi") === 1L)
+    // replayed append: one vec twice — flagged by n_multi, while the
+    // sample leg stays exact (sample_n pinned, the duplicated-but-
+    // correct row not double-counted as a mismatch)
+    val replayed = audit(layout.unionByName(layout.filter(col("vec_id") === top)))
+    assert(replayed.getAs[Long]("n_multi") === 1L)
+    assert(replayed.getAs[Long]("sample_n") === math.min(n, Ivf.SampleN.toLong))
+    assert(replayed.getAs[Long]("n_misassigned") === 0L)
+    assert(replayed.getAs[Long]("n_norm_mismatch") === 0L)
+    // a dup where ONE copy rotted still counts its vec_id exactly once
+    val dupRot = audit(layout.unionByName(layout.filter(col("vec_id") === top)
+      .withColumn("nrm", lit(-1.0))))
+    assert(dupRot.getAs[Long]("sample_n") === math.min(n, Ivf.SampleN.toLong))
+    assert(dupRot.getAs[Long]("n_norm_mismatch") === 1L)
     // dropped row: missing from coverage AND from the sample slice
     val dropped = audit(layout.filter(col("vec_id") =!= top))
     assert(dropped.getAs[Long]("n_missing") === 1L)
@@ -353,8 +363,12 @@ class ExtSpec extends SparkSuite {
       assert(healthy.getAs[Long](c) === 0L, c)
     val top = emb.orderBy(graft.functions.VectorFns.mix64(col("vec_id")),
       col("vec_id")).limit(1).select("vec_id").head().getLong(0)
-    assert(audit(codes.unionByName(codes.filter(col("vec_id") === top)))
-      .getAs[Long]("n_multi") === 1L)
+    // replay dup: n_multi flags it; the sample leg stays exact (pinned
+    // sample_n, no double-count — the per-vec_id aggregate discipline)
+    val replayed = audit(codes.unionByName(codes.filter(col("vec_id") === top)))
+    assert(replayed.getAs[Long]("n_multi") === 1L)
+    assert(replayed.getAs[Long]("sample_n") === math.min(n, Pq.SampleN.toLong))
+    assert(replayed.getAs[Long]("n_code_mismatch") === 0L)
     val dropped = audit(codes.filter(col("vec_id") =!= top))
     assert(dropped.getAs[Long]("n_missing") === 1L)
     assert(dropped.getAs[Long]("n_code_mismatch") === 1L)
@@ -420,11 +434,20 @@ class ExtSpec extends SparkSuite {
     val routed = actions(Dedup.maintenancePlanDf(
       pairsA(1, 0), hashA(1, 5), manA(0, 2), consA(3), layA(0, 1), codA(0, 4)))
     assert(routed("pairs") === "rebuild")
-    assert(routed("hashes") === "repair")   // structural outranks rot
+    // membership stores: ROT OUTRANKS STRUCTURAL — a coverage gap with
+    // dups alongside must reingest first (repair-first would let
+    // delete-dominance remove the missing docs' healthy-store rows, and
+    // the corpus-covering reingest clears the dups in the same pass)
+    assert(routed("hashes") === "reingest")
     assert(routed("manifest") === "reingest") // rot only
     assert(routed("xstore") === "repair")
     assert(routed("layout") === "rebuild")  // norm rot rebuilds the layout
     assert(routed("codes") === "reencode")
+    // structural-only membership damage still routes to repair
+    val structOnly = actions(Dedup.maintenancePlanDf(
+      pairsA(0, 0), hashA(2, 0), manA(3, 0), consA(0), layA(0, 0), codA(0, 0)))
+    assert(structOnly("hashes") === "repair")
+    assert(structOnly("manifest") === "repair")
     val rotOnly = actions(Dedup.maintenancePlanDf(
       pairsA(0, 0), hashA(0, 7), manA(1, 0), consA(0), layA(2, 0), codA(1, 0)))
     assert(rotOnly("hashes") === "reingest")
