@@ -295,10 +295,18 @@ object Dedup {
     * filter-pushed like any other source, never a recompute. The schema
     * is pinned explicitly so a freshly-bootstrapped EMPTY artifact (a
     * zero-pair corpus prefix writes no part files) still reads as an
-    * empty frame instead of failing inference.
+    * empty frame instead of failing inference; a MISSING directory
+    * (a vanished store — the state [[runMaintenance]] routes to
+    * rebuild) also reads as empty rather than throwing, so the audits
+    * can observe the loss instead of crashing on it.
     */
-  def pairsArtifactRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(pairsArtifactSchema).parquet(path)
+  def pairsArtifactRead(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(pairsArtifactSchema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairsArtifactSchema)
+  }
 
   private val pairsArtifactSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_a",
@@ -597,9 +605,9 @@ object Dedup {
     (h2, m2, p2)
   }
 
-  /** WRITER form: repairs the three on-disk stores in place (staging +
-    * atomic rename per store — the [[rewriteStore]] publish discipline,
-    * hive layout preserved for the batch-keyed hash store) and returns
+  /** WRITER form: repairs the three on-disk stores in place (the
+    * recoverable [[graft.ops.Publish]] swap per store, hive layout
+    * preserved for the batch-keyed hash store) and returns
     * the [[storeRepairDf]] report computed over the PRE-repair state.
     * Idempotent: a second run rewrites nothing semantically and reports
     * all-zero removals.
@@ -718,7 +726,9 @@ object Dedup {
     * until every store plans `none` (or `maxRounds` — the plan's
     * one-action-per-store priority means a store with BOTH structural
     * damage and rot takes two rounds: repair first, reingest second).
-    * Remedies, all through the staged atomic-swap publish discipline,
+    * Remedies, all through the recoverable rename-aside publish
+    * ([[graft.ops.Publish]] — crashed swaps are settled by a recovery
+    * pre-pass, vanished stores read as empty and route to rebuild),
     * with reingest ORDERED BEFORE repair inside a round (a coverage gap
     * looks like an interrupted takedown to the cross-store check;
     * restoring coverage first keeps delete-dominance repair from
@@ -747,14 +757,24 @@ object Dedup {
       codebooks: Seq[Seq[Seq[Float]]], codesPath: String,
       maxRounds: Int = 3): DataFrame = {
     val spark = docs.sparkSession
+    // RECOVERY pre-pass: a publish that crashed mid-swap leaves
+    // rename-aside state ([[graft.ops.Publish]]'s crash matrix); settle
+    // it before auditing so a half-promoted store reads as its settled
+    // self, and a store the crash genuinely lost reads as EMPTY below —
+    // the audits then see a total coverage gap and the plan routes a
+    // from-scratch reingest/rebuild instead of throwing on the path.
+    Seq(hashesRoot, manifestPath, pairsPath, layoutPath, codesPath)
+      .foreach(graft.ops.Publish.recover(spark, _))
     def plan(): DataFrame = maintenancePlanDf(
       artifactAuditDf(docs, pairsArtifactRead(spark, pairsPath)),
-      hashStoreAuditDf(docs, spark.read.parquet(hashesRoot)),
-      graft.ext.Packing.manifestAuditDf(docs, spark.read.parquet(manifestPath)),
-      storeConsistencyDf(spark.read.parquet(hashesRoot),
-        spark.read.parquet(manifestPath), pairsArtifactRead(spark, pairsPath)),
-      Ivf.ivfLayoutAuditDf(emb, spark.read.parquet(layoutPath), cents),
-      Pq.codesAuditDf(emb, spark.read.parquet(codesPath), codebooks))
+      hashStoreAuditDf(docs, readStoreOr(spark, hashesRoot, HashStoreDdl)),
+      graft.ext.Packing.manifestAuditDf(docs,
+        readStoreOr(spark, manifestPath, ManifestDdl)),
+      storeConsistencyDf(readStoreOr(spark, hashesRoot, HashStoreDdl),
+        readStoreOr(spark, manifestPath, ManifestDdl),
+        pairsArtifactRead(spark, pairsPath)),
+      Ivf.ivfLayoutAuditDf(emb, readStoreOr(spark, layoutPath, LayoutDdl), cents),
+      Pq.codesAuditDf(emb, readStoreOr(spark, codesPath, CodesDdl), codebooks))
       .localCheckpoint()
     var current = plan()
     var round = 0
@@ -778,9 +798,12 @@ object Dedup {
         // batches are aggregated to min(batch) per doc_id FIRST, so a
         // replay-duplicated store row can never fan the left join out
         // into duplicate rewritten rows — the leg is safe regardless of
-        // which action the routing scheduled alongside
-        rewriteStore(spark, hashesRoot,
-          df => docs.join(df.select(col("doc_id"), col("batch"))
+        // which action the routing scheduled alongside. Read through
+        // readStoreOr: a VANISHED store carries no batches, so every
+        // row lands in the backfill batch — the from-scratch rebuild.
+        publishStore(spark, hashesRoot,
+          docs.join(readStoreOr(spark, hashesRoot, HashStoreDdl)
+              .select(col("doc_id"), col("batch"))
               .groupBy(col("doc_id")).agg(min(col("batch")).as("batch")),
               Seq("doc_id"), "left")
             .select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
@@ -807,6 +830,31 @@ object Dedup {
       round += 1
     }
     current
+  }
+
+  // The maintained stores' pinned schemas, for reading a MISSING store
+  // as an empty frame (the audits then observe the loss as a total
+  // coverage gap and the plan routes a rebuild — never a throw).
+  private[graft] val HashStoreDdl = "h STRING, doc_id BIGINT, batch BIGINT"
+  private[graft] val ManifestDdl =
+    "doc_id BIGINT, n_tok BIGINT, t_off BIGINT, seq_id BIGINT, n_seqs BIGINT"
+  private[graft] val LayoutDdl =
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, list_id INT"
+  private[graft] val CodesDdl = "vec_id BIGINT, codes ARRAY<INT>"
+
+  /** Reads a maintained store, or — when the directory does not exist
+    * (a crash the [[graft.ops.Publish.recover]] matrix classifies as
+    * `missing`, or operator damage) — an EMPTY frame under the store's
+    * pinned schema, so audits report the loss rather than throwing.
+    */
+  private[graft] def readStoreOr(spark: SparkSession, path: String,
+      ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
   }
 
   def qMaintenancePlan(spark: SparkSession, dir: String): DataFrame = {
@@ -843,41 +891,29 @@ object Dedup {
   // the surviving corpus — the stream==batch discipline, asserted
   // row-for-row by ExtSpec.
 
-  /** Rewrites a parquet store through a staging directory + atomic
-    * rename (the [[graft.ops.Scale.compact]] publish discipline — a
-    * reader never observes a half-written store).
+  /** Rewrites a parquet store through the shared RECOVERABLE publish
+    * ([[graft.ops.Publish]]: stage, rename-aside, promote — a reader
+    * never observes a half-written store, and a crash at any step
+    * leaves a mechanically recoverable state, never a vanished store).
     */
   private def rewriteStore(spark: SparkSession, path: String,
       f: DataFrame => DataFrame, partitionBy: Seq[String] = Nil): Unit =
     publishStore(spark, path, f(spark.read.parquet(path)), partitionBy)
 
-  /** Publishes a prepared frame to `path` via staging + atomic rename —
-    * the [[rewriteStore]] discipline WITHOUT reading the existing
-    * store, for callers that replace rather than transform (a
-    * legitimately empty pairs artifact has no part files, so a bare
+  /** Publishes a prepared frame to `path` through the one shared
+    * recoverable swap ([[graft.ops.Publish.publish]]) — the
+    * [[rewriteStore]] discipline WITHOUT reading the existing store,
+    * for callers that replace rather than transform (a legitimately
+    * empty pairs artifact has no part files, so a bare
     * `spark.read.parquet` of it fails schema inference — the rebuild
-    * must not read what it is about to discard).
+    * must not read what it is about to discard). Hive-partitioned
+    * stores must pass `partitionBy`: a flat rewrite would leave later
+    * batch-keyed appends (batch=N subdirs) mixed with root-level files
+    * — a layout Spark refuses.
     */
   private def publishStore(spark: SparkSession, path: String,
-      frame: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    val staging = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__rewrite")
-    val w = frame.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-    // a hive-partitioned store must be rewritten hive-partitioned: a
-    // flat rewrite would leave later batch-keyed appends (batch=N
-    // subdirs) mixed with root-level files — a layout Spark refuses
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(staging.toString)
-    fs.delete(p, true)
-    fs.rename(staging, p)
-    // the rename bypasses Spark's writers: re-cache any persisted plans
-    // over this path so they don't keep serving the pre-rewrite files.
-    // (Un-cached readers are safe — each new spark.read lists afresh —
-    // but a reader must not reuse a Dataset created before the rewrite.)
-    spark.catalog.refreshByPath(path)
-  }
+      frame: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    graft.ops.Publish.publish(spark, path, frame, partitionBy)
 
   /** Applies a delete set to the persistent near-dup state and returns
     * the RE-ELECTION DELTA: one row per surviving previously-clustered
@@ -934,14 +970,7 @@ object Dedup {
       .join(broadcast(del.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .localCheckpoint()
-    after.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(pairsPath.stripSuffix("/") + "__rewrite")
-    val fs = new org.apache.hadoop.fs.Path(pairsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(pairsPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(pairsPath.stripSuffix("/") + "__rewrite"),
-      new org.apache.hadoop.fs.Path(pairsPath))
-    spark.catalog.refreshByPath(pairsPath)
+    publishStore(spark, pairsPath, after)
     // re-election delta from the two pair-sized closures
     def labels(pairs: DataFrame): DataFrame = Cluster.connectedComponents(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))

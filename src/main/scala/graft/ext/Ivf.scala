@@ -83,13 +83,16 @@ object Ivf {
   // report; at 100 TB the sample draw alone is a corpus pass.
 
   /** Persists a trained coarse quantizer as a k-row parquet table
-    * (list_id, cent float array — exact bit round-trip).
+    * (list_id, cent float array — exact bit round-trip), through the
+    * shared recoverable swap — a retrain that crashes mid-write must
+    * not leave the serving process with no model at all.
     */
   def modelArtifactWrite(spark: SparkSession, cents: Seq[Seq[Float]],
       path: String): Unit = {
     import spark.implicits._
-    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list_id", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.ops.Publish.publish(spark, path,
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list_id", "cent")
+        .coalesce(1))
   }
 
   def modelArtifactRead(spark: SparkSession, path: String): Seq[Seq[Float]] =
@@ -629,8 +632,10 @@ object Ivf {
   // it COSTS; this EXECUTES it against the serving state: the model
   // artifact is replaced and the hive-partitioned inverted-list layout
   // ([[writeIvfPartitioned]]) is rewritten under the new quantizer
-  // through the staging + atomic-rename publish discipline, so a
-  // serving process never observes a half-moved layout. The report is
+  // through the shared recoverable publish ([[graft.ops.Publish]] —
+  // stage, rename-aside, promote; a crash at any step is settled by
+  // the recovery rule, and a fresh read never observes a half-moved
+  // layout on a filesystem with atomic directory rename). The report is
   // the PHYSICAL data movement the apply performed — per inverted list,
   // rows before, rows moved out/in, rows after — i.e. the I/O bill of
   // the retrain, complementing the delta report's distortion economics.
@@ -681,22 +686,14 @@ object Ivf {
         coalesce(col("n_after"), lit(0L)).as("n_after"))
       .orderBy("list_id")
       .localCheckpoint() // k rows, pinned before the stores mutate
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(layoutPath)
-    val fs = p.getFileSystem(hadoopConf)
-    val staging = new org.apache.hadoop.fs.Path(
-      layoutPath.stripSuffix("/") + "__rewrite")
-    assigned()
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("new_list").as("list_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("list_id").parquet(staging.toString)
-    fs.delete(p, true)
-    fs.rename(staging, p)
-    // the rename bypasses Spark's writers: re-cache persisted plans over
-    // the layout path (new reads list afresh; pre-rewrite Datasets must
-    // not be reused — the rewriteStore contract)
-    spark.catalog.refreshByPath(layoutPath)
+    // ONE shared publish discipline for every store swap in the engine
+    // (graft.ops.Publish: stage, rename-aside, promote — recoverable at
+    // every step; the staged frame reads the live layout, which stays
+    // intact until the staging write completes)
+    graft.ops.Publish.publish(spark, layoutPath,
+      assigned().select(col("vec_id"), col("embedding"), col("nrm"),
+        col("new_list").as("list_id")),
+      partitionBy = Seq("list_id"))
     modelArtifactWrite(spark, newCents, modelPath)
     report
   }

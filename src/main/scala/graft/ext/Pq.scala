@@ -96,10 +96,12 @@ object Pq {
   def modelArtifactWrite(spark: SparkSession, codebooks: Seq[Seq[Seq[Float]]],
       path: String): Unit = {
     import spark.implicits._
-    codebooks.zipWithIndex.flatMap { case (cb, s) =>
-      cb.zipWithIndex.map { case (cent, k) => (s, k, cent) }
-    }.toDF("s", "code", "cvec")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    // through the shared recoverable swap (graft.ops.Publish): a crash
+    // mid-write must not leave serving with no codebooks at all
+    graft.ops.Publish.publish(spark, path,
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cent, k) => (s, k, cent) }
+      }.toDF("s", "code", "cvec").coalesce(1))
   }
 
   def modelArtifactRead(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] =

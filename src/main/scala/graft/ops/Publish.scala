@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** RECOVERABLE store publish — the one swap discipline every maintained
+  * parquet store in the engine rewrites through (pair artifact, hash
+  * registry, pack manifest, IVF/PQ serving layouts, model artifacts,
+  * compaction).
+  *
+  * The naive rewrite (`delete(live); rename(staging, live)`) has a
+  * crash window in which NO live store exists at all — strictly worse
+  * than the partial-apply drift the audits detect, because a vanished
+  * store cannot be audited or repaired, only rebuilt. This publish
+  * closes the window with a rename-aside protocol in which every
+  * intermediate state is mechanically recoverable:
+  *
+  *   0. write the prepared frame to `path__staged` (live untouched;
+  *      Spark's job commit marks completion with `_SUCCESS`);
+  *   1. rename the live store aside: `live` → `path__prev`;
+  *   2. promote: `path__staged` → `live`;
+  *   3. delete `path__prev`.
+  *
+  * Crash matrix, settled by [[recover]] (run automatically at the start
+  * of every publish, and by `Dedup.runMaintenance` before planning):
+  *
+  *   - crash in/after step 0 (live present): the publish never touched
+  *     the live store — discard leftovers, report `cleared`;
+  *   - crash after step 1 (live missing, staged COMPLETE — `_SUCCESS`
+  *     present, which step 1 running at all implies): roll FORWARD —
+  *     promote staged, drop prev, report `rolled_forward`;
+  *   - torn staging with live missing (no `_SUCCESS`, prev present —
+  *     reachable only by manual damage, since step 1 follows a
+  *     successful step 0): roll BACK — restore prev, report
+  *     `rolled_back`;
+  *   - crash after step 2: live is the new store — drop prev, `cleared`;
+  *   - nothing on disk: report `missing` (the store is genuinely gone;
+  *     the caller plans a rebuild — never this function's job).
+  *
+  * Durability assumptions, stated rather than implied: directory rename
+  * is atomic on HDFS and local filesystems, NOT on S3-style object
+  * stores (rename = copy+delete there). At 100 TB on an object store
+  * the equivalent discipline is a version directory per publish plus a
+  * pointer-file commit (write `path/v=N+1`, then atomically swap a
+  * one-line pointer object); the protocol here is the filesystem form
+  * of the same two-phase shape. Single writer assumed: concurrent
+  * APPENDS must go through the delta-directory discipline
+  * (`StoreIO`), never into the live directory a publish is about to
+  * swap.
+  */
+object Publish {
+
+  private[graft] def stagedOf(path: String): String =
+    path.stripSuffix("/") + "__staged"
+  private[graft] def prevOf(path: String): String =
+    path.stripSuffix("/") + "__prev"
+
+  /** Crash points for the kill-interleave specs: the publish throws
+    * immediately AFTER completing the numbered step.
+    */
+  private[graft] val AfterStage = 1
+  private[graft] val AfterAside = 2
+  private[graft] val AfterPromote = 3
+
+  private final class InjectedCrash(step: Int)
+    extends RuntimeException(s"injected crash after step $step")
+
+  def publish(spark: SparkSession, path: String, frame: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit =
+    publishImpl(spark, path, frame, partitionBy, crashAfter = Int.MaxValue)
+
+  /** The publish with an injectable crash point — the test seam the
+    * kill-at-every-interleave spec drives. Production callers use
+    * [[publish]].
+    */
+  private[graft] def publishImpl(spark: SparkSession, path: String,
+      frame: DataFrame, partitionBy: Seq[String], crashAfter: Int): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val staged = new Path(stagedOf(path))
+    val prev = new Path(prevOf(path))
+    def crash(step: Int): Unit =
+      if (crashAfter == step) throw new InjectedCrash(step)
+    // settle any state a previously-crashed publish left behind
+    recover(spark, path)
+    // step 0: stage (the live store is readable throughout — frames
+    // derived FROM the live store execute here, before anything moves)
+    val w = frame.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staged.toString)
+    crash(AfterStage)
+    // step 1: rename-aside (never delete the only copy)
+    if (fs.exists(live)) fs.rename(live, prev)
+    crash(AfterAside)
+    // step 2: promote
+    fs.rename(staged, live)
+    crash(AfterPromote)
+    // step 3: drop the superseded store
+    fs.delete(prev, true)
+    // the renames bypass Spark's writers: re-cache any persisted plans
+    // over this path (new spark.read calls list afresh; a Dataset
+    // created before the publish must not be reused)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Settles whatever a crashed [[publish]] left at `path` (see the
+    * crash matrix above) and reports the action taken: `none`,
+    * `cleared`, `rolled_forward`, `rolled_back`, or `missing`.
+    * Idempotent; safe to run on a healthy store.
+    */
+  def recover(spark: SparkSession, path: String): String = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val staged = new Path(stagedOf(path))
+    val prev = new Path(prevOf(path))
+    val stagedComplete = fs.exists(new Path(staged, "_SUCCESS"))
+    if (fs.exists(live)) {
+      val leftovers = fs.exists(prev) || fs.exists(staged)
+      fs.delete(prev, true)
+      fs.delete(staged, true)
+      if (leftovers) "cleared" else "none"
+    } else if (stagedComplete) {
+      fs.rename(staged, live)
+      fs.delete(prev, true)
+      spark.catalog.refreshByPath(path)
+      "rolled_forward"
+    } else if (fs.exists(prev)) {
+      fs.delete(staged, true) // torn staging, if any
+      fs.rename(prev, live)
+      spark.catalog.refreshByPath(path)
+      "rolled_back"
+    } else {
+      fs.delete(staged, true) // torn staging of a first-ever publish
+      "missing"
+    }
+  }
+}

@@ -181,9 +181,10 @@ object Scale {
     * ceil(bytes / targetFileBytes) files. Incremental pipelines accrete
     * tiny files (one-per-task-per-batch); at scale the file count, not
     * the data volume, starts to dominate listing and scan startup.
-    * Rewrite goes through a staging dir (write-audit-publish — never
-    * overwrite a path mid-read), then replaces the original atomically
-    * per-filesystem-rename.
+    * Rewrite goes through the shared recoverable publish
+    * ([[graft.ops.Publish]]: stage, rename-aside, promote — never
+    * overwrite a path mid-read, and a crash at any step leaves a
+    * recoverable state, never a vanished directory).
     */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -191,11 +192,8 @@ object Scale {
     val fs = p.getFileSystem(hadoopConf)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val staging = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact")
-    spark.read.parquet(path)
-      .repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(p, true)
-    fs.rename(staging, p)
+    // the staged frame reads the live dir, which stays intact until the
+    // staging write completes (the Publish step-0 contract)
+    Publish.publish(spark, path, spark.read.parquet(path).repartition(nFiles))
   }
 }

@@ -579,6 +579,69 @@ class ExtSpec extends SparkSuite {
       .filter(col("doc_a") === docM || col("doc_b") === docM).count() === 0L)
   }
 
+  test("runMaintenance recovery: a vanished store plans a rebuild, a crashed swap is settled, never a throw") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = Ivf.ensureModel(spark, dir)
+    val codebooks = Pq.ensureModel(spark, dir)
+    val healthyP = Dedup.minhashPairsDf(docs).localCheckpoint()
+    val healthyH = docs.select(md5(col("text").cast("binary")).as("h"),
+      col("doc_id"), (col("doc_id") % 3).as("batch")).localCheckpoint()
+    def stage(): (String, String, String, String, String) = {
+      val root = java.nio.file.Files.createTempDirectory("maint_recover")
+      val (hP, mP, pP) = (root.resolve("hashes").toString,
+        root.resolve("manifest").toString, root.resolve("pairs").toString)
+      val (lP, cP) = (root.resolve("layout").toString,
+        root.resolve("codes").toString)
+      healthyH.write.partitionBy("batch").parquet(hP)
+      Packing.packSequences(docs).write.parquet(mP)
+      healthyP.write.parquet(pP)
+      Ivf.writeIvfPartitioned(emb, cents, lP)
+      Pq.encodeCorpus(emb, codebooks).write.parquet(cP)
+      (hP, mP, pP, lP, cP)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // VANISHED STORES (the #1 crash-window outcome, or operator damage):
+    // the hash store and the pairs artifact are gone entirely — the
+    // audits must observe the loss as a total coverage gap and the loop
+    // must rebuild from the corpus, not throw on the missing paths
+    val (hP1, mP1, pP1, lP1, cP1) = stage()
+    fs.delete(new org.apache.hadoop.fs.Path(hP1), true)
+    fs.delete(new org.apache.hadoop.fs.Path(pP1), true)
+    val fp1 = Dedup.runMaintenance(docs, emb, hP1, mP1, pP1, lP1,
+      cents, codebooks, cP1).collect()
+    fp1.foreach(r => assert(r.getAs[String]("action") === "none",
+      s"vanished: ${r.getString(0)} plans ${r.getAs[String]("action")}"))
+    assert(rows(spark.read.parquet(hP1).select(col("h"), col("doc_id"))) ===
+      rows(healthyH.select(col("h"), col("doc_id"))))
+    // every restored hash row lands in the backfill batch (no carried state)
+    assert(spark.read.parquet(hP1)
+      .filter(col("batch").cast("long") =!= -1L).count() === 0L)
+    assert(rows(Dedup.pairsArtifactRead(spark, pP1)) === rows(healthyP))
+
+    // CRASHED SWAP: a publish died between rename-aside and promote —
+    // live missing, __prev holds the old store, __staged is a complete
+    // rewrite. The recovery pre-pass must roll it forward; the plan then
+    // audits the settled store and schedules nothing.
+    val (hP2, mP2, pP2, lP2, cP2) = stage()
+    intercept[RuntimeException] {
+      graft.ops.Publish.publishImpl(spark, pP2, healthyP, Nil,
+        crashAfter = graft.ops.Publish.AfterAside)
+    }
+    val fp2 =
+      try Dedup.runMaintenance(docs, emb, hP2, mP2, pP2, lP2,
+        cents, codebooks, cP2).collect()
+      catch { case e: Throwable => fail(s"crashed swap not recovered: $e") }
+    fp2.foreach(r => assert(r.getAs[String]("action") === "none",
+      s"crashed-swap: ${r.getString(0)}"))
+    assert(rows(Dedup.pairsArtifactRead(spark, pP2)) === rows(healthyP))
+  }
+
   test("store repair report matches an independent set-arithmetic reimplementation on randomized corruptions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
