@@ -162,14 +162,21 @@ object Dedup {
     */
   def indexIncremental(
       newDocs: DataFrame, indexPath: String, threshold: Double = 0.8,
-      compactTrigger: Int = CompactTriggerFiles): DataFrame = {
+      compactTrigger: Int = CompactTriggerFiles,
+      appendToken: String = ""): DataFrame = {
     val spark = newDocs.sparkSession
     val newBands = bandTable(newDocs).localCheckpoint()
     val newShingles = shingleTable(newDocs).localCheckpoint()
     val pairs = probeFrom(newBands, newShingles, indexPath, threshold).localCheckpoint()
 
-    newBands.write.mode("append").parquet(s"$indexPath/bands")
-    newShingles.write.mode("append").parquet(s"$indexPath/shingles")
+    // delta-directory appends (graft.ops.StoreIO): never into the live
+    // dirs a maintenance swap may be rewriting — an append racing a
+    // repair/delete/compaction survives in the delta and stays visible.
+    // `appendToken` is the replay idempotence key: a redelivered batch
+    // passing its batch id overwrites its own child instead of
+    // double-appending sketches (the streaming runners pass it).
+    graft.ops.StoreIO.append(newBands, s"$indexPath/bands", appendToken)
+    graft.ops.StoreIO.append(newShingles, s"$indexPath/shingles", appendToken)
     maybeCompact(spark, indexPath, compactTrigger)
     pairs
   }
@@ -186,12 +193,17 @@ object Dedup {
     probeFrom(newBands, newShingles, indexPath, threshold)
   }
 
+  private[graft] val BandsDdl = "doc_id BIGINT, band_idx INT, band_hash INT"
+  private[graft] val ShinglesDdl = "doc_id BIGINT, hs ARRAY<BIGINT>"
+
   private def probeFrom(
       newBands: DataFrame, newShingles: DataFrame, indexPath: String,
       threshold: Double): DataFrame = {
     val spark = newBands.sparkSession
-    val allBands = spark.read.parquet(s"$indexPath/bands").unionByName(newBands)
-    val allShingles = spark.read.parquet(s"$indexPath/shingles").unionByName(newShingles)
+    val allBands = graft.ops.StoreIO
+      .read(spark, s"$indexPath/bands", Some(BandsDdl)).unionByName(newBands)
+    val allShingles = graft.ops.StoreIO
+      .read(spark, s"$indexPath/shingles", Some(ShinglesDdl)).unionByName(newShingles)
 
     val probe = newBands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_n"))
     val build = allBands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
@@ -212,16 +224,30 @@ object Dedup {
     */
   val CompactTriggerFiles = 64
 
-  private def maybeCompact(spark: SparkSession, indexPath: String, trigger: Int): Unit =
-    Seq(s"$indexPath/bands", s"$indexPath/shingles")
-      .foreach(compactIfFragmented(spark, _, trigger))
-
-  private def compactIfFragmented(spark: SparkSession, dir: String, trigger: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > trigger)
-      graft.ops.Scale.compact(spark, dir)
+  private def maybeCompact(spark: SparkSession, indexPath: String, trigger: Int): Unit = {
+    compactIfFragmented(spark, s"$indexPath/bands", trigger, Some(BandsDdl))
+    compactIfFragmented(spark, s"$indexPath/shingles", trigger, Some(ShinglesDdl))
   }
+
+  /** Folds the delta children into the live dir and compacts when the
+    * LISTING cost (live part files + delta children) crosses the
+    * trigger — the snapshot-rewrite, so appends racing the fold
+    * survive (graft.ops.StoreIO's contract).
+    */
+  private def compactIfFragmented(spark: SparkSession, dir: String, trigger: Int,
+      ddl: Option[String]): Unit =
+    if (graft.ops.StoreIO.fragmentCount(spark, dir) > trigger) {
+      // the Scale.compact byte target, over live + delta together
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def bytes(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      }
+      val total = bytes(dir) + bytes(graft.ops.StoreIO.deltaDirOf(dir))
+      val nFiles = math.max(1, math.ceil(total.toDouble / (128L << 20)).toInt)
+      graft.ops.StoreIO.rewrite(spark, dir, _.repartition(nFiles), ddl)
+    }
 
   /** Historical-index cache for the driver entry: built once per
     * (JVM, corpus dir) — index construction is INGEST cost, amortized
@@ -281,13 +307,17 @@ object Dedup {
     * arriving batch) to the artifact, with the same file-count
     * compaction hygiene as the sketch index: daily appends accrete one
     * small file per task per batch, and past the trigger listing cost
-    * dominates the (pair-sized) data.
+    * dominates the (pair-sized) data. The append lands in the delta
+    * directory ([[graft.ops.StoreIO]]), never the live dir a
+    * maintenance swap may be rewriting; `token` is the replay
+    * idempotence key (pass the batch id from an at-least-once runner).
     */
   def pairsArtifactAppend(pairs: DataFrame, path: String,
-      compactTrigger: Int = CompactTriggerFiles): Unit = {
-    pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .write.mode("append").parquet(path)
-    compactIfFragmented(pairs.sparkSession, path, compactTrigger)
+      compactTrigger: Int = CompactTriggerFiles, token: String = ""): Unit = {
+    graft.ops.StoreIO.append(
+      pairs.select(col("doc_a"), col("doc_b"), col("jaccard")), path, token)
+    compactIfFragmented(pairs.sparkSession, path, compactTrigger,
+      Some(PairsDdl))
   }
 
   /** The artifact-reading form every derived query consumes: a plain
@@ -298,23 +328,14 @@ object Dedup {
     * empty frame instead of failing inference; a MISSING directory
     * (a vanished store — the state [[runMaintenance]] routes to
     * rebuild) also reads as empty rather than throwing, so the audits
-    * can observe the loss instead of crashing on it.
+    * can observe the loss instead of crashing on it. The view is
+    * live ∪ delta ([[graft.ops.StoreIO]]), so in-flight appends are
+    * visible immediately without a fold.
     */
-  def pairsArtifactRead(spark: SparkSession, path: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(pairsArtifactSchema).parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairsArtifactSchema)
-  }
+  def pairsArtifactRead(spark: SparkSession, path: String): DataFrame =
+    graft.ops.StoreIO.read(spark, path, Some(PairsDdl))
 
-  private val pairsArtifactSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("doc_a",
-      org.apache.spark.sql.types.LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("doc_b",
-      org.apache.spark.sql.types.LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("jaccard",
-      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  private[graft] val PairsDdl = "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE"
 
   /** Per-(JVM, corpus) artifact cache for the driver entries: built once
     * on first use (ingest cost, amortized over every derived report —
@@ -613,17 +634,31 @@ object Dedup {
     * all-zero removals.
     */
   def storeRepair(spark: SparkSession, hashesRoot: String,
-      manifestPath: String, pairsPath: String): DataFrame = {
-    val hashes = spark.read.parquet(hashesRoot)
+      manifestPath: String, pairsPath: String): DataFrame =
+    storeRepairImpl(spark, hashesRoot, manifestPath, pairsPath, () => ())
+
+  /** [[storeRepair]] with the interleave test seam ([[deleteApplyImpl]]
+    * discipline): `interleave` runs after the snapshots are pinned and
+    * materialized, before the first swap.
+    */
+  private[graft] def storeRepairImpl(spark: SparkSession, hashesRoot: String,
+      manifestPath: String, pairsPath: String,
+      interleave: () => Unit): DataFrame = {
+    import graft.ops.StoreIO
+    val hashSnap = StoreIO.snapshot(spark, hashesRoot, Some(HashStoreDdl))
     val manifest = spark.read.parquet(manifestPath)
-    val pairs = pairsArtifactRead(spark, pairsPath)
-    val report = storeRepairDf(hashes, manifest, pairs).localCheckpoint()
-    val (h2, m2, p2) = storeRepairFrames(hashes, manifest, pairs)
+    val pairsSnap = StoreIO.snapshot(spark, pairsPath, Some(PairsDdl))
+    val report = storeRepairDf(hashSnap.frame, manifest, pairsSnap.frame)
+      .localCheckpoint()
+    val (h2, m2, p2) =
+      storeRepairFrames(hashSnap.frame, manifest, pairsSnap.frame)
     val (h2c, m2c, p2c) = (h2.localCheckpoint(), m2.localCheckpoint(),
       p2.localCheckpoint())
-    publishStore(spark, hashesRoot, h2c, partitionBy = Seq("batch"))
+    interleave()
+    StoreIO.publishMerged(spark, hashesRoot, h2c, hashSnap,
+      partitionBy = Seq("batch"))
     publishStore(spark, manifestPath, m2c)
-    publishStore(spark, pairsPath, p2c)
+    StoreIO.publishMerged(spark, pairsPath, p2c, pairsSnap)
     report
   }
 
@@ -765,12 +800,16 @@ object Dedup {
     // from-scratch reingest/rebuild instead of throwing on the path.
     Seq(hashesRoot, manifestPath, pairsPath, layoutPath, codesPath)
       .foreach(graft.ops.Publish.recover(spark, _))
+    // hashes and pairs are APPENDED-TO stores: read live ∪ delta
+    // (graft.ops.StoreIO) so in-flight ingest appends are audited too
+    def hashesView() =
+      graft.ops.StoreIO.read(spark, hashesRoot, Some(HashStoreDdl))
     def plan(): DataFrame = maintenancePlanDf(
       artifactAuditDf(docs, pairsArtifactRead(spark, pairsPath)),
-      hashStoreAuditDf(docs, readStoreOr(spark, hashesRoot, HashStoreDdl)),
+      hashStoreAuditDf(docs, hashesView()),
       graft.ext.Packing.manifestAuditDf(docs,
         readStoreOr(spark, manifestPath, ManifestDdl)),
-      storeConsistencyDf(readStoreOr(spark, hashesRoot, HashStoreDdl),
+      storeConsistencyDf(hashesView(),
         readStoreOr(spark, manifestPath, ManifestDdl),
         pairsArtifactRead(spark, pairsPath)),
       Ivf.ivfLayoutAuditDf(emb, readStoreOr(spark, layoutPath, LayoutDdl), cents),
@@ -798,17 +837,21 @@ object Dedup {
         // batches are aggregated to min(batch) per doc_id FIRST, so a
         // replay-duplicated store row can never fan the left join out
         // into duplicate rewritten rows — the leg is safe regardless of
-        // which action the routing scheduled alongside. Read through
-        // readStoreOr: a VANISHED store carries no batches, so every
-        // row lands in the backfill batch — the from-scratch rebuild.
-        publishStore(spark, hashesRoot,
-          docs.join(readStoreOr(spark, hashesRoot, HashStoreDdl)
-              .select(col("doc_id"), col("batch"))
-              .groupBy(col("doc_id")).agg(min(col("batch")).as("batch")),
-              Seq("doc_id"), "left")
-            .select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
-              coalesce(col("batch"), lit(-1L)).as("batch")),
-          partitionBy = Seq("batch"))
+        // which action the routing scheduled alongside. A VANISHED
+        // store carries no batches, so every row lands in the backfill
+        // batch — the from-scratch rebuild. Snapshot discipline: the
+        // publish retires only the delta children this rewrite folded.
+        {
+          val snap = graft.ops.StoreIO.snapshot(spark, hashesRoot,
+            Some(HashStoreDdl))
+          graft.ops.StoreIO.publishMerged(spark, hashesRoot,
+            docs.join(snap.frame.select(col("doc_id"), col("batch"))
+                .groupBy(col("doc_id")).agg(min(col("batch")).as("batch")),
+                Seq("doc_id"), "left")
+              .select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+                coalesce(col("batch"), lit(-1L)).as("batch")),
+            snap, partitionBy = Seq("batch"))
+        }
       if (act("manifest") == "reingest")
         // the manifest is fully derived from (doc_id, text): re-pack
         // the corpus — token counts and offsets come back re-derived
@@ -817,10 +860,15 @@ object Dedup {
       if (act("hashes") == "repair" || act("manifest") == "repair" ||
           act("xstore") == "repair")
         storeRepair(spark, hashesRoot, manifestPath, pairsPath)
-      if (act("pairs") == "rebuild")
+      if (act("pairs") == "rebuild") {
         // ONE definition of the artifact: the pairsArtifactInit frame,
-        // published through the staged swap
-        publishStore(spark, pairsPath, minhashPairsDf(docs))
+        // published through the staged swap; the rebuild SUBSUMES any
+        // pinned delta children (exactly-once emission means their
+        // pairs are a subset of the full recompute), so they retire
+        val snap = graft.ops.StoreIO.snapshot(spark, pairsPath, Some(PairsDdl))
+        graft.ops.StoreIO.publishMerged(spark, pairsPath,
+          minhashPairsDf(docs), snap)
+      }
       if (act("layout") == "rebuild")
         publishStore(spark, layoutPath, Ivf.layoutFrame(emb, cents),
           partitionBy = Seq("list_id"))
@@ -942,35 +990,72 @@ object Dedup {
     */
   def deleteApply(deletedIds: DataFrame, indexPath: String, pairsPath: String,
       hashesRoot: Option[String] = None,
-      manifestPath: Option[String] = None): DataFrame = {
+      manifestPath: Option[String] = None): DataFrame =
+    deleteApplyImpl(deletedIds, indexPath, pairsPath, hashesRoot,
+      manifestPath, () => ())
+
+  /** [[deleteApply]] with the interleave test seam: `interleave` runs
+    * after every store snapshot is pinned and before the first swap —
+    * where a concurrent ingest append would land. The StreamingSpec
+    * drill appends there and asserts nothing is lost (post-state ≡ the
+    * serial order "delete apply, then the append").
+    */
+  private[graft] def deleteApplyImpl(deletedIds: DataFrame, indexPath: String,
+      pairsPath: String, hashesRoot: Option[String],
+      manifestPath: Option[String], interleave: () => Unit): DataFrame = {
+    import graft.ops.StoreIO
     val spark = deletedIds.sparkSession
     val del = deletedIds.select(col("doc_id")).distinct().localCheckpoint()
     def survivors(df: DataFrame): DataFrame =
       df.join(broadcast(del), Seq("doc_id"), "left_anti")
-    rewriteStore(spark, s"$indexPath/bands", survivors)
-    rewriteStore(spark, s"$indexPath/shingles", survivors)
+    // pin every store's snapshot (live + the delta children present
+    // NOW) before any store mutates: appends that arrive from here on
+    // land in delta children these snapshots never listed, so every
+    // swap below leaves them intact — the StoreIO serialization
+    // contract between ingest and maintenance
+    val bandsSnap = StoreIO.snapshot(spark, s"$indexPath/bands", Some(BandsDdl))
+    val shinglesSnap =
+      StoreIO.snapshot(spark, s"$indexPath/shingles", Some(ShinglesDdl))
+    val hashSnap = hashesRoot.map { root =>
+      // fail fast on the pre-r14 hash-only format BEFORE pinning a
+      // schema that would fabricate NULL doc_ids — probe whatever part
+      // of the store exists (live dir, else the first delta child)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val probe =
+        if (fs.exists(new org.apache.hadoop.fs.Path(root))) Some(root)
+        else StoreIO.deltaChildren(spark, root).headOption
+      probe.foreach { p =>
+        require(spark.read.parquet(p).schema.fieldNames.contains("doc_id"),
+          s"deleteApply: hash store at $root lacks doc_id — the hash-only " +
+            "format cannot be retracted; rebuild it with the per-doc schema")
+      }
+      StoreIO.snapshot(spark, root, Some(HashStoreDdl))
+    }
+    val pairsSnap = StoreIO.snapshot(spark, pairsPath, Some(PairsDdl))
+    val before = pairsSnap.frame.localCheckpoint()
+    interleave()
+    StoreIO.publishMerged(spark, s"$indexPath/bands",
+      survivors(bandsSnap.frame), bandsSnap)
+    StoreIO.publishMerged(spark, s"$indexPath/shingles",
+      survivors(shinglesSnap.frame), shinglesSnap)
     // pack manifest: offsets re-derived from the SURVIVING rows' own
     // token counts — no corpus access (Packing.repackManifest); the
     // re-emitted span is priced by q_repack_delta
     manifestPath.foreach { mp =>
       rewriteStore(spark, mp, df => Packing.repackManifest(survivors(df)))
     }
-    hashesRoot.foreach { root =>
-      val schema = spark.read.parquet(root).schema
-      require(schema.fieldNames.contains("doc_id"),
-        s"deleteApply: hash store at $root lacks doc_id — the hash-only " +
-          "format cannot be retracted; rebuild it with the per-doc schema")
-      rewriteStore(spark, root,
-        df => survivors(df).select(col("h"), col("doc_id"), col("batch")),
-        partitionBy = Seq("batch"))
+    hashSnap.foreach { snap =>
+      StoreIO.publishMerged(spark, hashesRoot.get,
+        survivors(snap.frame).select(col("h"), col("doc_id"), col("batch")),
+        snap, partitionBy = Seq("batch"))
     }
-    val before = pairsArtifactRead(spark, pairsPath).localCheckpoint()
     val after = before
       .join(broadcast(del.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
       .join(broadcast(del.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .localCheckpoint()
-    publishStore(spark, pairsPath, after)
+    StoreIO.publishMerged(spark, pairsPath, after, pairsSnap)
     // re-election delta from the two pair-sized closures
     def labels(pairs: DataFrame): DataFrame = Cluster.connectedComponents(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))

@@ -1551,19 +1551,18 @@ object Streaming {
           //    same-id candidates are excluded and distinct() restores
           //    the set; the duplicate sketches are the documented
           //    benign inflation of the near-dup runner)
-          val ndDropped = Dedup.indexIncremental(b, indexPath)
+          val ndDropped = Dedup.indexIncremental(b, indexPath,
+              appendToken = s"b$batchId")
             .select(col("doc_b").as("doc_id")).distinct()
             .withColumn("nd", lit(true))
-          // 2. content hashes from STRICTLY EARLIER batches
+          // 2. content hashes from STRICTLY EARLIER batches — read
+          //    live ∪ delta (graft.ops.StoreIO): the store may hold
+          //    folded state plus in-flight delta children
           val hashesRoot = s"$statePath/hashes"
-          val seen =
-            if (new java.io.File(hashesRoot).exists())
-              spark.read.parquet(hashesRoot)
-                .filter(col("batch") < batchId).select(col("h")).distinct()
-                .withColumn("old", lit(true))
-            else
-              spark.range(0).select(col("id").cast("string").as("h"),
-                lit(true).as("old"))
+          val seen = graft.ops.StoreIO
+            .read(spark, hashesRoot, Some(Dedup.HashStoreDdl))
+            .filter(col("batch") < batchId).select(col("h")).distinct()
+            .withColumn("old", lit(true))
           val corpus = b.filter(col("doc_id") % 100 =!= 0)
           val contam = Retrieval.quarantine(b, benchGrams)
             .select(col("doc_id"), lit(true).as("ct"))
@@ -1590,14 +1589,19 @@ object Streaming {
           val incRow = f.agg(aggs.head, aggs.tail: _*).collect()(0)
           val inc = stageNames.indices
             .map(i => (incRow.getLong(2 * i), incRow.getLong(2 * i + 1)))
-          // 3. delta-append this batch's hashes, batch-keyed overwrite.
-          //    Per-doc (h, doc_id) rows — doc-keyed state is what makes
-          //    the store RETRACTABLE (graft.ext.Dedup.deleteApply
-          //    anti-joins on doc_id); the read path above still takes
-          //    DISTINCT h, so flag semantics are unchanged
-          corpus.select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$hashesRoot/batch=$batchId")
+          // 3. delta-append this batch's hashes through StoreIO with
+          //    the batch id as idempotence token (a replayed batch
+          //    overwrites its own child — the old batch-keyed-overwrite
+          //    semantics, now OUTSIDE the live dir a maintenance swap
+          //    may be rewriting). Per-doc (h, doc_id) rows — doc-keyed
+          //    state is what makes the store RETRACTABLE
+          //    (graft.ext.Dedup.deleteApply anti-joins on doc_id); the
+          //    read path above still takes DISTINCT h, so flag
+          //    semantics are unchanged
+          graft.ops.StoreIO.append(
+            corpus.select(md5(col("text").cast("binary")).as("h"),
+              col("doc_id"), lit(batchId).as("batch")),
+            hashesRoot, token = s"b$batchId")
           // 4. cumulative totals: predecessor + increments
           def stateIds(): Seq[Long] = dir.toFile.list().toSeq
             .filter(f => f.startsWith("funnel_") && f.endsWith(".tsv"))
@@ -1709,13 +1713,14 @@ object Streaming {
           // batch-keyed OVERWRITE makes the pair output idempotent under
           // foreachBatch's retry-on-failure (a replayed batch rewrites
           // its own directory instead of appending a duplicate). The
-          // index append is not retry-idempotent the same way — a crash
-          // BETWEEN the pair write and the sketch append can duplicate
-          // sketches on retry, which is benign for candidate generation
-          // (distinct() downstream) but inflates the index until the
-          // next compaction; strict once-only index appends would use
-          // the write-audit-publish discipline of ops.Scale.compact.
-          graft.ext.Dedup.indexIncremental(batch.toDF(), indexPath)
+          // index append carries the batch id as its delta-child token
+          // (graft.ops.StoreIO), so a replayed batch OVERWRITES its own
+          // sketch child instead of double-appending — the index append
+          // is now retry-idempotent too, and it lands in the delta
+          // directory, never the live dirs a concurrent maintenance
+          // swap (storeRepair/deleteApply/compaction) is rewriting.
+          graft.ext.Dedup.indexIncremental(batch.toDF(), indexPath,
+              appendToken = s"b$batchId")
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$outDir/batch=$batchId")
         }

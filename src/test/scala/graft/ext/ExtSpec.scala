@@ -1074,19 +1074,24 @@ class ExtSpec extends SparkSuite {
         docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 50), idx,
         compactTrigger = 10000)
     }
-    def nFiles(sub: String): Int =
-      new java.io.File(s"$idx/$sub").listFiles().count(_.getName.endsWith(".parquet"))
-    val bandsBefore = nFiles("bands")
-    assert(bandsBefore >= 6, s"appends should accrete files, saw $bandsBefore")
+    // appends accrete DELTA CHILDREN (the StoreIO discipline: never
+    // into the live dir a maintenance swap may be rewriting); the
+    // fragment count — what a read must list — is the trigger currency
+    val bandsBefore = graft.ops.StoreIO.fragmentCount(spark, s"$idx/bands")
+    assert(bandsBefore >= 6, s"appends should accrete fragments, saw $bandsBefore")
+    assert(graft.ops.StoreIO.deltaChildren(spark, s"$idx/bands").size === 5)
     val probe = () => Dedup.indexProbe(docs.filter(col("doc_id") >= 400), idx)
       .collect().map(_.toString).sorted.toSeq
     val before = probe()
     assert(before.nonEmpty)
 
-    // a batch that trips the trigger compacts both index dirs in-place
+    // a batch that trips the trigger folds the delta and compacts both
+    // index dirs in-place
     Dedup.indexIncremental(docs.filter(col("doc_id") < 0), idx, compactTrigger = 2)
-    assert(nFiles("bands") < bandsBefore)
-    assert(nFiles("shingles") >= 1)
+    assert(graft.ops.StoreIO.fragmentCount(spark, s"$idx/bands") < bandsBefore)
+    assert(graft.ops.StoreIO.deltaChildren(spark, s"$idx/bands").isEmpty,
+      "compaction must retire the folded delta children")
+    assert(graft.ops.StoreIO.fragmentCount(spark, s"$idx/shingles") >= 1)
     assert(probe() === before, "compaction must not change probe results")
   }
 

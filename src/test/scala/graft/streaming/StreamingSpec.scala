@@ -861,9 +861,11 @@ class StreamingSpec extends SparkSuite {
     // later endpoint)
     val streamedRows = spark.read.parquet(outDir).count()
     assert(streamedRows === streamed.size.toLong)
-    // the accumulated index equals a from-scratch bulk build
-    assert(spark.read.parquet(s"$idx/bands").count() ===
-      Dedup.bandTable(docs).count())
+    // the accumulated index (live ∪ delta — appends land in the delta
+    // directory under the StoreIO discipline) equals a from-scratch
+    // bulk build, with no replay inflation
+    assert(graft.ops.StoreIO.read(spark, s"$idx/bands", Some(Dedup.BandsDdl))
+      .count() === Dedup.bandTable(docs).count())
   }
 
   test("ingest-then-reconcile equals the batch rebuild at every decile") {
@@ -994,6 +996,72 @@ class StreamingSpec extends SparkSuite {
       assert(l === newLabels.getOrElse(d, d),
         s"composed label for doc $d must match the rebuild")
     }
+  }
+
+  test("an ingest append racing a maintenance rewrite loses nothing (post-state ≡ serial order)") {
+    import graft.ext.{Dedup, Packing}
+    import graft.ops.StoreIO
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    def stage(): (String, String, String, String) = {
+      val root = java.nio.file.Files.createTempDirectory("race")
+      val idx = root.resolve("index").toString
+      val pairs = root.resolve("pairs").toString
+      val hashes = root.resolve("hashes").toString
+      val manifest = root.resolve("manifest").toString
+      Dedup.indexInit(docs, idx)
+      Dedup.pairsArtifactInit(docs, pairs)
+      docs.select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+          lit(0L).as("batch"))
+        .write.partitionBy("batch").parquet(hashes)
+      Packing.packSequences(docs).write.parquet(manifest)
+      (idx, pairs, hashes, manifest)
+    }
+    // the racing ingest: a pair between two surviving docs and a hash
+    // row for a brand-new arrival, delivered while the rewrite is
+    // between its snapshot and its swaps — exactly where the old
+    // mode("append")-into-live discipline lost or orphaned them
+    val racePair = Seq((1000000L, 1000001L, 0.93)).toDF("doc_a", "doc_b", "jaccard")
+    val raceHash = Seq(("f" * 32, 1000000L, 7L)).toDF("h", "doc_id", "batch")
+    def raceAppends(pairs: String, hashes: String): Unit = {
+      Dedup.pairsArtifactAppend(racePair, pairs, token = "race")
+      StoreIO.append(raceHash, hashes, token = "race")
+    }
+    val del = docs.filter(col("source") === "src7").select("doc_id")
+
+    // interleaved run: appends land mid-deleteApply via the test seam
+    val (idxA, pairsA, hashesA, manA) = stage()
+    Dedup.deleteApplyImpl(del, idxA, pairsA, Some(hashesA), Some(manA),
+      interleave = () => raceAppends(pairsA, hashesA))
+    // serial run: the same deleteApply first, the same appends after
+    val (idxB, pairsB, hashesB, manB) = stage()
+    Dedup.deleteApply(del, idxB, pairsB, Some(hashesB), Some(manB))
+    raceAppends(pairsB, hashesB)
+
+    def pairRows(p: String): Seq[String] =
+      Dedup.pairsArtifactRead(spark, p).collect().map(_.toString).sorted.toSeq
+    def hashRows(p: String): Seq[String] =
+      StoreIO.read(spark, p, Some(Dedup.HashStoreDdl))
+        .collect().map(_.toString).sorted.toSeq
+    // nothing lost: the raced appends are present...
+    assert(pairRows(pairsA).exists(_.contains("1000000")),
+      "the racing pair append was lost")
+    assert(hashRows(hashesA).exists(_.contains("1000000")),
+      "the racing hash append was lost")
+    // ...and the interleaved post-state equals the serial order exactly
+    assert(pairRows(pairsA) === pairRows(pairsB))
+    assert(hashRows(hashesA) === hashRows(hashesB))
+
+    // same drill through storeRepair (the other maintenance rewrite)
+    val (_, pairsC, hashesC, manC) = stage()
+    Dedup.storeRepairImpl(spark, hashesC, manC, pairsC,
+      interleave = () => raceAppends(pairsC, hashesC))
+    val (_, pairsD, hashesD, manD) = stage()
+    Dedup.storeRepair(spark, hashesD, manD, pairsD)
+    raceAppends(pairsD, hashesD)
+    assert(pairRows(pairsC) === pairRows(pairsD))
+    assert(hashRows(hashesC) === hashRows(hashesD))
+    assert(pairRows(pairsC).exists(_.contains("1000000")))
   }
 
   test("reconcile retracts a planted transitive chain the ingest policy kept") {
