@@ -229,7 +229,12 @@ object ScaleBench {
     // fixed-sample re-encode check
     "ann_codes_audit",
     // round-14 late: the decide layer — all six audits in one query
-    "q_maintenance_plan")
+    "q_maintenance_plan",
+    // round-15: the tombstone takedown twin (merge-on-read: delete-set
+    // append + broadcast anti-joins on the pair artifact, NO store
+    // rewrite — its curve against q_delete_apply IS the economics) and
+    // the closed-form break-even report (one pair scan + corpus counts)
+    "q_delete_tombstone", "q_delete_economics")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

@@ -422,6 +422,9 @@ object Cluster {
     // the apply lives with the state it mutates (Dedup); registered
     // here because its oracle composes this file's closure fragments
     "q_delete_apply" -> (Dedup.qDeleteApply _),
+    // the tombstone twin: same delete set, same delta, same oracle —
+    // computed from merged-on-read views with NO store rewrite
+    "q_delete_tombstone" -> (Dedup.qDeleteTombstone _),
     "dedup_policy_gap" -> (dedupPolicyGap _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivors" -> (dedupSurvivors _),
@@ -499,25 +502,32 @@ object Cluster {
 
   private[ext] val closureCtes: String = closureCtesFor("pairs", "")
 
+  /** The re-election delta: labels from the closure over all pairs vs
+    * the closure over surviving pairs (deleting only removes edges, so
+    * the delta is exactly the label changes among surviving members).
+    * ONE definition for both takedown forms — the physical rewrite
+    * (q_delete_apply) and the tombstone merge-on-read twin
+    * (q_delete_tombstone) must emit identical deltas.
+    */
+  private lazy val deleteDeltaSql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+       |$closureCtes,
+       |del AS (SELECT doc_id FROM documents WHERE source = 'src7'),
+       |spr AS (SELECT doc_a, doc_b FROM pairs
+       |        WHERE doc_a NOT IN (SELECT doc_id FROM del)
+       |          AND doc_b NOT IN (SELECT doc_id FROM del)),
+       |${closureCtesFor("spr", "s")}
+       |SELECT l.doc_id AS doc_id, l.cluster_id AS old_cluster_id,
+       |       coalesce(sl.cluster_id, l.doc_id) AS new_cluster_id
+       |FROM lbl l
+       |LEFT JOIN slbl sl ON sl.doc_id = l.doc_id
+       |WHERE l.doc_id NOT IN (SELECT doc_id FROM del)
+       |  AND l.cluster_id <> coalesce(sl.cluster_id, l.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // the re-election delta: labels from the closure over all pairs vs
-    // the closure over surviving pairs (deleting only removes edges, so
-    // the delta is exactly the label changes among surviving members)
-    "q_delete_apply" ->
-      s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
-         |$closureCtes,
-         |del AS (SELECT doc_id FROM documents WHERE source = 'src7'),
-         |spr AS (SELECT doc_a, doc_b FROM pairs
-         |        WHERE doc_a NOT IN (SELECT doc_id FROM del)
-         |          AND doc_b NOT IN (SELECT doc_id FROM del)),
-         |${closureCtesFor("spr", "s")}
-         |SELECT l.doc_id AS doc_id, l.cluster_id AS old_cluster_id,
-         |       coalesce(sl.cluster_id, l.doc_id) AS new_cluster_id
-         |FROM lbl l
-         |LEFT JOIN slbl sl ON sl.doc_id = l.doc_id
-         |WHERE l.doc_id NOT IN (SELECT doc_id FROM del)
-         |  AND l.cluster_id <> coalesce(sl.cluster_id, l.doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q_delete_apply" -> deleteDeltaSql,
+    "q_delete_tombstone" -> deleteDeltaSql,
     // the gap documents themselves: the closure's non-min members that
     // are NOT later endpoints of any pair, labeled with their cluster
     "q_reconcile" ->

@@ -1057,6 +1057,18 @@ object Dedup {
       .localCheckpoint()
     StoreIO.publishMerged(spark, pairsPath, after, pairsSnap)
     // re-election delta from the two pair-sized closures
+    reElectionDelta(before, after, del)
+  }
+
+  /** The RE-ELECTION DELTA between two pair tables: one row per
+    * surviving previously-clustered document whose cluster label
+    * changes from the `before` closure to the `after` closure — shared
+    * by the physical [[deleteApply]] and the tombstone (merge-on-read)
+    * takedown [[qDeleteTombstone]], which must emit identical deltas
+    * for the same delete set (same oracle pins both).
+    */
+  private[graft] def reElectionDelta(before: DataFrame, after: DataFrame,
+      del: DataFrame): DataFrame = {
     def labels(pairs: DataFrame): DataFrame = Cluster.connectedComponents(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     labels(before)
@@ -1094,6 +1106,155 @@ object Dedup {
     Packing.packSequences(docs).write.parquet(manifest)
     deleteApply(docs.filter(col("source") === "src7").select("doc_id"),
       idx, pairs, Some(hashes), Some(manifest))
+  }
+
+  // --- tombstone takedowns (merge-on-read) -----------------------------------
+  //
+  // [[deleteApply]] is the REWRITE form of a takedown: correct, but a
+  // single-document delete costs a full rewrite of every store — at
+  // 100 TB the economics invert long before that (q_delete_economics
+  // quantifies the inversion). The tombstone form defers the rewrite:
+  //
+  //   - a takedown APPENDS its doc_ids to a delete-vector store
+  //     (O(delete set), through the same StoreIO delta discipline as
+  //     every other append — idempotent under replay, safe against a
+  //     concurrent compaction);
+  //   - SERVED reads anti-join the broadcast tombstone set at the
+  //     existing store-reader seams ([[pairsServed]] /
+  //     [[docStoreServed]]) — identical results to the post-rewrite
+  //     state (ExtSpec pins row equality per store);
+  //   - COMPACTION ([[tombstoneCompact]]) folds the accumulated
+  //     tombstones into the physical stores through [[deleteApply]]
+  //     (one rewrite amortizes every takedown since the last fold) and
+  //     retires exactly the folded tombstones — a takedown racing the
+  //     fold survives as a live tombstone (the StoreIO snapshot
+  //     contract).
+  //
+  // The pack manifest is the one store merge-on-read cannot serve
+  // cheaply: offsets are POSITIONAL, so the served manifest is
+  // [[graft.ext.Packing.repackManifest]] over the tombstone-filtered
+  // rows (a recompute, not a filter) — readers that need offsets
+  // compact first; ExtSpec pins the recompute ≡ post-rewrite manifest.
+
+  private[graft] val TombstonesDdl = "doc_id BIGINT"
+
+  /** Records a takedown as a tombstone append — O(delete set), no store
+    * rewrite. `token` is the replay idempotence key (a redelivered
+    * takedown batch overwrites its own delta child).
+    */
+  def tombstoneAppend(deletedIds: DataFrame, tombsPath: String,
+      token: String = ""): Unit =
+    graft.ops.StoreIO.append(
+      deletedIds.select(col("doc_id")).distinct(), tombsPath, token)
+
+  /** The live delete-vector set (distinct — replayed appends under
+    * DIFFERENT tokens may overlap; the set semantics absorb it).
+    */
+  def tombstonesRead(spark: SparkSession, tombsPath: String): DataFrame =
+    graft.ops.StoreIO.read(spark, tombsPath, Some(TombstonesDdl)).distinct()
+
+  /** Merge-on-read view of a doc-keyed store: store minus tombstones.
+    * The tombstone side is delete-set-sized and broadcast, so a served
+    * read pays one build-side hash set over the existing scan — no
+    * shuffle, no rewrite.
+    */
+  def docStoreServed(store: DataFrame, tombs: DataFrame): DataFrame =
+    store.join(broadcast(tombs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .select(store.columns.map(col).toIndexedSeq: _*) // key join reorders; keep store order
+
+  /** Merge-on-read view of the pair artifact: pairs with either
+    * endpoint tombstoned drop (a pair's existence depends only on its
+    * own endpoints — the pairwise-local argument, so filtering equals
+    * the post-rewrite artifact exactly).
+    */
+  def pairsServed(pairs: DataFrame, tombs: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(tombs.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(tombs.select(col("doc_id").as("doc_b"))),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Folds the accumulated tombstones into the physical stores (ONE
+    * [[deleteApply]] rewrite amortizing every takedown since the last
+    * fold) and retires exactly the folded tombstones. Returns the
+    * re-election delta of the fold. Idempotent: with no tombstones
+    * pending the stores are untouched... a takedown appended while the
+    * fold runs lands in a delta child the snapshot never listed and
+    * stays live for the next fold.
+    */
+  def tombstoneCompact(spark: SparkSession, tombsPath: String,
+      indexPath: String, pairsPath: String,
+      hashesRoot: Option[String] = None,
+      manifestPath: Option[String] = None): DataFrame = {
+    import graft.ops.StoreIO
+    val snap = StoreIO.snapshot(spark, tombsPath, Some(TombstonesDdl))
+    val ids = snap.frame.select(col("doc_id")).distinct().localCheckpoint()
+    val delta = deleteApply(ids, indexPath, pairsPath, hashesRoot, manifestPath)
+    StoreIO.publishMerged(spark, tombsPath,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(TombstonesDdl)),
+      snap)
+    delta
+  }
+
+  /** Driver entry — the TOMBSTONE twin of [[qDeleteApply]], same output
+    * and same oracle: the standing src7 takedown lands as a tombstone
+    * append, and the re-election delta is computed entirely from
+    * merged-on-read views of the MAINTAINED pair artifact. No store is
+    * rewritten — the timed difference against q_delete_apply IS the
+    * rewrite-vs-tombstone economics at this SF.
+    */
+  def qDeleteTombstone(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tombsPath = java.nio.file.Files.createTempDirectory("tombstones")
+      .resolve("tombs").toString
+    tombstoneAppend(docs.filter(col("source") === "src7").select("doc_id"),
+      tombsPath, token = "src7")
+    val tombs = tombstonesRead(spark, tombsPath).localCheckpoint()
+    val before = verifiedPairs(spark, dir)
+    reElectionDelta(before, pairsServed(before, tombs), tombs)
+  }
+
+  /** Takedown ECONOMICS — the break-even row that decides rewrite vs
+    * tombstone for a delete set: the rewrite bill (surviving rows
+    * re-written across the five per-doc stores — 32 band rows, one
+    * shingle/hash/manifest row per doc, plus surviving pairs), the
+    * tombstone bill (the delete set appended), their ratio, and the
+    * simple break-even read count (each served read pays a broadcast
+    * build over the tombstone set, so after rewrite_rows / n_deleted
+    * reads the deferred rewrite has paid for itself — the compaction
+    * trigger an operator schedules [[tombstoneCompact]] by). Integer
+    * arithmetic end to end except the final ratio.
+    */
+  def qDeleteEconomics(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val del = docs.filter(col("source") === "src7").select(col("doc_id"))
+      .localCheckpoint()
+    val pairs = verifiedPairs(spark, dir)
+    val corpusLeg = docs.agg(count(lit(1)).as("n_corpus"))
+    val delLeg = del.agg(count(lit(1)).as("n_deleted"))
+    val dropped = pairs
+      .join(broadcast(del.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(pairs
+        .join(broadcast(del.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_semi")
+        .select(col("doc_a"), col("doc_b")))
+      .distinct()
+      .agg(count(lit(1)).as("n_pairs_dropped"))
+    val pairLeg = pairs.agg(count(lit(1)).as("n_pairs"))
+    corpusLeg.crossJoin(delLeg).crossJoin(pairLeg).crossJoin(dropped)
+      .select(col("n_corpus"), col("n_deleted"), col("n_pairs"),
+        col("n_pairs_dropped"),
+        // bands(32) + shingles(1) + hashes(1) + manifest(1) per survivor
+        (lit(35L) * (col("n_corpus") - col("n_deleted")) +
+          (col("n_pairs") - col("n_pairs_dropped"))).as("rewrite_rows"),
+        col("n_deleted").as("tombstone_rows"))
+      .select(col("*"),
+        round(col("rewrite_rows").cast("double") / col("tombstone_rows"), 4)
+          .as("write_amplification"),
+        expr("(rewrite_rows + tombstone_rows - 1) div tombstone_rows")
+          .as("break_even_reads"))
   }
 
   // --- SimHash -------------------------------------------------------------
@@ -2016,6 +2177,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhash(s, d)),
     "q_delete_apply" -> (qDeleteApply _),
+    "q_delete_economics" -> (qDeleteEconomics _),
     "dedup_artifact_audit" -> (dedupArtifactAudit _),
     "dedup_hashstore_audit" -> (qHashStoreAudit _),
     "q_store_consistency" -> (qStoreConsistency _),
@@ -2277,6 +2439,30 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // rewrite-vs-tombstone economics over the one pair truth: pure
+    // integer arithmetic on corpus/delete/pair counts, mirroring the
+    // Spark legs (35 = 32 band rows + shingle + hash + manifest row per
+    // surviving doc)
+    "q_delete_economics" ->
+      s"""WITH $minhashPairsCte,
+         |del AS (SELECT doc_id FROM documents WHERE source = 'src7'),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+         |              (SELECT CAST(count(*) AS BIGINT) FROM del) AS n_deleted
+         |       FROM documents),
+         |pg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |              CAST(count(CASE WHEN doc_a IN (SELECT doc_id FROM del)
+         |                              OR doc_b IN (SELECT doc_id FROM del)
+         |                              THEN 1 END) AS BIGINT) AS n_pairs_dropped
+         |       FROM pairs)
+         |SELECT n_corpus, n_deleted, n_pairs, n_pairs_dropped,
+         |       35 * (n_corpus - n_deleted) + (n_pairs - n_pairs_dropped)
+         |         AS rewrite_rows,
+         |       n_deleted AS tombstone_rows,
+         |       round(CAST(35 * (n_corpus - n_deleted) + (n_pairs - n_pairs_dropped)
+         |             AS DOUBLE) / n_deleted, 4) AS write_amplification,
+         |       (35 * (n_corpus - n_deleted) + (n_pairs - n_pairs_dropped)
+         |         + n_deleted - 1) // n_deleted AS break_even_reads
+         |FROM ag CROSS JOIN pg""".stripMargin,
     // the healthy-state expectation: a maintained artifact's
     // sample-internal slice equals the sample recompute exactly (pair
     // emission is pairwise), so both counts agree and drift is 0/0 —

@@ -642,6 +642,92 @@ class ExtSpec extends SparkSuite {
     assert(rows(Dedup.pairsArtifactRead(spark, pP2)) === rows(healthyP))
   }
 
+  test("tombstone takedowns: served views ≡ post-rewrite stores, delta ≡ rewrite delta, compaction folds to the rewrite state") {
+    import org.apache.spark.sql.functions.{col, lit, md5}
+    import graft.ops.StoreIO
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    def stage(): (String, String, String, String) = {
+      val root = java.nio.file.Files.createTempDirectory("tomb")
+      val idx = root.resolve("index").toString
+      val pairs = root.resolve("pairs").toString
+      val hashes = root.resolve("hashes").toString
+      val manifest = root.resolve("manifest").toString
+      Dedup.indexInit(docs, idx)
+      Dedup.pairsArtifactInit(docs, pairs)
+      docs.select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+          lit(0L).as("batch"))
+        .write.partitionBy("batch").parquet(hashes)
+      Packing.packSequences(docs).write.parquet(manifest)
+      (idx, pairs, hashes, manifest)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // src7 alone forces no re-election at this SF: add one cluster
+    // CANONICAL (min member of a cluster with ≥1 other surviving
+    // member) so the delta is provably nonempty — the StreamingSpec
+    // delete-apply rule
+    import spark.implicits._
+    val srcIds = docs.filter(col("source") === "src7").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val labels = Cluster.connectedComponents(
+        Dedup.minhashPairsDf(docs)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val canonical = labels.groupBy(_._2).collect {
+      case (l, m) if !srcIds(l) &&
+        m.keys.count(d => d != l && !srcIds(d)) >= 1 => l
+    }.min
+    val del = (srcIds + canonical).toSeq.sorted.toDF("doc_id")
+
+    // A carries tombstones; B is the physical rewrite twin
+    val (idxA, pairsA, hashesA, manA) = stage()
+    val (idxB, pairsB, hashesB, manB) = stage()
+    val tombsPath = java.nio.file.Files.createTempDirectory("tomb_store")
+      .resolve("tombs").toString
+    Dedup.tombstoneAppend(del, tombsPath, token = "t1")
+    Dedup.tombstoneAppend(del, tombsPath, token = "t1") // replay: same child
+    val tombs = Dedup.tombstonesRead(spark, tombsPath).localCheckpoint()
+    val deltaB = Dedup.deleteApply(del, idxB, pairsB, Some(hashesB), Some(manB))
+      .localCheckpoint()
+
+    // served (merge-on-read) views equal the post-rewrite stores exactly
+    assert(rows(Dedup.pairsServed(Dedup.pairsArtifactRead(spark, pairsA), tombs))
+      === rows(Dedup.pairsArtifactRead(spark, pairsB)))
+    assert(rows(Dedup.docStoreServed(
+        StoreIO.read(spark, hashesA, Some(Dedup.HashStoreDdl)), tombs))
+      === rows(StoreIO.read(spark, hashesB, Some(Dedup.HashStoreDdl))))
+    assert(rows(Dedup.docStoreServed(
+        StoreIO.read(spark, s"$idxA/bands", Some(Dedup.BandsDdl)), tombs))
+      === rows(StoreIO.read(spark, s"$idxB/bands", Some(Dedup.BandsDdl))))
+    // the manifest is positional: the served form is a repack of the
+    // filtered rows (a recompute, not a filter) — equal to the rewrite
+    assert(rows(Packing.repackManifest(Dedup.docStoreServed(
+        spark.read.parquet(manA), tombs)))
+      === rows(spark.read.parquet(manB)))
+
+    // the tombstone delta equals the rewrite's re-election delta
+    val beforeA = Dedup.pairsArtifactRead(spark, pairsA)
+    val deltaA = Dedup.reElectionDelta(beforeA,
+      Dedup.pairsServed(beforeA, tombs), tombs)
+    assert(rows(deltaA) === rows(deltaB))
+    assert(deltaA.count() > 0, "src7 must force at least one re-election")
+
+    // compaction folds the tombstones into the physical stores —
+    // post-state equals the rewrite twin, tombstones retired
+    val deltaC = Dedup.tombstoneCompact(spark, tombsPath, idxA, pairsA,
+      Some(hashesA), Some(manA))
+    assert(rows(deltaC) === rows(deltaB))
+    assert(Dedup.tombstonesRead(spark, tombsPath).count() === 0L)
+    assert(rows(Dedup.pairsArtifactRead(spark, pairsA))
+      === rows(Dedup.pairsArtifactRead(spark, pairsB)))
+    assert(rows(StoreIO.read(spark, hashesA, Some(Dedup.HashStoreDdl)))
+      === rows(StoreIO.read(spark, hashesB, Some(Dedup.HashStoreDdl))))
+    assert(rows(spark.read.parquet(manA)) === rows(spark.read.parquet(manB)))
+    // idempotence: a second compaction moves nothing
+    assert(Dedup.tombstoneCompact(spark, tombsPath, idxA, pairsA,
+      Some(hashesA), Some(manA)).count() === 0L)
+  }
+
   test("store repair report matches an independent set-arithmetic reimplementation on randomized corruptions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
