@@ -234,7 +234,13 @@ object ScaleBench {
     // append + broadcast anti-joins on the pair artifact, NO store
     // rewrite — its curve against q_delete_apply IS the economics) and
     // the closed-form break-even report (one pair scan + corpus counts)
-    "q_delete_tombstone", "q_delete_economics")
+    "q_delete_tombstone", "q_delete_economics",
+    // round-15: the four previously-unaudited maintained artifacts —
+    // store-sized linear legs + fixed-sample recomputes, the constant-
+    // cost audit shape (the index audit's sample leg re-sketches only
+    // the bounded draw)
+    "dedup_index_audit", "ann_ivfpq_layout_audit", "q_packed_audit",
+    "q_backfill_audit")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves
@@ -353,7 +359,10 @@ object ScaleBench {
         System.err.println(s"[scale x$f] model staging FAILED: ${e.toString.take(200)}") }
       try { ext.Pq.ensureCodes(spark, dir); ext.Pq.ensureIvfPqLayout(spark, dir)
             ext.Packing.ensureManifest(spark, dir); ext.Dedup.ensureHashStore(spark, dir)
-            ext.Backfill.ensureFeatureArtifact(spark, dir) }
+            ext.Backfill.ensureFeatureArtifact(spark, dir)
+            ext.Dedup.ensureFullIndex(spark, dir)
+            ext.Packing.ensurePackedStore(spark, dir)
+            ext.Backfill.ensureFeatureArtifactFull(spark, dir) }
       catch { case e: Throwable =>
         System.err.println(s"[scale x$f] serving/store staging FAILED: ${e.toString.take(200)}") }
       val entries = heavy.flatMap { q =>

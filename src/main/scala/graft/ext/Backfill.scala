@@ -113,11 +113,85 @@ object Backfill {
       .orderBy("source")
   }
 
+  /** Per-(JVM, corpus) FULLY-BACKFILLED feature artifact — the
+    * maintained store a healthy pipeline carries after its backfills
+    * ran ([[ensureFeatureArtifact]] is the deliberately-stale fixture
+    * the backfill entry exercises; audits read the caught-up form).
+    */
+  def ensureFeatureArtifactFull(spark: SparkSession, dir: String): String =
+    scratchFull.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("feature_artifact_full")
+        .resolve("features").toString
+      featureDf(Tables.documents(spark, dir)).write.parquet(p)
+      p
+    })
+
+  private val scratchFull =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** FEATURE-ARTIFACT AUDIT — the derived-column store member of the
+    * audit family: volume + partition spread, replay duplicates,
+    * row-granular coverage anti-joins vs the corpus (stronger than the
+    * backfill's partition-granular diff — a partially-published
+    * partition hides from the listing diff but not from this), and the
+    * three derived columns re-computed from the fixed hash sample's
+    * own documents, counted once per doc. Healthy = all-zero
+    * violations, oracle-pinned.
+    */
+  def featureAuditDf(docs: DataFrame, artifact: DataFrame,
+      sampleN: Int = 1024): DataFrame = {
+    val a = artifact.select(col("doc_id"), col("source"), col("n_tok"),
+      col("n_chars"), col("alpha_permille"))
+    val volLeg = a.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("source")).as("n_partitions"))
+    val ids = docs.select(col("doc_id"))
+    val aids = a.select(col("doc_id"))
+    val multiLeg = aids.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("n_multi"))
+    val missLeg = ids.join(aids, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val orphanLeg = aids.join(ids, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val sample = featureDf(Dedup.hashSampleDocs(docs, sampleN))
+      .select(col("doc_id"), col("n_tok").as("t_re"),
+        col("n_chars").as("c_re"), col("alpha_permille").as("a_re"))
+      .localCheckpoint()
+    val sampLeg = sample.join(a, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("n_tok").isNull || col("n_tok") =!= col("t_re") ||
+          col("n_chars") =!= col("c_re") ||
+          col("alpha_permille") =!= col("a_re"), 1L).otherwise(0L)).as("mm"))
+      .agg(count(lit(1)).as("sample_n"),
+        coalesce(sum(col("mm")), lit(0L)).as("n_feature_mismatch"))
+    volLeg.crossJoin(multiLeg).crossJoin(missLeg).crossJoin(orphanLeg)
+      .crossJoin(sampLeg)
+      .select(col("n_rows"), col("n_partitions"), col("n_multi"),
+        col("n_missing"), col("n_orphans"), col("sample_n"),
+        col("n_feature_mismatch"))
+  }
+
+  def qBackfillAudit(spark: SparkSession, dir: String): DataFrame =
+    featureAuditDf(Tables.documents(spark, dir),
+      spark.read.parquet(ensureFeatureArtifactFull(spark, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_backfill" -> (qBackfill _),
+    "q_backfill_audit" -> (qBackfillAudit _),
   )
 
   val oracles: Map[String, String] = Map(
+    // healthy fully-backfilled artifact: volume/partition spread from
+    // the corpus, violations pinned zero, sample rule mirrored
+    "q_backfill_audit" ->
+      s"""WITH ${graft.functions.MixSql.hashSampleCtes("sw", "documents", "doc_id", 1024)}
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(DISTINCT source) AS BIGINT) AS n_partitions,
+         |       CAST(0 AS BIGINT) AS n_multi,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_orphans,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM swsamp) AS sample_n,
+         |       CAST(0 AS BIGINT) AS n_feature_mismatch
+         |FROM documents""".stripMargin,
     // the post-backfill artifact must equal the from-scratch feature
     // table (BackfillSpec pins row equality), so the oracle computes the
     // full-corpus summary and mirrors the staging rule only in the

@@ -472,6 +472,99 @@ object Dedup {
     hashStoreAuditDf(Tables.documents(spark, dir),
       spark.read.parquet(ensureHashStore(spark, dir)))
 
+  /** SKETCH-INDEX AUDIT — the oldest maintained store in the engine
+    * ([[indexInit]] bootstraps it, [[indexIncremental]] and the
+    * streaming runners append to it, [[deleteApply]] rewrites it) was
+    * also the last without an audit: replay-duplicated sketches,
+    * dropped batches, or band rot were invisible until they corrupted
+    * pair emission. Bounded legs over the two index tables:
+    *
+    *   - `n_band_rows` / `n_shingle_rows`: volume (a healthy index has
+    *     exactly [[Bands]] band rows and one shingle row per doc);
+    *   - `n_band_dups` / `n_shingle_multi`: replayed appends the token
+    *     idempotence failed to swallow (group-counts on the stores'
+    *     own keys);
+    *   - `n_missing` / `n_orphans`: coverage vs the corpus (anti-joins
+    *     on the shingle table, the per-doc membership);
+    *   - `n_band_incomplete`: docs with a WRONG band count — a torn
+    *     multi-file append (one group-count against the corpus ids);
+    *   - `n_band_mismatch` / `n_shingle_mismatch`: sketches re-derived
+    *     on the fixed splitmix64 hash sample vs the stored rows —
+    *     sound because a doc's sketch depends only on its own text
+    *     (the pairwise-local audit argument), counted once per key
+    *     (the per-key aggregate discipline).
+    *
+    * Healthy = all-zero violations, oracle-pinned; any index rot,
+    * replay, or staleness fails the hash gate.
+    */
+  def indexAuditDf(docs: DataFrame, bands: DataFrame, shingles: DataFrame,
+      sampleN: Int = SweepSampleDocs): DataFrame = {
+    val b = bands.select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val s = shingles.select(col("doc_id"), col("hs"))
+    val volLeg = b.agg(count(lit(1)).as("n_band_rows"))
+    val svolLeg = s.agg(count(lit(1)).as("n_shingle_rows"))
+    val dupLeg = b.groupBy(col("doc_id"), col("band_idx"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_band_dups"))
+    val smultiLeg = s.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("n_shingle_multi"))
+    val ids = docs.select(col("doc_id"))
+    val missLeg = ids.join(s.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val orphanLeg = s.select(col("doc_id")).join(ids, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val incompleteLeg = ids.join(
+        b.groupBy(col("doc_id")).agg(count(lit(1)).as("nb")),
+        Seq("doc_id"), "left")
+      .filter(coalesce(col("nb"), lit(0L)) =!= Bands)
+      .agg(count(lit(1)).as("n_band_incomplete"))
+    val sample = hashSampleDocs(docs, sampleN).localCheckpoint()
+    val reBands = bandTable(sample)
+      .select(col("doc_id"), col("band_idx"), col("band_hash").as("bh_re"))
+    val bSampLeg = reBands.join(b, Seq("doc_id", "band_idx"), "left")
+      .groupBy(col("doc_id"), col("band_idx"))
+      .agg(max(when(col("band_hash").isNull ||
+        col("band_hash") =!= col("bh_re"), 1L).otherwise(0L)).as("mm"))
+      .agg(coalesce(sum(col("mm")), lit(0L)).as("n_band_mismatch"))
+    val reSh = shingleTable(sample).select(col("doc_id"), col("hs").as("hs_re"))
+    val sSampLeg = reSh.join(s, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("hs").isNull ||
+        col("hs") =!= col("hs_re"), 1L).otherwise(0L)).as("mm"))
+      .agg(count(lit(1)).as("sample_n"),
+        coalesce(sum(col("mm")), lit(0L)).as("n_shingle_mismatch"))
+    volLeg.crossJoin(svolLeg).crossJoin(dupLeg).crossJoin(smultiLeg)
+      .crossJoin(missLeg).crossJoin(orphanLeg).crossJoin(incompleteLeg)
+      .crossJoin(bSampLeg).crossJoin(sSampLeg)
+      .select(col("n_band_rows"), col("n_shingle_rows"), col("n_band_dups"),
+        col("n_shingle_multi"), col("n_missing"), col("n_orphans"),
+        col("n_band_incomplete"), col("sample_n"), col("n_band_mismatch"),
+        col("n_shingle_mismatch"))
+  }
+
+  /** Per-(JVM, corpus) FULL-corpus staged index (the maintained
+    * artifact the audit entry reads — [[ensureIncrementalIndex]] is the
+    * deliberately-partial probe fixture, not an auditable store).
+    * Ingest cost; Bench pre-builds it untimed.
+    */
+  def ensureFullIndex(spark: SparkSession, dir: String): String =
+    scratchFullIndex.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("minhash_full_index")
+        .toString
+      indexInit(Tables.documents(spark, dir), idx)
+      idx
+    })
+
+  private val scratchFullIndex =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def dedupIndexAudit(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureFullIndex(spark, dir)
+    indexAuditDf(Tables.documents(spark, dir),
+      graft.ops.StoreIO.read(spark, s"$idx/bands", Some(BandsDdl)),
+      graft.ops.StoreIO.read(spark, s"$idx/shingles", Some(ShinglesDdl)))
+  }
+
   /** CROSS-STORE CONSISTENCY — the check that completes the audit
     * family: each store audits healthy in isolation
     * ([[artifactAuditDf]] / [[hashStoreAuditDf]] /
@@ -718,7 +811,9 @@ object Dedup {
     */
   def maintenancePlanDf(pairsAudit: DataFrame, hashAudit: DataFrame,
       manifestAudit: DataFrame, consistency: DataFrame,
-      layoutAudit: DataFrame, codesAudit: DataFrame): DataFrame = {
+      layoutAudit: DataFrame, codesAudit: DataFrame,
+      indexAudit: DataFrame, ivfpqAudit: DataFrame,
+      packedAudit: DataFrame, featuresAudit: DataFrame): DataFrame = {
     def rowOf(df: DataFrame, store: String, structural: Column, rot: Column,
         fixAction: String, rotAction: String,
         rotOutranks: Boolean = false): DataFrame = {
@@ -753,6 +848,27 @@ object Dedup {
       .unionByName(rowOf(codesAudit, "codes",
         col("n_multi") + col("n_missing") + col("n_orphans") + col("n_len_bad"),
         col("n_code_mismatch"), "reencode", "reencode"))
+      // r15: the four previously-unaudited maintained artifacts — each
+      // a corpus/model re-derivation, so both damage classes route to
+      // the store's one remedy; the feature artifact distinguishes a
+      // pure coverage gap (the partition-granular BACKFILL delta) from
+      // damage needing the full re-derive
+      .unionByName(rowOf(indexAudit, "index",
+        col("n_band_dups") + col("n_shingle_multi") + col("n_missing") +
+          col("n_orphans") + col("n_band_incomplete"),
+        col("n_band_mismatch") + col("n_shingle_mismatch"),
+        "rebuild", "rebuild"))
+      .unionByName(rowOf(ivfpqAudit, "ivfpq",
+        col("n_multi") + col("n_missing") + col("n_orphans") +
+          col("n_len_bad") + col("n_misassigned"),
+        col("n_code_mismatch"), "reencode", "reencode"))
+      .unionByName(rowOf(packedAudit, "packed",
+        col("n_multi") + col("n_missing") + col("n_orphans") +
+          col("n_formula_bad") + col("n_shard_bad"),
+        col("n_tok_mismatch"), "repack", "repack"))
+      .unionByName(rowOf(featuresAudit, "features",
+        col("n_multi") + col("n_orphans") + col("n_feature_mismatch"),
+        col("n_missing"), "rebuild", "backfill"))
       .orderBy("store")
   }
 
@@ -790,7 +906,8 @@ object Dedup {
       hashesRoot: String, manifestPath: String, pairsPath: String,
       layoutPath: String, cents: Seq[Seq[Float]],
       codebooks: Seq[Seq[Seq[Float]]], codesPath: String,
-      maxRounds: Int = 3): DataFrame = {
+      indexPath: String, ivfpqPath: String, packedPath: String,
+      featuresPath: String, maxRounds: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     // RECOVERY pre-pass: a publish that crashed mid-swap leaves
     // rename-aside state ([[graft.ops.Publish]]'s crash matrix); settle
@@ -798,10 +915,12 @@ object Dedup {
     // self, and a store the crash genuinely lost reads as EMPTY below —
     // the audits then see a total coverage gap and the plan routes a
     // from-scratch reingest/rebuild instead of throwing on the path.
-    Seq(hashesRoot, manifestPath, pairsPath, layoutPath, codesPath)
+    Seq(hashesRoot, manifestPath, pairsPath, layoutPath, codesPath,
+        s"$indexPath/bands", s"$indexPath/shingles", ivfpqPath, packedPath,
+        featuresPath)
       .foreach(graft.ops.Publish.recover(spark, _))
-    // hashes and pairs are APPENDED-TO stores: read live ∪ delta
-    // (graft.ops.StoreIO) so in-flight ingest appends are audited too
+    // hashes, pairs, and the sketch index are APPENDED-TO stores: read
+    // live ∪ delta (graft.ops.StoreIO) so in-flight appends are audited
     def hashesView() =
       graft.ops.StoreIO.read(spark, hashesRoot, Some(HashStoreDdl))
     def plan(): DataFrame = maintenancePlanDf(
@@ -813,7 +932,16 @@ object Dedup {
         readStoreOr(spark, manifestPath, ManifestDdl),
         pairsArtifactRead(spark, pairsPath)),
       Ivf.ivfLayoutAuditDf(emb, readStoreOr(spark, layoutPath, LayoutDdl), cents),
-      Pq.codesAuditDf(emb, readStoreOr(spark, codesPath, CodesDdl), codebooks))
+      Pq.codesAuditDf(emb, readStoreOr(spark, codesPath, CodesDdl), codebooks),
+      indexAuditDf(docs,
+        graft.ops.StoreIO.read(spark, s"$indexPath/bands", Some(BandsDdl)),
+        graft.ops.StoreIO.read(spark, s"$indexPath/shingles", Some(ShinglesDdl))),
+      Pq.ivfPqLayoutAuditDf(emb, readStoreOr(spark, ivfpqPath, IvfPqDdl),
+        cents, codebooks),
+      graft.ext.Packing.packedAuditDf(docs,
+        readStoreOr(spark, packedPath, PackedDdl)),
+      graft.ext.Backfill.featureAuditDf(docs,
+        readStoreOr(spark, featuresPath, FeaturesDdl)))
       .localCheckpoint()
     var current = plan()
     var round = 0
@@ -874,6 +1002,35 @@ object Dedup {
           partitionBy = Seq("list_id"))
       if (act("codes") == "reencode")
         publishStore(spark, codesPath, Pq.encodeCorpus(emb, codebooks))
+      if (act("index") == "rebuild") {
+        // the sketch index is re-derived from the corpus under the one
+        // band/shingle rule; the snapshot discipline retires only the
+        // delta children the rebuild subsumes
+        val bSnap = graft.ops.StoreIO.snapshot(spark, s"$indexPath/bands",
+          Some(BandsDdl))
+        graft.ops.StoreIO.publishMerged(spark, s"$indexPath/bands",
+          bandTable(docs), bSnap)
+        val sSnap = graft.ops.StoreIO.snapshot(spark, s"$indexPath/shingles",
+          Some(ShinglesDdl))
+        graft.ops.StoreIO.publishMerged(spark, s"$indexPath/shingles",
+          shingleTable(docs), sSnap)
+      }
+      if (act("ivfpq") == "reencode")
+        publishStore(spark, ivfpqPath,
+          Pq.ivfPqLayoutFrame(emb, cents, codebooks),
+          partitionBy = Seq("list_id"))
+      if (act("packed") == "repack")
+        publishStore(spark, packedPath, graft.ext.Packing.packedFrame(docs),
+          partitionBy = Seq("shard"))
+      if (act("features") == "backfill")
+        // the partition-granular delta: stored rows survive, only the
+        // missing partitions recompute (the Backfill discipline)
+        publishStore(spark, featuresPath,
+          graft.ext.Backfill.backfillApply(docs,
+            readStoreOr(spark, featuresPath, FeaturesDdl)))
+      if (act("features") == "rebuild")
+        publishStore(spark, featuresPath,
+          graft.ext.Backfill.featureDf(docs))
       current = plan()
       round += 1
     }
@@ -889,6 +1046,14 @@ object Dedup {
   private[graft] val LayoutDdl =
     "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, list_id INT"
   private[graft] val CodesDdl = "vec_id BIGINT, codes ARRAY<INT>"
+  private[graft] val IvfPqDdl = "vec_id BIGINT, codes ARRAY<INT>, list_id INT"
+  private[graft] val PackedDdl =
+    "doc_id BIGINT, n_tok BIGINT, t_off BIGINT, seq_id BIGINT, " +
+      "n_seqs BIGINT, text STRING, lang STRING, source STRING, " +
+      "n_chars BIGINT, shard BIGINT"
+  private[graft] val FeaturesDdl =
+    "doc_id BIGINT, source STRING, n_tok BIGINT, n_chars BIGINT, " +
+      "alpha_permille BIGINT"
 
   /** Reads a maintained store, or — when the directory does not exist
     * (a crash the [[graft.ops.Publish.recover]] matrix classifies as
@@ -911,6 +1076,7 @@ object Dedup {
     val pairs = verifiedPairs(spark, dir)
     val hashes = spark.read.parquet(ensureHashStore(spark, dir))
     val manifest = spark.read.parquet(graft.ext.Packing.ensureManifest(spark, dir))
+    val idx = ensureFullIndex(spark, dir)
     maintenancePlanDf(
       artifactAuditDf(docs, pairs),
       hashStoreAuditDf(docs, hashes),
@@ -921,7 +1087,18 @@ object Dedup {
         Ivf.ensureModel(spark, dir)),
       Pq.codesAuditDf(emb,
         spark.read.parquet(Pq.ensureCodes(spark, dir)),
-        Pq.ensureModel(spark, dir)))
+        Pq.ensureModel(spark, dir)),
+      indexAuditDf(docs,
+        graft.ops.StoreIO.read(spark, s"$idx/bands", Some(BandsDdl)),
+        graft.ops.StoreIO.read(spark, s"$idx/shingles", Some(ShinglesDdl))),
+      Pq.ivfPqLayoutAuditDf(emb,
+        spark.read.parquet(Pq.ensureIvfPqLayout(spark, dir)),
+        Ivf.ensureModel(spark, dir), Pq.ensureModel(spark, dir)),
+      graft.ext.Packing.packedAuditDf(docs,
+        spark.read.parquet(graft.ext.Packing.ensurePackedStore(spark, dir))),
+      graft.ext.Backfill.featureAuditDf(docs,
+        spark.read.parquet(
+          graft.ext.Backfill.ensureFeatureArtifactFull(spark, dir))))
   }
 
   // --- delete APPLY -----------------------------------------------------------
@@ -2180,6 +2357,7 @@ object Dedup {
     "q_delete_economics" -> (qDeleteEconomics _),
     "dedup_artifact_audit" -> (dedupArtifactAudit _),
     "dedup_hashstore_audit" -> (qHashStoreAudit _),
+    "dedup_index_audit" -> (dedupIndexAudit _),
     "q_store_consistency" -> (qStoreConsistency _),
     "q_store_repair" -> (qStoreRepair _),
     "q_maintenance_plan" -> (qMaintenancePlan _),
@@ -2463,6 +2641,21 @@ object Dedup {
          |       (35 * (n_corpus - n_deleted) + (n_pairs - n_pairs_dropped)
          |         + n_deleted - 1) // n_deleted AS break_even_reads
          |FROM ag CROSS JOIN pg""".stripMargin,
+    // healthy sketch index: exactly Bands band rows + one shingle row
+    // per doc, all violation counts pinned zero, sample rule mirrored
+    "dedup_index_audit" ->
+      s"""WITH ${graft.functions.MixSql.hashSampleCtes("sw", "documents", "doc_id", SweepSampleDocs)}
+         |SELECT CAST($Bands * count(*) AS BIGINT) AS n_band_rows,
+         |       CAST(count(*) AS BIGINT) AS n_shingle_rows,
+         |       CAST(0 AS BIGINT) AS n_band_dups,
+         |       CAST(0 AS BIGINT) AS n_shingle_multi,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_orphans,
+         |       CAST(0 AS BIGINT) AS n_band_incomplete,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM swsamp) AS sample_n,
+         |       CAST(0 AS BIGINT) AS n_band_mismatch,
+         |       CAST(0 AS BIGINT) AS n_shingle_mismatch
+         |FROM documents""".stripMargin,
     // the healthy-state expectation: a maintained artifact's
     // sample-internal slice equals the sample recompute exactly (pair
     // emission is pairwise), so both counts agree and drift is 0/0 —
@@ -2522,9 +2715,13 @@ object Dedup {
     "q_maintenance_plan" ->
       """SELECT * FROM (VALUES
         |  ('codes',    CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+        |  ('features', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
         |  ('hashes',   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+        |  ('index',    CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+        |  ('ivfpq',    CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
         |  ('layout',   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
         |  ('manifest', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+        |  ('packed',   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
         |  ('pairs',    CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
         |  ('xstore',   CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'))
         |  AS t(store, n_structural, n_rot, action)

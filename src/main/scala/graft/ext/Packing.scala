@@ -294,11 +294,18 @@ object Packing {
     * in their STARTING shard (readers of shard k+1 re-read the boundary
     * doc from k; boundary docs per shard ≤ 1 by construction).
     */
-  def writePacked(docs: DataFrame, path: String, seqLen: Long = 512L,
-      buckets: Int = 64, shardSeqs: Long = 1000L): Unit =
+  /** The packed layout's ONE frame definition — shared by the writer,
+    * the staged audit artifact, and the maintenance repack remedy.
+    */
+  def packedFrame(docs: DataFrame, seqLen: Long = 512L, buckets: Int = 64,
+      shardSeqs: Long = 1000L): DataFrame =
     packSequences(docs, seqLen, buckets)
       .withColumn("shard", expr(s"seq_id div $shardSeqs"))
       .join(docs, "doc_id")
+
+  def writePacked(docs: DataFrame, path: String, seqLen: Long = 512L,
+      buckets: Int = 64, shardSeqs: Long = 1000L): Unit =
+    packedFrame(docs, seqLen, buckets, shardSeqs)
       .repartitionByRange(col("shard"), col("t_off"))
       .sortWithinPartitions("shard", "t_off")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
@@ -465,6 +472,80 @@ object Packing {
     manifestAuditDf(Tables.documents(spark, dir),
       spark.read.parquet(ensureManifest(spark, dir)))
 
+  /** Per-(JVM, corpus) staged PHYSICAL pack layout ([[writePacked]]) —
+    * the shard-partitioned store a trainer reads; built once at ingest
+    * cost, Bench pre-builds it untimed.
+    */
+  def ensurePackedStore(spark: SparkSession, dir: String): String =
+    scratchPacked.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("packed_store")
+        .resolve("packed").toString
+      writePacked(Tables.documents(spark, dir), p)
+      p
+    })
+
+  private val scratchPacked =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** PACKED-STORE AUDIT — the physical shard layout member of the
+    * store-audit family: [[manifestAuditDf]] trusts the COORDINATES,
+    * this trusts the layout a trainer actually reads. Bounded legs:
+    * volume + shard spread; replay duplicates; coverage anti-joins vs
+    * the corpus; the per-row arithmetic invariant (seq_id/n_seqs from
+    * t_off/n_tok — the manifest formula) plus the SHARD rule
+    * (shard = seq_id div shardSeqs — a row filed in the wrong shard
+    * directory serves the wrong trainer); and token counts re-derived
+    * from the rows' own carried text on the fixed hash sample. All
+    * violations zero on a healthy store, oracle-pinned.
+    */
+  def packedAuditDf(docs: DataFrame, packed: DataFrame, seqLen: Long = 512L,
+      shardSeqs: Long = 1000L, sampleN: Int = 1024): DataFrame = {
+    val p = packed.select(col("doc_id"), col("n_tok"), col("t_off"),
+      col("seq_id"), col("n_seqs"), col("shard").cast("long").as("shard"),
+      col("text"))
+    val rowLeg = p.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("shard")).as("n_shards"),
+      coalesce(sum(when(
+        col("n_tok") < 0 || col("t_off") < 0 ||
+        col("seq_id") =!= expr(s"t_off div $seqLen") ||
+        col("n_seqs") =!= when(col("n_tok") === 0L, lit(0L))
+          .otherwise(expr(s"(t_off + n_tok - 1) div $seqLen") - col("seq_id") + lit(1L)),
+        1L)), lit(0L)).as("n_formula_bad"),
+      coalesce(sum(when(col("shard") =!= expr(s"seq_id div $shardSeqs"), 1L)),
+        lit(0L)).as("n_shard_bad"))
+    val ids = docs.select(col("doc_id"))
+    val pids = p.select(col("doc_id"))
+    val multiLeg = pids.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("n_multi"))
+    val missLeg = ids.join(pids, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val orphanLeg = pids.join(ids, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    // the carried text IS the row's own payload: re-tokenize it (no
+    // corpus join needed), sample-bounded by the shared hash draw
+    val sampleIds = Dedup.hashSampleDocs(docs, sampleN).select(col("doc_id"))
+      .localCheckpoint()
+    val sampLeg = sampleIds
+      .join(p.select(col("doc_id"), col("n_tok"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok_re")),
+        Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("n_tok").isNull ||
+        col("n_tok") =!= col("n_tok_re"), 1L).otherwise(0L)).as("mm"))
+      .agg(count(lit(1)).as("sample_n"),
+        coalesce(sum(col("mm")), lit(0L)).as("n_tok_mismatch"))
+    rowLeg.crossJoin(multiLeg).crossJoin(missLeg).crossJoin(orphanLeg)
+      .crossJoin(sampLeg)
+      .select(col("n_rows"), col("n_shards"), col("n_multi"),
+        col("n_missing"), col("n_orphans"), col("n_formula_bad"),
+        col("n_shard_bad"), col("sample_n"), col("n_tok_mismatch"))
+  }
+
+  def qPackedAudit(spark: SparkSession, dir: String): DataFrame =
+    packedAuditDf(Tables.documents(spark, dir),
+      spark.read.parquet(ensurePackedStore(spark, dir)))
+
   def qPackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir))
 
@@ -480,6 +561,7 @@ object Packing {
     "q_pack_profile" -> (qPackProfile _),
     "q_pack_by_lang" -> (qPackByLang _),
     "q_manifest_audit" -> (qManifestAudit _),
+    "q_packed_audit" -> (qPackedAudit _),
   )
 
   /** The manifest CTE chain with prefixable names (`x` avoids CTE-name
@@ -567,6 +649,21 @@ object Packing {
     // (pinned literals: any Spark-side nonzero fails the hash gate); the
     // corpus-derived columns and the sample rule are computed, mirroring
     // the Spark legs
+    // healthy physical pack layout: volume from the corpus, the shard
+    // count from the pack CTE's own coordinates, violations pinned zero
+    "q_packed_audit" ->
+      s"""WITH ${packCteBody("")},
+         |${graft.functions.MixSql.hashSampleCtes("sw", "documents", "doc_id", 1024)}
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+         |       CAST(count(DISTINCT seq_id // 1000) AS BIGINT) AS n_shards,
+         |       CAST(0 AS BIGINT) AS n_multi,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_orphans,
+         |       CAST(0 AS BIGINT) AS n_formula_bad,
+         |       CAST(0 AS BIGINT) AS n_shard_bad,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM swsamp) AS sample_n,
+         |       CAST(0 AS BIGINT) AS n_tok_mismatch
+         |FROM p""".stripMargin,
     "q_manifest_audit" ->
       s"""WITH ${packCteBody("")},
          |${graft.functions.MixSql.hashSampleCtes("sw", "documents", "doc_id", 1024)}

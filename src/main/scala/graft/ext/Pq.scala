@@ -301,6 +301,63 @@ object Pq {
     codesAuditDf(Tables.embeddings(spark, dir),
       spark.read.parquet(ensureCodes(spark, dir)), ensureModel(spark, dir))
 
+  /** IVFPQ-LAYOUT AUDIT — [[codesAuditDf]] covers the FLAT code table;
+    * this audits the hive-partitioned serving layout
+    * ([[ensureIvfPqLayout]]) that `ann_ivfpq_search_served` actually
+    * reads, under BOTH live models at once: volume and occupied-list
+    * count, replay duplicates, coverage anti-joins vs the corpus, torn
+    * code vectors, and — on the fixed splitmix64 hash sample — the
+    * list assignment re-derived under the live coarse quantizer plus
+    * the codes re-derived under the live codebooks, each counted once
+    * per vec_id (the per-key aggregate discipline). Healthy = all-zero
+    * violations, oracle-pinned (the kmeans CTE mirrors `n_lists`).
+    */
+  def ivfPqLayoutAuditDf(emb: DataFrame, layout: DataFrame,
+      cents: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]],
+      sampleN: Int = SampleN): DataFrame = {
+    require(cents.nonEmpty && codebooks.nonEmpty,
+      "ivfPqLayoutAuditDf: empty models")
+    val l = layout.select(col("vec_id"), col("codes"),
+      col("list_id").cast("int").as("list_id"))
+    val volLeg = l.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("list_id")).as("n_lists"))
+    val multiLeg = l.groupBy(col("vec_id")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1).agg(count(lit(1)).as("n_multi"))
+    val ids = emb.select(col("vec_id"))
+    val missLeg = ids.join(l, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"))
+    val orphanLeg = l.select(col("vec_id")).join(ids, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val lenLeg = l.filter(col("codes").isNull ||
+        size(col("codes")) =!= codebooks.size)
+      .agg(count(lit(1)).as("n_len_bad"))
+    val sample = emb
+      .orderBy(VectorFns.mix64(col("vec_id")), col("vec_id")).limit(sampleN)
+      .select(col("vec_id"),
+        element_at(graft.functions.NearestCentroids(col("embedding"), cents, 1), 1)
+          .as("list_re"),
+        PqEncode(normalizedCol(col("embedding")), codebooks).as("codes_re"))
+    val sampLeg = sample.join(l, Seq("vec_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("list_id").isNull ||
+          col("list_id") =!= col("list_re"), 1L).otherwise(0L)).as("mis"),
+        max(when(col("codes").isNull ||
+          col("codes") =!= col("codes_re"), 1L).otherwise(0L)).as("mm"))
+      .agg(count(lit(1)).as("sample_n"),
+        coalesce(sum(col("mis")), lit(0L)).as("n_misassigned"),
+        coalesce(sum(col("mm")), lit(0L)).as("n_code_mismatch"))
+    volLeg.crossJoin(multiLeg).crossJoin(missLeg).crossJoin(orphanLeg)
+      .crossJoin(lenLeg).crossJoin(sampLeg)
+      .select(col("n_rows"), col("n_lists"), col("n_multi"), col("n_missing"),
+        col("n_orphans"), col("n_len_bad"), col("sample_n"),
+        col("n_misassigned"), col("n_code_mismatch"))
+  }
+
+  def annIvfPqLayoutAudit(spark: SparkSession, dir: String): DataFrame =
+    ivfPqLayoutAuditDf(Tables.embeddings(spark, dir),
+      spark.read.parquet(ensureIvfPqLayout(spark, dir)),
+      Ivf.ensureModel(spark, dir), ensureModel(spark, dir))
+
   /** IVF+PQ (IVFADC, Jégou et al. §IV) — the composition that serves
     * billion-vector corpora: the IVF coarse quantizer restricts each
     * query to its nProbe nearest inverted lists (at 100 TB, with the
@@ -394,15 +451,23 @@ object Pq {
     * not 64 floats). Encoded + assigned once at ingest under the
     * ensure-cached quantizers; Bench pre-builds it untimed.
     */
+  /** The IVFADC serving layout's ONE frame definition — shared by the
+    * staged artifact ([[ensureIvfPqLayout]]), the audit's healthy
+    * expectation, and the maintenance reencode remedy.
+    */
+  def ivfPqLayoutFrame(emb: DataFrame, cents: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]]): DataFrame =
+    Ivf.assignLists(emb, cents)
+      .select(col("vec_id"),
+        PqEncode(normalizedCol(col("embedding")), codebooks).as("codes"),
+        col("list_id"))
+
   def ensureIvfPqLayout(spark: SparkSession, dir: String): String =
     scratchIvfPqLayouts.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("ivfpq_layout")
         .resolve("codes").toString
-      val emb = Tables.embeddings(spark, dir)
-      Ivf.assignLists(emb, Ivf.ensureModel(spark, dir))
-        .select(col("vec_id"),
-          PqEncode(normalizedCol(col("embedding")), ensureModel(spark, dir)).as("codes"),
-          col("list_id"))
+      ivfPqLayoutFrame(Tables.embeddings(spark, dir),
+          Ivf.ensureModel(spark, dir), ensureModel(spark, dir))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("list_id").parquet(p)
       p
@@ -602,6 +667,7 @@ object Pq {
     "ann_pq_distortion" -> (annPqDistortion _),
     "ann_pq_curve" -> ((s: SparkSession, d: String) => annPqCurve(s, d)),
     "ann_codes_audit" -> (annCodesAudit _),
+    "ann_ivfpq_layout_audit" -> (annIvfPqLayoutAudit _),
   )
 
   /** Per-subspace Lloyd's unrolled in SQL, the PQ twin of
@@ -786,6 +852,19 @@ object Pq {
          |       CAST(0 AS BIGINT) AS n_orphans,
          |       CAST(0 AS BIGINT) AS n_len_bad,
          |       (SELECT CAST(least(count(*), $SampleN) AS BIGINT) FROM embeddings) AS sample_n,
+         |       CAST(0 AS BIGINT) AS n_code_mismatch""".stripMargin,
+    // the hive-partitioned serving layout: volume + the learned
+    // occupied-list count from the kmeans mirror, violations pinned zero
+    "ann_ivfpq_layout_audit" ->
+      s"""WITH ${Ivf.kmeansCte()}
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows,
+         |       (SELECT CAST(count(DISTINCT list_id) AS BIGINT) FROM lists) AS n_lists,
+         |       CAST(0 AS BIGINT) AS n_multi,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_orphans,
+         |       CAST(0 AS BIGINT) AS n_len_bad,
+         |       (SELECT CAST(least(count(*), $SampleN) AS BIGINT) FROM embeddings) AS sample_n,
+         |       CAST(0 AS BIGINT) AS n_misassigned,
          |       CAST(0 AS BIGINT) AS n_code_mismatch""".stripMargin,
     "ann_pq_search" -> pqSearchOracleSql,
     // the served form scans stored codes but MUST return the same rows

@@ -401,12 +401,125 @@ class ExtSpec extends SparkSuite {
     assert(rot.getAs[Long]("n_code_mismatch") === 1L)
   }
 
+  test("r15 store audits: healthy all-zero; planted corruption classes caught exactly") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import graft.ops.StoreIO
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val n = docs.count()
+    val d0 = docs.orderBy("doc_id").head().getLong(0)
+
+    // --- sketch index ---
+    val idx = Dedup.ensureFullIndex(spark, dir)
+    val bands = StoreIO.read(spark, s"$idx/bands", Some(Dedup.BandsDdl))
+      .localCheckpoint()
+    val shingles = StoreIO.read(spark, s"$idx/shingles", Some(Dedup.ShinglesDdl))
+      .localCheckpoint()
+    def idxAudit(b: org.apache.spark.sql.DataFrame,
+        s: org.apache.spark.sql.DataFrame) =
+      Dedup.indexAuditDf(docs, b, s).head()
+    val ih = idxAudit(bands, shingles)
+    assert(ih.getAs[Long]("n_band_rows") === 32L * n)
+    assert(ih.getAs[Long]("n_shingle_rows") === n)
+    for (c <- Seq("n_band_dups", "n_shingle_multi", "n_missing", "n_orphans",
+        "n_band_incomplete", "n_band_mismatch", "n_shingle_mismatch"))
+      assert(ih.getAs[Long](c) === 0L, c)
+    // replayed band row: dup AND a wrong per-doc band count
+    val iDup = idxAudit(bands.unionByName(bands
+      .filter(col("doc_id") === d0 && col("band_idx") === 0)), shingles)
+    assert(iDup.getAs[Long]("n_band_dups") === 1L)
+    assert(iDup.getAs[Long]("n_band_incomplete") === 1L)
+    // dropped doc: coverage gap + sample re-sketch miss
+    val iMiss = idxAudit(bands, shingles.filter(col("doc_id") =!= d0))
+    assert(iMiss.getAs[Long]("n_missing") === 1L)
+    assert(iMiss.getAs[Long]("n_shingle_mismatch") === 1L)
+    // band rot on a sampled doc
+    val iRot = idxAudit(bands.withColumn("band_hash",
+      when(col("doc_id") === d0 && col("band_idx") === 0,
+        col("band_hash") + 1).otherwise(col("band_hash"))), shingles)
+    assert(iRot.getAs[Long]("n_band_mismatch") === 1L)
+    assert(iRot.getAs[Long]("n_band_dups") === 0L)
+
+    // --- ivfpq serving layout ---
+    val cents = Ivf.ensureModel(spark, dir)
+    val cb = Pq.ensureModel(spark, dir)
+    val ipq = spark.read.parquet(Pq.ensureIvfPqLayout(spark, dir))
+      .localCheckpoint()
+    def ipqAudit(l: org.apache.spark.sql.DataFrame) =
+      Pq.ivfPqLayoutAuditDf(emb, l, cents, cb).head()
+    val qh = ipqAudit(ipq)
+    assert(qh.getAs[Long]("n_rows") === emb.count())
+    for (c <- Seq("n_multi", "n_missing", "n_orphans", "n_len_bad",
+        "n_misassigned", "n_code_mismatch"))
+      assert(qh.getAs[Long](c) === 0L, c)
+    val v0 = emb.orderBy(graft.functions.VectorFns.mix64(col("vec_id")),
+      col("vec_id")).limit(1).head().getLong(0)
+    val qMis = ipqAudit(ipq.withColumn("list_id",
+      when(col("vec_id") === v0, (col("list_id") + 1) % cents.size)
+        .otherwise(col("list_id"))))
+    assert(qMis.getAs[Long]("n_misassigned") === 1L)
+    val qRot = ipqAudit(ipq.withColumn("codes",
+      when(col("vec_id") === v0,
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.array((col("codes")(0) + 1) % Pq.Ksub),
+          org.apache.spark.sql.functions.slice(col("codes"), 2, Pq.M - 1)))
+        .otherwise(col("codes"))))
+    assert(qRot.getAs[Long]("n_code_mismatch") === 1L)
+    assert(ipqAudit(ipq.filter(col("vec_id") =!= v0))
+      .getAs[Long]("n_missing") === 1L)
+
+    // --- packed physical layout ---
+    val packed = spark.read.parquet(Packing.ensurePackedStore(spark, dir))
+      .localCheckpoint()
+    def pkAudit(p: org.apache.spark.sql.DataFrame) =
+      Packing.packedAuditDf(docs, p).head()
+    val kh = pkAudit(packed)
+    assert(kh.getAs[Long]("n_rows") === n)
+    for (c <- Seq("n_multi", "n_missing", "n_orphans", "n_formula_bad",
+        "n_shard_bad", "n_tok_mismatch"))
+      assert(kh.getAs[Long](c) === 0L, c)
+    assert(pkAudit(packed.unionByName(packed.filter(col("doc_id") === d0)))
+      .getAs[Long]("n_multi") === 1L)
+    assert(pkAudit(packed.withColumn("n_seqs",
+        when(col("doc_id") === d0, col("n_seqs") + 1).otherwise(col("n_seqs"))))
+      .getAs[Long]("n_formula_bad") === 1L)
+    assert(pkAudit(packed.withColumn("shard",
+        when(col("doc_id") === d0, col("shard").cast("long") + 1)
+          .otherwise(col("shard").cast("long"))))
+      .getAs[Long]("n_shard_bad") === 1L)
+    assert(pkAudit(packed.withColumn("text",
+        when(col("doc_id") === d0,
+          org.apache.spark.sql.functions.concat(col("text"), lit(" extra tok")))
+          .otherwise(col("text"))))
+      .getAs[Long]("n_tok_mismatch") === 1L)
+
+    // --- feature artifact ---
+    val feats = spark.read
+      .parquet(Backfill.ensureFeatureArtifactFull(spark, dir)).localCheckpoint()
+    def feAudit(a: org.apache.spark.sql.DataFrame) =
+      Backfill.featureAuditDf(docs, a).head()
+    val fh = feAudit(feats)
+    assert(fh.getAs[Long]("n_rows") === n)
+    for (c <- Seq("n_multi", "n_missing", "n_orphans", "n_feature_mismatch"))
+      assert(fh.getAs[Long](c) === 0L, c)
+    val nSrc9 = docs.filter(col("source") === "src9").count()
+    assert(feAudit(feats.filter(col("source") =!= "src9"))
+      .getAs[Long]("n_missing") === nSrc9)
+    assert(feAudit(feats.withColumn("alpha_permille",
+        when(col("doc_id") === d0, col("alpha_permille") + 1)
+          .otherwise(col("alpha_permille"))))
+      .getAs[Long]("n_feature_mismatch") === 1L)
+    assert(feAudit(feats.unionByName(feats.filter(col("doc_id") === d0)))
+      .getAs[Long]("n_multi") === 1L)
+  }
+
   test("maintenance plan: healthy stores schedule nothing; each violation class routes to its remedy") {
     import spark.implicits._
-    // healthy end-to-end: six stores, zero violations, all 'none'
+    // healthy end-to-end: TEN stores, zero violations, all 'none'
     val plan = Dedup.qMaintenancePlan(spark, dir).collect()
     assert(plan.map(_.getString(0)).toSeq ===
-      Seq("codes", "hashes", "layout", "manifest", "pairs", "xstore"))
+      Seq("codes", "features", "hashes", "index", "ivfpq", "layout",
+        "manifest", "packed", "pairs", "xstore"))
     plan.foreach { r =>
       assert(r.getAs[Long]("n_structural") === 0L, r.getString(0))
       assert(r.getAs[Long]("n_rot") === 0L, r.getString(0))
@@ -429,10 +542,22 @@ class ExtSpec extends SparkSuite {
     def codA(len: Long, rotN: Long) = Seq((0L, 0L, 0L, len, rotN))
       .toDF("n_multi", "n_missing", "n_orphans", "n_len_bad",
         "n_code_mismatch")
+    def idxA(dups: Long, mm: Long) = Seq((dups, 0L, 0L, 0L, 0L, mm, 0L))
+      .toDF("n_band_dups", "n_shingle_multi", "n_missing", "n_orphans",
+        "n_band_incomplete", "n_band_mismatch", "n_shingle_mismatch")
+    def ipqA(mis: Long, rotN: Long) = Seq((0L, 0L, 0L, 0L, mis, rotN))
+      .toDF("n_multi", "n_missing", "n_orphans", "n_len_bad",
+        "n_misassigned", "n_code_mismatch")
+    def pkdA(shard: Long, tok: Long) = Seq((0L, 0L, 0L, 0L, shard, tok))
+      .toDF("n_multi", "n_missing", "n_orphans", "n_formula_bad",
+        "n_shard_bad", "n_tok_mismatch")
+    def feaA(miss: Long, mm: Long) = Seq((0L, 0L, mm, miss))
+      .toDF("n_multi", "n_orphans", "n_feature_mismatch", "n_missing")
     def actions(p: org.apache.spark.sql.DataFrame): Map[String, String] =
       p.collect().map(r => r.getString(0) -> r.getAs[String]("action")).toMap
     val routed = actions(Dedup.maintenancePlanDf(
-      pairsA(1, 0), hashA(1, 5), manA(0, 2), consA(3), layA(0, 1), codA(0, 4)))
+      pairsA(1, 0), hashA(1, 5), manA(0, 2), consA(3), layA(0, 1), codA(0, 4),
+      idxA(2, 0), ipqA(1, 0), pkdA(1, 0), feaA(3, 0)))
     assert(routed("pairs") === "rebuild")
     // membership stores: ROT OUTRANKS STRUCTURAL — a coverage gap with
     // dups alongside must reingest first (repair-first would let
@@ -443,19 +568,33 @@ class ExtSpec extends SparkSuite {
     assert(routed("xstore") === "repair")
     assert(routed("layout") === "rebuild")  // norm rot rebuilds the layout
     assert(routed("codes") === "reencode")
+    // r15 stores: each damage class routes to its store's one remedy;
+    // a features coverage gap takes the partition-granular backfill
+    assert(routed("index") === "rebuild")
+    assert(routed("ivfpq") === "reencode")
+    assert(routed("packed") === "repack")
+    assert(routed("features") === "backfill")
     // structural-only membership damage still routes to repair
     val structOnly = actions(Dedup.maintenancePlanDf(
-      pairsA(0, 0), hashA(2, 0), manA(3, 0), consA(0), layA(0, 0), codA(0, 0)))
+      pairsA(0, 0), hashA(2, 0), manA(3, 0), consA(0), layA(0, 0), codA(0, 0),
+      idxA(0, 0), ipqA(0, 0), pkdA(0, 0), feaA(0, 2)))
     assert(structOnly("hashes") === "repair")
     assert(structOnly("manifest") === "repair")
+    // feature-content rot needs the full re-derive, not an add-only backfill
+    assert(structOnly("features") === "rebuild")
     val rotOnly = actions(Dedup.maintenancePlanDf(
-      pairsA(0, 0), hashA(0, 7), manA(1, 0), consA(0), layA(2, 0), codA(1, 0)))
+      pairsA(0, 0), hashA(0, 7), manA(1, 0), consA(0), layA(2, 0), codA(1, 0),
+      idxA(0, 3), ipqA(0, 2), pkdA(0, 1), feaA(0, 0)))
     assert(rotOnly("hashes") === "reingest")
     assert(rotOnly("manifest") === "repair")
     assert(rotOnly("layout") === "rebuild")
     assert(rotOnly("codes") === "reencode")
     assert(rotOnly("pairs") === "none")
     assert(rotOnly("xstore") === "none")
+    assert(rotOnly("index") === "rebuild")
+    assert(rotOnly("ivfpq") === "reencode")
+    assert(rotOnly("packed") === "repack")
+    assert(rotOnly("features") === "none")
     // corpus-orphans cannot be fixed store-locally (storeRepair keeps
     // any doc present in both stores): they must route to reingest
     val orphans = actions(Dedup.maintenancePlanDf(
@@ -464,12 +603,13 @@ class ExtSpec extends SparkSuite {
         "n_hash_mismatch"),
       Seq((0L, 0L, 0L, 0L, 2L, 0L)).toDF("n_formula_bad", "n_adjacency_bad",
         "n_dup_rows", "n_missing", "n_orphans", "n_tok_mismatch"),
-      consA(0), layA(0, 0), codA(0, 0)))
+      consA(0), layA(0, 0), codA(0, 0),
+      idxA(0, 0), ipqA(0, 0), pkdA(0, 0), feaA(0, 0)))
     assert(orphans("hashes") === "reingest")
     assert(orphans("manifest") === "reingest")
   }
 
-  test("runMaintenance converges: mixed corruption across all six stores plans all-none within bounded rounds") {
+  test("runMaintenance converges: mixed corruption across all ten stores plans all-none within bounded rounds") {
     import org.apache.spark.sql.functions.{col, lit, md5, when}
     val docs = Tables.documents(spark, dir).localCheckpoint()
     val emb = Tables.embeddings(spark, dir).localCheckpoint()
@@ -485,6 +625,9 @@ class ExtSpec extends SparkSuite {
     val (hP, mP, pP) = (root.resolve("hashes").toString,
       root.resolve("manifest").toString, root.resolve("pairs").toString)
     val (lP, cP) = (root.resolve("layout").toString, root.resolve("codes").toString)
+    val iP = root.resolve("index").toString
+    val (qP, kP, fP) = (root.resolve("ivfpq").toString,
+      root.resolve("packed").toString, root.resolve("features").toString)
     val healthyH = docs.select(md5(col("text").cast("binary")).as("h"),
       col("doc_id"), (col("doc_id") % 3).as("batch"))
     healthyH.filter(col("doc_id") =!= docM)
@@ -509,8 +652,21 @@ class ExtSpec extends SparkSuite {
           org.apache.spark.sql.functions.slice(col("codes"), 2, Pq.M - 1)))
         .otherwise(col("codes")))
       .write.parquet(cP)
+    // r15 stores, each with its own damage class: the sketch index
+    // misses a doc, the ivfpq layout misassigns a row, the packed store
+    // replays a doc, the feature artifact misses a whole partition
+    Dedup.indexInit(docs.filter(col("doc_id") =!= docM), iP)
+    Pq.ivfPqLayoutFrame(emb, cents, codebooks)
+      .withColumn("list_id", when(col("vec_id") === 0L,
+        (col("list_id") + 1) % cents.size).otherwise(col("list_id")))
+      .write.partitionBy("list_id").parquet(qP)
+    val packedHealthy = Packing.packedFrame(docs)
+    packedHealthy.unionByName(packedHealthy.limit(1))
+      .write.partitionBy("shard").parquet(kP)
+    Backfill.featureDf(docs.filter(col("source") =!= "src9"))
+      .write.parquet(fP)
     val finalPlan = Dedup.runMaintenance(docs, emb, hP, mP, pP, lP,
-      cents, codebooks, cP).collect()
+      cents, codebooks, cP, iP, qP, kP, fP).collect()
     finalPlan.foreach { r =>
       assert(r.getAs[String]("action") === "none",
         s"${r.getString(0)} still plans ${r.getAs[String]("action")}")
@@ -533,9 +689,20 @@ class ExtSpec extends SparkSuite {
       rows(Ivf.assignLists(emb, cents).select(col("vec_id"),
         graft.functions.VectorFns.l2norm(col("embedding")).as("nrm"),
         col("list_id").cast("int"))))
+    // r15 stores converge to their from-scratch derivations too
+    assert(rows(graft.ops.StoreIO.read(spark, s"$iP/shingles",
+        Some(Dedup.ShinglesDdl))) === rows(Dedup.shingleTable(docs)))
+    assert(rows(spark.read.parquet(qP)
+        .select(col("vec_id"), col("codes"), col("list_id").cast("int"))) ===
+      rows(Pq.ivfPqLayoutFrame(emb, cents, codebooks)
+        .select(col("vec_id"), col("codes"), col("list_id").cast("int"))))
+    assert(rows(spark.read.parquet(kP).select(col("doc_id"), col("t_off"))) ===
+      rows(Packing.packedFrame(docs).select(col("doc_id"), col("t_off"))))
+    // the feature gap was BACKFILLED: full coverage, original rows kept
+    assert(rows(spark.read.parquet(fP)) === rows(Backfill.featureDf(docs)))
     // idempotence: a healthy state plans nothing and nothing is rewritten
     val again = Dedup.runMaintenance(docs, emb, hP, mP, pP, lP,
-      cents, codebooks, cP).collect()
+      cents, codebooks, cP, iP, qP, kP, fP).collect()
     again.foreach(r => assert(r.getAs[String]("action") === "none"))
 
     // LOST APPEND: the hash store alone is missing a pair endpoint.
@@ -551,7 +718,7 @@ class ExtSpec extends SparkSuite {
     Packing.packSequences(docs).write.parquet(mP2)
     healthyP.write.parquet(pP2)
     val fp2 = Dedup.runMaintenance(docs, emb, hP2, mP2, pP2, lP,
-      cents, codebooks, cP).collect()
+      cents, codebooks, cP, iP, qP, kP, fP).collect()
     fp2.foreach(r => assert(r.getAs[String]("action") === "none",
       s"lost-append: ${r.getString(0)}"))
     assert(rows(spark.read.parquet(hP2).select(col("h"), col("doc_id"))) ===
@@ -569,8 +736,10 @@ class ExtSpec extends SparkSuite {
     healthyH.write.partitionBy("batch").parquet(hP3)
     Packing.packSequences(docs).write.parquet(mP3)
     healthyP.write.parquet(pP3)
+    // the r15 stores (converged on the FULL corpus above) now carry
+    // docM as a corpus orphan — the loop must rebuild them on docs2
     val fp3 = Dedup.runMaintenance(docs2, emb, hP3, mP3, pP3, lP,
-      cents, codebooks, cP).collect()
+      cents, codebooks, cP, iP, qP, kP, fP).collect()
     fp3.foreach(r => assert(r.getAs[String]("action") === "none",
       s"orphan: ${r.getString(0)}"))
     assert(spark.read.parquet(hP3).filter(col("doc_id") === docM).count() === 0L)
@@ -588,18 +757,27 @@ class ExtSpec extends SparkSuite {
     val healthyP = Dedup.minhashPairsDf(docs).localCheckpoint()
     val healthyH = docs.select(md5(col("text").cast("binary")).as("h"),
       col("doc_id"), (col("doc_id") % 3).as("batch")).localCheckpoint()
-    def stage(): (String, String, String, String, String) = {
+    def stage(): (String, String, String, String, String, String, String,
+        String, String) = {
       val root = java.nio.file.Files.createTempDirectory("maint_recover")
       val (hP, mP, pP) = (root.resolve("hashes").toString,
         root.resolve("manifest").toString, root.resolve("pairs").toString)
       val (lP, cP) = (root.resolve("layout").toString,
         root.resolve("codes").toString)
+      val iP = root.resolve("index").toString
+      val (qP, kP, fP) = (root.resolve("ivfpq").toString,
+        root.resolve("packed").toString, root.resolve("features").toString)
       healthyH.write.partitionBy("batch").parquet(hP)
       Packing.packSequences(docs).write.parquet(mP)
       healthyP.write.parquet(pP)
       Ivf.writeIvfPartitioned(emb, cents, lP)
       Pq.encodeCorpus(emb, codebooks).write.parquet(cP)
-      (hP, mP, pP, lP, cP)
+      Dedup.indexInit(docs, iP)
+      Pq.ivfPqLayoutFrame(emb, cents, codebooks)
+        .write.partitionBy("list_id").parquet(qP)
+      Packing.packedFrame(docs).write.partitionBy("shard").parquet(kP)
+      Backfill.featureDf(docs).write.parquet(fP)
+      (hP, mP, pP, lP, cP, iP, qP, kP, fP)
     }
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
@@ -610,11 +788,11 @@ class ExtSpec extends SparkSuite {
     // the hash store and the pairs artifact are gone entirely — the
     // audits must observe the loss as a total coverage gap and the loop
     // must rebuild from the corpus, not throw on the missing paths
-    val (hP1, mP1, pP1, lP1, cP1) = stage()
+    val (hP1, mP1, pP1, lP1, cP1, iP1, qP1, kP1, fP1) = stage()
     fs.delete(new org.apache.hadoop.fs.Path(hP1), true)
     fs.delete(new org.apache.hadoop.fs.Path(pP1), true)
     val fp1 = Dedup.runMaintenance(docs, emb, hP1, mP1, pP1, lP1,
-      cents, codebooks, cP1).collect()
+      cents, codebooks, cP1, iP1, qP1, kP1, fP1).collect()
     fp1.foreach(r => assert(r.getAs[String]("action") === "none",
       s"vanished: ${r.getString(0)} plans ${r.getAs[String]("action")}"))
     assert(rows(spark.read.parquet(hP1).select(col("h"), col("doc_id"))) ===
@@ -628,14 +806,14 @@ class ExtSpec extends SparkSuite {
     // live missing, __prev holds the old store, __staged is a complete
     // rewrite. The recovery pre-pass must roll it forward; the plan then
     // audits the settled store and schedules nothing.
-    val (hP2, mP2, pP2, lP2, cP2) = stage()
+    val (hP2, mP2, pP2, lP2, cP2, iP2, qP2, kP2, fP2) = stage()
     intercept[RuntimeException] {
       graft.ops.Publish.publishImpl(spark, pP2, healthyP, Nil,
         crashAfter = graft.ops.Publish.AfterAside)
     }
     val fp2 =
       try Dedup.runMaintenance(docs, emb, hP2, mP2, pP2, lP2,
-        cents, codebooks, cP2).collect()
+        cents, codebooks, cP2, iP2, qP2, kP2, fP2).collect()
       catch { case e: Throwable => fail(s"crashed swap not recovered: $e") }
     fp2.foreach(r => assert(r.getAs[String]("action") === "none",
       s"crashed-swap: ${r.getString(0)}"))
