@@ -130,6 +130,16 @@ object Bench {
       .map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => f"""\"$k\":$v%.2f""" }.mkString("{", ",", "}")
+    // Host-normalized per-query values (r14 verdict item 5): t_i divided
+    // by the run's own calibration mean, so cross-session per-query
+    // comparisons read off one field instead of a re-measure session —
+    // BASELINE.md states the comparison rule.
+    val calibMean = (calibFirst + calibLast) / 2.0
+    val normQs =
+      if (calibMean > 0) results.toSeq.sortBy(_._1)
+        .map { case (k, v) => f"""\"$k\":${v / calibMean}%.3f""" }
+        .mkString("{", ",", "}")
+      else "{}"
     // Optional machine-state note carried INSIDE the artifact (e.g.
     // "3 repeats this session: 179.8/182.7/186.5" or "driver re-ran
     // concurrent") — single-node wall time swings ~25% with host state
@@ -147,7 +157,7 @@ object Bench {
       }
       .getOrElse("")
     val fullLine =
-      f"""{"queries":$fullQs,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${results.size},"nerr":${errors.size}$calib$note}"""
+      f"""{"queries":$fullQs,"queries_norm":$normQs,"calib_mean":$calibMean%.3f,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${results.size},"nerr":${errors.size}$calib$note}"""
     // Dev-loop subset runs (SPARK_GRAFT_ONLY set) must NOT clobber the
     // committed full-surface snapshot — a 1-query artifact replacing the
     // 180-query baseline is exactly the stale-snapshot failure the
