@@ -201,13 +201,18 @@ object Ivf {
     */
   def ivfSearchPartitioned(
       spark: SparkSession, path: String, queryVecs: DataFrame,
-      centroids: Seq[Seq[Float]], k: Int, nProbe: Int = NProbe): DataFrame = {
+      centroids: Seq[Seq[Float]], k: Int, nProbe: Int = NProbe,
+      served: DataFrame => DataFrame = identity): DataFrame = {
     val probes = queryVecs.select(
       col("query_id"), col("query_emb"),
       VectorFns.l2norm(col("query_emb")).as("qnrm"),
       explode(NearestCentroids(col("query_emb"), centroids, nProbe)).as("list_id"))
     val probeKeys = probes.select("list_id").distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(path).filter(col("list_id").isin(probeKeys: _*))
+    // `served` wraps the pruned scan (e.g. the tombstone anti-join of
+    // [[servedMinus]]) — applied AFTER the static partition filter, so
+    // PartitionFilters pruning is untouched
+    val corpus = served(
+      spark.read.parquet(path).filter(col("list_id").isin(probeKeys: _*)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     corpus.join(broadcast(probes), Seq("list_id"))
@@ -261,6 +266,56 @@ object Ivf {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
     ivfSearchPartitioned(spark, ensureLayout(spark, dir), queries,
       ensureModel(spark, dir), k = 5)
+  }
+
+  // --- vector tombstones (merge-on-read takedowns for the ANN family) --------
+  //
+  // The [[graft.ext.Dedup]] tombstone discipline extended to the
+  // vec_id-keyed serving stores: an embedding takedown appends its ids
+  // to a delete-vector store (O(delete set)) and SERVED searches
+  // anti-join the broadcast set over the pruned scan — identical
+  // results to a layout rewritten on the survivors (a layout row's
+  // existence depends only on its own vector: the pairwise-local
+  // argument again), at zero rewrite cost. Compaction is the existing
+  // rebuild path ([[writeIvfPartitioned]] on survivors / a maintenance
+  // `rebuild`), folding the tombstones the same way
+  // [[graft.ext.Dedup.tombstoneCompact]] does for the doc stores.
+
+  /** Merge-on-read view of a vec_id-keyed serving store: store minus
+    * tombstones (ids carried under the tombstone store's generic
+    * `doc_id` column; this seam renames). Broadcast anti-join over the
+    * existing scan — partition pruning and column pruning untouched.
+    */
+  def servedMinus(store: DataFrame, tombs: DataFrame): DataFrame =
+    store.join(broadcast(tombs.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .select(store.columns.map(col).toIndexedSeq: _*)
+
+  /** The standing vector takedown for the tombstoned-search entry:
+    * vec_id ≡ 17 (mod 50) — disjoint from the query block (ids < 5),
+    * so the oracle's exclusion is purely on the candidate side.
+    */
+  private[graft] def standingVecTombstones(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 17).select(col("vec_id").as("doc_id"))
+
+  /** The TOMBSTONED served search: [[annIvfSearchServed]] with the
+    * standing takedown applied merge-on-read — the delete set lands as
+    * a tombstone append (no layout rewrite) and the served scan
+    * anti-joins it after the partition filter. Oracle: the served
+    * search's SQL with the deleted ids excluded from candidates, so
+    * the hash gate pins tombstoned ≡ rewritten-on-survivors semantics.
+    */
+  def annIvfSearchTombstoned(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val tombsPath = java.nio.file.Files.createTempDirectory("vec_tombs")
+      .resolve("tombs").toString
+    Dedup.tombstoneAppend(standingVecTombstones(emb), tombsPath,
+      token = "standing")
+    val tombs = Dedup.tombstonesRead(spark, tombsPath).localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    ivfSearchPartitioned(spark, ensureLayout(spark, dir), queries,
+      ensureModel(spark, dir), k = 5, served = servedMinus(_, tombs))
   }
 
   /** Inverted-list occupancy: how balanced the learned partition is —
@@ -734,6 +789,7 @@ object Ivf {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_search_served" -> (annIvfSearchServed _),
+    "ann_ivf_search_tombstoned" -> (annIvfSearchTombstoned _),
     "ann_ivf_lists" -> (annIvfLists _),
     "ann_probe_curve" -> ((s: SparkSession, d: String) => annProbeCurve(s, d)),
     "ann_ivf_drift" -> (annIvfDrift _),
@@ -811,7 +867,10 @@ object Ivf {
        |    FROM ${P}fsc) WHERE rn = 1)""".stripMargin
   }
 
-  private lazy val ivfSearchOracle: String =
+  /** The IVF search mirror, with an optional extra candidate predicate
+    * (the tombstoned entry excludes the standing takedown there).
+    */
+  private def ivfSearchOracleWhere(candExtra: String): String =
     s"""WITH ${kmeansCte()},
        |probes AS (
        |  SELECT vec_id AS query_id, CAST(c AS INT) AS list_id FROM (
@@ -820,7 +879,7 @@ object Ivf {
        |cand AS (
        |  SELECT p.query_id, l.vec_id,
        |         round(list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]), 4) AS cosine
-       |  FROM probes p JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+       |  FROM probes p JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.query_id $candExtra
        |  JOIN embeddings eq ON eq.vec_id = p.query_id
        |  JOIN embeddings ec ON ec.vec_id = l.vec_id),
        |rk AS (SELECT query_id, vec_id, cosine,
@@ -828,6 +887,8 @@ object Ivf {
        |  FROM cand)
        |SELECT query_id, vec_id, cosine, rn FROM rk
        |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  private lazy val ivfSearchOracle: String = ivfSearchOracleWhere("")
 
   val oracles: Map[String, String] = Map(
     // two coexisting kmeansCte instantiations via the pfx discipline:
@@ -961,6 +1022,11 @@ object Ivf {
     // returns the identical rows, so it shares the oracle verbatim.
     "ann_ivf_search" -> ivfSearchOracle,
     "ann_ivf_search_served" -> ivfSearchOracle,
+    // the tombstoned served search: identical SQL with the standing
+    // takedown excluded from candidates — merge-on-read must equal a
+    // layout rewritten on the survivors
+    "ann_ivf_search_tombstoned" ->
+      ivfSearchOracleWhere("AND l.vec_id % 50 <> 17"),
     // the same lists/probe machinery with the probe RANK kept: each grid
     // point re-ranks the probe_rank<=p slice of the one candidate set;
     // bests go through DECIMAL(8,4) so the micro-averages are exact

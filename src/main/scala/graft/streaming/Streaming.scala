@@ -1682,6 +1682,44 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming TOMBSTONE takedowns — the per-arrival form of the
+    * delete loop and the cheap half of the rewrite-vs-tombstone
+    * economics (`q_delete_economics`): delete requests arrive as a
+    * file stream and each micro-batch lands as ONE tombstone append
+    * (O(batch); token = batch id, so a replayed batch overwrites its
+    * own delta child — exactly-once tombstone state from
+    * at-least-once delivery). Served reads
+    * ([[graft.ext.Dedup.pairsServed]] / `docStoreServed` /
+    * [[graft.ext.Ivf.servedMinus]]) observe every applied takedown
+    * immediately; the physical rewrite is deferred to
+    * [[graft.ext.Dedup.tombstoneCompact]] at maintenance cadence —
+    * per-takedown cost drops from a corpus rewrite
+    * ([[runDeleteApply]]) to a delete-sized append. StreamingSpec
+    * asserts post-stream served views ≡ a from-scratch rebuild on the
+    * survivors and compaction ≡ the rewrite state.
+    */
+  def runTombstoneStream(
+      spark: SparkSession, inputGlob: String, tombsPath: String,
+      checkpointDir: String): Unit = {
+    val deleteSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val q = spark.readStream
+      .schema(deleteSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputGlob)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Dedup.tombstoneAppend(batch.toDF(), tombsPath,
+            token = s"b$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming NEAR-DUPLICATE detection — the ingest-time face of the
     * persistent MinHash index ([[graft.ext.Dedup.indexIncremental]]):
     * documents arrive as a file stream, each micro-batch sketches ONLY

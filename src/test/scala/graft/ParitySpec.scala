@@ -24,7 +24,11 @@ class ParitySpec extends SparkSuite {
   // and their nonempty cases are pinned by dedicated specs
   // (StreamingSpec's planted transitive chain / forced canonical
   // delete; q_delete_apply is additionally nonempty at the sf0.1 gate).
-  private val emptyOnSf0001 = Set("q_reconcile", "q_delete_apply")
+  // q_delete_tombstone shares q_delete_apply's delete set and delta
+  // semantics (one oracle pins both), so it is exactly empty here too;
+  // its nonempty case rides ExtSpec's forced-canonical tombstone drill.
+  private val emptyOnSf0001 =
+    Set("q_reconcile", "q_delete_apply", "q_delete_tombstone")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     if (emptyOnSf0001(name))

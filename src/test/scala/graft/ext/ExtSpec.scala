@@ -906,6 +906,42 @@ class ExtSpec extends SparkSuite {
       Some(hashesA), Some(manA)).count() === 0L)
   }
 
+  test("vector tombstones: tombstoned served search ≡ search over a layout rewritten on survivors, pruning intact") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir).localCheckpoint()
+    val cents = Ivf.ensureModel(spark, dir)
+    val deleted = Ivf.standingVecTombstones(emb)
+      .collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty, "the standing takedown must delete something")
+    assert(deleted.forall(_ >= 5), "takedown must not touch the query block")
+    val tombstoned = Ivf.annIvfSearchTombstoned(spark, dir)
+    val tRows = tombstoned.collect().map(_.toString).toSeq
+    // no deleted vector is served
+    assert(!tombstoned.collect().exists(r => deleted(r.getLong(1))))
+    // equality with the EXPENSIVE form: a layout physically rewritten
+    // on the survivors, searched identically
+    val survivors = emb.filter(!(col("vec_id") % 50 === 17)).localCheckpoint()
+    val rewritten = java.nio.file.Files.createTempDirectory("vec_rewrite")
+      .resolve("corpus").toString
+    Ivf.writeIvfPartitioned(survivors, cents, rewritten)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    val direct = Ivf.ivfSearchPartitioned(spark, rewritten, queries, cents, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(tRows === direct)
+    // the tombstone anti-join must not defeat partition pruning: the
+    // served plan still carries a PartitionFilters prune on list_id
+    val tombsPath = java.nio.file.Files.createTempDirectory("vec_tombs_plan")
+      .resolve("tombs").toString
+    Dedup.tombstoneAppend(Ivf.standingVecTombstones(emb), tombsPath)
+    val tombs = Dedup.tombstonesRead(spark, tombsPath).localCheckpoint()
+    val plan = Ivf.ivfSearchPartitioned(spark, Ivf.ensureLayout(spark, dir),
+        queries, cents, k = 5, served = Ivf.servedMinus(_, tombs))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("list_id"), "pruning lost under the tombstone join")
+  }
+
   test("store repair report matches an independent set-arithmetic reimplementation on randomized corruptions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

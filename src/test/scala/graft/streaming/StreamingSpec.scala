@@ -998,6 +998,67 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("tombstone stream: served views equal the rebuild on survivors; compaction lands on the rewrite state; replay is a no-op") {
+    import graft.ext.{Dedup, Packing}
+    import graft.ops.StoreIO
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("tomb_stream")
+    val idx = root.resolve("index").toString
+    val pairs = root.resolve("pairs").toString
+    val hashes = root.resolve("hashes").toString
+    val manifest = root.resolve("manifest").toString
+    val tombs = root.resolve("tombs").toString
+    Dedup.indexInit(docs, idx)
+    Dedup.pairsArtifactInit(docs, pairs)
+    docs.select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+        lit(0L).as("batch"))
+      .write.partitionBy("batch").parquet(hashes)
+    Packing.packSequences(docs).write.parquet(manifest)
+    // the takedown feed: src7 split across two arrivals
+    val ids = docs.filter(col("source") === "src7").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.nonEmpty)
+    val (h1, h2) = ids.splitAt(ids.length / 2)
+    val inDir = java.nio.file.Files.createTempDirectory("tomb_feed").toString
+    h1.toSeq.toDF("doc_id").coalesce(1).write.mode("append").parquet(inDir)
+    h2.toSeq.toDF("doc_id").coalesce(1).write.mode("append").parquet(inDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("tomb_ckpt").toString
+    Streaming.runTombstoneStream(spark, s"$inDir/*.parquet", tombs, ckpt)
+    // every fed id is a live tombstone, exactly once
+    val tset = Dedup.tombstonesRead(spark, tombs).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(tset === ids.toSeq)
+    // served views equal a from-scratch rebuild on the survivors
+    val survivors = docs.filter(!col("doc_id").isin(ids.toSeq: _*))
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val tombsDf = Dedup.tombstonesRead(spark, tombs).localCheckpoint()
+    assert(rows(Dedup.pairsServed(Dedup.pairsArtifactRead(spark, pairs), tombsDf))
+      === rows(Dedup.minhashPairsDf(survivors)))
+    assert(rows(Dedup.docStoreServed(
+        StoreIO.read(spark, hashes, Some(Dedup.HashStoreDdl)), tombsDf)
+        .select(col("h"), col("doc_id")))
+      === rows(survivors.select(md5(col("text").cast("binary")).as("h"),
+        col("doc_id"))))
+    // a REPLAYED feed (fresh checkpoint, same files) re-appends under
+    // the same batch tokens: tombstone state unchanged
+    val ckpt2 = java.nio.file.Files.createTempDirectory("tomb_ckpt2").toString
+    Streaming.runTombstoneStream(spark, s"$inDir/*.parquet", tombs, ckpt2)
+    assert(Dedup.tombstonesRead(spark, tombs).collect()
+      .map(_.getLong(0)).sorted.toSeq === ids.toSeq)
+    // compaction folds the tombstones into the physical stores: state
+    // equals the direct deleteApply twin, tombstones retired
+    Dedup.tombstoneCompact(spark, tombs, idx, pairs, Some(hashes),
+      Some(manifest))
+    assert(Dedup.tombstonesRead(spark, tombs).count() === 0L)
+    assert(rows(Dedup.pairsArtifactRead(spark, pairs))
+      === rows(Dedup.minhashPairsDf(survivors)))
+    assert(rows(spark.read.parquet(manifest))
+      === rows(Packing.packSequences(survivors)))
+  }
+
   test("an ingest append racing a maintenance rewrite loses nothing (post-state ≡ serial order)") {
     import graft.ext.{Dedup, Packing}
     import graft.ops.StoreIO
