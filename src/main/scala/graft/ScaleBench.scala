@@ -240,7 +240,10 @@ object ScaleBench {
     // cost audit shape (the index audit's sample leg re-sketches only
     // the bounded draw)
     "dedup_index_audit", "ann_ivfpq_layout_audit", "q_packed_audit",
-    "q_backfill_audit")
+    "q_backfill_audit",
+    // round-15: the tombstoned served search — partition-pruned reads
+    // plus one broadcast anti-join; the merge-on-read point-lookup shape
+    "ann_ivf_search_tombstoned")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves
