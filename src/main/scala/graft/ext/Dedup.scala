@@ -1367,6 +1367,15 @@ object Dedup {
     import graft.ops.StoreIO
     val snap = StoreIO.snapshot(spark, tombsPath, Some(TombstonesDdl))
     val ids = snap.frame.select(col("doc_id")).distinct().localCheckpoint()
+    // NOTHING PENDING → NOTHING REWRITTEN: a compaction cron firing
+    // between takedowns must cost a tombstone-store listing, not a
+    // corpus rewrite (deleteApply with an empty set would dutifully
+    // rewrite every store to itself)
+    if (ids.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, old_cluster_id BIGINT, new_cluster_id BIGINT"))
     val delta = deleteApply(ids, indexPath, pairsPath, hashesRoot, manifestPath)
     StoreIO.publishMerged(spark, tombsPath,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -901,9 +901,20 @@ class ExtSpec extends SparkSuite {
     assert(rows(StoreIO.read(spark, hashesA, Some(Dedup.HashStoreDdl)))
       === rows(StoreIO.read(spark, hashesB, Some(Dedup.HashStoreDdl))))
     assert(rows(spark.read.parquet(manA)) === rows(spark.read.parquet(manB)))
-    // idempotence: a second compaction moves nothing
+    // idempotence: a second compaction with nothing pending is a pure
+    // no-op — empty delta AND no store rewritten (the physical file
+    // listing is untouched, not just row-equal)
+    def listing(p: String): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(s => s.getPath.getName + ":" + s.getModificationTime).sorted.toSeq
+    }
+    val before2 = listing(pairsA)
     assert(Dedup.tombstoneCompact(spark, tombsPath, idxA, pairsA,
       Some(hashesA), Some(manA)).count() === 0L)
+    assert(listing(pairsA) === before2,
+      "an empty compaction must not rewrite the stores")
   }
 
   test("vector tombstones: tombstoned served search ≡ search over a layout rewritten on survivors, pruning intact") {
