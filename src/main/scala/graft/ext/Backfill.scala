@@ -156,11 +156,16 @@ object Backfill {
       .select(col("doc_id"), col("n_tok").as("t_re"),
         col("n_chars").as("c_re"), col("alpha_permille").as("a_re"))
       .localCheckpoint()
+    // a MISSING row is a coverage gap (n_missing — routed to the cheap
+    // partition-granular backfill), NOT content rot: only rows that
+    // exist and disagree count as mismatch, else a pure gap would
+    // mis-route to the full rebuild
     val sampLeg = sample.join(a, Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
-      .agg(max(when(col("n_tok").isNull || col("n_tok") =!= col("t_re") ||
-          col("n_chars") =!= col("c_re") ||
-          col("alpha_permille") =!= col("a_re"), 1L).otherwise(0L)).as("mm"))
+      .agg(max(when(col("n_tok").isNotNull &&
+          (col("n_tok") =!= col("t_re") ||
+           col("n_chars") =!= col("c_re") ||
+           col("alpha_permille") =!= col("a_re")), 1L).otherwise(0L)).as("mm"))
       .agg(count(lit(1)).as("sample_n"),
         coalesce(sum(col("mm")), lit(0L)).as("n_feature_mismatch"))
     volLeg.crossJoin(multiLeg).crossJoin(missLeg).crossJoin(orphanLeg)

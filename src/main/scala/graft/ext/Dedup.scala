@@ -175,9 +175,18 @@ object Dedup {
     // `appendToken` is the replay idempotence key: a redelivered batch
     // passing its batch id overwrites its own child instead of
     // double-appending sketches (the streaming runners pass it).
-    graft.ops.StoreIO.append(newBands, s"$indexPath/bands", appendToken)
-    graft.ops.StoreIO.append(newShingles, s"$indexPath/shingles", appendToken)
+    // Compaction runs BEFORE the append, so this batch's child is never
+    // folded in the same call: a foreachBatch retry that replays the
+    // batch then overwrites a still-standing child instead of
+    // re-creating one whose rows a fold already moved into the live dir
+    // (the residual window is a crash INSIDE a fold, between its
+    // publish and its child retirement — the documented fold caveat,
+    // surfaced by the dup audits and repaired by a rebuild).
     maybeCompact(spark, indexPath, compactTrigger)
+    if (!newBands.isEmpty) {
+      graft.ops.StoreIO.append(newBands, s"$indexPath/bands", appendToken)
+      graft.ops.StoreIO.append(newShingles, s"$indexPath/shingles", appendToken)
+    }
     pairs
   }
 
@@ -874,9 +883,13 @@ object Dedup {
 
   /** EXECUTES a maintenance plan to convergence: compute the plan over
     * the on-disk stores, run each scheduled remedy, re-plan, repeat
-    * until every store plans `none` (or `maxRounds` — the plan's
-    * one-action-per-store priority means a store with BOTH structural
-    * damage and rot takes two rounds: repair first, reingest second).
+    * until every store plans `none` (or `maxRounds`). A store with
+    * BOTH damage classes resolves under the plan's per-store priority:
+    * the membership stores run the corpus-covering REINGEST first
+    * (rot outranks structural there — it also clears replay dups, and
+    * repair-first would let delete-dominance eat the missing docs'
+    * healthy-store rows), other stores take their single re-derivation
+    * remedy; a leftover class falls to the next round.
     * Remedies, all through the recoverable rename-aside publish
     * ([[graft.ops.Publish]] — crashed swaps are settled by a recovery
     * pre-pass, vanished stores read as empty and route to rebuild),
@@ -1004,14 +1017,17 @@ object Dedup {
         publishStore(spark, codesPath, Pq.encodeCorpus(emb, codebooks))
       if (act("index") == "rebuild") {
         // the sketch index is re-derived from the corpus under the one
-        // band/shingle rule; the snapshot discipline retires only the
-        // delta children the rebuild subsumes
+        // band/shingle rule; BOTH snapshots pin before the first swap
+        // (the deleteApplyImpl discipline) so an append racing the
+        // rebuild keeps its band AND shingle children symmetric —
+        // snapshotting shingles after the bands publish could retire a
+        // racer's shingle child while its band child survives
         val bSnap = graft.ops.StoreIO.snapshot(spark, s"$indexPath/bands",
           Some(BandsDdl))
-        graft.ops.StoreIO.publishMerged(spark, s"$indexPath/bands",
-          bandTable(docs), bSnap)
         val sSnap = graft.ops.StoreIO.snapshot(spark, s"$indexPath/shingles",
           Some(ShinglesDdl))
+        graft.ops.StoreIO.publishMerged(spark, s"$indexPath/bands",
+          bandTable(docs), bSnap)
         graft.ops.StoreIO.publishMerged(spark, s"$indexPath/shingles",
           shingleTable(docs), sSnap)
       }
@@ -1391,13 +1407,26 @@ object Dedup {
     * rewritten — the timed difference against q_delete_apply IS the
     * rewrite-vs-tombstone economics at this SF.
     */
+  /** Per-(JVM, corpus) standing tombstone store (the src7 takedown as
+    * a delete vector) — one fixture per corpus instead of a temp dir
+    * per invocation (the annRetrainApply leak lesson); the idempotent
+    * token makes re-ensuring a no-op.
+    */
+  def ensureStandingTombstones(spark: SparkSession, dir: String): String =
+    scratchTombs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("tombstones")
+        .resolve("tombs").toString
+      tombstoneAppend(Tables.documents(spark, dir)
+        .filter(col("source") === "src7").select("doc_id"), p, token = "src7")
+      p
+    })
+
+  private val scratchTombs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def qDeleteTombstone(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tombsPath = java.nio.file.Files.createTempDirectory("tombstones")
-      .resolve("tombs").toString
-    tombstoneAppend(docs.filter(col("source") === "src7").select("doc_id"),
-      tombsPath, token = "src7")
-    val tombs = tombstonesRead(spark, tombsPath).localCheckpoint()
+    val tombs = tombstonesRead(spark, ensureStandingTombstones(spark, dir))
+      .localCheckpoint()
     val before = verifiedPairs(spark, dir)
     reElectionDelta(before, pairsServed(before, tombs), tombs)
   }

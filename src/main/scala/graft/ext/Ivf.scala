@@ -305,13 +305,26 @@ object Ivf {
     * search's SQL with the deleted ids excluded from candidates, so
     * the hash gate pins tombstoned ≡ rewritten-on-survivors semantics.
     */
+  /** Per-(JVM, corpus) standing vector tombstone store — one fixture
+    * per corpus, not a temp dir per invocation; the idempotent token
+    * makes re-ensuring a no-op.
+    */
+  def ensureVecTombstones(spark: SparkSession, dir: String): String =
+    scratchVecTombs.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("vec_tombs")
+        .resolve("tombs").toString
+      Dedup.tombstoneAppend(standingVecTombstones(Tables.embeddings(spark, dir)),
+        p, token = "standing")
+      p
+    })
+
+  private val scratchVecTombs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def annIvfSearchTombstoned(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val tombsPath = java.nio.file.Files.createTempDirectory("vec_tombs")
-      .resolve("tombs").toString
-    Dedup.tombstoneAppend(standingVecTombstones(emb), tombsPath,
-      token = "standing")
-    val tombs = Dedup.tombstonesRead(spark, tombsPath).localCheckpoint()
+    val tombs = Dedup.tombstonesRead(spark, ensureVecTombstones(spark, dir))
+      .localCheckpoint()
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
     ivfSearchPartitioned(spark, ensureLayout(spark, dir), queries,

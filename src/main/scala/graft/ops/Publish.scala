@@ -65,6 +65,21 @@ object Publish {
   private final class InjectedCrash(step: Int)
     extends RuntimeException(s"injected crash after step $step")
 
+  // FileSystem.rename/delete report failure by RETURNING FALSE, not by
+  // throwing — an unchecked rename would let a publish "succeed" while
+  // the store still serves the old data, and recovery could drop the
+  // only surviving copy after a failed promote. Every move in the
+  // protocol checks its result.
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"Publish: rename $src -> $dst failed")
+
+  private def deleteOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"Publish: delete $p failed")
+
   def publish(spark: SparkSession, path: String, frame: DataFrame,
       partitionBy: Seq[String] = Nil): Unit =
     publishImpl(spark, path, frame, partitionBy, crashAfter = Int.MaxValue)
@@ -90,13 +105,13 @@ object Publish {
       .parquet(staged.toString)
     crash(AfterStage)
     // step 1: rename-aside (never delete the only copy)
-    if (fs.exists(live)) fs.rename(live, prev)
+    if (fs.exists(live)) renameOrThrow(fs, live, prev)
     crash(AfterAside)
     // step 2: promote
-    fs.rename(staged, live)
+    renameOrThrow(fs, staged, live)
     crash(AfterPromote)
     // step 3: drop the superseded store
-    fs.delete(prev, true)
+    deleteOrThrow(fs, prev)
     // the renames bypass Spark's writers: re-cache any persisted plans
     // over this path (new spark.read calls list afresh; a Dataset
     // created before the publish must not be reused)
@@ -116,21 +131,24 @@ object Publish {
     val stagedComplete = fs.exists(new Path(staged, "_SUCCESS"))
     if (fs.exists(live)) {
       val leftovers = fs.exists(prev) || fs.exists(staged)
-      fs.delete(prev, true)
-      fs.delete(staged, true)
+      deleteOrThrow(fs, prev)
+      deleteOrThrow(fs, staged)
       if (leftovers) "cleared" else "none"
     } else if (stagedComplete) {
-      fs.rename(staged, live)
-      fs.delete(prev, true)
+      // promote FIRST, and only then drop prev — a failed promote must
+      // leave the old copy intact (renameOrThrow throws before the
+      // delete can run)
+      renameOrThrow(fs, staged, live)
+      deleteOrThrow(fs, prev)
       spark.catalog.refreshByPath(path)
       "rolled_forward"
     } else if (fs.exists(prev)) {
-      fs.delete(staged, true) // torn staging, if any
-      fs.rename(prev, live)
+      deleteOrThrow(fs, staged) // torn staging, if any
+      renameOrThrow(fs, prev, live)
       spark.catalog.refreshByPath(path)
       "rolled_back"
     } else {
-      fs.delete(staged, true) // torn staging of a first-ever publish
+      deleteOrThrow(fs, staged) // torn staging of a first-ever publish
       "missing"
     }
   }

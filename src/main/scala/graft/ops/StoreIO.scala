@@ -131,15 +131,19 @@ object StoreIO {
     publishMerged(spark, path, f(snap.frame), snap, partitionBy)
   }
 
-  /** File-count hygiene across live AND delta: how many parquet leaves
-    * a [[read]] must list (the compaction trigger's currency).
+  /** File-count hygiene across live AND delta: how many parquet LEAF
+    * FILES a [[read]] must list (the compaction trigger's currency —
+    * a delta child holds one part file per write task, so counting
+    * children instead of leaves would let listing cost grow unbounded
+    * under the trigger).
     */
   def fragmentCount(spark: SparkSession, path: String): Int = {
     val fs = fsOf(spark, path)
-    val p = new Path(path)
-    val live =
+    def leaves(dir: String): Int = {
+      val p = new Path(dir)
       if (fs.exists(p)) fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
       else 0
-    live + deltaChildren(spark, path).size
+    }
+    leaves(path) + deltaChildren(spark, path).map(leaves).sum
   }
 }

@@ -1532,7 +1532,8 @@ object Streaming {
     */
   def runCorpusBuildStream(
       spark: SparkSession, inputGlob: String, staticDir: String,
-      indexPath: String, statePath: String, outDir: String): Unit = {
+      indexPath: String, statePath: String, outDir: String,
+      compactTrigger: Int = graft.ext.Dedup.CompactTriggerFiles): Unit = {
     import graft.ext.{Curation, Dedup, Retrieval}
     val benchGrams = Retrieval
       .benchGramSet(graft.Tables.documents(spark, staticDir))
@@ -1551,8 +1552,10 @@ object Streaming {
           //    same-id candidates are excluded and distinct() restores
           //    the set; the duplicate sketches are the documented
           //    benign inflation of the near-dup runner)
+          // compactTrigger = Int.MaxValue when an external maintenance
+          // loop owns folds (the runNearDupStream contract)
           val ndDropped = Dedup.indexIncremental(b, indexPath,
-              appendToken = s"b$batchId")
+              compactTrigger = compactTrigger, appendToken = s"b$batchId")
             .select(col("doc_b").as("doc_id")).distinct()
             .withColumn("nd", lit(true))
           // 2. content hashes from STRICTLY EARLIER batches — read
@@ -1737,7 +1740,8 @@ object Streaming {
     */
   def runNearDupStream(
       spark: SparkSession, inputGlob: String, indexPath: String,
-      outDir: String): Unit = {
+      outDir: String,
+      compactTrigger: Int = graft.ext.Dedup.CompactTriggerFiles): Unit = {
     // A DURABLE checkpoint is part of the contract: without one a
     // restart forgets which files were processed, replays them, and the
     // replayed batches double-append both pairs and index sketches —
@@ -1753,12 +1757,19 @@ object Streaming {
           // its own directory instead of appending a duplicate). The
           // index append carries the batch id as its delta-child token
           // (graft.ops.StoreIO), so a replayed batch OVERWRITES its own
-          // sketch child instead of double-appending — the index append
-          // is now retry-idempotent too, and it lands in the delta
-          // directory, never the live dirs a concurrent maintenance
-          // swap (storeRepair/deleteApply/compaction) is rewriting.
+          // sketch child instead of double-appending, and it lands in
+          // the delta directory, never the live dirs a maintenance swap
+          // is rewriting. Retry-idempotence holds because the in-stream
+          // fold runs BEFORE the append (a fold can never retire the
+          // current batch's child); the residual is a crash INSIDE a
+          // fold — the documented fold caveat, audit-visible. A stream
+          // deployed alongside an EXTERNAL maintenance loop must pass
+          // compactTrigger = Int.MaxValue and let that loop own every
+          // fold (StoreIO's single-fold-actor contract: folds are
+          // rewrites and rewrites are lost-update-prone against each
+          // other).
           graft.ext.Dedup.indexIncremental(batch.toDF(), indexPath,
-              appendToken = s"b$batchId")
+              compactTrigger = compactTrigger, appendToken = s"b$batchId")
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$outDir/batch=$batchId")
         }

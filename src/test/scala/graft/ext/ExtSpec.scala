@@ -503,8 +503,11 @@ class ExtSpec extends SparkSuite {
     for (c <- Seq("n_multi", "n_missing", "n_orphans", "n_feature_mismatch"))
       assert(fh.getAs[Long](c) === 0L, c)
     val nSrc9 = docs.filter(col("source") === "src9").count()
-    assert(feAudit(feats.filter(col("source") =!= "src9"))
-      .getAs[Long]("n_missing") === nSrc9)
+    // a pure coverage gap is n_missing ONLY — no mismatch, so the plan
+    // routes the cheap backfill rather than the full rebuild
+    val feGap = feAudit(feats.filter(col("source") =!= "src9"))
+    assert(feGap.getAs[Long]("n_missing") === nSrc9)
+    assert(feGap.getAs[Long]("n_feature_mismatch") === 0L)
     assert(feAudit(feats.withColumn("alpha_permille",
         when(col("doc_id") === d0, col("alpha_permille") + 1)
           .otherwise(col("alpha_permille"))))
