@@ -365,7 +365,10 @@ object ScaleBench {
             ext.Backfill.ensureFeatureArtifact(spark, dir)
             ext.Dedup.ensureFullIndex(spark, dir)
             ext.Packing.ensurePackedStore(spark, dir)
-            ext.Backfill.ensureFeatureArtifactFull(spark, dir) }
+            ext.Backfill.ensureFeatureArtifactFull(spark, dir)
+            ext.Dedup.ensureDeleteFixture(spark, dir)
+            ext.Ivf.ensureRetrainFixture(spark, dir)
+            ext.Dedup.ensureStandingTombstones(spark, dir); () }
       catch { case e: Throwable =>
         System.err.println(s"[scale x$f] serving/store staging FAILED: ${e.toString.take(200)}") }
       val entries = heavy.flatMap { q =>

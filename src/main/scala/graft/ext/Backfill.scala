@@ -72,6 +72,44 @@ object Backfill {
   def backfillApply(docs: DataFrame, artifact: DataFrame): DataFrame =
     artifact.unionByName(backfillDelta(docs, artifact))
 
+  /** ROW-granular backfill delta — the MAINTENANCE remedy's form. The
+    * partition-granular [[backfillDelta]] is the cheap arrival-path
+    * operator, but it treats any artifact rows for a source as "that
+    * partition is covered": rows missing INSIDE a covered partition
+    * (a torn partial publish) make it a no-op, and a maintenance loop
+    * that schedules it against the row-granular audit re-plans
+    * `backfill` forever. This form closes the granularity gap while
+    * keeping the scan partition-pruned:
+    *
+    *   - per-source row counts on both sides (listing-scale
+    *     aggregates) find the GAP partitions — sound as coverage
+    *     because the plan routes to `backfill` only when the audit's
+    *     structural counts (duplicates, orphans) are zero, so artifact
+    *     rows per source are a subset of corpus rows per source and
+    *     count equality ⟺ full coverage;
+    *   - only the gap partitions are read (broadcast semi on the hive
+    *     key → partition pruning) and anti-joined row-granular on
+    *     doc_id — the shuffle is gap-partition-sized, not corpus-sized.
+    *
+    * Equals [[backfillDelta]] exactly when whole partitions are missing
+    * (every row of a missing partition is a gap row), and additionally
+    * repairs torn partitions (BackfillSpec pins both).
+    */
+  def backfillDeltaRows(docs: DataFrame, artifact: DataFrame): DataFrame = {
+    val nc = docs.groupBy(col("source")).agg(count(lit(1)).as("nc"))
+    val na = artifact.groupBy(col("source")).agg(count(lit(1)).as("na"))
+    val gaps = nc.join(na, Seq("source"), "left")
+      .filter(col("na").isNull || col("na") < col("nc"))
+      .select(col("source"))
+    val docsGap = docs.join(broadcast(gaps), Seq("source"), "left_semi")
+    val artGap = artifact.join(broadcast(gaps), Seq("source"), "left_semi")
+    featureDf(docsGap.join(artGap.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+  }
+
+  /** The maintained artifact after the row-granular remedy. */
+  def backfillApplyRows(docs: DataFrame, artifact: DataFrame): DataFrame =
+    artifact.unionByName(backfillDeltaRows(docs, artifact))
+
   /** Per-(JVM, corpus) staged pre-backfill artifact: built before
     * `src9`/`src19` "arrived" (the staging rule the oracle mirrors).
     * Ingest cost — Bench/ScaleBench pre-build it untimed, so the timed
@@ -157,7 +195,7 @@ object Backfill {
         col("n_chars").as("c_re"), col("alpha_permille").as("a_re"))
       .localCheckpoint()
     // a MISSING row is a coverage gap (n_missing — routed to the cheap
-    // partition-granular backfill), NOT content rot: only rows that
+    // row-granular backfill remedy), NOT content rot: only rows that
     // exist and disagree count as mismatch, else a pure gap would
     // mis-route to the full rebuild
     val sampLeg = sample.join(a, Seq("doc_id"), "left")

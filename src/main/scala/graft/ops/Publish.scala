@@ -26,10 +26,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   *   - crash in/after step 0 (live present): the publish never touched
   *     the live store — discard leftovers, report `cleared`;
-  *   - crash after step 1 (live missing, staged COMPLETE — `_SUCCESS`
+  *   - crash after step 1 (live missing, staged COMPLETE — the `StagedMarker`
   *     present, which step 1 running at all implies): roll FORWARD —
   *     promote staged, drop prev, report `rolled_forward`;
-  *   - torn staging with live missing (no `_SUCCESS`, prev present —
+  *   - torn staging with live missing (no `StagedMarker`, prev present —
   *     reachable only by manual damage, since step 1 follows a
   *     successful step 0): roll BACK — restore prev, report
   *     `rolled_back`;
@@ -56,11 +56,25 @@ object Publish {
     path.stripSuffix("/") + "__prev"
 
   /** Crash points for the kill-interleave specs: the publish throws
-    * immediately AFTER completing the numbered step.
+    * immediately AFTER completing the numbered step. [[AfterSpark]]
+    * splits step 0 in two: Spark's job commit has landed (`_SUCCESS`)
+    * but the sidecar + staging marker have not — recovery must treat
+    * that staging as TORN (rolling it forward would promote a store
+    * whose fold bookkeeping never made it to disk).
     */
+  private[graft] val AfterSpark = 0
   private[graft] val AfterStage = 1
   private[graft] val AfterAside = 2
   private[graft] val AfterPromote = 3
+
+  /** Staging-complete marker, written as the LAST staging step — after
+    * Spark's `_SUCCESS` and after any [[publish]] `sidecar`. Recovery
+    * rolls a staging forward only when this marker exists: `_SUCCESS`
+    * alone proves the data landed, not the sidecar a
+    * [[graft.ops.StoreIO.publishMerged]] fold needs to retire its delta
+    * children after the promote.
+    */
+  private[graft] val StagedMarker = "_graft_staged"
 
   private final class InjectedCrash(step: Int)
     extends RuntimeException(s"injected crash after step $step")
@@ -80,16 +94,52 @@ object Publish {
     if (fs.exists(p) && !fs.delete(p, true))
       throw new java.io.IOException(s"Publish: delete $p failed")
 
+  /** One-shot small control file (markers, sidecars, pointers) in UTF-8,
+    * overwriting any leftover. create() + close() is not atomic, but
+    * every use below is inside a directory whose VISIBILITY is what
+    * commits (a staged dir before its rename, a pointer temp before its
+    * rename) — a torn control file is never observable as committed.
+    */
+  private[ops] def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, contents: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(contents.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[ops] def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** `sidecar` — an optional (filename, contents) pair written INTO the
+    * staged directory after Spark's job commit and before the staging
+    * marker, so it promotes atomically with the data. The one user is
+    * [[graft.ops.StoreIO.publishMerged]]'s folded-children list: the
+    * list must survive a crash between the promote and the child
+    * retirement, or the folded rows exist in both the new live store
+    * and the surviving delta children with no mechanical recovery.
+    */
   def publish(spark: SparkSession, path: String, frame: DataFrame,
-      partitionBy: Seq[String] = Nil): Unit =
-    publishImpl(spark, path, frame, partitionBy, crashAfter = Int.MaxValue)
+      partitionBy: Seq[String] = Nil,
+      sidecar: Option[(String, String)] = None): Unit =
+    publishImpl(spark, path, frame, partitionBy, crashAfter = Int.MaxValue,
+      sidecar = sidecar)
 
   /** The publish with an injectable crash point — the test seam the
     * kill-at-every-interleave spec drives. Production callers use
     * [[publish]].
     */
   private[graft] def publishImpl(spark: SparkSession, path: String,
-      frame: DataFrame, partitionBy: Seq[String], crashAfter: Int): Unit = {
+      frame: DataFrame, partitionBy: Seq[String], crashAfter: Int,
+      sidecar: Option[(String, String)] = None): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
     val staged = new Path(stagedOf(path))
@@ -103,6 +153,13 @@ object Publish {
     val w = frame.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(staged.toString)
+    crash(AfterSpark)
+    sidecar.foreach { case (name, contents) =>
+      writeSmallFile(fs, new Path(staged, name), contents)
+    }
+    // the marker commits the STAGING (data + sidecar together); recovery
+    // never rolls forward a staging without it
+    writeSmallFile(fs, new Path(staged, StagedMarker), "")
     crash(AfterStage)
     // step 1: rename-aside (never delete the only copy)
     if (fs.exists(live)) renameOrThrow(fs, live, prev)
@@ -128,7 +185,7 @@ object Publish {
     val live = new Path(path)
     val staged = new Path(stagedOf(path))
     val prev = new Path(prevOf(path))
-    val stagedComplete = fs.exists(new Path(staged, "_SUCCESS"))
+    val stagedComplete = fs.exists(new Path(staged, StagedMarker))
     if (fs.exists(live)) {
       val leftovers = fs.exists(prev) || fs.exists(staged)
       deleteOrThrow(fs, prev)

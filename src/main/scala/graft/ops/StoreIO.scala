@@ -40,8 +40,12 @@ import org.apache.spark.sql.types.StructType
   * in one maintenance actor — a stream deployed alongside an external
   * maintenance loop passes `compactTrigger = Int.MaxValue` and lets
   * that loop own all folds. Between the publish promote and the
-  * snapshot-child deletion inside [[publishMerged]], a reader in
-  * another thread sees the folded rows twice. Plain parquet has no
+  * snapshot-child retirement inside [[publishMerged]], a reader in
+  * another thread sees the folded rows twice — TRANSIENTLY only: the
+  * folded-children sidecar promotes with the data, so a crash in that
+  * window is settled by [[recoverFolds]] (every snapshot and the
+  * maintenance pre-pass run it), and a replayed append of a retired
+  * token is a no-op (the `_retired` registry). Plain parquet has no
   * multi-directory atomicity; the production-scale form of this whole
   * file is a transaction log (Delta/Iceberg-style manifest + pointer
   * commit) — the delta directory is its filesystem approximation.
@@ -50,27 +54,79 @@ object StoreIO {
 
   def deltaDirOf(path: String): String = path.stripSuffix("/") + "__delta"
 
+  /** Retired-token registry: one zero-byte marker per FOLDED delta
+    * child, under `path__delta/_retired/<childName>`. A fold moves a
+    * child's rows into the live store and deletes the child; without
+    * the marker, an at-least-once replay of that child's append token
+    * would recreate the child and the batch's rows would exist twice in
+    * live ∪ delta — the marker makes the replayed append a no-op
+    * instead (exactly-once STATE survives a fold, not just a same-call
+    * retry). Markers are a few bytes per folded batch and are only
+    * listed point-wise (one exists() per tokened append); they are kept
+    * indefinitely — pruning is safe once a token is outside the
+    * delivery system's replay horizon, which this library cannot know.
+    */
+  private def retiredDirOf(path: String): String =
+    deltaDirOf(path) + "/_retired"
+
+  /** Folded-children sidecar, written into the staged directory by
+    * [[publishMerged]] and promoted atomically with the folded data:
+    * the recovery bookkeeping that lets [[recoverFolds]] retire exactly
+    * the children a crashed fold had already merged into live.
+    */
+  private[graft] val FoldedSidecar = "_graft_folded"
+
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Publish-mode switch (`graft.publish.mode` Spark conf): "rename"
+    * (default — the [[Publish]] rename-aside protocol, atomic on
+    * HDFS/local filesystems) or "pointer" (the [[PointerStore]]
+    * version-dir + pointer-commit protocol, the S3-shaped form whose
+    * every step is a single-object operation). The delta-directory
+    * append discipline is identical in both modes — only where "live"
+    * resolves and how a fold publishes differ.
+    */
+  private def pointerMode(spark: SparkSession): Boolean =
+    spark.conf.get("graft.publish.mode", "rename") == "pointer"
+
+  /** The readable live directory, or None when the store has never
+    * been published (rename mode: the path itself when present;
+    * pointer mode: the committed version dir).
+    */
+  private def liveDirOf(spark: SparkSession, path: String): Option[String] =
+    if (pointerMode(spark)) PointerStore.resolve(spark, path)
+    else if (fsOf(spark, path).exists(new Path(path))) Some(path)
+    else None
+
   /** Appends `frame` as a self-contained delta child. `token` is the
     * idempotence key: replays of the same logical append MUST reuse it
-    * (the child is overwritten, not duplicated); independent appends
-    * must differ (a UUID is generated when omitted).
+    * (the child is overwritten, not duplicated — and once a fold has
+    * retired the child, the replay is a NO-OP: its rows already live in
+    * the folded store); independent appends must differ (a UUID is
+    * generated when omitted).
     */
   def append(frame: DataFrame, path: String, token: String = ""): Unit = {
     val t = if (token.nonEmpty) token
       else java.util.UUID.randomUUID().toString
+    val spark = frame.sparkSession
+    if (token.nonEmpty &&
+        fsOf(spark, path).exists(new Path(retiredDirOf(path), s"d-$t")))
+      return
     frame.write.mode(SaveMode.Overwrite)
       .parquet(s"${deltaDirOf(path)}/d-$t")
   }
 
-  /** The delta children present now (each one complete parquet dir). */
+  /** The delta children present now (each one complete parquet dir).
+    * Only `d-*` entries are children — the `_retired` token registry
+    * shares the delta directory and must never read as data.
+    */
   def deltaChildren(spark: SparkSession, path: String): Seq[String] = {
     val d = new Path(deltaDirOf(path))
     val fs = fsOf(spark, path)
     if (!fs.exists(d)) Nil
-    else fs.listStatus(d).toSeq.filter(_.isDirectory)
+    else fs.listStatus(d).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
       .map(_.getPath.toString).sorted
   }
 
@@ -87,11 +143,10 @@ object StoreIO {
     */
   private def readParts(spark: SparkSession, path: String,
       children: Seq[String], ddl: Option[String]): DataFrame = {
-    val fs = fsOf(spark, path)
     def rd(p: String): DataFrame =
       ddl.fold(spark.read.parquet(p))(d =>
         spark.read.schema(StructType.fromDDL(d)).parquet(p))
-    val parts = (if (fs.exists(new Path(path))) Seq(path) else Nil) ++ children
+    val parts = liveDirOf(spark, path).toSeq ++ children
     if (parts.isEmpty) {
       require(ddl.isDefined, s"StoreIO.read: missing store $path needs a schema")
       spark.createDataFrame(
@@ -107,6 +162,13 @@ object StoreIO {
 
   def snapshot(spark: SparkSession, path: String,
       ddl: Option[String] = None): Snapshot = {
+    // settle any crashed publish/fold FIRST: a snapshot taken over a
+    // half-promoted store misses the live rows, and one taken before a
+    // crashed fold's children are retired would fold those rows a
+    // second time (they are already in live)
+    if (pointerMode(spark)) PointerStore.recover(spark, path)
+    else Publish.recover(spark, path)
+    recoverFolds(spark, path)
     val children = deltaChildren(spark, path)
     Snapshot(readParts(spark, path, children, ddl), children)
   }
@@ -114,22 +176,64 @@ object StoreIO {
   /** Publishes a frame derived from `snap` and retires exactly the
     * delta children that snapshot folded. Appends racing the publish
     * landed in children the snapshot never listed — they survive.
+    *
+    * The child retirement is CRASH-RECOVERABLE: the folded-children
+    * list rides the staged directory as a sidecar ([[Publish.publish]])
+    * and promotes atomically with the folded data, so a crash between
+    * the promote and the retirement leaves a live `_graft_folded` list
+    * that [[recoverFolds]] (run by every [[snapshot]], by this method,
+    * and by `Dedup.runMaintenance`'s pre-pass) settles by retiring
+    * exactly those children — the folded rows can never persist in both
+    * live and delta.
     */
   def publishMerged(spark: SparkSession, path: String, frame: DataFrame,
       snap: Snapshot, partitionBy: Seq[String] = Nil): Unit = {
-    Publish.publish(spark, path, frame, partitionBy)
+    val names = snap.children.map(c => new Path(c).getName)
+    val sidecar = Some(FoldedSidecar -> names.mkString("\n"))
+    if (pointerMode(spark))
+      PointerStore.publish(spark, path, frame, partitionBy, sidecar)
+    else Publish.publish(spark, path, frame, partitionBy, sidecar)
+    recoverFolds(spark, path)
+  }
+
+  /** Settles a fold whose publish promoted but whose child retirement
+    * did not complete (crash, or simply the tail of a healthy
+    * [[publishMerged]]): reads the promoted `_graft_folded` sidecar,
+    * marks each listed child's token retired (so a replayed append of
+    * that token no-ops), deletes the child, and drops the sidecar.
+    * Idempotent; no-op on stores without a pending fold.
+    */
+  def recoverFolds(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
-    snap.children.foreach(c => fs.delete(new Path(c), true))
+    val liveOpt = liveDirOf(spark, path)
+    if (liveOpt.isEmpty) return
+    val sidecar = new Path(liveOpt.get, FoldedSidecar)
+    if (!fs.exists(sidecar)) return
+    val names = Publish.readSmallFile(fs, sidecar)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    if (names.nonEmpty) fs.mkdirs(new Path(retiredDirOf(path)))
+    names.foreach { name =>
+      // marker BEFORE delete: a crash between the two leaves the child
+      // both retired and present, and the re-run deletes it — the
+      // reverse order would let a replayed append resurrect the rows
+      Publish.writeSmallFile(fs, new Path(retiredDirOf(path), name), "")
+      fs.delete(new Path(deltaDirOf(path), name), true)
+    }
+    fs.delete(sidecar, false)
   }
 
   /** Snapshot-rewrite in one call: `f` over live ∪ pinned delta,
-    * published to live, snapshot children retired.
+    * published to live, snapshot children retired. The span holds the
+    * store's [[Lease]] from snapshot through publish — a concurrent
+    * rewriter fails loudly instead of silently losing this rewrite's
+    * changes (the rewrite-vs-rewrite hazard).
     */
   def rewrite(spark: SparkSession, path: String, f: DataFrame => DataFrame,
-      ddl: Option[String] = None, partitionBy: Seq[String] = Nil): Unit = {
-    val snap = snapshot(spark, path, ddl)
-    publishMerged(spark, path, f(snap.frame), snap, partitionBy)
-  }
+      ddl: Option[String] = None, partitionBy: Seq[String] = Nil): Unit =
+    Lease.withLeases(spark, Seq(path)) {
+      val snap = snapshot(spark, path, ddl)
+      publishMerged(spark, path, f(snap.frame), snap, partitionBy)
+    }
 
   /** File-count hygiene across live AND delta: how many parquet LEAF
     * FILES a [[read]] must list (the compaction trigger's currency —
@@ -139,11 +243,23 @@ object StoreIO {
     */
   def fragmentCount(spark: SparkSession, path: String): Int = {
     val fs = fsOf(spark, path)
+    // RECURSIVE leaf count: a hive-partitioned live store keeps its
+    // part files under partition subdirectories, so a top-level listing
+    // would report ~0 leaves and the compaction trigger would never
+    // fire on exactly the stores whose listing cost it meters. One
+    // recursive listing also covers every delta child (and skips the
+    // `_retired` registry, whose markers are not .parquet files).
     def leaves(dir: String): Int = {
       val p = new Path(dir)
-      if (fs.exists(p)) fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-      else 0
+      if (!fs.exists(p)) 0
+      else {
+        var n = 0
+        val it = fs.listFiles(p, true)
+        while (it.hasNext)
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        n
+      }
     }
-    leaves(path) + deltaChildren(spark, path).map(leaves).sum
+    leaves(liveDirOf(spark, path).getOrElse(path)) + leaves(deltaDirOf(path))
   }
 }

@@ -59,4 +59,43 @@ class BackfillSpec extends SparkSuite {
     val plan = delta.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"expected a semi join on source:\n$plan")
   }
+
+  test("torn partition: the row-granular remedy repairs what the partition-granular listing diff cannot see") {
+    val docs = Tables.documents(spark, dir)
+    // a partial publish: src3 has SOME rows in the artifact, so the
+    // listing-level diff reads it as covered
+    val torn = Backfill.featureDf(docs)
+      .filter(!(col("source") === "src3" && col("doc_id") % 7 === 0))
+      .localCheckpoint()
+    // the partition-granular form is the documented no-op on this state
+    assert(Backfill.backfillDelta(docs, torn).isEmpty,
+      "listing diff saw the torn partition — the premise changed")
+    // the row-granular remedy fills exactly the gap rows
+    val delta = Backfill.backfillDeltaRows(docs, torn).localCheckpoint()
+    assert(delta.count() > 0)
+    assert(delta.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("src3"))
+    assert(canon(Backfill.backfillApplyRows(docs, torn)) ===
+      canon(Backfill.featureDf(docs)))
+    // and the audit that schedules the remedy converges: n_missing
+    // drops to zero, so the maintenance loop stops re-planning backfill
+    val audited = Backfill.featureAuditDf(docs,
+      Backfill.backfillApplyRows(docs, torn)).head()
+    assert(audited.getAs[Long]("n_missing") === 0L)
+    assert(audited.getAs[Long]("n_multi") === 0L)
+  }
+
+  test("row-granular remedy equals the partition-granular delta on whole-partition gaps, and is idempotent") {
+    val docs = Tables.documents(spark, dir)
+    val staged = Backfill.featureDf(docs.filter(col("source") =!= "src3"))
+      .localCheckpoint()
+    assert(canon(Backfill.backfillDeltaRows(docs, staged)) ===
+      canon(Backfill.backfillDelta(docs, staged)))
+    val full = Backfill.featureDf(docs).localCheckpoint()
+    assert(Backfill.backfillDeltaRows(docs, full).isEmpty)
+    // the gap scan still prunes: only gap partitions reach the row join
+    val plan = Backfill.backfillDeltaRows(docs, staged)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join on source:\n$plan")
+  }
 }

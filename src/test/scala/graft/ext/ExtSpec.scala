@@ -666,7 +666,12 @@ class ExtSpec extends SparkSuite {
     val packedHealthy = Packing.packedFrame(docs)
     packedHealthy.unionByName(packedHealthy.limit(1))
       .write.partitionBy("shard").parquet(kP)
+    // feature artifact: one whole partition missing AND one torn
+    // partition (partial rows inside a still-covered source — invisible
+    // to the listing-level diff, so convergence needs the row-granular
+    // remedy the plan routes `backfill` to)
     Backfill.featureDf(docs.filter(col("source") =!= "src9"))
+      .filter(!(col("source") === "src3" && col("doc_id") % 7 === 0))
       .write.parquet(fP)
     val finalPlan = Dedup.runMaintenance(docs, emb, hP, mP, pP, lP,
       cents, codebooks, cP, iP, qP, kP, fP).collect()

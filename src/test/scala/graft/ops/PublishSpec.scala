@@ -43,21 +43,26 @@ class PublishSpec extends SparkSuite {
   }
 
   test("publish killed after EVERY step: recovery settles to a consistent snapshot, never a vanished store") {
-    for (step <- Seq(Publish.AfterStage, Publish.AfterAside, Publish.AfterPromote)) {
+    for (step <- Seq(Publish.AfterSpark, Publish.AfterStage,
+        Publish.AfterAside, Publish.AfterPromote)) {
       val (path, oldF, newF) = freshStore()
       intercept[RuntimeException] {
         Publish.publishImpl(spark, path, newF, Nil, crashAfter = step)
       }
       // the invariant the delete-then-rename form violated: SOME
       // consistent store copy exists at every interleave point —
-      // live, or prev (aside), or a complete staged (_SUCCESS)
+      // live, or prev (aside), or a complete staged (StagedMarker,
+      // written after _SUCCESS and any sidecar)
       val anyCopy = fs.exists(new Path(path)) ||
         fs.exists(new Path(Publish.prevOf(path))) ||
-        fs.exists(new Path(Publish.stagedOf(path), "_SUCCESS"))
+        fs.exists(new Path(Publish.stagedOf(path), Publish.StagedMarker))
       assert(anyCopy, s"step $step left no recoverable copy")
       val action = Publish.recover(spark, path)
       val expected = step match {
-        case Publish.AfterStage => rowsOf(oldF) // publish never landed
+        // publish never landed: Spark committed but staging never
+        // completed (no marker), or staging completed but the aside
+        // never ran — either way live was untouched
+        case Publish.AfterSpark | Publish.AfterStage => rowsOf(oldF)
         case _ => rowsOf(newF) // staged was complete: roll forward
       }
       assert(rows(path) === expected, s"step $step settled wrong")
