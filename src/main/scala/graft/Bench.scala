@@ -127,6 +127,28 @@ object Bench {
           None
       }
     }
+    // MEDIANS RULE for heavy entries (r15 verdict item 2): a single-shot
+    // timing of a store-heavy composite can mislead by 5x on a 234-query
+    // session (q_maintenance_plan: 49.1s in the r15 snapshot vs 8.7s in
+    // isolation — page-cache eviction across the run, not code). The
+    // top-10 slowest entries re-run twice and the committed value is the
+    // median of the three, so one cold-cache hit cannot stand as the
+    // baseline; "medianed" in BENCH_FULL names the entries the rule
+    // touched (BASELINE.md states the comparison rule).
+    val medianed = results.toSeq.sortBy(-_._2).take(10).map(_._1)
+    val medianResults = results ++ medianed.flatMap { name =>
+      val fn = selected(name)
+      val reruns = (1 to 2).flatMap { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      if (reruns.size < 2) None
+      else Some(name -> (reruns :+ results(name)).sorted.apply(1))
+    }
     // The driver keeps only the LAST ~2000 chars of stdout (every round so
     // far shows the tail truncated mid-JSON once the surface outgrew it), so
     // the stdout line is BUDGET-FITTED: per-query entries are admitted
@@ -137,10 +159,10 @@ object Bench {
     // end-of-round snapshot commits.
     val calibLast = calibrate()
     val calib = f""","calib_first":$calibFirst%.3f,"calib_last":$calibLast%.3f"""
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (medianResults.nonEmpty) medianResults.values.sum else 0.0
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
-    val fullQs = results.toSeq.sortBy(_._1)
+    val fullQs = medianResults.toSeq.sortBy(_._1)
       .map { case (k, v) => f"""\"$k\":$v%.2f""" }.mkString("{", ",", "}")
     // Host-normalized per-query values (r14 verdict item 5): t_i divided
     // by the run's own calibration mean, so cross-session per-query
@@ -148,10 +170,12 @@ object Bench {
     // BASELINE.md states the comparison rule.
     val calibMean = (calibFirst + calibLast) / 2.0
     val normQs =
-      if (calibMean > 0) results.toSeq.sortBy(_._1)
+      if (calibMean > 0) medianResults.toSeq.sortBy(_._1)
         .map { case (k, v) => f"""\"$k\":${v / calibMean}%.3f""" }
         .mkString("{", ",", "}")
       else "{}"
+    val medianedJson = medianed.sorted.map(n => s""""$n"""")
+      .mkString("[", ",", "]")
     // Optional machine-state note carried INSIDE the artifact (e.g.
     // "3 repeats this session: 179.8/182.7/186.5" or "driver re-ran
     // concurrent") — single-node wall time swings ~25% with host state
@@ -169,7 +193,7 @@ object Bench {
       }
       .getOrElse("")
     val fullLine =
-      f"""{"queries":$fullQs,"queries_norm":$normQs,"calib_mean":$calibMean%.3f,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${results.size},"nerr":${errors.size}$calib$note}"""
+      f"""{"queries":$fullQs,"queries_norm":$normQs,"medianed":$medianedJson,"calib_mean":$calibMean%.3f,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"n":${medianResults.size},"nerr":${errors.size}$calib$note}"""
     // Dev-loop subset runs (SPARK_GRAFT_ONLY set) must NOT clobber the
     // committed full-surface snapshot — a 1-query artifact replacing the
     // 180-query baseline is exactly the stale-snapshot failure the
@@ -185,12 +209,12 @@ object Bench {
       .map(n => s""""$n"""").mkString("[", ",", "]")
     val wrapper = s""","errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":00000.000,"qdropped":00$calib}""".length + 13
     var used = 0
-    val kept = results.toSeq.sortBy(-_._2).iterator
+    val kept = medianResults.toSeq.sortBy(-_._2).iterator
       .map { case (k, v) => f"""\"$k\":$v%.2f""" }
       .takeWhile { e => used += e.length + 1; used + wrapper <= lineBudget }
       .toSeq
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"queries":$qs,"errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"qdropped":${results.size - kept.size}$calib}""")
+    println(f"""{"queries":$qs,"errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"qdropped":${medianResults.size - kept.size}$calib}""")
     spark.stop()
   }
 }

@@ -243,7 +243,12 @@ object ScaleBench {
     "q_backfill_audit",
     // round-15: the tombstoned served search — partition-pruned reads
     // plus one broadcast anti-join; the merge-on-read point-lookup shape
-    "ann_ivf_search_tombstoned")
+    "ann_ivf_search_tombstoned",
+    // round-16: the tombstone-served pack manifest — prefix rows pass
+    // through from the stored manifest, only the affected suffix (the
+    // top doc_id decile under the entry's tail takedown) repacks, so
+    // the curve should track ~1/10th of q_pack_sequences' window work
+    "q_manifest_served")
 
   /** Candidate-volume probes: count the bucket-join rows the heavy
     * pipelines actually generate. At x100 on ONE box the timed curves

@@ -1398,11 +1398,15 @@ object Dedup {
   //     fold survives as a live tombstone (the StoreIO snapshot
   //     contract).
   //
-  // The pack manifest is the one store merge-on-read cannot serve
-  // cheaply: offsets are POSITIONAL, so the served manifest is
-  // [[graft.ext.Packing.repackManifest]] over the tombstone-filtered
-  // rows (a recompute, not a filter) — readers that need offsets
-  // compact first; ExtSpec pins the recompute ≡ post-rewrite manifest.
+  // The pack manifest needs more than a filter — offsets are
+  // POSITIONAL, so dropping a row shifts every later document's
+  // t_off. Its served form is [[graft.ext.Packing.manifestServed]]:
+  // stored rows before the first tombstoned doc pass through verbatim,
+  // and only the affected suffix repacks (seeded with the tombstoned
+  // row's own stored offset) — a takedown near the corpus tail costs
+  // the tail, not the store. PackingSpec pins served ≡ full repack of
+  // survivors; `q_manifest_served` hash-gates it against the
+  // from-scratch pack of the surviving corpus.
 
   private[graft] val TombstonesDdl = "doc_id BIGINT"
 

@@ -200,6 +200,65 @@ object Packing {
     repackDeltaDf(docs, docs.filter(col("source") === "src7").select("doc_id"))
   }
 
+  /** TOMBSTONE-SERVED manifest — the merge-on-read form for the one
+    * store a plain anti-join cannot serve: offsets are POSITIONAL, so
+    * dropping a row shifts every later document's `t_off`. The full
+    * recompute ([[repackManifest]] over survivors) prices a takedown at
+    * the whole store; this serves it at the cost of the AFFECTED SUFFIX
+    * instead, using the [[repackDeltaDf]] closed form's observation
+    * that the manifest is byte-identical up to the first tombstoned
+    * document:
+    *
+    *   - rows before the first tombstoned doc_id PASS THROUGH from the
+    *     stored manifest (no window, no shuffle — their offsets cannot
+    *     have moved, because packing only accumulates cost forward);
+    *   - rows after it repack through the same two-pass prefix sum,
+    *     SEEDED with the tombstoned row's own stored `t_off` (the
+    *     stored manifest's self-consistency makes that exactly the
+    *     surviving prefix cost).
+    *
+    * Equals [[repackManifest]] over the tombstone-filtered rows row for
+    * row (PackingSpec pins it, including tombstones absent from the
+    * manifest and a tombstoned final row), so a takedown near the
+    * corpus tail costs the tail, not the store. The tombstone side is
+    * delete-sized and broadcast; the one driver-side value is the
+    * first tombstoned row's (doc_id, t_off) pair.
+    */
+  def manifestServed(manifest: DataFrame, tombs: DataFrame,
+      seqLen: Long = 512L, buckets: Int = 64): DataFrame = {
+    val cols = Seq("doc_id", "n_tok", "t_off", "seq_id", "n_seqs").map(col)
+    val t = tombs.select(col("doc_id")).distinct().localCheckpoint()
+    val hit = manifest.join(broadcast(t), Seq("doc_id"))
+      .agg(min(struct(col("doc_id"), col("t_off"))).as("m"))
+      .head().getAs[org.apache.spark.sql.Row]("m")
+    if (hit == null) manifest.select(cols: _*)
+    else {
+      val (minDel, base) = (hit.getLong(0), hit.getLong(1))
+      val prefix = manifest.filter(col("doc_id") < minDel).select(cols: _*)
+      val suffixCosts = manifest.filter(col("doc_id") > minDel)
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tok"))
+        .withColumn("cost", col("n_tok") + lit(1L))
+      prefix.unionByName(packFromCosts(suffixCosts, seqLen, buckets, base))
+    }
+  }
+
+  /** Driver entry: a TAIL takedown (the standing src7 rule restricted
+    * to the top doc_id decile — the shape where serving beats
+    * repacking most) against the maintained manifest. The oracle is
+    * the from-scratch pack of the surviving corpus, so the suffix-seam
+    * arithmetic is hash-gated end to end.
+    */
+  def qManifestServed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cutoff = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    val tombs = docs
+      .filter(col("source") === "src7" && col("doc_id") >= cutoff)
+      .select(col("doc_id"))
+    manifestServed(spark.read.parquet(ensureManifest(spark, dir)), tombs)
+      .orderBy("doc_id")
+  }
+
   /** The documents drop-file schema, for the streaming reader. */
   val docsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -558,6 +617,7 @@ object Packing {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (qPackSequences _),
     "q_repack_delta" -> (qRepackDelta _),
+    "q_manifest_served" -> (qManifestServed _),
     "q_pack_profile" -> (qPackProfile _),
     "q_pack_by_lang" -> (qPackByLang _),
     "q_manifest_audit" -> (qManifestAudit _),
@@ -623,6 +683,29 @@ object Packing {
     "q_pack_sequences" ->
       s"""$packCte
          |SELECT doc_id, n_tok, t_off, seq_id, n_seqs FROM p ORDER BY doc_id""".stripMargin,
+    // the served manifest must equal the from-scratch pack of the
+    // surviving corpus — the prefix pass-through + seeded suffix repack
+    // is an implementation detail the oracle must not see
+    "q_manifest_served" ->
+      """WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
+        |del AS (SELECT doc_id FROM documents, cut
+        |        WHERE source = 'src7' AND doc_id >= c),
+        |t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(sum(n_tok + 1) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - (n_tok + 1) AS BIGINT) AS t_off
+        |  FROM t)
+        |SELECT doc_id, n_tok, t_off,
+        |       t_off // 512 AS seq_id,
+        |       CASE WHEN n_tok = 0 THEN 0
+        |            ELSE (t_off + n_tok - 1) // 512 - t_off // 512 + 1 END AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_pack_profile" ->
       s"""$packCte
          |SELECT seq_id, count(*) AS n_docs_started,

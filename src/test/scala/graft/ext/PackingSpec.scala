@@ -151,6 +151,44 @@ class PackingSpec extends SparkSuite {
       "offsets re-derived from stored token counts must equal a from-scratch pack")
   }
 
+  test("tombstone-served manifest equals the full repack of survivors, at suffix cost") {
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    val manifest = Packing.packSequences(docs).localCheckpoint()
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def reference(tombs: org.apache.spark.sql.DataFrame): Seq[String] =
+      sortedRows(Packing.repackManifest(
+        manifest.join(tombs, Seq("doc_id"), "left_anti")))
+    // mid-corpus takedown (the standing src7 set), tail takedown (the
+    // q_manifest_served rule), the FINAL row, and a tombstone for a
+    // doc the manifest never held (must be a pure pass-through)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cases = Seq(
+      "mid" -> docs.filter(col("source") === "src7").select("doc_id"),
+      "tail" -> docs.filter(col("source") === "src7" &&
+        col("doc_id") >= (maxId + 1L) * 9L / 10L).select("doc_id"),
+      "last" -> docs.filter(col("doc_id") === maxId).select("doc_id"),
+      "absent" -> spark.range(maxId + 100L, maxId + 103L)
+        .select(col("id").as("doc_id")))
+    for ((name, tombs) <- cases) {
+      val served = sortedRows(Packing.manifestServed(manifest, tombs))
+      assert(served === reference(tombs), s"case $name diverged")
+    }
+    // the suffix seam: under the tail takedown, every stored row below
+    // the first tombstoned id must appear in the served view VERBATIM
+    // (the pass-through face — no recompute touched it)
+    val tailTombs = cases.toMap.apply("tail")
+    val minDel = manifest.join(tailTombs, Seq("doc_id"))
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val servedPrefix = sortedRows(
+      Packing.manifestServed(manifest, tailTombs)
+        .filter(col("doc_id") < minDel))
+    assert(servedPrefix === sortedRows(manifest.filter(col("doc_id") < minDel)))
+    // no tombstones: the stored manifest verbatim
+    assert(sortedRows(Packing.manifestServed(manifest,
+      manifest.select("doc_id").limit(0))) === sortedRows(manifest))
+  }
+
   test("repack delta: closed-form report matches the actual before/after manifests") {
     val docs = Tables.documents(spark, dir)
     val deleted = docs.filter(col("source") === "src7").select("doc_id")
