@@ -1358,21 +1358,11 @@ object Dedup {
     */
   def qDeleteApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val fixture = ensureDeleteFixture(spark, dir)
-    val root = java.nio.file.Files.createTempDirectory("delete_apply")
-      .resolve("state").toString
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, new org.apache.hadoop.fs.Path(fixture),
-        fs, new org.apache.hadoop.fs.Path(root),
-        false, spark.sparkContext.hadoopConfiguration)
+    graft.ops.Scratch.withFixtureCopy(spark,
+        ensureDeleteFixture(spark, dir), "delete_apply") { root =>
       deleteApply(docs.filter(col("source") === "src7").select("doc_id"),
         s"$root/index", s"$root/pairs", Some(s"$root/hashes"),
         Some(s"$root/manifest"))
-    } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
     }
   }
 

@@ -799,27 +799,16 @@ object Ivf {
     * dropped in finally — the bill is checkpointed before the stores
     * move, so a bench run never accretes corpus-sized layouts in /tmp.
     */
-  def annRetrainApply(spark: SparkSession, dir: String): DataFrame = {
-    val fixture = ensureRetrainFixture(spark, dir)
-    val root = java.nio.file.Files.createTempDirectory("retrain_apply")
-      .resolve("state").toString
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, new org.apache.hadoop.fs.Path(fixture),
-        fs, new org.apache.hadoop.fs.Path(root),
-        false, spark.sparkContext.hadoopConfiguration)
+  def annRetrainApply(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Scratch.withFixtureCopy(spark,
+        ensureRetrainFixture(spark, dir), "retrain_apply") { root =>
       // the candidate quantizer is the MAINTAINED full-corpus model —
       // deterministic training makes ensureModel ≡ trainCentroids(emb)
       // bit-exact (spec-pinned), so reuse the cached artifact instead of
       // paying the sample draw + Lloyd's per invocation
       retrainApply(spark, s"$root/corpus", s"$root/model",
         ensureModel(spark, dir))
-    } finally {
-      fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
     }
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_search" -> (annIvfSearch _),

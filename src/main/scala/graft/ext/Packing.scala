@@ -626,13 +626,16 @@ object Packing {
 
   /** The manifest CTE chain with prefixable names (`x` avoids CTE-name
     * collisions when composed with other chains, e.g. the delete-impact
-    * oracle); ends in `${x}p(doc_id, n_tok, t_off, seq_id, n_seqs)`.
+    * oracle) over a pluggable source relation (`src` — the full corpus
+    * by default; the served-manifest oracle feeds the tombstone-filtered
+    * corpus, so the pack FORMULA lives in exactly one place); ends in
+    * `${x}p(doc_id, n_tok, t_off, seq_id, n_seqs)`.
     */
-  private[ext] def packCteBody(x: String): String =
+  private[ext] def packCteBody(x: String, src: String = "documents"): String =
     s"""${x}t AS (
        |  SELECT doc_id,
        |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
-       |  FROM documents),
+       |  FROM $src),
        |${x}c AS (
        |  SELECT doc_id, n_tok,
        |         CAST(sum(n_tok + 1) OVER (ORDER BY doc_id
@@ -687,25 +690,13 @@ object Packing {
     // surviving corpus — the prefix pass-through + seeded suffix repack
     // is an implementation detail the oracle must not see
     "q_manifest_served" ->
-      """WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
-        |del AS (SELECT doc_id FROM documents, cut
-        |        WHERE source = 'src7' AND doc_id >= c),
-        |t AS (
-        |  SELECT doc_id,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
-        |  FROM documents
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM del)),
-        |c AS (
-        |  SELECT doc_id, n_tok,
-        |         CAST(sum(n_tok + 1) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           - (n_tok + 1) AS BIGINT) AS t_off
-        |  FROM t)
-        |SELECT doc_id, n_tok, t_off,
-        |       t_off // 512 AS seq_id,
-        |       CASE WHEN n_tok = 0 THEN 0
-        |            ELSE (t_off + n_tok - 1) // 512 - t_off // 512 + 1 END AS n_seqs
-        |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH cut AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents),
+         |del AS (SELECT doc_id FROM documents, cut
+         |        WHERE source = 'src7' AND doc_id >= c),
+         |survivors AS (SELECT * FROM documents
+         |              WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+         |${packCteBody("", src = "survivors")}
+         |SELECT doc_id, n_tok, t_off, seq_id, n_seqs FROM p ORDER BY doc_id""".stripMargin,
     "q_pack_profile" ->
       s"""$packCte
          |SELECT seq_id, count(*) AS n_docs_started,

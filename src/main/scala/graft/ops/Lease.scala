@@ -27,10 +27,15 @@ import org.apache.spark.sql.SparkSession
   *     fail-fast (never wait), two actors can never deadlock — the
   *     loser of any single acquisition aborts and releases;
   *   - a crashed holder leaves a stale lock: an acquirer BREAKS any
-  *     lease older than `ttlMs` (the holder is presumed dead — pick a
-  *     TTL above the longest rewrite; a live holder past its TTL must
-  *     already have failed its own publish renames). The lease file
-  *     records holder + acquisition time for the operator reading it.
+  *     lease older than `ttlMs`, claiming the break by an atomic
+  *     RENAME-aside (exactly one of two concurrent breakers wins; the
+  *     loser fails loudly). There is NO renewal — the TTL is a dead-
+  *     holder heuristic, so it must sit well above the longest rewrite
+  *     span; a LIVE holder that outlives it can be usurped (the
+  *     inherent limit of unfenced leases — a fencing token checked at
+  *     publish time is the full form). Release is ownership-checked
+  *     (the lock records its holder), so a usurped span cannot cascade
+  *     by deleting the usurper's lock and letting a third writer in.
   *
   * What is NOT leased: plain appends (the delta-directory discipline
   * makes them safe against any rewrite — that is its whole point) and
@@ -82,6 +87,16 @@ object Lease {
     try Some(withLeases(spark, paths, ttlMs)(body))
     catch { case _: ConcurrentWriter => None }
 
+  private def holderId: String =
+    s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
+      Thread.currentThread().getId
+
+  // this thread's holder record per lease (for the ownership-checked
+  // release below)
+  private val heldRecord = new ThreadLocal[scala.collection.mutable.Map[String, String]] {
+    override def initialValue() = scala.collection.mutable.Map.empty
+  }
+
   private def acquire(spark: SparkSession, path: String, ttlMs: Long): Unit = {
     val lp = leasePathOf(path)
     val counts = held.get()
@@ -95,12 +110,29 @@ object Lease {
       catch { case _: java.io.IOException => false }
     var got = tryCreate()
     if (!got) {
-      // stale-holder break: strictly older than the TTL only
+      // stale-holder break: strictly older than the TTL only. The break
+      // itself must be single-winner — a delete-then-create would let
+      // two breakers both "succeed" (B deletes A's fresh lock right
+      // after A's create) and silently co-hold. RENAME is the atomic
+      // claim: exactly one breaker moves the stale file aside; the
+      // loser's rename returns false and it fails loudly like any
+      // other contender (it must NOT retry create — the winner owns
+      // the break window).
       val age = try System.currentTimeMillis() -
         fs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       if (age > ttlMs) {
-        fs.delete(lock, false)
+        val aside = new Path(lp + ".stale-" + java.util.UUID.randomUUID())
+        val wonBreak =
+          try fs.rename(lock, aside)
+          catch { case _: java.io.IOException => false }
+        if (wonBreak) {
+          fs.delete(aside, false)
+          got = tryCreate()
+        }
+      } else if (age == Long.MaxValue) {
+        // the lock vanished between create and stat (holder released):
+        // contend normally once more
         got = tryCreate()
       }
     }
@@ -108,11 +140,13 @@ object Lease {
       throw new ConcurrentWriter(
         s"Lease: $path is held by another maintenance writer ($lp); " +
           "two concurrent rewriters lose updates — retry after it releases")
-    // holder record, best effort (the CREATE above is the lock)
-    try Publish.writeSmallFile(fs, lock,
-      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
-        s"acquired_ms=${System.currentTimeMillis()}")
+    // holder record, best effort (the CREATE above is the lock). Also
+    // the release-side ownership token: release only deletes a lock
+    // whose record it wrote.
+    val record = s"$holderId acquired_ms=${System.currentTimeMillis()}"
+    try Publish.writeSmallFile(fs, lock, record)
     catch { case _: java.io.IOException => () }
+    heldRecord.get()(lp) = record
     counts(lp) = 1
   }
 
@@ -123,7 +157,21 @@ object Lease {
       case Some(n) if n > 1 => counts(lp) = n - 1
       case Some(_) =>
         counts.remove(lp)
-        fsOf(spark, path).delete(new Path(lp), false)
+        val record = heldRecord.get().remove(lp)
+        val fs = fsOf(spark, path)
+        val lock = new Path(lp)
+        // ownership-checked delete: if a TTL break usurped this span
+        // (the documented no-renewal limit — pick TTL well above the
+        // longest rewrite), the lock now belongs to the usurper and
+        // deleting it would invite a THIRD writer. Best-effort read;
+        // an unreadable/missing lock is left alone.
+        // empty content = the create landed but the record write did
+        // not — still this thread's lock (nobody else could create it)
+        val owned = try {
+          val content = Publish.readSmallFile(fs, lock)
+          content.isEmpty || record.contains(content)
+        } catch { case _: java.io.IOException => false }
+        if (owned) fs.delete(lock, false)
       case None => () // release without acquire: nothing to do
     }
   }

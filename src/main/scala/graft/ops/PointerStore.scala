@@ -162,9 +162,15 @@ object PointerStore {
         fs.listStatus(r).map(_.getPath.getName)
           .filter(_.startsWith(PtrPrefix))
           .flatMap(n => scala.util.Try(n.stripPrefix(PtrPrefix).toLong).toOption)
-          .filter(n => n <= c.n && fs.exists(new Path(
-            new Path(r, Publish.readSmallFile(fs, new Path(r, ptrName(n))).trim),
-            Publish.StagedMarker)))
+          .filter { n =>
+            // the same torn-pointer guard as current(): an EMPTY
+            // pointer names no version (and an empty string is not
+            // even a constructible Path) — it is collectable, never
+            // kept
+            val v = Publish.readSmallFile(fs, new Path(r, ptrName(n))).trim
+            n <= c.n && v.nonEmpty &&
+              fs.exists(new Path(new Path(r, v), Publish.StagedMarker))
+          }
           .sorted(Ordering[Long].reverse).take(math.max(1, keep)).toSet
     }
     val keptVersions = kept.map(versionName)

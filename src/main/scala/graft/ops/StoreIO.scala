@@ -110,11 +110,24 @@ object StoreIO {
     val t = if (token.nonEmpty) token
       else java.util.UUID.randomUUID().toString
     val spark = frame.sparkSession
-    if (token.nonEmpty &&
-        fsOf(spark, path).exists(new Path(retiredDirOf(path), s"d-$t")))
-      return
+    val fs = fsOf(spark, path)
+    val marker = new Path(retiredDirOf(path), s"d-$t")
+    if (token.nonEmpty && fs.exists(marker)) return
     frame.write.mode(SaveMode.Overwrite)
       .parquet(s"${deltaDirOf(path)}/d-$t")
+    // RE-CHECK after the write: appends are deliberately lock-free, so
+    // a replay can race a fold's retirement — initial check sees no
+    // marker, the fold then retires (marker + child delete), and the
+    // write above resurrects a child whose rows the fold already moved
+    // into live, with no recovery path left. The post-write check
+    // closes every interleave: the marker is written BEFORE the fold
+    // deletes the child, so if the child was (or is about to be)
+    // retired, the marker is visible here and this append cancels its
+    // own resurrection; if the marker lands after this check, the
+    // fold's own child delete (which follows its marker) removes the
+    // just-written child instead — either way the rows exist once.
+    if (token.nonEmpty && fs.exists(marker))
+      fs.delete(new Path(deltaDirOf(path), s"d-$t"), true)
   }
 
   /** The delta children present now (each one complete parquet dir).

@@ -70,6 +70,53 @@ class LeaseSpec extends SparkSuite {
     assert(!fs.exists(lock))
   }
 
+  test("breaking a stale lease is single-winner: concurrent breakers never co-hold") {
+    val path = tmp("lease_break_race")
+    val lock = new Path(Lease.leasePathOf(path))
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losers = new java.util.concurrent.atomic.AtomicInteger(0)
+    for (_ <- 1 to 5) {
+      fs.mkdirs(lock.getParent)
+      fs.createNewFile(lock)
+      fs.setTimes(lock, System.currentTimeMillis() - 60L * 60L * 1000L, -1)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 2).map { _ =>
+        new Thread(() => {
+          gate.await()
+          try Lease.withLeases(spark, Seq(path)) {
+            val now = inside.incrementAndGet()
+            maxInside.getAndUpdate(m => math.max(m, now))
+            Thread.sleep(30)
+            inside.decrementAndGet()
+          } catch { case _: Lease.ConcurrentWriter => losers.incrementAndGet() }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      fs.delete(lock, false)
+    }
+    // the invariant the rename-aside break exists for: at MOST one
+    // holder at any instant — a delete-then-create break lets both
+    // breakers in (losers may be 0 when the attempts serialize; that
+    // is a legitimate serial order)
+    assert(maxInside.get() === 1,
+      s"${maxInside.get()} writers co-held a broken lease")
+  }
+
+  test("release is ownership-checked: a usurped span does not delete the usurper's lock") {
+    val path = tmp("lease_usurp")
+    val lock = new Path(Lease.leasePathOf(path))
+    Lease.withLeases(spark, Seq(path)) {
+      // fabricate a TTL usurpation: another actor broke the lease and
+      // wrote its own holder record while this span was still running
+      Publish.writeSmallFile(fs, lock, "usurper@elsewhere acquired_ms=0")
+    }
+    // this thread's release must have left the foreign lock alone
+    assert(fs.exists(lock), "release deleted a lock it no longer owned")
+    assert(Publish.readSmallFile(fs, lock).startsWith("usurper@"))
+    fs.delete(lock, false)
+  }
+
   test("two interleaved store rewrites: the second writer fails loudly, post-state equals the first serial order") {
     import spark.implicits._
     val path = tmp("lease_rw")
