@@ -9,33 +9,48 @@ import org.apache.spark.sql.SparkSession
   * same store each snapshot, derive, and publish: the later publish
   * silently discards the earlier one's changes (lost update). The
   * lease makes the assumption mechanical: a rewrite span acquires an
-  * exclusive per-store lock file BEFORE its snapshot and releases it
-  * after its publish, so a second writer FAILS LOUDLY
+  * exclusive per-store lease BEFORE its snapshot and releases it after
+  * its publish, so a second writer FAILS LOUDLY
   * ([[Lease.ConcurrentWriter]]) instead of silently losing work —
   * there is no blocking/queueing (nothing to deadlock), retry is the
   * caller's policy.
   *
-  * Mechanics:
-  *   - the lock is `store__lease`, taken with the filesystem's atomic
-  *     create-if-absent (`createNewFile` — atomic on HDFS and local
-  *     filesystems; the object-store analog is a conditional PUT);
+  * Mechanics — ORDERED CLAIM FILES, never a mutated shared path. A
+  * single lock file needs delete-or-rename to break a stale holder,
+  * and any mutation of a shared path races: between "stat says stale"
+  * and the delete/rename, a fresh lock can replace the stale one and
+  * the breaker destroys a LIVE writer's lock (measured, not
+  * hypothetical — the drill below caught exactly that). Instead:
+  *
+  *   - acquiring writes one UNIQUE claim file under `store__lease/`
+  *     (`claim-<uuid>`, created with the filesystem's atomic
+  *     create-if-absent; the object-store analog is a conditional
+  *     PUT). Nobody ever renames, overwrites, or deletes another
+  *     writer's LIVE claim — every mutation touches only names the
+  *     mutator owns or names proven dead;
+  *   - the winner is the ALIVE claim (age within `ttlMs`) with the
+  *     smallest modification time. A claim created later can never
+  *     sort earlier (filesystem mtimes are non-decreasing), so the
+  *     decision is stable without coordination. EQUAL mtimes (same
+  *     clock tick) are treated as a conflict by BOTH sides — mutual
+  *     abort, never a co-hold;
+  *   - a loser deletes its own claim and throws; release deletes only
+  *     the caller's own uniquely-named claim, so a usurped or raced
+  *     span can never unlock someone else's;
+  *   - a crashed holder's claim goes stale after `ttlMs` and is
+  *     ignored by the winner rule (and garbage-collected by later
+  *     acquirers — safe, names are never reused). There is NO renewal:
+  *     the TTL is a dead-holder heuristic, so pick it well above the
+  *     longest rewrite span; a live holder that outlives it can be
+  *     usurped — the inherent limit of unfenced leases (a fencing
+  *     token checked at publish time is the full form);
   *   - REENTRANT PER THREAD: a composed operator (runMaintenance →
   *     storeRepair → fold) re-enters the leases it already holds, so
   *     spans nest without self-deadlock; a different thread — same JVM
   *     or not — is a different writer and fails;
   *   - multi-store spans acquire in SORTED path order; combined with
   *     fail-fast (never wait), two actors can never deadlock — the
-  *     loser of any single acquisition aborts and releases;
-  *   - a crashed holder leaves a stale lock: an acquirer BREAKS any
-  *     lease older than `ttlMs`, claiming the break by an atomic
-  *     RENAME-aside (exactly one of two concurrent breakers wins; the
-  *     loser fails loudly). There is NO renewal — the TTL is a dead-
-  *     holder heuristic, so it must sit well above the longest rewrite
-  *     span; a LIVE holder that outlives it can be usurped (the
-  *     inherent limit of unfenced leases — a fencing token checked at
-  *     publish time is the full form). Release is ownership-checked
-  *     (the lock records its holder), so a usurped span cannot cascade
-  *     by deleting the usurper's lock and letting a third writer in.
+  *     loser of any single acquisition aborts and releases.
   *
   * What is NOT leased: plain appends (the delta-directory discipline
   * makes them safe against any rewrite — that is its whole point) and
@@ -53,16 +68,21 @@ object Lease {
     */
   val DefaultTtlMs: Long = 30L * 60L * 1000L
 
-  private[graft] def leasePathOf(path: String): String =
+  private[graft] def leaseDirOf(path: String): String =
     path.stripSuffix("/") + "__lease"
 
-  // thread-reentrant hold counts (leases held by THIS thread)
-  private val held = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
-    override def initialValue() = scala.collection.mutable.Map.empty
-  }
+  // thread-reentrant holds: lease dir -> (nesting count, own claim name)
+  private val held =
+    new ThreadLocal[scala.collection.mutable.Map[String, (Int, String)]] {
+      override def initialValue() = scala.collection.mutable.Map.empty
+    }
 
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def holderId: String =
+    (s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}-" +
+      s"t${Thread.currentThread().getId}").replaceAll("[^A-Za-z0-9.-]", "_")
 
   /** Runs `body` holding exclusive leases on every path (sorted order,
     * released in reverse). Throws [[ConcurrentWriter]] — having
@@ -87,91 +107,55 @@ object Lease {
     try Some(withLeases(spark, paths, ttlMs)(body))
     catch { case _: ConcurrentWriter => None }
 
-  private def holderId: String =
-    s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
-      Thread.currentThread().getId
-
-  // this thread's holder record per lease (for the ownership-checked
-  // release below)
-  private val heldRecord = new ThreadLocal[scala.collection.mutable.Map[String, String]] {
-    override def initialValue() = scala.collection.mutable.Map.empty
-  }
-
   private def acquire(spark: SparkSession, path: String, ttlMs: Long): Unit = {
-    val lp = leasePathOf(path)
+    val ld = leaseDirOf(path)
     val counts = held.get()
-    if (counts.getOrElse(lp, 0) > 0) { counts(lp) += 1; return }
-    val fs = fsOf(spark, path)
-    val lock = new Path(lp)
-    val parent = lock.getParent
-    if (parent != null) fs.mkdirs(parent)
-    def tryCreate(): Boolean =
-      try fs.createNewFile(lock)
-      catch { case _: java.io.IOException => false }
-    var got = tryCreate()
-    if (!got) {
-      // stale-holder break: strictly older than the TTL only. The break
-      // itself must be single-winner — a delete-then-create would let
-      // two breakers both "succeed" (B deletes A's fresh lock right
-      // after A's create) and silently co-hold. RENAME is the atomic
-      // claim: exactly one breaker moves the stale file aside; the
-      // loser's rename returns false and it fails loudly like any
-      // other contender (it must NOT retry create — the winner owns
-      // the break window).
-      val age = try System.currentTimeMillis() -
-        fs.getFileStatus(lock).getModificationTime
-      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-      if (age > ttlMs) {
-        val aside = new Path(lp + ".stale-" + java.util.UUID.randomUUID())
-        val wonBreak =
-          try fs.rename(lock, aside)
-          catch { case _: java.io.IOException => false }
-        if (wonBreak) {
-          fs.delete(aside, false)
-          got = tryCreate()
-        }
-      } else if (age == Long.MaxValue) {
-        // the lock vanished between create and stat (holder released):
-        // contend normally once more
-        got = tryCreate()
-      }
+    counts.get(ld) match {
+      case Some((n, claim)) => counts(ld) = (n + 1, claim); return
+      case None => ()
     }
-    if (!got)
+    val fs = fsOf(spark, path)
+    val dir = new Path(ld)
+    fs.mkdirs(dir)
+    val myName =
+      s"claim-$holderId-${java.util.UUID.randomUUID()}"
+    val mine = new Path(dir, myName)
+    if (!fs.createNewFile(mine))
+      throw new ConcurrentWriter(s"Lease: claim collision at $mine")
+    val now = System.currentTimeMillis()
+    val entries = fs.listStatus(dir)
+    // GC claims proven dead — unique names are never reused, so a
+    // stale name can only ever be the crashed claim it was
+    entries.filter(e => now - e.getModificationTime > ttlMs)
+      .foreach(e => fs.delete(e.getPath, false))
+    val mySt = entries.find(_.getPath.getName == myName).getOrElse {
+      fs.delete(mine, false)
+      throw new ConcurrentWriter(s"Lease: claim at $mine not visible")
+    }
+    val conflict = entries.exists { e =>
+      e.getPath.getName != myName &&
+        now - e.getModificationTime <= ttlMs &&
+        e.getModificationTime <= mySt.getModificationTime
+    }
+    if (conflict) {
+      fs.delete(mine, false)
       throw new ConcurrentWriter(
-        s"Lease: $path is held by another maintenance writer ($lp); " +
+        s"Lease: $path is held by another maintenance writer ($ld); " +
           "two concurrent rewriters lose updates — retry after it releases")
-    // holder record, best effort (the CREATE above is the lock). Also
-    // the release-side ownership token: release only deletes a lock
-    // whose record it wrote.
-    val record = s"$holderId acquired_ms=${System.currentTimeMillis()}"
-    try Publish.writeSmallFile(fs, lock, record)
-    catch { case _: java.io.IOException => () }
-    heldRecord.get()(lp) = record
-    counts(lp) = 1
+    }
+    counts(ld) = (1, myName)
   }
 
   private def release(spark: SparkSession, path: String): Unit = {
-    val lp = leasePathOf(path)
+    val ld = leaseDirOf(path)
     val counts = held.get()
-    counts.get(lp) match {
-      case Some(n) if n > 1 => counts(lp) = n - 1
-      case Some(_) =>
-        counts.remove(lp)
-        val record = heldRecord.get().remove(lp)
-        val fs = fsOf(spark, path)
-        val lock = new Path(lp)
-        // ownership-checked delete: if a TTL break usurped this span
-        // (the documented no-renewal limit — pick TTL well above the
-        // longest rewrite), the lock now belongs to the usurper and
-        // deleting it would invite a THIRD writer. Best-effort read;
-        // an unreadable/missing lock is left alone.
-        // empty content = the create landed but the record write did
-        // not — still this thread's lock (nobody else could create it)
-        val owned = try {
-          val content = Publish.readSmallFile(fs, lock)
-          content.isEmpty || record.contains(content)
-        } catch { case _: java.io.IOException => false }
-        if (owned) fs.delete(lock, false)
+    counts.get(ld) match {
+      case Some((n, claim)) if n > 1 => counts(ld) = (n - 1, claim)
+      case Some((_, claim)) =>
+        counts.remove(ld)
+        // only THIS thread's uniquely-named claim — a usurped span can
+        // never unlock the usurper
+        fsOf(spark, path).delete(new Path(ld, claim), false)
       case None => () // release without acquire: nothing to do
     }
   }

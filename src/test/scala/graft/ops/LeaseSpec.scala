@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions.col
 /** The rewrite-vs-rewrite drills: two maintenance writers interleaving
   * on the same stores must resolve to ONE serial order, with the loser
   * failing loudly — never a silent lost update. Covers the raw lease
-  * mechanics (exclusivity, thread reentrancy, stale break) and the
-  * wired spans (StoreIO.rewrite seam, two interleaved storeRepair
-  * calls via the interleave hook).
+  * mechanics (exclusivity, thread reentrancy, stale break with a
+  * single winner, own-claim-only release) and the wired spans
+  * (StoreIO.rewrite seam, two interleaved storeRepair calls via the
+  * interleave hook).
   */
 class LeaseSpec extends SparkSuite {
 
@@ -19,15 +20,21 @@ class LeaseSpec extends SparkSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("store").toString
 
+  private def claims(path: String): Seq[Path] = {
+    val d = new Path(Lease.leaseDirOf(path))
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).map(_.getPath).toSeq
+  }
+
   test("lease mechanics: exclusive across threads, reentrant within one, released on exit and on failure") {
     val path = tmp("lease")
     // reentrancy: nested spans on one thread share the hold
     Lease.withLeases(spark, Seq(path)) {
       Lease.withLeases(spark, Seq(path)) {
-        assert(fs.exists(new Path(Lease.leasePathOf(path))))
+        assert(claims(path).size === 1)
       }
       // inner exit must NOT release the outer hold
-      assert(fs.exists(new Path(Lease.leasePathOf(path))))
+      assert(claims(path).size === 1)
       // a second THREAD is a second writer: fails loudly
       var otherThread: Option[Throwable] = None
       val t = new Thread(() =>
@@ -35,13 +42,15 @@ class LeaseSpec extends SparkSuite {
         catch { case e: Throwable => otherThread = Some(e) })
       t.start(); t.join()
       assert(otherThread.exists(_.isInstanceOf[Lease.ConcurrentWriter]))
+      // the loser's claim was self-deleted, never this span's
+      assert(claims(path).size === 1)
     }
-    assert(!fs.exists(new Path(Lease.leasePathOf(path))), "lease not released")
+    assert(claims(path).isEmpty, "lease not released")
     // a failing body still releases (try/finally)
     intercept[RuntimeException] {
       Lease.withLeases(spark, Seq(path)) { throw new RuntimeException("boom") }
     }
-    assert(!fs.exists(new Path(Lease.leasePathOf(path))))
+    assert(claims(path).isEmpty)
     // tryWithLeases: None when held elsewhere, Some when free
     Lease.withLeases(spark, Seq(path)) {
       var res: Option[Option[Int]] = None
@@ -53,33 +62,36 @@ class LeaseSpec extends SparkSuite {
     assert(Lease.tryWithLeases(spark, Seq(path))(42) === Some(42))
   }
 
-  test("a stale lease (crashed holder) is broken after the TTL; a fresh one is not") {
+  test("a stale claim (crashed holder) is ignored and collected after the TTL; a fresh one is not") {
     val path = tmp("lease_stale")
-    val lock = new Path(Lease.leasePathOf(path))
-    fs.mkdirs(lock.getParent)
-    fs.createNewFile(lock)
-    // fresh foreign lock: acquisition fails
+    val dir = new Path(Lease.leaseDirOf(path))
+    fs.mkdirs(dir)
+    val crashed = new Path(dir, "claim-crashed-holder")
+    fs.createNewFile(crashed)
+    // fresh foreign claim: acquisition fails and leaves it alone
     intercept[Lease.ConcurrentWriter] {
       Lease.withLeases(spark, Seq(path)) { () }
     }
-    // age it past the TTL: acquisition breaks it and proceeds
-    fs.setTimes(lock, System.currentTimeMillis() - 60L * 60L * 1000L, -1)
+    assert(fs.exists(crashed))
+    // age it past the TTL: the acquirer wins past it and GCs it
+    fs.setTimes(crashed, System.currentTimeMillis() - 60L * 60L * 1000L, -1)
     Lease.withLeases(spark, Seq(path), ttlMs = 30L * 60L * 1000L) {
-      assert(fs.exists(lock), "break must re-take, not just delete")
+      assert(claims(path).size === 1, "stale claim not collected")
+      assert(!fs.exists(crashed))
     }
-    assert(!fs.exists(lock))
+    assert(claims(path).isEmpty)
   }
 
   test("breaking a stale lease is single-winner: concurrent breakers never co-hold") {
     val path = tmp("lease_break_race")
-    val lock = new Path(Lease.leasePathOf(path))
+    val dir = new Path(Lease.leaseDirOf(path))
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
     val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
-    val losers = new java.util.concurrent.atomic.AtomicInteger(0)
-    for (_ <- 1 to 5) {
-      fs.mkdirs(lock.getParent)
-      fs.createNewFile(lock)
-      fs.setTimes(lock, System.currentTimeMillis() - 60L * 60L * 1000L, -1)
+    for (i <- 1 to 5) {
+      fs.mkdirs(dir)
+      val crashed = new Path(dir, s"claim-crashed-$i")
+      fs.createNewFile(crashed)
+      fs.setTimes(crashed, System.currentTimeMillis() - 60L * 60L * 1000L, -1)
       val gate = new java.util.concurrent.CountDownLatch(1)
       val threads = (1 to 2).map { _ =>
         new Thread(() => {
@@ -89,32 +101,33 @@ class LeaseSpec extends SparkSuite {
             maxInside.getAndUpdate(m => math.max(m, now))
             Thread.sleep(30)
             inside.decrementAndGet()
-          } catch { case _: Lease.ConcurrentWriter => losers.incrementAndGet() }
+          } catch { case _: Lease.ConcurrentWriter => () }
         })
       }
       threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
-      fs.delete(lock, false)
+      claims(path).foreach(fs.delete(_, false))
     }
-    // the invariant the rename-aside break exists for: at MOST one
-    // holder at any instant — a delete-then-create break lets both
-    // breakers in (losers may be 0 when the attempts serialize; that
-    // is a legitimate serial order)
+    // the invariant the unique-claim design exists for: at MOST one
+    // holder at any instant. (Zero holders in a round is legitimate —
+    // equal-mtime claims mutually abort rather than risk a co-hold;
+    // fail-loudly is the contract, retry is the caller's policy.)
     assert(maxInside.get() === 1,
       s"${maxInside.get()} writers co-held a broken lease")
   }
 
-  test("release is ownership-checked: a usurped span does not delete the usurper's lock") {
+  test("release deletes only its own claim: a usurped span cannot unlock the usurper") {
     val path = tmp("lease_usurp")
-    val lock = new Path(Lease.leasePathOf(path))
+    val dir = new Path(Lease.leaseDirOf(path))
+    val foreign = new Path(dir, "claim-usurper-after-ttl-break")
     Lease.withLeases(spark, Seq(path)) {
-      // fabricate a TTL usurpation: another actor broke the lease and
-      // wrote its own holder record while this span was still running
-      Publish.writeSmallFile(fs, lock, "usurper@elsewhere acquired_ms=0")
+      // fabricate a TTL usurpation: another actor's claim appears while
+      // this span is still running
+      fs.createNewFile(foreign)
     }
-    // this thread's release must have left the foreign lock alone
-    assert(fs.exists(lock), "release deleted a lock it no longer owned")
-    assert(Publish.readSmallFile(fs, lock).startsWith("usurper@"))
-    fs.delete(lock, false)
+    // this thread's release removed its own claim and left the foreign one
+    assert(fs.exists(foreign), "release deleted a claim it did not own")
+    assert(claims(path).map(_.getName) === Seq("claim-usurper-after-ttl-break"))
+    fs.delete(foreign, false)
   }
 
   test("two interleaved store rewrites: the second writer fails loudly, post-state equals the first serial order") {
