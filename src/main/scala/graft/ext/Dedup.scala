@@ -1190,8 +1190,12 @@ object Dedup {
     * — a layout Spark refuses.
     */
   private def publishStore(spark: SparkSession, path: String,
-      frame: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+      frame: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    // the same publish-seam fence as StoreIO.publishMerged: a leased
+    // span usurped after its TTL aborts loudly instead of overwriting
+    graft.ops.Lease.checkHeld(spark, path)
     graft.ops.Publish.publish(spark, path, frame, partitionBy)
+  }
 
   /** Applies a delete set to the persistent near-dup state and returns
     * the RE-ELECTION DELTA: one row per surviving previously-clustered

@@ -42,8 +42,12 @@ import org.apache.spark.sql.SparkSession
   *     acquirers — safe, names are never reused). There is NO renewal:
   *     the TTL is a dead-holder heuristic, so pick it well above the
   *     longest rewrite span; a live holder that outlives it can be
-  *     usurped — the inherent limit of unfenced leases (a fencing
-  *     token checked at publish time is the full form);
+  *     usurped, but the publish seam FENCES the outcome — every store
+  *     publish inside a leased span calls [[checkHeld]] and aborts
+  *     loudly when its claim was broken, so the usurpation costs a
+  *     retried span, never a silent lost update (the residual window
+  *     is a break landing INSIDE the publish call itself; a token
+  *     checked atomically at the promote is the full form);
   *   - REENTRANT PER THREAD: a composed operator (runMaintenance →
   *     storeRepair → fold) re-enters the leases it already holds, so
   *     spans nest without self-deadlock; a different thread — same JVM
@@ -144,6 +148,30 @@ object Lease {
           "two concurrent rewriters lose updates — retry after it releases")
     }
     counts(ld) = (1, myName)
+  }
+
+  /** FENCE check, called by the store-publish seam
+    * ([[StoreIO.publishMerged]] and the maintenance publishers): throws
+    * [[ConcurrentWriter]] when this thread's span was usurped — its
+    * claim file is gone, which only a TTL break can cause (release
+    * deletes a claim strictly after the hold count reaches zero, and
+    * nobody else ever deletes a LIVE claim). A span that outlived its
+    * TTL then fails loudly AT THE PUBLISH instead of silently
+    * overwriting the usurper's work — narrowing the unfenced window
+    * from the whole span to the publish call itself (a token checked
+    * atomically at the promote is the full form). No-op for threads
+    * that hold no lease on `path`: unleased publishes (driver-entry
+    * scratch stores, bootstrap writers) stay legal.
+    */
+  def checkHeld(spark: SparkSession, path: String): Unit = {
+    val ld = leaseDirOf(path)
+    held.get().get(ld).foreach { case (_, claim) =>
+      if (!fsOf(spark, path).exists(new Path(ld, claim)))
+        throw new ConcurrentWriter(
+          s"Lease: this span's claim on $path was broken after its TTL " +
+            "and another writer may hold the store — aborting the publish " +
+            "instead of silently overwriting the usurper's rewrite")
+    }
   }
 
   private def release(spark: SparkSession, path: String): Unit = {

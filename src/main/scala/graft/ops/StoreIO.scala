@@ -201,6 +201,10 @@ object StoreIO {
     */
   def publishMerged(spark: SparkSession, path: String, frame: DataFrame,
       snap: Snapshot, partitionBy: Seq[String] = Nil): Unit = {
+    // fence: a leased span whose TTL was broken mid-span must abort
+    // HERE, not silently overwrite the usurper's rewrite (no-op when
+    // the caller holds no lease)
+    Lease.checkHeld(spark, path)
     val names = snap.children.map(c => new Path(c).getName)
     val sidecar = Some(FoldedSidecar -> names.mkString("\n"))
     if (pointerMode(spark))

@@ -130,6 +130,28 @@ class LeaseSpec extends SparkSuite {
     fs.delete(foreign, false)
   }
 
+  test("publish-seam fence: a span usurped after its TTL aborts its publish instead of overwriting the usurper") {
+    import spark.implicits._
+    val path = tmp("lease_fence")
+    val Ddl = "id BIGINT, v STRING"
+    (1L to 4L).map(i => (i, "orig")).toDF("id", "v").write.parquet(path)
+    val fenced = intercept[Lease.ConcurrentWriter] {
+      StoreIO.rewrite(spark, path, { df =>
+        // simulate a TTL usurpation mid-span: the usurper's acquire
+        // GCs this span's (stale-looking) claim and installs its own
+        claims(path).foreach(fs.delete(_, false))
+        fs.createNewFile(new Path(Lease.leaseDirOf(path), "claim-usurper"))
+        df.withColumn("v", org.apache.spark.sql.functions.lit("mine"))
+      }, Some(Ddl))
+    }
+    assert(fenced.getMessage.contains("broken after its TTL"))
+    // the fence fired BEFORE anything moved: the store is untouched
+    claims(path).foreach(fs.delete(_, false))
+    val vs = StoreIO.read(spark, path, Some(Ddl))
+      .select(col("v")).distinct().collect().map(_.getString(0)).toSeq
+    assert(vs === Seq("orig"), s"fenced publish still mutated the store: $vs")
+  }
+
   test("two interleaved store rewrites: the second writer fails loudly, post-state equals the first serial order") {
     import spark.implicits._
     val path = tmp("lease_rw")
