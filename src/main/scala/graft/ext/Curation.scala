@@ -932,15 +932,19 @@ object Curation {
     *     key derived from it, changes).
     *
     * 100 TB shape: the delete list is checkpointed (delete-sized); the
-    * pack manifest is ONE corpus prefix-sum pass whose deleted-row join
-    * is checkpointed before the two manifest metrics read it; the pair
-    * table is computed once, checkpointed (pair-sized), and feeds all
-    * four graph metrics — the closure runs on pair-sized data twice
-    * (before/after), never on the corpus. Every output leg is a 1-row
-    * aggregate; the report is 8 rows.
+    * pack manifest is the MAINTAINED artifact (`manifest` — callers
+    * read the stored [[graft.ext.Packing.ensureManifest]] state, never
+    * a per-report repack: re-deriving the prefix sum per invocation is
+    * a full corpus pass per compliance report, exactly the cost the
+    * maintained store exists to amortize) and its deleted-row slice is
+    * delete-sized, checkpointed before the two manifest metrics read
+    * it; the pair table is computed once, checkpointed (pair-sized),
+    * and feeds all four graph metrics — the closure runs on pair-sized
+    * data twice (before/after), never on the corpus. Every output leg
+    * is a 1-row aggregate; the report is 8 rows.
     */
-  def deleteImpactDf(docs: DataFrame, deletedIds: DataFrame,
-      pairs: DataFrame): DataFrame = {
+  def deleteImpactDf(docs: DataFrame, manifest: DataFrame,
+      deletedIds: DataFrame, pairs: DataFrame): DataFrame = {
     val del = deletedIds.select(col("doc_id")).distinct().localCheckpoint()
     def metric(artifact: String, name: String, v: DataFrame): DataFrame =
       v.select(lit(artifact).as("artifact"), lit(name).as("metric"),
@@ -949,9 +953,9 @@ object Curation {
     val dStats = docs.join(del, Seq("doc_id"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("n_chars")), lit(0L)).as("c"))
       .localCheckpoint()
-    // pack manifest: one prefix-sum pass; the deleted-row slice is
+    // pack manifest: the stored artifact's deleted-row slice is
     // delete-sized, checkpointed before the two metrics that read it
-    val man = Packing.packSequences(docs).join(del, Seq("doc_id"))
+    val man = manifest.join(del, Seq("doc_id"))
       .select("doc_id", "n_tok", "seq_id", "n_seqs").localCheckpoint()
     val seqsInvalidated = man.filter(col("n_tok") > 0)
       .select(explode(sequence(col("seq_id"),
@@ -995,11 +999,15 @@ object Curation {
 
   /** Driver entry: the registered delete set is one full source
     * (`source = 'src7'`) — the realistic shape of a takedown (a
-    * provider, a domain, a license pool withdraws).
+    * provider, a domain, a license pool withdraws). The manifest leg
+    * reads the MAINTAINED pack manifest ([[graft.ext.Packing.ensureManifest]],
+    * the same staged artifact `q_manifest_audit`/`q_manifest_served`
+    * read) — the report never repacks the corpus.
     */
   def qDeleteImpact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     deleteImpactDf(docs,
+      spark.read.parquet(Packing.ensureManifest(spark, dir)),
       docs.filter(col("source") === "src7").select("doc_id"),
       Dedup.verifiedPairs(spark, dir).select("doc_a", "doc_b"))
   }

@@ -1801,7 +1801,8 @@ class ExtSpec extends SparkSuite {
     val pairs = Seq((0L, 2L), (2L, 4L), (1L, 3L)).toDF("doc_a", "doc_b")
     // delete the bridge (2) and a canonical (1)
     val del = Seq(1L, 2L).toDF("doc_id")
-    val got = Curation.deleteImpactDf(docs, del, pairs).collect()
+    val got = Curation.deleteImpactDf(docs, Packing.packSequences(docs),
+        del, pairs).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got(("documents", "docs_deleted")) === 2L)
     assert(got(("documents", "chars_deleted")) === 203L)
@@ -1866,8 +1867,8 @@ class ExtSpec extends SparkSuite {
         ("pack_manifest", "tokens_dropped") -> delSet.toSeq.map(spans(_)._1).sum,
         ("pack_manifest", "seqs_invalidated") ->
           delSet.toSeq.flatMap(spans(_)._2).distinct.size.toLong)
-      val got = Curation.deleteImpactDf(docs, delSet.toSeq.toDF("doc_id"),
-          pairs.toDF("doc_a", "doc_b")).collect()
+      val got = Curation.deleteImpactDf(docs, Packing.packSequences(docs),
+          delSet.toSeq.toDF("doc_id"), pairs.toDF("doc_a", "doc_b")).collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(got === expected, s"trial=$trial del=$delSet pairs=$pairs")
     }
