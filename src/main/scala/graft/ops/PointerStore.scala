@@ -60,6 +60,17 @@ object PointerStore {
   /** A committed state: pointer number + the version dir it names. */
   final case class Commit(n: Long, version: String)
 
+  /** The version a pointer file names — its FIRST line. The second
+    * line (when present) is the publishing span's lease claim id, the
+    * same fence token [[Publish.StagedMarker]] carries in rename mode,
+    * recorded for forensics (pointer commits are already
+    * last-PUT-wins, so recovery never needs to re-judge one).
+    */
+  private def ptrVersion(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, n: Long): String =
+    Publish.readSmallFile(fs, new Path(r, ptrName(n)))
+      .linesIterator.nextOption().getOrElse("").trim
+
   /** The newest pointer naming a COMPLETE version (staging marker
     * present) — torn pointers and torn stagings are skipped, so this
     * is total over every crash state. None = never published.
@@ -73,8 +84,7 @@ object PointerStore {
       .flatMap(n => scala.util.Try(n.stripPrefix(PtrPrefix).toLong).toOption)
       .sorted(Ordering[Long].reverse)
     ptrs.iterator
-      .map(n => Commit(n,
-        Publish.readSmallFile(fs, new Path(r, ptrName(n))).trim))
+      .map(n => Commit(n, ptrVersion(fs, r, n)))
       .collectFirst {
         case c if c.version.nonEmpty && fs.exists(
           new Path(new Path(r, c.version), Publish.StagedMarker)) => c
@@ -115,6 +125,8 @@ object PointerStore {
       if (crashAfter == step) throw new InjectedCrash(step)
     fs.mkdirs(r)
     recover(spark, root, keepVersions)
+    // a leased span renews before its longest step (no-op unleased)
+    Lease.renew(spark, root)
     val n = current(spark, root).map(_.n + 1).getOrElse(0L)
     val vdir = new Path(r, versionName(n))
     // step 0: stage the immutable version (Overwrite: a GC'd leftover
@@ -126,10 +138,20 @@ object PointerStore {
     sidecar.foreach { case (name, contents) =>
       Publish.writeSmallFile(fs, new Path(vdir, name), contents)
     }
-    Publish.writeSmallFile(fs, new Path(vdir, Publish.StagedMarker), "")
+    val claim = Lease.heldClaim(root).getOrElse("")
+    Publish.writeSmallFile(fs, new Path(vdir, Publish.StagedMarker), claim)
     crash(AfterStage)
-    // step 1: the commit — ONE pointer-object create
-    Publish.writeSmallFile(fs, new Path(r, ptrName(n)), versionName(n))
+    // FENCE immediately before the commit PUT: the staging write is
+    // the span's long pole, so a TTL break overwhelmingly lands inside
+    // it — a usurped span aborts HERE, leaving only an unreferenced
+    // version the next recover GCs. (The residual window is this
+    // exists() to the PUT below; the atomic form is a conditional PUT,
+    // which plain filesystems and base S3 lack.)
+    Lease.checkHeld(spark, root)
+    // step 1: the commit — ONE pointer-object create (first line = the
+    // version; second line = the span's claim id, for forensics)
+    Publish.writeSmallFile(fs, new Path(r, ptrName(n)),
+      versionName(n) + (if (claim.isEmpty) "" else "\n" + claim))
     crash(AfterCommit)
     // step 2: GC
     gc(spark, root, keepVersions)
@@ -167,7 +189,7 @@ object PointerStore {
             // pointer names no version (and an empty string is not
             // even a constructible Path) — it is collectable, never
             // kept
-            val v = Publish.readSmallFile(fs, new Path(r, ptrName(n))).trim
+            val v = ptrVersion(fs, r, n)
             n <= c.n && v.nonEmpty &&
               fs.exists(new Path(new Path(r, v), Publish.StagedMarker))
           }

@@ -72,7 +72,12 @@ object Publish {
     * rolls a staging forward only when this marker exists: `_SUCCESS`
     * alone proves the data landed, not the sidecar a
     * [[graft.ops.StoreIO.publishMerged]] fold needs to retire its delta
-    * children after the promote.
+    * children after the promote. Its CONTENTS are the publishing
+    * span's lease claim id (empty for unleased publishes): the fence
+    * token [[recover]] re-reads before rolling a staging forward, so a
+    * staging whose span was TTL-usurped is rolled back — never
+    * promoted over the usurper's work — even when the crash landed
+    * inside the publish itself.
     */
   private[graft] val StagedMarker = "_graft_staged"
 
@@ -148,6 +153,10 @@ object Publish {
       if (crashAfter == step) throw new InjectedCrash(step)
     // settle any state a previously-crashed publish left behind
     recover(spark, path)
+    // a leased span renews its heartbeat before its longest step — the
+    // staging write is minutes at scale, and a renewal here keeps the
+    // claim alive through it (no-op when unleased)
+    Lease.renew(spark, path)
     // step 0: stage (the live store is readable throughout — frames
     // derived FROM the live store execute here, before anything moves)
     val w = frame.write.mode(SaveMode.Overwrite)
@@ -157,13 +166,33 @@ object Publish {
     sidecar.foreach { case (name, contents) =>
       writeSmallFile(fs, new Path(staged, name), contents)
     }
-    // the marker commits the STAGING (data + sidecar together); recovery
-    // never rolls forward a staging without it
-    writeSmallFile(fs, new Path(staged, StagedMarker), "")
+    // the marker commits the STAGING (data + sidecar together) and
+    // carries the span's claim id as the fence token recovery re-reads;
+    // recovery never rolls forward a staging without the marker
+    writeSmallFile(fs, new Path(staged, StagedMarker),
+      Lease.heldClaim(path).getOrElse(""))
     crash(AfterStage)
+    // FENCE between staging completion and the swap: the staging write
+    // is the span's long pole, so a TTL break overwhelmingly lands
+    // inside it — a usurped span must abort HERE, with the live store
+    // untouched (recovery later clears the orphaned staging)
+    Lease.checkHeld(spark, path)
     // step 1: rename-aside (never delete the only copy)
     if (fs.exists(live)) renameOrThrow(fs, live, prev)
     crash(AfterAside)
+    // FENCE immediately before the promote — the closest cheap
+    // approximation of a token checked atomically at the rename (plain
+    // filesystems have no compare-and-rename; the residual window is
+    // this exists() to the rename below). On failure, roll the aside
+    // back by hand: leaving live missing with a complete staging would
+    // otherwise hand recovery a usurped staging to settle
+    try Lease.checkHeld(spark, path)
+    catch { case e: Lease.ConcurrentWriter =>
+      if (fs.exists(prev)) renameOrThrow(fs, prev, live)
+      deleteOrThrow(fs, staged)
+      spark.catalog.refreshByPath(path)
+      throw e
+    }
     // step 2: promote
     renameOrThrow(fs, staged, live)
     crash(AfterPromote)
@@ -191,10 +220,21 @@ object Publish {
       deleteOrThrow(fs, prev)
       deleteOrThrow(fs, staged)
       if (leftovers) "cleared" else "none"
-    } else if (stagedComplete) {
+    } else if (stagedComplete && {
+        val claim = readSmallFile(fs, new Path(staged, StagedMarker)).trim
+        claim.isEmpty || Lease.claimExists(spark, path, claim)
+      }) {
       // promote FIRST, and only then drop prev — a failed promote must
       // leave the old copy intact (renameOrThrow throws before the
-      // delete can run)
+      // delete can run). Rolling forward is CONDITIONAL on the fence
+      // token in the marker: an unleased staging ("" — bootstrap and
+      // scratch publishes) always promotes; a leased one promotes only
+      // while its claim still exists. A crashed holder's claim survives
+      // until its TTL, so a prompt recovery rolls its completed staging
+      // forward; once the claim is gone — a TTL usurpation, or a crash
+      // so old the claim was GC'd — the staging is treated as
+      // publish-never-happened and rolled back, which is the only safe
+      // reading when another writer may have taken the store since.
       renameOrThrow(fs, staged, live)
       deleteOrThrow(fs, prev)
       spark.catalog.refreshByPath(path)

@@ -214,4 +214,135 @@ class LeaseSpec extends SparkSuite {
     val again = Dedup.storeRepair(spark, hP, mP, pP).head()
     assert(again.getAs[Long]("n_hash_dups_removed") === 0L)
   }
+
+  test("staleness is judged by the holder's own TTL, never the breaker's: a short-TTL acquirer cannot usurp a live long-TTL holder") {
+    val path = tmp("lease_own_ttl")
+    Lease.withLeases(spark, Seq(path)) { // default (long) TTL
+      Thread.sleep(20) // the holder's claim is older than the breaker's ttlMs
+      var res: Option[Throwable] = None
+      val t = new Thread(() =>
+        try Lease.withLeases(spark, Seq(path), ttlMs = 1L) {
+          fail("short-TTL breaker usurped a live holder")
+        } catch { case e: Throwable => res = Some(e) })
+      t.start(); t.join()
+      assert(res.exists(_.isInstanceOf[Lease.ConcurrentWriter]),
+        s"expected ConcurrentWriter, got $res")
+      // the live holder's claim survived the attempt
+      assert(claims(path).count(_.getName.startsWith("claim-")) === 1)
+    }
+    assert(claims(path).isEmpty)
+  }
+
+  test("heartbeat renewal extends a hold past its own TTL; an unrenewed one is eventually usurped and the fence fires") {
+    val path = tmp("lease_renew")
+    val ttl = 1000L
+    Lease.withLeases(spark, Seq(path), ttlMs = ttl) {
+      Thread.sleep(600)
+      Lease.renew(spark, path) // claim mtime stays put; heartbeat at t=600
+      Thread.sleep(650) // claim age 1250 > ttl, heartbeat age 650 < ttl
+      var res: Option[Throwable] = None
+      val t = new Thread(() =>
+        try Lease.withLeases(spark, Seq(path), ttlMs = ttl) {
+          fail("renewed holder was usurped")
+        } catch { case e: Throwable => res = Some(e) })
+      t.start(); t.join()
+      assert(res.exists(_.isInstanceOf[Lease.ConcurrentWriter]),
+        s"renewal did not extend the hold: $res")
+      // stop renewing: once the heartbeat too is past the TTL, a
+      // contender wins (the usurpation the publish fence exists for)
+      Thread.sleep(1100)
+      var won = false
+      val t2 = new Thread(() =>
+        Lease.tryWithLeases(spark, Seq(path), ttlMs = ttl)(()) match {
+          case Some(_) => won = true
+          case None => ()
+        })
+      t2.start(); t2.join()
+      assert(won, "expired heartbeat still blocked a contender")
+      // the usurped span now fails loudly at its publish seam
+      intercept[Lease.ConcurrentWriter] { Lease.checkHeld(spark, path) }
+    }
+  }
+
+  test("a TTL break landing during the staging write aborts at the in-publish fence with the live store intact") {
+    import spark.implicits._
+    val path = tmp("lease_pub_fence")
+    (1L to 4L).map(i => (i, "orig")).toDF("id", "v").write.parquet(path)
+    Lease.withLeases(spark, Seq(path)) {
+      // the break lands while Publish stages (the span's long pole):
+      // equivalently, the claim is gone by the time staging completes
+      claims(path).filter(_.getName.startsWith("claim-"))
+        .foreach(fs.delete(_, false))
+      intercept[Lease.ConcurrentWriter] {
+        Publish.publish(spark, path,
+          (1L to 4L).map(i => (i, "usurped-span")).toDF("id", "v"))
+      }
+    }
+    // live store untouched; the orphaned staging is recoverable garbage
+    assert(Publish.recover(spark, path) === "cleared")
+    val vs = spark.read.parquet(path).select(col("v")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(vs === Seq("orig"))
+  }
+
+  test("recovery refuses to roll a usurped staging forward (claim token in the marker); a live claim still rolls forward") {
+    import spark.implicits._
+    val path = tmp("lease_rec_fence")
+    (1L to 3L).map(i => (i, "orig")).toDF("id", "v").write.parquet(path)
+    // a leased publish crashes after the rename-aside (live missing,
+    // staging complete, marker carrying the span's claim id)
+    intercept[RuntimeException] {
+      Lease.withLeases(spark, Seq(path)) {
+        Publish.publishImpl(spark, path,
+          (1L to 3L).map(i => (i, "crashed")).toDF("id", "v"),
+          Nil, crashAfter = Publish.AfterAside)
+      }
+    }
+    // the span's lease was released (or TTL-broken): its claim is gone,
+    // so recovery must treat the staging as usurped and roll BACK
+    val stagedMarker = new Path(Publish.stagedOf(path), "_graft_staged")
+    val claim = Publish.readSmallFile(fs, stagedMarker).trim
+    assert(claim.startsWith("claim-"), "marker must carry the claim token")
+    assert(Publish.recover(spark, path) === "rolled_back")
+    assert(spark.read.parquet(path).select(col("v")).distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("orig"))
+    // same crash state, but the holder's claim still ALIVE (a prompt
+    // recovery after a plain crash): recovery rolls forward as before
+    intercept[RuntimeException] {
+      Lease.withLeases(spark, Seq(path)) {
+        Publish.publishImpl(spark, path,
+          (1L to 3L).map(i => (i, "crashed2")).toDF("id", "v"),
+          Nil, crashAfter = Publish.AfterAside)
+      }
+    }
+    val claim2 = Publish.readSmallFile(fs, stagedMarker).trim
+    fs.createNewFile(new Path(Lease.leaseDirOf(path), claim2))
+    assert(Publish.recover(spark, path) === "rolled_forward")
+    assert(spark.read.parquet(path).select(col("v")).distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("crashed2"))
+    fs.delete(new Path(Lease.leaseDirOf(path), claim2), false)
+  }
+
+  test("pointer-mode fence: a usurped span aborts before the commit PUT; the committed version stands") {
+    import spark.implicits._
+    val root = tmp("lease_ptr_fence")
+    Lease.withLeases(spark, Seq(root)) {
+      PointerStore.publish(spark, root,
+        (1L to 3L).map(i => (i, "v0")).toDF("id", "v"))
+      val v0 = PointerStore.resolve(spark, root).get
+      // the break lands during the second publish's staging
+      claims(root).filter(_.getName.startsWith("claim-"))
+        .foreach(fs.delete(_, false))
+      intercept[Lease.ConcurrentWriter] {
+        PointerStore.publish(spark, root,
+          (1L to 3L).map(i => (i, "usurped")).toDF("id", "v"))
+      }
+      // the commit PUT never happened: still v0, and recover drops the
+      // unreferenced staging
+      assert(PointerStore.resolve(spark, root) === Some(v0))
+      PointerStore.recover(spark, root)
+      assert(spark.read.parquet(v0).select(col("v")).distinct()
+        .collect().map(_.getString(0)).toSeq === Seq("v0"))
+    }
+  }
 }
