@@ -767,7 +767,7 @@ object Dedup {
         Seq(hashesRoot, manifestPath, pairsPath)) {
       import graft.ops.StoreIO
       val hashSnap = StoreIO.snapshot(spark, hashesRoot, Some(HashStoreDdl))
-      val manifest = spark.read.parquet(manifestPath)
+      val manifest = graft.ops.Publish.readLive(spark, manifestPath)
       val pairsSnap = StoreIO.snapshot(spark, pairsPath, Some(PairsDdl))
       val report = storeRepairDf(hashSnap.frame, manifest, pairsSnap.frame)
         .localCheckpoint()
@@ -956,7 +956,7 @@ object Dedup {
     // from-scratch reingest/rebuild instead of throwing on the path.
     allStores
       .foreach { p =>
-        graft.ops.Publish.recover(spark, p)
+        graft.ops.Publish.recoverAuto(spark, p)
         // a fold that crashed between its promote and its delta-child
         // retirement left its rows in BOTH live and the children — the
         // promoted sidecar names the children; retire them before the
@@ -1114,14 +1114,13 @@ object Dedup {
     * pinned schema, so audits report the loss rather than throwing.
     */
   private[graft] def readStoreOr(spark: SparkSession, path: String,
-      ddl: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
-  }
+      ddl: String): DataFrame =
+    graft.ops.Publish.resolveLive(spark, path) match {
+      case Some(live) => spark.read.parquet(live)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
 
   def qMaintenancePlan(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1176,7 +1175,8 @@ object Dedup {
     */
   private def rewriteStore(spark: SparkSession, path: String,
       f: DataFrame => DataFrame, partitionBy: Seq[String] = Nil): Unit =
-    publishStore(spark, path, f(spark.read.parquet(path)), partitionBy)
+    publishStore(spark, path, f(graft.ops.Publish.readLive(spark, path)),
+      partitionBy)
 
   /** Publishes a prepared frame to `path` through the one shared
     * recoverable swap ([[graft.ops.Publish.publish]]) — the
@@ -1193,8 +1193,11 @@ object Dedup {
       frame: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     // the same publish-seam fence as StoreIO.publishMerged: a leased
     // span usurped after its TTL aborts loudly instead of overwriting
+    // (fast fail — Publish re-checks inside, after staging and at the
+    // promote); publishAuto routes by graft.publish.mode, so pointer
+    // mode covers the maintenance remedies too
     graft.ops.Lease.checkHeld(spark, path)
-    graft.ops.Publish.publish(spark, path, frame, partitionBy)
+    graft.ops.Publish.publishAuto(spark, path, frame, partitionBy)
   }
 
   /** Applies a delete set to the persistent near-dup state and returns
@@ -1260,11 +1263,8 @@ object Dedup {
       // fail fast on the pre-r14 hash-only format BEFORE pinning a
       // schema that would fabricate NULL doc_ids — probe whatever part
       // of the store exists (live dir, else the first delta child)
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val probe =
-        if (fs.exists(new org.apache.hadoop.fs.Path(root))) Some(root)
-        else StoreIO.deltaChildren(spark, root).headOption
+      val probe = graft.ops.Publish.resolveLive(spark, root)
+        .orElse(StoreIO.deltaChildren(spark, root).headOption)
       probe.foreach { p =>
         require(spark.read.parquet(p).schema.fieldNames.contains("doc_id"),
           s"deleteApply: hash store at $root lacks doc_id — the hash-only " +

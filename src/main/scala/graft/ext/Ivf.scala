@@ -90,13 +90,15 @@ object Ivf {
   def modelArtifactWrite(spark: SparkSession, cents: Seq[Seq[Float]],
       path: String): Unit = {
     import spark.implicits._
-    graft.ops.Publish.publish(spark, path,
+    // publishAuto: the model artifact is exactly the kind of serving
+    // state the pointer-commit mode exists for on an object store
+    graft.ops.Publish.publishAuto(spark, path,
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list_id", "cent")
         .coalesce(1))
   }
 
   def modelArtifactRead(spark: SparkSession, path: String): Seq[Seq[Float]] =
-    spark.read.parquet(path).orderBy("list_id")
+    graft.ops.Publish.readLive(spark, path).orderBy("list_id")
       .collect().map(_.getSeq[Float](1)).toSeq
 
   /** Per-(JVM, corpus) default-parameter quantizer: trained + persisted
@@ -724,7 +726,7 @@ object Ivf {
   def retrainApply(spark: SparkSession, layoutPath: String,
       modelPath: String, newCents: Seq[Seq[Float]]): DataFrame = {
     require(newCents.nonEmpty, "retrainApply: empty quantizer")
-    def assigned() = spark.read.parquet(layoutPath)
+    def assigned() = graft.ops.Publish.readLive(spark, layoutPath)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("list_id").cast("int").as("old_list"),
         element_at(NearestCentroids(col("embedding"), newCents, 1), 1)
@@ -755,10 +757,11 @@ object Ivf {
       .orderBy("list_id")
       .localCheckpoint() // k rows, pinned before the stores mutate
     // ONE shared publish discipline for every store swap in the engine
-    // (graft.ops.Publish: stage, rename-aside, promote — recoverable at
+    // (graft.ops.Publish.publishAuto: the rename-aside protocol, or the
+    // pointer commit under graft.publish.mode=pointer — recoverable at
     // every step; the staged frame reads the live layout, which stays
     // intact until the staging write completes)
-    graft.ops.Publish.publish(spark, layoutPath,
+    graft.ops.Publish.publishAuto(spark, layoutPath,
       assigned().select(col("vec_id"), col("embedding"), col("nrm"),
         col("new_list").as("list_id")),
       partitionBy = Seq("list_id"))

@@ -96,16 +96,18 @@ object Pq {
   def modelArtifactWrite(spark: SparkSession, codebooks: Seq[Seq[Seq[Float]]],
       path: String): Unit = {
     import spark.implicits._
-    // through the shared recoverable swap (graft.ops.Publish): a crash
-    // mid-write must not leave serving with no codebooks at all
-    graft.ops.Publish.publish(spark, path,
+    // through the shared recoverable swap (graft.ops.Publish.publishAuto
+    // — rename-aside, or the pointer commit under
+    // graft.publish.mode=pointer): a crash mid-write must not leave
+    // serving with no codebooks at all
+    graft.ops.Publish.publishAuto(spark, path,
       codebooks.zipWithIndex.flatMap { case (cb, s) =>
         cb.zipWithIndex.map { case (cent, k) => (s, k, cent) }
       }.toDF("s", "code", "cvec").coalesce(1))
   }
 
   def modelArtifactRead(spark: SparkSession, path: String): Seq[Seq[Seq[Float]]] =
-    spark.read.parquet(path).orderBy("s", "code")
+    graft.ops.Publish.readLive(spark, path).orderBy("s", "code")
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq)

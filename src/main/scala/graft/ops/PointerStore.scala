@@ -54,8 +54,33 @@ object PointerStore {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val PtrPrefix = "_ptr-"
-  private[graft] def versionName(n: Long): String = f"v-$n%08d"
+  // Version dirs are UNDERSCORE-prefixed so a plain parquet read of
+  // the root ignores them (Spark's file listing skips `_`/`.` names):
+  // during a legacy store's first pointer publish, a migration reader
+  // resolving the plain root never sees the in-flight staging as a
+  // conflicting subdirectory — the mixed layout is unobservable.
+  private val VersionPrefix = "_v-"
+  private[graft] def versionName(n: Long): String = f"$VersionPrefix$n%08d"
   private def ptrName(n: Long): String = f"$PtrPrefix$n%08d"
+
+  /** Whether `root` holds data written OUTSIDE the pointer protocol —
+    * a store that predates the mode switch (plain parquet, or the
+    * rename protocol's live form): any top-level entry that is neither
+    * a pointer file nor a version dir. Such a store must keep serving
+    * (and must seed the first pointer-mode fold) — resolving it as
+    * empty would silently drop its rows on the mode flip.
+    */
+  private def hasLegacyData(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Boolean =
+    fs.exists(r) && fs.listStatus(r).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith(PtrPrefix) && !n.startsWith(VersionPrefix)
+    }
+
+  /** Whether `root` holds data OUTSIDE the pointer protocol — the
+    * [[Publish.resolveLive]] seam for both migration directions. */
+  private[ops] def legacyData(spark: SparkSession, root: String): Boolean =
+    hasLegacyData(fsOf(spark, root), new Path(root))
 
   /** A committed state: pointer number + the version dir it names. */
   final case class Commit(n: Long, version: String)
@@ -91,11 +116,22 @@ object PointerStore {
       }
   }
 
-  /** The committed version directory to read, or None before the first
-    * publish. Immutable until `keepVersions` later publishes GC it.
+  /** The committed version directory to read, or — MIGRATION READ —
+    * the plain root itself when no pointer commit exists but the
+    * directory holds pre-pointer data (a store written by the rename
+    * protocol or a direct parquet write, before `graft.publish.mode`
+    * was flipped). None only when the store has never been written by
+    * any protocol. The migration read means a mode flip never makes an
+    * existing store read as empty; the first pointer-mode publish then
+    * commits a version (seeded from this read, for folds) and its GC
+    * retires the superseded legacy files.
     */
   def resolve(spark: SparkSession, root: String): Option[String] =
     current(spark, root).map(c => s"${root.stripSuffix("/")}/${c.version}")
+      .orElse {
+        if (hasLegacyData(fsOf(spark, root), new Path(root))) Some(root)
+        else None
+      }
 
   /** Crash points for the kill-interleave spec: throw immediately AFTER
     * the numbered step. [[AfterSpark]] crashes between Spark's job
@@ -203,8 +239,14 @@ object PointerStore {
         if (name.startsWith(PtrPrefix))
           !scala.util.Try(name.stripPrefix(PtrPrefix).toLong).toOption
             .exists(kept.contains)
-        else if (name.startsWith("v-")) !keptVersions.contains(name)
-        else false
+        else if (name.startsWith(VersionPrefix)) !keptVersions.contains(name)
+        // legacy pre-pointer data (the migration-read form) is
+        // SUPERSEDED the moment a pointer commit exists — a publish
+        // replaces the store wholesale in every mode, and the first
+        // pointer-mode fold seeds from the migration read — so it is
+        // collectable exactly then, and MUST be kept while no commit
+        // exists (it is the only copy)
+        else cur.isDefined
       if (drop) { fs.delete(st.getPath, true); removed += 1 }
     }
     removed

@@ -55,6 +55,88 @@ object Publish {
   private[graft] def prevOf(path: String): String =
     path.stripSuffix("/") + "__prev"
 
+  /** Publish-mode switch (`graft.publish.mode` Spark conf): "rename"
+    * (default — the rename-aside protocol below, atomic on HDFS/local
+    * filesystems) or "pointer" (the [[PointerStore]] version-dir +
+    * pointer-commit protocol, the S3-shaped form whose every step is a
+    * single-object operation).
+    */
+  def mode(spark: SparkSession): String =
+    spark.conf.get("graft.publish.mode", "rename")
+
+  /** Snapshot-isolation knob for pointer mode (`graft.publish
+    * .keepVersions` Spark conf, default 1): how many committed
+    * versions every pointer-mode publish/recover retains. Plumbed
+    * through [[publishAuto]] and [[StoreIO]] so a deployment that
+    * keeps a read history does not lose it to a maintenance
+    * snapshot's recovery pre-pass.
+    */
+  private[graft] def keepVersionsConf(spark: SparkSession): Int =
+    math.max(1, spark.conf.get("graft.publish.keepVersions", "1").toInt)
+
+  /** MODE-DISPATCHING publish — the one entry every maintained-store
+    * publisher calls (StoreIO folds dispatch internally; the direct
+    * publishers — model artifacts, serving layouts, maintenance
+    * remedies, compaction — call this). Under the default rename mode
+    * it is [[publish]]; under pointer mode it is
+    * [[PointerStore.publish]] with the configured version history, so
+    * flipping `graft.publish.mode` covers EVERY maintained artifact,
+    * not just the StoreIO-managed ones.
+    */
+  def publishAuto(spark: SparkSession, path: String, frame: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      sidecar: Option[(String, String)] = None): Unit =
+    if (mode(spark) == "pointer")
+      PointerStore.publish(spark, path, frame, partitionBy, sidecar,
+        keepVersions = keepVersionsConf(spark))
+    else publish(spark, path, frame, partitionBy, sidecar)
+
+  /** The READABLE live directory of a store under the current publish
+    * mode, or None when it has never been written. Both modes carry a
+    * MIGRATION READ for stores written under the other one, so a mode
+    * flip never makes an existing store read as empty: pointer mode —
+    * the committed version dir, else the plain path when it holds
+    * pre-pointer data ([[PointerStore.resolve]]); rename mode — the
+    * plain path when it holds plain data, else the committed pointer
+    * version for a store that was pointer-published before the mode
+    * flipped back (the bare root of such a store holds only
+    * `_`-prefixed protocol entries, which a plain read silently
+    * ignores — exactly the zero-rows hazard the migration reads
+    * close).
+    */
+  def resolveLive(spark: SparkSession, path: String): Option[String] =
+    if (mode(spark) == "pointer") PointerStore.resolve(spark, path)
+    else {
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new Path(path))) None
+      else if (PointerStore.legacyData(spark, path)) Some(path)
+      else PointerStore.resolve(spark, path)
+    }
+
+  /** Mode-aware store read: the live directory under
+    * [[resolveLive]], or the plain path when nothing resolves (so a
+    * genuinely missing store still fails with Spark's own path error,
+    * as a plain read would).
+    */
+  def readLive(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(resolveLive(spark, path).getOrElse(path))
+
+  /** Mode-dispatching crash recovery: [[recover]] under rename mode;
+    * under pointer mode [[PointerStore.recover]] with the configured
+    * version history, plus — for a store with no pointer commit yet —
+    * the rename recovery, so pre-migration crash leftovers
+    * (`__staged`/`__prev`) are settled before the migration read
+    * serves the plain root.
+    */
+  def recoverAuto(spark: SparkSession, path: String): String =
+    if (mode(spark) == "pointer") {
+      val r = PointerStore.recover(spark, path, keepVersionsConf(spark))
+      if (PointerStore.current(spark, path).isEmpty)
+        recover(spark, path)
+      else r
+    } else recover(spark, path)
+
   /** Crash points for the kill-interleave specs: the publish throws
     * immediately AFTER completing the numbered step. [[AfterSpark]]
     * splits step 0 in two: Spark's job commit has landed (`_SUCCESS`)

@@ -188,12 +188,17 @@ object Scale {
     */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
+    // mode-aware: size and read the RESOLVED live dir (the committed
+    // version under graft.publish.mode=pointer), publish through the
+    // mode dispatch — compaction is a store rewrite like any other
+    val live = Publish.resolveLive(spark, path).getOrElse(path)
+    val p = new org.apache.hadoop.fs.Path(live)
     val fs = p.getFileSystem(hadoopConf)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // the staged frame reads the live dir, which stays intact until the
     // staging write completes (the Publish step-0 contract)
-    Publish.publish(spark, path, spark.read.parquet(path).repartition(nFiles))
+    Publish.publishAuto(spark, path,
+      spark.read.parquet(live).repartition(nFiles))
   }
 }

@@ -79,25 +79,26 @@ object StoreIO {
   private def fsOf(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Publish-mode switch (`graft.publish.mode` Spark conf): "rename"
-    * (default — the [[Publish]] rename-aside protocol, atomic on
-    * HDFS/local filesystems) or "pointer" (the [[PointerStore]]
-    * version-dir + pointer-commit protocol, the S3-shaped form whose
-    * every step is a single-object operation). The delta-directory
-    * append discipline is identical in both modes — only where "live"
-    * resolves and how a fold publishes differ.
+  /** Publish-mode switch ([[Publish.mode]], `graft.publish.mode` Spark
+    * conf): "rename" (default — the [[Publish]] rename-aside protocol,
+    * atomic on HDFS/local filesystems) or "pointer" (the
+    * [[PointerStore]] version-dir + pointer-commit protocol, the
+    * S3-shaped form whose every step is a single-object operation).
+    * The delta-directory append discipline is identical in both modes
+    * — only where "live" resolves and how a fold publishes differ.
     */
   private def pointerMode(spark: SparkSession): Boolean =
-    spark.conf.get("graft.publish.mode", "rename") == "pointer"
+    Publish.mode(spark) == "pointer"
 
   /** The readable live directory, or None when the store has never
     * been published (rename mode: the path itself when present;
-    * pointer mode: the committed version dir).
+    * pointer mode: the committed version dir, or the plain path for a
+    * store that predates the mode switch — [[PointerStore.resolve]]'s
+    * migration read, so a mode flip never reads an existing store as
+    * empty).
     */
   private def liveDirOf(spark: SparkSession, path: String): Option[String] =
-    if (pointerMode(spark)) PointerStore.resolve(spark, path)
-    else if (fsOf(spark, path).exists(new Path(path))) Some(path)
-    else None
+    Publish.resolveLive(spark, path)
 
   /** Appends `frame` as a self-contained delta child. `token` is the
     * idempotence key: replays of the same logical append MUST reuse it
@@ -179,8 +180,7 @@ object StoreIO {
     // half-promoted store misses the live rows, and one taken before a
     // crashed fold's children are retired would fold those rows a
     // second time (they are already in live)
-    if (pointerMode(spark)) PointerStore.recover(spark, path)
-    else Publish.recover(spark, path)
+    Publish.recoverAuto(spark, path)
     recoverFolds(spark, path)
     val children = deltaChildren(spark, path)
     Snapshot(readParts(spark, path, children, ddl), children)
@@ -208,7 +208,8 @@ object StoreIO {
     val names = snap.children.map(c => new Path(c).getName)
     val sidecar = Some(FoldedSidecar -> names.mkString("\n"))
     if (pointerMode(spark))
-      PointerStore.publish(spark, path, frame, partitionBy, sidecar)
+      PointerStore.publish(spark, path, frame, partitionBy, sidecar,
+        keepVersions = Publish.keepVersionsConf(spark))
     else Publish.publish(spark, path, frame, partitionBy, sidecar)
     recoverFolds(spark, path)
   }

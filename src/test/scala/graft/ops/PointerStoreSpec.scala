@@ -65,7 +65,7 @@ class PointerStoreSpec extends SparkSuite {
       assert(rows(resolved(root)) === expected, s"step $step settled wrong")
       // exactly one version + one pointer remain
       val entries = fs.listStatus(new Path(root)).map(_.getPath.getName)
-      assert(entries.count(_.startsWith("v-")) === 1, entries.mkString(","))
+      assert(entries.count(_.startsWith("_v-")) === 1, entries.mkString(","))
       assert(entries.count(_.startsWith("_ptr-")) === 1, entries.mkString(","))
       // recovery is idempotent and the settled store publishes cleanly
       assert(PointerStore.recover(spark, root) === "none")
@@ -135,6 +135,118 @@ class PointerStoreSpec extends SparkSuite {
     try {
       val pointerRows = drill()
       assert(pointerRows === renameRows)
+    } finally spark.conf.unset("graft.publish.mode")
+  }
+
+  test("mode-switch migration: existing stores keep serving in BOTH directions; the first pointer fold adopts legacy rows and GCs them") {
+    import spark.implicits._
+    val Ddl = "id BIGINT, v STRING"
+    val root = java.nio.file.Files.createTempDirectory("ptr_migrate")
+      .resolve("store").toString
+    val live = (1L to 6L).map(i => (i, s"live $i")).toDF("id", "v")
+    val b1 = (100L to 103L).map(i => (i, s"b1 $i")).toDF("id", "v")
+    // a store written entirely under the rename protocol + one delta
+    live.write.parquet(root)
+    StoreIO.append(b1, root, token = "t1")
+    val expected = (rowsOf(live) ++ rowsOf(b1)).toSeq.sorted
+    def readAll(): Seq[String] = StoreIO.read(spark, root, Some(Ddl))
+      .collect().map(_.toString).toSeq.sorted
+    spark.conf.set("graft.publish.mode", "pointer")
+    try {
+      // migration READ: the mode flip must not read the store as empty
+      assert(readAll() === expected, "pointer mode lost the legacy rows")
+      // the first pointer-mode fold ADOPTS: publishes a version holding
+      // live ∪ delta, and its GC retires the superseded legacy files
+      StoreIO.rewrite(spark, root, identity, Some(Ddl))
+      assert(readAll() === expected)
+      val entries = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      assert(entries.count(_.startsWith("_ptr-")) === 1, entries.mkString(","))
+      assert(entries.forall(n => n.startsWith("_ptr-") || n.startsWith("_v-")),
+        s"legacy files not GC'd after the pointer commit: ${entries.mkString(",")}")
+    } finally spark.conf.unset("graft.publish.mode")
+    // flipping BACK: the bare root now holds only protocol entries a
+    // plain read would silently ignore — the reverse migration read
+    // serves the committed version instead of zero rows
+    assert(readAll() === expected, "rename mode read a pointer store as empty")
+    assert(Publish.readLive(spark, root).count() === 10L)
+  }
+
+  test("pointer-mode maintenance lifecycle: runMaintenance repairs through pointer commits and the served IVF search is row-identical to rename mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, md5, when}
+    import graft.ext.{Dedup, Ivf, Pq, Packing, Backfill}
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf).localCheckpoint()
+    val emb = graft.Tables.embeddings(spark, sf).localCheckpoint()
+    val cents = Ivf.trainCentroids(emb)
+    val codebooks = Pq.trainCodebooks(emb)
+    val healthyP = Dedup.minhashPairsDf(docs).localCheckpoint()
+    val docR = docs.orderBy("doc_id").head().getLong(0) // rotten hash
+    def drill(tag: String): (Seq[String], Seq[String], Seq[String]) = {
+      val root = java.nio.file.Files.createTempDirectory(s"ptr_maint_$tag")
+      val (hP, mP, pP) = (root.resolve("hashes").toString,
+        root.resolve("manifest").toString, root.resolve("pairs").toString)
+      val (lP, cP) = (root.resolve("layout").toString,
+        root.resolve("codes").toString)
+      val iP = root.resolve("index").toString
+      val (qP, kP, fP) = (root.resolve("ivfpq").toString,
+        root.resolve("packed").toString, root.resolve("features").toString)
+      // healthy stores, plain-written (the pre-pointer legacy form) —
+      // except one rotten hash (routes `repair`: publishes hashes,
+      // manifest, and pairs) and one misassigned layout row (routes
+      // `rebuild`: publishes the serving layout)
+      docs.select(md5(col("text").cast("binary")).as("h"), col("doc_id"),
+          (col("doc_id") % 3).as("batch"))
+        .withColumn("h", when(col("doc_id") === docR, lit("0" * 32))
+          .otherwise(col("h")))
+        .write.partitionBy("batch").parquet(hP)
+      Packing.packSequences(docs).write.parquet(mP)
+      healthyP.write.parquet(pP)
+      Ivf.assignLists(emb, cents)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFns.l2norm(col("embedding")).as("nrm"),
+          when(col("vec_id") === 0L, (col("list_id") + 1) % cents.size)
+            .otherwise(col("list_id")).as("list_id"))
+        .write.partitionBy("list_id").parquet(lP)
+      Pq.encodeCorpus(emb, codebooks).write.parquet(cP)
+      Dedup.indexInit(docs, iP)
+      Pq.ivfPqLayoutFrame(emb, cents, codebooks)
+        .write.partitionBy("list_id").parquet(qP)
+      Packing.packedFrame(docs).write.partitionBy("shard").parquet(kP)
+      Backfill.featureDf(docs).write.parquet(fP)
+      val plan = Dedup.runMaintenance(docs, emb, hP, mP, pP, lP,
+        cents, codebooks, cP, iP, qP, kP, fP).collect()
+      plan.foreach(r => assert(r.getAs[String]("action") === "none",
+        s"$tag: ${r.getString(0)} still plans ${r.getAs[String]("action")}"))
+      if (tag == "pointer") {
+        // the repaired/rebuilt stores committed through the pointer
+        // protocol — their roots hold a pointer, and the superseded
+        // legacy files are gone
+        Seq(hP, lP).foreach { p =>
+          val entries = fs.listStatus(new Path(p)).map(_.getPath.getName)
+          assert(entries.exists(_.startsWith("_ptr-")),
+            s"$p repaired without a pointer commit: ${entries.mkString(",")}")
+        }
+      }
+      val queries = emb.orderBy("vec_id").limit(3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      val served = Ivf.ivfSearchPartitioned(spark,
+          Publish.resolveLive(spark, lP).getOrElse(lP), queries, cents, k = 5)
+        .collect().map(_.toString).toSeq.sorted
+      (Publish.readLive(spark, hP).select(col("h"), col("doc_id"))
+          .collect().map(_.toString).toSeq.sorted,
+        Publish.readLive(spark, lP)
+          .select(col("vec_id"), col("nrm"), col("list_id").cast("int"))
+          .collect().map(_.toString).toSeq.sorted,
+        served)
+    }
+    val rename = drill("rename")
+    spark.conf.set("graft.publish.mode", "pointer")
+    try {
+      val pointer = drill("pointer")
+      assert(pointer._1 === rename._1, "hash store rows diverge by mode")
+      assert(pointer._2 === rename._2, "layout rows diverge by mode")
+      assert(pointer._3 === rename._3, "served search diverges by mode")
     } finally spark.conf.unset("graft.publish.mode")
   }
 }
