@@ -25,60 +25,7 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    // Ingest-side setup, excluded from query timings: the incremental
-    // near-dup index is built once per corpus at ingest; the timed
-    // dedup_incremental entry measures the probe pipeline only. Same
-    // for the gvid container staging behind multimodal_gvid_scan.
-    try { ext.Dedup.ensureIncrementalIndex(spark, sfDir) }
-    catch { case _: Throwable => () }
-    // The verified-pair artifact is likewise ingest-maintained state:
-    // derived graph/report queries READ it, so the timed entries
-    // measure report cost, not a per-report re-shingling of the corpus.
-    try { ext.Dedup.ensurePairsArtifact(spark, sfDir) }
-    catch { case _: Throwable => () }
-    // Learned quantizers are MODELS trained once at ingest; the
-    // IVF/PQ entries read the persisted artifact.
-    try { ext.Ivf.ensureModel(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Ivf.ensureLayout(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Pq.ensureModel(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Pq.ensureCodes(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Pq.ensureIvfPqLayout(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Multimodal.ensureGvidStage(sfDir) }
-    catch { case _: Throwable => () }
-    // The pack manifest and content-hash store are likewise
-    // ingest-maintained; the audit entries measure audit cost only.
-    try { ext.Packing.ensureManifest(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Dedup.ensureHashStore(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Backfill.ensureFeatureArtifact(spark, sfDir) }
-    catch { case _: Throwable => () }
-    // r15 audited artifacts: the full-corpus sketch index, the physical
-    // pack layout, and the caught-up feature artifact — each maintained
-    // at ingest, audited by the new audit entries (timed = audit only).
-    try { ext.Dedup.ensureFullIndex(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Packing.ensurePackedStore(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Backfill.ensureFeatureArtifactFull(spark, sfDir) }
-    catch { case _: Throwable => () }
-    // r16: the execute-operator entries (q_delete_apply,
-    // ann_retrain_apply) consume PRISTINE store state that is ingest
-    // cost — staged once here, copied per invocation inside the entry,
-    // so the timed window is copy + the operator itself (the r15 weak
-    // marks timed a full ingest per invocation). Same for the standing
-    // tombstone store the tombstone entries read.
-    try { ext.Dedup.ensureDeleteFixture(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Ivf.ensureRetrainFixture(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { ext.Dedup.ensureStandingTombstones(spark, sfDir) }
-    catch { case _: Throwable => () }
+    stageFixtures(spark, sfDir)
     // Host-state calibration anchor (r13 verdict item 5): the same
     // synthetic CPU-bound query — no I/O, fixed row count, hash agg —
     // timed immediately after warmup (calib_first) and after the last
@@ -221,5 +168,45 @@ object Bench {
     val qs = kept.mkString("{", ",", "}")
     println(f"""{"queries":$qs,"errors":$errNames,"sf":"$sfDir","metric":"total","unit":"sec","value":$total%.3f,"qdropped":${medianResults.size - kept.size}$calib}""")
     spark.stop()
+  }
+
+  /** Ingest-side setup, excluded from query timings (shared with the
+    * Probe measurement harness so isolated runs stage the identical
+    * state): the incremental near-dup index is built once per corpus at
+    * ingest; the timed dedup_incremental entry measures the probe
+    * pipeline only. Same for the gvid container staging behind
+    * multimodal_gvid_scan; the verified-pair artifact (derived
+    * graph/report queries READ it, so the timed entries measure report
+    * cost, not a per-report re-shingling of the corpus); the learned
+    * quantizer MODELS trained once at ingest (the IVF/PQ entries read
+    * the persisted artifact); the pack manifest and content-hash store
+    * (the audit entries measure audit cost only); the r15 audited
+    * artifacts (full-corpus sketch index, physical pack layout,
+    * caught-up feature artifact); and the r16 PRISTINE store fixtures
+    * the execute-operator entries (q_delete_apply, ann_retrain_apply)
+    * copy per invocation — the timed window is copy + the operator
+    * itself, and the standing tombstone store the tombstone entries
+    * read.
+    */
+  def stageFixtures(spark: SparkSession, sfDir: String): Unit = {
+    val stages: Seq[() => Any] = Seq(
+      () => ext.Dedup.ensureIncrementalIndex(spark, sfDir),
+      () => ext.Dedup.ensurePairsArtifact(spark, sfDir),
+      () => ext.Ivf.ensureModel(spark, sfDir),
+      () => ext.Ivf.ensureLayout(spark, sfDir),
+      () => ext.Pq.ensureModel(spark, sfDir),
+      () => ext.Pq.ensureCodes(spark, sfDir),
+      () => ext.Pq.ensureIvfPqLayout(spark, sfDir),
+      () => ext.Multimodal.ensureGvidStage(sfDir),
+      () => ext.Packing.ensureManifest(spark, sfDir),
+      () => ext.Dedup.ensureHashStore(spark, sfDir),
+      () => ext.Backfill.ensureFeatureArtifact(spark, sfDir),
+      () => ext.Dedup.ensureFullIndex(spark, sfDir),
+      () => ext.Packing.ensurePackedStore(spark, sfDir),
+      () => ext.Backfill.ensureFeatureArtifactFull(spark, sfDir),
+      () => ext.Dedup.ensureDeleteFixture(spark, sfDir),
+      () => ext.Ivf.ensureRetrainFixture(spark, sfDir),
+      () => ext.Dedup.ensureStandingTombstones(spark, sfDir))
+    stages.foreach { s => try s() catch { case _: Throwable => () } }
   }
 }

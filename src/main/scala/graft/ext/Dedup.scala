@@ -1248,7 +1248,9 @@ object Dedup {
     val leased = Seq(s"$indexPath/bands", s"$indexPath/shingles", pairsPath) ++
       hashesRoot.toSeq ++ manifestPath.toSeq
     graft.ops.Lease.withLeases(spark, leased) {
-    val del = deletedIds.select(col("doc_id")).distinct().localCheckpoint()
+    import graft.ops.Timing.step
+    val del = step("da:del")(
+      deletedIds.select(col("doc_id")).distinct().localCheckpoint())
     def survivors(df: DataFrame): DataFrame =
       df.join(broadcast(del), Seq("doc_id"), "left_anti")
     // pin every store's snapshot (live + the delta children present
@@ -1256,9 +1258,10 @@ object Dedup {
     // land in delta children these snapshots never listed, so every
     // swap below leaves them intact — the StoreIO serialization
     // contract between ingest and maintenance
-    val bandsSnap = StoreIO.snapshot(spark, s"$indexPath/bands", Some(BandsDdl))
-    val shinglesSnap =
-      StoreIO.snapshot(spark, s"$indexPath/shingles", Some(ShinglesDdl))
+    val bandsSnap = step("da:snapB")(
+      StoreIO.snapshot(spark, s"$indexPath/bands", Some(BandsDdl)))
+    val shinglesSnap = step("da:snapS")(
+      StoreIO.snapshot(spark, s"$indexPath/shingles", Some(ShinglesDdl)))
     val hashSnap = hashesRoot.map { root =>
       // fail fast on the pre-r14 hash-only format BEFORE pinning a
       // schema that would fabricate NULL doc_ids — probe whatever part
@@ -1272,32 +1275,59 @@ object Dedup {
       }
       StoreIO.snapshot(spark, root, Some(HashStoreDdl))
     }
-    val pairsSnap = StoreIO.snapshot(spark, pairsPath, Some(PairsDdl))
-    val before = pairsSnap.frame.localCheckpoint()
+    val pairsSnap = step("da:snapP")(
+      StoreIO.snapshot(spark, pairsPath, Some(PairsDdl)))
+    val before = step("da:before")(pairsSnap.frame.localCheckpoint())
     interleave()
-    StoreIO.publishMerged(spark, s"$indexPath/bands",
-      survivors(bandsSnap.frame), bandsSnap)
-    StoreIO.publishMerged(spark, s"$indexPath/shingles",
-      survivors(shinglesSnap.frame), shinglesSnap)
+    // Every store's post-delete frame is computed (and checkpointed)
+    // CONCURRENTLY — the frames depend only on the pinned snapshots and
+    // the checkpointed delete set, so they are independent jobs the
+    // driver was submitting one after another (guide §2.6). The
+    // PUBLISHES stay on this thread, in the original order: the lease
+    // fence is thread-local, so a worker-thread publish would silently
+    // skip the usurpation check.
     // pack manifest: offsets re-derived from the SURVIVING rows' own
     // token counts — no corpus access (Packing.repackManifest); the
     // re-emitted span is priced by q_repack_delta
+    val manifestLive = manifestPath.map(mp =>
+      graft.ops.Publish.readLive(spark, mp))
+    val thunks: Seq[() => DataFrame] =
+      Seq(
+        () => step("da:cBands")(survivors(bandsSnap.frame).localCheckpoint()),
+        () => step("da:cShingles")(
+          survivors(shinglesSnap.frame).localCheckpoint())) ++
+      manifestLive.map(live => () => step("da:cManifest")(
+        Packing.repackManifest(survivors(live)).localCheckpoint())) ++
+      hashSnap.map(snap => () => step("da:cHashes")(survivors(snap.frame)
+        .select(col("h"), col("doc_id"), col("batch")).localCheckpoint())) :+
+      (() => step("da:after")(before
+        .join(broadcast(del.select(col("doc_id").as("doc_a"))),
+          Seq("doc_a"), "left_anti")
+        .join(broadcast(del.select(col("doc_id").as("doc_b"))),
+          Seq("doc_b"), "left_anti")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint()))
+    val frames = graft.ops.Par.all(thunks)
+    val after = frames.last
+    // the re-election delta reads only the checkpointed before/after
+    // closures — overlap it with the publishes below (guide §2.6)
+    val deltaH = graft.ops.Par.start(() =>
+      step("da:delta")(reElectionDelta(before, after, del)))
+    var fi = 0
+    def nextFrame(): DataFrame = { val f = frames(fi); fi += 1; f }
+    step("da:pubBands")(StoreIO.publishMerged(spark, s"$indexPath/bands",
+      nextFrame(), bandsSnap))
+    step("da:pubShingles")(StoreIO.publishMerged(spark, s"$indexPath/shingles",
+      nextFrame(), shinglesSnap))
     manifestPath.foreach { mp =>
-      rewriteStore(spark, mp, df => Packing.repackManifest(survivors(df)))
+      step("da:pubManifest")(publishStore(spark, mp, nextFrame()))
     }
     hashSnap.foreach { snap =>
-      StoreIO.publishMerged(spark, hashesRoot.get,
-        survivors(snap.frame).select(col("h"), col("doc_id"), col("batch")),
-        snap, partitionBy = Seq("batch"))
+      step("da:pubHashes")(StoreIO.publishMerged(spark, hashesRoot.get,
+        nextFrame(), snap, partitionBy = Seq("batch")))
     }
-    val after = before
-      .join(broadcast(del.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
-      .join(broadcast(del.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint()
-    StoreIO.publishMerged(spark, pairsPath, after, pairsSnap)
-    // re-election delta from the two pair-sized closures
-    reElectionDelta(before, after, del)
+    step("da:pubPairs")(StoreIO.publishMerged(spark, pairsPath, after, pairsSnap))
+    deltaH.get()
     }
   }
 
@@ -1312,10 +1342,15 @@ object Dedup {
       del: DataFrame): DataFrame = {
     def labels(pairs: DataFrame): DataFrame = Cluster.connectedComponents(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-    labels(before)
+    // the before/after closures are independent iterative jobs over
+    // checkpointed pair tables — run them concurrently (guide §2.6)
+    val Seq(lb, la) = graft.ops.Par.all(Seq(
+      () => graft.ops.Timing.step("da:ccBefore")(labels(before)),
+      () => graft.ops.Timing.step("da:ccAfter")(labels(after))))
+    lb
       .select(col("id").as("doc_id"), col("label").as("old_cluster_id"))
       .join(broadcast(del), Seq("doc_id"), "left_anti")
-      .join(labels(after)
+      .join(la
           .select(col("id").as("doc_id"), col("label").as("nl")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("old_cluster_id"),

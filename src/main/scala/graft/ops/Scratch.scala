@@ -22,9 +22,9 @@ object Scratch {
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      org.apache.hadoop.fs.FileUtil.copy(
+      Timing.step("fixtureCopy")(org.apache.hadoop.fs.FileUtil.copy(
         fs, new Path(fixture), fs, new Path(root),
-        false, spark.sparkContext.hadoopConfiguration)
+        false, spark.sparkContext.hadoopConfiguration))
       body(root)
     } finally {
       fs.delete(new Path(root).getParent, true)
